@@ -1,0 +1,118 @@
+"""M0 goldens: numpy geometry kernel (PIP, clipping, areas, WKB)."""
+
+import numpy as np
+import pytest
+
+from pygridmap_spark.core import geometry as G
+from pygridmap_spark.core import wkb
+
+
+def square(x0, y0, s):
+    return np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]], dtype=float
+    )
+
+
+def test_ring_area():
+    assert G.ring_signed_area(square(0, 0, 10)) == pytest.approx(100.0)
+    # clockwise ring -> negative signed area
+    assert G.ring_signed_area(square(0, 0, 10)[::-1]) == pytest.approx(-100.0)
+
+
+def test_polygon_area_with_hole():
+    outer = square(0, 0, 10)
+    hole = square(2, 2, 3)
+    assert G.polygon_area([outer, hole]) == pytest.approx(100 - 9)
+
+
+def test_points_in_polygon_basic_and_hole():
+    poly = [square(0, 0, 10), square(2, 2, 3)]  # hole [2,5]x[2,5]
+    px = np.array([1.0, 3.0, 11.0, 6.0, -0.5])
+    py = np.array([1.0, 3.0, 5.0, 6.0, 5.0])
+    got = G.points_in_polygon(px, py, poly)
+    assert got.tolist() == [True, False, False, True, False]
+
+
+def test_points_in_concave_polygon():
+    # L-shape: big square minus top-right quadrant
+    ring = np.array(
+        [[0, 0], [10, 0], [10, 5], [5, 5], [5, 10], [0, 10], [0, 0]], dtype=float
+    )
+    px = np.array([7.0, 7.0, 2.0, 4.9, 5.1])
+    py = np.array([2.0, 7.0, 8.0, 9.9, 9.9])
+    got = G.points_in_polygon(px, py, [ring])
+    assert got.tolist() == [True, False, True, True, False]
+
+
+def test_points_in_multipolygon():
+    mp = [[square(0, 0, 2)], [square(10, 10, 2)]]
+    px = np.array([1.0, 11.0, 5.0])
+    py = np.array([1.0, 11.0, 5.0])
+    assert G.points_in_multipolygon(px, py, mp).tolist() == [True, True, False]
+
+
+def test_clip_ring_full_inside_outside_partial():
+    ring = square(2, 2, 4)  # [2,6]^2
+    # fully inside the clip rect
+    assert G.clip_area([ring], 0, 0, 10, 10) == pytest.approx(16.0)
+    # disjoint
+    assert G.clip_area([ring], 7, 7, 9, 9) == pytest.approx(0.0)
+    # half overlap
+    assert G.clip_area([ring], 4, 0, 10, 10) == pytest.approx(8.0)
+    # quarter overlap
+    assert G.clip_area([ring], 4, 4, 10, 10) == pytest.approx(4.0)
+
+
+def test_clip_concave_produces_correct_area():
+    # L-shape area 75; clip to right half x>=5 -> remaining 5x5 square = 25
+    ring = np.array(
+        [[0, 0], [10, 0], [10, 5], [5, 5], [5, 10], [0, 10], [0, 0]], dtype=float
+    )
+    assert G.polygon_area([ring]) == pytest.approx(75.0)
+    assert G.clip_area([ring], 5, 0, 10, 10) == pytest.approx(25.0)
+
+
+def test_clip_polygon_with_hole():
+    poly = [square(0, 0, 10), square(4, 4, 2)]  # area 100-4=96
+    # clip to left half [0,5]: outer 50, hole part [4,5]x[4,6] = 2
+    assert G.clip_area(poly, 0, 0, 5, 10) == pytest.approx(48.0)
+
+
+def test_rect_intersection_area_vectorized():
+    a = np.array([0.0]), np.array([0.0]), np.array([10.0]), np.array([10.0])
+    b = np.array([5.0]), np.array([5.0]), np.array([15.0]), np.array([15.0])
+    out = G.rect_intersection_area(*a, *b)
+    assert out[0] == pytest.approx(25.0)
+    # disjoint clamps to zero
+    c = np.array([20.0]), np.array([20.0]), np.array([30.0]), np.array([30.0])
+    assert G.rect_intersection_area(*a, *c)[0] == 0.0
+
+
+def test_wkb_roundtrip_polygon():
+    poly = [square(0, 0, 10), square(2, 2, 3)]
+    buf = wkb.encode_polygon(poly)
+    kind, mp = wkb.decode(buf)
+    assert kind == "multipolygon" and len(mp) == 1 and len(mp[0]) == 2
+    assert G.polygon_area(mp[0]) == pytest.approx(91.0)
+
+
+def test_wkb_roundtrip_multipolygon_and_point():
+    mp_in = [[square(0, 0, 1)], [square(5, 5, 2), square(5.5, 5.5, 0.5)]]
+    buf = wkb.encode_multipolygon(mp_in)
+    kind, mp = wkb.decode(buf)
+    assert kind == "multipolygon" and len(mp) == 2
+    assert G.multipolygon_area(mp) == pytest.approx(1 + 4 - 0.25)
+    kind, (x, y) = wkb.decode(wkb.encode_point(3.5, -7.25))
+    assert kind == "point" and (x, y) == (3.5, -7.25)
+
+
+def test_wkb_box_helper():
+    kind, mp = wkb.decode(wkb.encode_box(1, 2, 4, 6))
+    assert G.multipolygon_area(mp) == pytest.approx(12.0)
+    assert G.multipolygon_bbox(mp) == (1, 2, 4, 6)
+
+
+def test_multipolygon_clip_area_bbox_shortcircuit():
+    mp = [[square(0, 0, 4)], [square(100, 100, 4)]]
+    assert G.multipolygon_clip_area(mp, 2, 2, 102, 102) == pytest.approx(4.0 + 4.0)
+    assert G.multipolygon_clip_area(mp, 50, 50, 60, 60) == 0.0
