@@ -1,0 +1,8 @@
+"""Catalyst column-expression library (JVM-side, whole-stage codegen).
+
+Everything here is built from ``pyspark.sql.functions`` — no Python UDFs.
+"""
+
+from pygridmap_spark.functions import cellindex, geolocate, text, tiling, vectors
+
+__all__ = ["cellindex", "geolocate", "text", "tiling", "vectors"]

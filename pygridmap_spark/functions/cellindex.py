@@ -1,0 +1,119 @@
+"""Discrete global grid cell index — the engine's H3/S2-analog partition key.
+
+No native H3/S2 library ships in this container, so the index is a pure-math
+quadtree cell id over equirectangular lon/lat (the same regular-grid family
+as the reference's square cells, gridtiler.py:101-112), in two encodings:
+
+- ``(cell_ix, cell_iy)`` integer axis indices at zoom ``z`` (0..2^z-1),
+- Morton / Z-order interleave (``cell_morton``) — the spatial-locality
+  partition + sort key (classic bit-spreading, public-domain technique),
+- quadkey string (Bing-tile-style base-4 of the Morton code) for humans.
+
+All of it is Catalyst bitwise arithmetic: shiftleft/and/or — whole-stage
+codegen, zero Python. The Morton prefix (``morton >> 2k``) is the salting /
+skew-bucketing key: all SURVEY §2.11 skew handling hangs off it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_Z = 16  # 32-bit morton; plenty for partitioning (2^16 x 2^16 cells)
+
+
+def lonlat_to_cell_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
+    """Equirectangular cell indices at zoom z, clamped to [0, 2^z - 1]."""
+    n = 1 << z
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))).cast("long")
+    clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(n - 1)))  # noqa: E731
+    return clamp(ix), clamp(iy)
+
+
+def _spread_bits(v: Column) -> Column:
+    """Interleave zeros between the low 16 bits (x -> x<<? magic masks).
+
+    Standard Morton bit-spreading: 5 shift/mask stages, each a JVM bitwise
+    expression."""
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def morton(ix: Column, iy: Column) -> Column:
+    """Z-order code from cell indices (<= 16 bits each)."""
+    return _spread_bits(ix).bitwiseOR(F.shiftleft(_spread_bits(iy), 1))
+
+
+def cell_id(lon: Column, lat: Column, z: int) -> Column:
+    """Morton cell id at zoom z — the engine's 'h3'-role column."""
+    ix, iy = lonlat_to_cell_xy(lon, lat, z)
+    return morton(ix, iy)
+
+
+def quadkey(lon: Column, lat: Column, z: int) -> Column:
+    """Base-4 quadkey string of length z (Bing-tile convention on the
+    equirectangular grid; y NOT flipped — our grid is south-up like the
+    reference's lower-left-corner cells)."""
+    return F.lpad(F.conv(cell_id(lon, lat, z).cast("string"), 10, 4), z, "0")
+
+
+def morton_prefix(code: Column, levels_up: int) -> Column:
+    """Coarsen a Morton code by k levels — the salt/skew bucketing key."""
+    return F.shiftright(code, 2 * levels_up)
+
+
+def with_cell_index(df, z: int, lon: str = "lon", lat: str = "lat"):
+    """Append (cell_ix, cell_iy, cell_id) at zoom z."""
+    ix, iy = lonlat_to_cell_xy(F.col(lon), F.col(lat), z)
+    return df.withColumns({"cell_ix": ix, "cell_iy": iy, "cell_id": morton(ix, iy)})
+
+
+def ring_offsets(radius: int) -> list[tuple[int, int]]:
+    """(dx, dy) offsets of the square ring at exactly ``radius`` — driver-side
+    constant for the kNN cell-ring expansion (SURVEY §2.11)."""
+    if radius == 0:
+        return [(0, 0)]
+    out = []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            if max(abs(dx), abs(dy)) == radius:
+                out.append((dx, dy))
+    return out
+
+
+def disk_offsets(radius: int) -> list[tuple[int, int]]:
+    """All offsets with Chebyshev distance <= radius (filled disk)."""
+    return [
+        (dx, dy)
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    ]
+
+
+# --- Python twins for tests --------------------------------------------------
+
+
+def py_cell_xy(lon: float, lat: float, z: int) -> tuple[int, int]:
+    import math
+
+    n = 1 << z
+    ix = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+    iy = min(max(int(math.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+    return ix, iy
+
+
+def py_morton(ix: int, iy: int) -> int:
+    def spread(v: int) -> int:
+        v &= 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(ix) | (spread(iy) << 1)

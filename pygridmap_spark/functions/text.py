@@ -1,0 +1,135 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting and
+document fingerprinting — all as JVM-side Catalyst expressions designed so
+the driver's DuckDB oracle can reproduce them with portable ANSI-ish SQL
+(see __spark_entry__.oracle_sql). No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Distinctive high-frequency function words per language. Matched with
+# surrounding spaces so 'the' doesn't fire inside 'other'. Small on purpose:
+# the oracle re-implements the same counts in SQL.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "fr": [" le ", " la ", " les ", " est ", " une "],
+    "it": [" il ", " che ", " della ", " sono ", " una "],
+    "es": [" el ", " que ", " los ", " es ", " una "],
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """# of occurrences of a literal substring:
+    (len(s) - len(replace(s, needle))) / len(needle)."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language over ' '||text||' '."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return {
+        lang: sum((occurrences(padded, w) for w in words), F.lit(0.0)).cast("double")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when all 0.
+
+    Ties break by the fixed language order of LANG_STOPWORDS (en first) —
+    pinned so the SQL oracle can mirror with a CASE chain.
+    """
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the CASE from the last language backwards so earlier langs win ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= F.lit(0.0), F.lit("und")).otherwise(expr)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count: size(split(trim(text), '\\s+')); 0 for empty."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavoured token estimate: word-piece regex splits on
+    letter/digit/punct boundaries (GPT-2-style coarse classes)."""
+    pieces = F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda p: F.length(F.trim(p)) > 0)).cast("int")
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of [A-Za-z] characters."""
+    return (
+        F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+        / F.greatest(F.length(text), F.lit(1))
+    ).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    return (
+        F.length(F.regexp_replace(text, r"[^.,;:!?'\"()]", ""))
+        / F.greatest(F.length(text), F.lit(1))
+    ).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """English-stopword hits per token — the classic web-quality feature."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    hits = sum((occurrences(padded, w) for w in LANG_STOPWORDS["en"]), F.lit(0.0))
+    return (hits / F.greatest(token_count(text), F.lit(1))).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score (length, alpha ratio, punctuation,
+    stopword density) — C4/Gopher-style heuristics, SQL-reproducible:
+
+        0.25*min(len/500,1) + 0.35*alpha + 0.2*min(4*punct, 1)
+          + 0.2*min(4*stopword_ratio, 1)
+    """
+    len_term = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.25) * len_term
+        + F.lit(0.35) * alpha_ratio(text)
+        + F.lit(0.20) * F.least(F.lit(4.0) * punct_ratio(text), F.lit(1.0))
+        + F.lit(0.20) * F.least(F.lit(4.0) * stopword_ratio(text), F.lit(1.0))
+    ).cast("double")
+
+
+def normalized(text: Column) -> Column:
+    """Dedup normalization: lowercase, non-alnum -> space, squeeze, trim."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (md5 exists in both
+    Spark and DuckDB, making this oracle-checkable; xxhash64 is the
+    JVM-internal fast path used for shuffle keys)."""
+    return F.md5(normalized(text))
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-gram (word) shingles of the normalized text as array<string>;
+    empty array when fewer than n tokens."""
+    toks = tokens(normalized(text))
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )

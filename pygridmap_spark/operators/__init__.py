@@ -1,0 +1,25 @@
+"""Engine operators: gridding, overlay, tiler, raster, kNN, dedup, ANN."""
+
+from pygridmap_spark.operators import (
+    dedup,
+    gridding,
+    knn,
+    multimodal,
+    overlay,
+    raster,
+    similarity,
+    textstats,
+    tiler,
+)
+
+__all__ = [
+    "dedup",
+    "gridding",
+    "knn",
+    "multimodal",
+    "overlay",
+    "raster",
+    "similarity",
+    "textstats",
+    "tiler",
+]

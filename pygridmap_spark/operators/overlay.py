@@ -1,0 +1,333 @@
+"""GridOverlay + area_interpolate — grid x polygon overlay and weighted
+areal interpolation (SURVEY §2.8, reference overlay.py:433-605).
+
+Semantics (parity targets, re-derived):
+- piece area  = area(cell ∩ polygon)                    (overlay.py:326-331)
+- area_pct    = piece_area / original polygon area       (overlay.py:332-335)
+- rule 'sum'  = per cell: sum(attr * area_pct)           (overlay.py:345-354)
+- rule 'max'/'min' = attrs of the most/least overlapping polygon
+                                                        (overlay.py:340-360)
+- rule 'list' / cover = collect polygon ids per cell     (overlay.py:312-323)
+- merge-back onto the grid = equi-join on the cell id    (overlay.py:369-374)
+
+Two physical paths, chosen by the shape of the right side:
+
+1. **rect x rect** (`grid_overlay_rects`): when the "polygon" layer is
+   itself a regular grid (the reference's own unit-test situation —
+   tests/overlay.ipynb cells 26-32 overlay grids with grids), the piece
+   area is closed-form rectangle intersection. The candidate join is an
+   equi-join on the coarse cell key both sides can compute — pure Catalyst,
+   fully codegen, shuffle-on-key; survives any scale. This path is also
+   DuckDB-oracle-checkable, which is how the driver verifies the engine.
+
+2. **rect x WKB polygons** (`grid_overlay_polygons`): irregular vector
+   layers (NUTS-3-style). Polygon side is a dimension table (broadcast);
+   candidates come from exploding each polygon's bbox into the grid's
+   integer cell-key range (the cell grid IS the spatial index — replaces
+   the reference's R-tree, overlay.py:257-260); the exact clip runs
+   vectorized-numpy in an Arrow UDF only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pygridmap_spark.core import geometry as G
+from pygridmap_spark.core import wkb
+
+RULES = ("sum", "max", "min", "list", None)
+
+
+def _apply_rule(
+    pieces: DataFrame,
+    grid: DataFrame,
+    columns: Sequence[str],
+    rule: str | None,
+    cover: bool,
+    area: bool,
+    cell_key: str = "cell_id",
+    poly_key: str = "poly_id",
+) -> DataFrame:
+    """Shared rule aggregation + merge-back (A2-A4 + J7/J8)."""
+    if rule is None:
+        return pieces  # raw overlay rows: cell_key, poly_key, piece_area, area_pct, attrs
+    # drop stale attribute columns from the grid before the merge-back, the
+    # reference's V4 pre-drop (overlay.py:377-383) — avoids name collisions
+    stale = [c for c in (*columns, "piece_area", "area_pct", "__cover__") if c in grid.columns]
+    grid = grid.drop(*stale)
+    aggs = []
+    if rule == "sum":
+        aggs += [
+            F.sum(F.col(c) * F.col("area_pct")).alias(c) for c in columns
+        ]
+    elif rule in ("max", "min"):
+        order = (
+            F.col("area_pct").desc() if rule == "max" else F.col("area_pct").asc()
+        )
+        w = Window.partitionBy(cell_key).orderBy(order, F.col(poly_key).asc())
+        ranked = pieces.withColumn("__rn__", F.row_number().over(w)).filter(
+            F.col("__rn__") == 1
+        )
+        keep = [cell_key, *columns]
+        if area:
+            keep += ["piece_area", "area_pct"]
+        sel = ranked.select(*keep)
+        return grid.join(sel, cell_key, "left")
+    elif rule == "list":
+        aggs += [F.sort_array(F.collect_list(poly_key)).alias("__cover__")]
+    if cover and rule != "list":
+        aggs.append(F.sort_array(F.collect_list(poly_key)).alias("__cover__"))
+    if area:
+        aggs += [
+            F.sum("piece_area").alias("piece_area"),
+            F.sum("area_pct").alias("area_pct"),
+        ]
+    agg = pieces.groupBy(cell_key).agg(*aggs)
+    return grid.join(agg, cell_key, "left")
+
+
+# ---------------------------------------------------------------------------
+# path 1: rect x rect (grid x grid) — pure Catalyst
+# ---------------------------------------------------------------------------
+
+
+def grid_overlay_rects(
+    cells: DataFrame,
+    other: DataFrame,
+    columns: Sequence[str],
+    rule: str | None = "sum",
+    cover: bool = False,
+    area: bool = False,
+    how: str = "intersection",
+) -> DataFrame:
+    """Overlay two rectangle layers. Both sides need
+    (cell_id|poly_id, x, y, xmax, ymax); ``other`` carries the attribute
+    ``columns``. ``how='union'`` keeps non-intersecting cells of the left
+    side (reference 'union' semantics on the grid side: full outer on the
+    grid — non-matching cells get null attrs, matching the reference's
+    keep_geom_type'd union restricted to the grid frame).
+
+    Plan: equi-join on the coarse candidate key (each left rect explodes to
+    the 1..4 coarse cells of the right grid it can touch — computed from the
+    right grid's own geometry), then closed-form rectangle intersection.
+    No UDF, no broadcastability requirement on either side.
+    """
+    meta = other.agg(
+        F.min("x").alias("x0"),
+        F.min("y").alias("y0"),
+        F.max(F.col("xmax") - F.col("x")).alias("w"),
+        F.max(F.col("ymax") - F.col("y")).alias("h"),
+    ).collect()[0]
+    bx0, by0, bw, bh = meta["x0"], meta["y0"], meta["w"], meta["h"]
+    eps = 1e-9 * max(bw, bh)
+
+    left = cells.select(
+        F.col("cell_id"),
+        F.col("x").alias("_ax"),
+        F.col("y").alias("_ay"),
+        F.col("xmax").alias("_axm"),
+        F.col("ymax").alias("_aym"),
+    )
+    # candidate right-grid index ranges per left rect (half-open upper edge)
+    lo_x = F.floor((F.col("_ax") - F.lit(bx0)) / F.lit(bw)).cast("long")
+    hi_x = F.floor((F.col("_axm") - F.lit(eps) - F.lit(bx0)) / F.lit(bw)).cast("long")
+    lo_y = F.floor((F.col("_ay") - F.lit(by0)) / F.lit(bh)).cast("long")
+    hi_y = F.floor((F.col("_aym") - F.lit(eps) - F.lit(by0)) / F.lit(bh)).cast("long")
+    cand = left.withColumn("_bix", F.explode(F.sequence(lo_x, hi_x))).withColumn(
+        "_biy", F.explode(F.sequence(lo_y, hi_y))
+    )
+
+    right = other.select(
+        F.col("poly_id") if "poly_id" in other.columns else F.col("cell_id").alias("poly_id"),
+        F.floor((F.col("x") - F.lit(bx0)) / F.lit(bw)).cast("long").alias("_bix"),
+        F.floor((F.col("y") - F.lit(by0)) / F.lit(bh)).cast("long").alias("_biy"),
+        F.col("x").alias("_bx"),
+        F.col("y").alias("_by"),
+        F.col("xmax").alias("_bxm"),
+        F.col("ymax").alias("_bym"),
+        ((F.col("xmax") - F.col("x")) * (F.col("ymax") - F.col("y"))).alias("_barea"),
+        *columns,
+    )
+
+    joined = cand.join(right, ["_bix", "_biy"])
+    w = F.least("_axm", "_bxm") - F.greatest("_ax", "_bx")
+    h = F.least("_aym", "_bym") - F.greatest("_ay", "_by")
+    piece = (F.greatest(w, F.lit(0.0)) * F.greatest(h, F.lit(0.0))).alias("piece_area")
+    pieces = (
+        joined.withColumn("piece_area", piece)
+        .filter(F.col("piece_area") > 0)
+        .withColumn(
+            "area_pct",
+            F.when(F.col("_barea") > 0, F.col("piece_area") / F.col("_barea")),
+        )
+        .select("cell_id", "poly_id", "piece_area", "area_pct", *columns)
+    )
+    if rule is None:
+        return pieces
+    out = _apply_rule(pieces, cells, columns, rule, cover, area)
+    if how == "intersection":
+        # inner semantics: drop grid cells with no overlap (union keeps them
+        # with null attrs — reference 'union' restricted to the grid frame)
+        out = _drop_unmatched(out, columns, area, rule)
+    return out
+
+
+def _drop_unmatched(out: DataFrame, columns, area, rule) -> DataFrame:
+    if rule == "list":
+        return out.filter(F.col("__cover__").isNotNull())
+    if columns:
+        return out.filter(F.col(columns[0]).isNotNull())
+    if area:
+        return out.filter(F.col("piece_area").isNotNull())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# path 2: rect x WKB polygons — broadcast + Arrow UDF exact clip
+# ---------------------------------------------------------------------------
+
+
+def grid_overlay_polygons(
+    spark: SparkSession,
+    cells: DataFrame,
+    polygons: DataFrame,
+    columns: Sequence[str],
+    rule: str | None = "sum",
+    cover: bool = False,
+    area: bool = False,
+    how: str = "intersection",
+    geometry_col: str = "geometry",
+    poly_key: str = "poly_id",
+) -> DataFrame:
+    """Overlay the cell grid with an irregular WKB polygon layer.
+
+    The polygon layer is collected + broadcast (dimension-table assumption —
+    same as the reference pickling the mask to every worker, but once per
+    executor instead of once per tile). Candidate pairs come from exploding
+    each polygon bbox into grid cell-key ranges; the exact Sutherland-
+    Hodgman clip runs only on candidates, vectorized per batch.
+    """
+    grid_meta = cells.agg(
+        F.min("x").alias("x0"),
+        F.min("y").alias("y0"),
+        F.max(F.col("xmax") - F.col("x")).alias("w"),
+        F.max(F.col("ymax") - F.col("y")).alias("h"),
+    ).collect()[0]
+    gx0, gy0, gw, gh = grid_meta["x0"], grid_meta["y0"], grid_meta["w"], grid_meta["h"]
+
+    rows = polygons.select(poly_key, geometry_col, *columns).collect()
+    geoms: dict[int, list] = {}
+    attr_rows = []
+    cand_rows = []
+    for r in rows:
+        mp = wkb.decode_multipolygon(bytes(r[geometry_col]))
+        pid = r[poly_key]
+        geoms[pid] = mp
+        parea = G.multipolygon_area(mp)
+        attr_rows.append((pid, parea, *[r[c] for c in columns]))
+        bxmin, bymin, bxmax, bymax = G.multipolygon_bbox(mp)
+        lo_x = int(math.floor((bxmin - gx0) / gw))
+        hi_x = int(math.floor((bxmax - 1e-12 - gx0) / gw))
+        lo_y = int(math.floor((bymin - gy0) / gh))
+        hi_y = int(math.floor((bymax - 1e-12 - gy0) / gh))
+        for ix in range(lo_x, hi_x + 1):
+            for iy in range(lo_y, hi_y + 1):
+                cand_rows.append((ix, iy, pid))
+
+    cand_df = spark.createDataFrame(
+        cand_rows, "_gix long, _giy long, poly_id long"
+    )
+    attr_schema = "poly_id long, poly_area double" + "".join(
+        f", {c} {dict(polygons.dtypes)[c]}" for c in columns
+    )
+    attr_df = spark.createDataFrame(attr_rows, attr_schema)
+
+    left = cells.select(
+        "cell_id",
+        F.floor((F.col("x") - F.lit(gx0)) / F.lit(gw)).cast("long").alias("_gix"),
+        F.floor((F.col("y") - F.lit(gy0)) / F.lit(gh)).cast("long").alias("_giy"),
+        F.col("x").alias("_ax"),
+        F.col("y").alias("_ay"),
+        F.col("xmax").alias("_axm"),
+        F.col("ymax").alias("_aym"),
+    )
+    pairs = left.join(F.broadcast(cand_df), ["_gix", "_giy"])
+
+    bcast = spark.sparkContext.broadcast(
+        {pid: [[np.asarray(r).tolist() for r in poly] for poly in mp] for pid, mp in geoms.items()}
+    )
+
+    def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, list] = {}
+
+        def get(pid):
+            if pid not in cache:
+                cache[pid] = [
+                    [np.asarray(r, dtype=np.float64) for r in poly]
+                    for poly in bcast.value[pid]
+                ]
+            return cache[pid]
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            ax = batch["_ax"].to_numpy()
+            ay = batch["_ay"].to_numpy()
+            axm = batch["_axm"].to_numpy()
+            aym = batch["_aym"].to_numpy()
+            pids = batch["poly_id"].to_numpy()
+            areas = np.empty(len(batch))
+            for i in range(len(batch)):
+                areas[i] = G.multipolygon_clip_area(
+                    get(pids[i]), ax[i], ay[i], axm[i], aym[i]
+                )
+            out = batch[["cell_id", "poly_id"]].copy()
+            out["piece_area"] = areas
+            yield out[out["piece_area"] > 0]
+
+    pieces = pairs.mapInPandas(
+        _clip, "cell_id long, poly_id long, piece_area double"
+    )
+    pieces = (
+        pieces.join(F.broadcast(attr_df), "poly_id")
+        .withColumn(
+            "area_pct",
+            F.when(F.col("poly_area") > 0, F.col("piece_area") / F.col("poly_area")),
+        )
+        .select("cell_id", "poly_id", "piece_area", "area_pct", *columns)
+    )
+    if rule is None:
+        return pieces
+    out = _apply_rule(pieces, cells, columns, rule, cover, area)
+    if how == "intersection":
+        out = _drop_unmatched(out, columns, area, rule)
+    return out
+
+
+def area_interpolate(
+    spark: SparkSession,
+    source_polygons: DataFrame,
+    target_cells: DataFrame,
+    columns: Sequence[str],
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """Tobler-style weighted areal interpolation (overlay.py:559-605):
+    rule='sum', area & cover on, intersection semantics — each target cell
+    receives sum(attr * overlap_share_of_source)."""
+    return grid_overlay_polygons(
+        spark,
+        target_cells,
+        source_polygons,
+        columns,
+        rule="sum",
+        cover=True,
+        area=True,
+        how="intersection",
+        geometry_col=geometry_col,
+    )

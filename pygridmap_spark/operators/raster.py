@@ -1,0 +1,122 @@
+"""Raster <-> vector operators over dense cell DataFrames (SURVEY §2.9).
+
+The reference reads rasters windowed with rasterio (gridtiler_raster.py:
+61-90) and joins bands cell-wise (:97-119); rasterio is absent here and the
+engine's representation is the ingested form the SURVEY prescribes anyway:
+a dense DataFrame (col:int, row:int, band_*:double) where the windowed read
+becomes partition pruning. Pinned semantics:
+
+- y-flip: raster row 0 is the TOP row; cell y index = height-1-row
+  (gridtiler_raster.py:73's min_row = height-(yt+1)*ts convention),
+- nodata filter (gridtiler_raster.py:104, 315),
+- multi-raster cell join on (col, row) = full outer equi-join (J9),
+- resample-to-coarser = grid_aggregation on the coarsened key (A5/G13),
+- point sampling (S6) = equi-join of computed (col, row) keys.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygridmap_spark.operators import tiler
+
+
+def synthetic_raster(
+    spark: SparkSession,
+    width: int,
+    height: int,
+    band: str = "band1",
+    nodata_every: int | None = None,
+    value_expr=None,
+) -> DataFrame:
+    """Deterministic dense raster: value = f(col, row) (default
+    col + row*width); every ``nodata_every``-th cell null (the ingested
+    form of a nodata pixel)."""
+    df = (
+        spark.range(width)
+        .select(F.col("id").cast("int").alias("col"))
+        .crossJoin(spark.range(height).select(F.col("id").cast("int").alias("row")))
+    )
+    val = value_expr if value_expr is not None else (F.col("col") + F.col("row") * width).cast("double")
+    if nodata_every:
+        val = F.when(
+            (F.col("col") + F.col("row") * width) % nodata_every == 0, F.lit(None)
+        ).otherwise(val)
+    return df.withColumn(band, val)
+
+
+def with_cell_coords(
+    raster: DataFrame,
+    height: int,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    resolution: float = 1.0,
+) -> DataFrame:
+    """Raster pixel indices -> grid cell lower-left coords, with the y-flip
+    (row 0 = top)."""
+    return raster.withColumns(
+        {
+            "x": F.lit(x0) + F.col("col") * F.lit(resolution),
+            "y": F.lit(y0) + (F.lit(height - 1) - F.col("row")) * F.lit(resolution),
+        }
+    )
+
+
+def join_bands(rasters: Sequence[DataFrame]) -> DataFrame:
+    """Multi-raster cell join (J9): full outer equi-join on (col, row) so a
+    cell exists if ANY band has data (gridtiler_raster.py:97-119)."""
+    out = rasters[0]
+    for r in rasters[1:]:
+        out = out.join(r, ["col", "row"], "full_outer")
+    return out
+
+
+def filter_nodata(raster: DataFrame, band: str, nodata: float | None = None, no_data_values: Sequence[float] = ()) -> DataFrame:
+    """Nodata filter (F3): drop null, the nodata sentinel, and any extra
+    sentinel values."""
+    cond = F.col(band).isNotNull()
+    if nodata is not None:
+        cond = cond & (F.col(band) != F.lit(nodata))
+    for v in no_data_values:
+        cond = cond & (F.col(band) != F.lit(v))
+    return raster.filter(cond)
+
+
+def resample_to_grid(
+    raster_with_xy: DataFrame,
+    resolution: float,
+    a: int,
+    aggregation_fun=None,
+) -> DataFrame:
+    """Raster -> coarser vector grid: the multi-resolution roll-up (A5)
+    applied to raster cells — one hash aggregate."""
+    df = raster_with_xy.drop("col", "row")
+    return tiler.grid_aggregation(df, resolution, a, aggregation_fun)
+
+
+def sample_at_points(
+    points: DataFrame,
+    raster: DataFrame,
+    height: int,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    resolution: float = 1.0,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Point sampling (S6): compute each point's (col, row) and equi-join
+    the raster — the reference's src.index(xc, yc) with bounds semantics
+    (out-of-raster points get null bands via left join)."""
+    keyed = points.withColumns(
+        {
+            "col": F.floor((F.col(x) - F.lit(x0)) / F.lit(resolution)).cast("int"),
+            "row": (
+                F.lit(height - 1)
+                - F.floor((F.col(y) - F.lit(y0)) / F.lit(resolution))
+            ).cast("int"),
+        }
+    )
+    return keyed.join(raster, ["col", "row"], "left")

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk_bruteforce`: exact top-k — broadcast the (small) query set,
+  score every corpus vector JVM-side (zip_with/aggregate), window top-k.
+  The baseline and the oracle.
+- `with_hyperplane_signature` + `cosine_topk_lsh`: random-hyperplane LSH —
+  the scale path. Plane normals are seeded numpy, embedded as literal
+  arrays so the signature is a pure Catalyst expression (dot per plane via
+  zip_with + aggregate, sign bit packed into a long). Bucket equi-join
+  beats the O(N*Q) scan when the corpus is large; multi-probe by flipping
+  one bit covers near-boundary vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import vectors as V
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank). Ties break on
+    ascending corpus id (deterministic)."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", V.cosine(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def _plane_literals(dim: int, planes: int, seed: int):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((planes, dim))
+    return [F.array(*[F.lit(float(v)) for v in row]) for row in mat]
+
+
+def with_hyperplane_signature(
+    df: DataFrame, vec_col: str = "embedding", planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Append a ``signature`` long: bit p = sign(dot(vec, plane_p)).
+
+    Plane normals are literal arrays (seeded, deterministic across runs and
+    executors); the whole signature is JVM-side."""
+    dim = len(df.select(vec_col).first()[0])
+    lits = _plane_literals(dim, planes, seed)
+    bits = [
+        F.when(V.dot(F.col(vec_col), lit) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for lit in lits
+    ]
+    sig = bits[0]
+    for p in range(1, planes):
+        sig = sig.bitwiseOR(F.shiftleft(bits[p], p))
+    return df.withColumn("signature", sig)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k via hyperplane-LSH bucket equi-join.
+
+    Queries probe their own bucket plus every bucket at Hamming distance
+    <= multiprobe_bits (signature with one bit flipped) — recall/latency
+    dial. Results are exact cosines over the candidate set."""
+    c = with_hyperplane_signature(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")), "_cv", planes, seed
+    )
+    q = with_hyperplane_signature(
+        queries.select(F.col(query_id), F.col(vec_col).alias("_qv")), "_qv", planes, seed
+    )
+    if multiprobe_bits >= 1:
+        probes = F.array(
+            F.col("signature"),
+            *[F.col("signature").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        )
+    else:
+        probes = F.array(F.col("signature"))
+    qp = q.withColumn("signature", F.explode(probes))
+    scored = qp.join(c, "signature").withColumn(
+        "cosine", V.cosine(F.col("_qv"), F.col("_cv"))
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -1,0 +1,51 @@
+"""Streaming ingestion: pages stream -> geolocate -> tile-assign -> windowed
+per-tile counts. The reference is batch-only (SURVEY §1.2 'no streaming');
+this is the engine's Structured-Streaming face for continuous crawl
+ingestion — the same Catalyst expressions as the batch path (geolocate /
+cellindex / tiling are plain column functions, so batch and streaming share
+one code path), plus event-time watermarking on warc_ts for late pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import cellindex, geolocate, tiling
+
+
+def tile_stream(
+    pages_stream: DataFrame,
+    resolution: float,
+    tile_size_cell: int = 128,
+    zoom: int = 8,
+) -> DataFrame:
+    """Transform a streaming pages DataFrame: geolocate, cell-index,
+    tile-assign. Stateless — identical to the batch projection."""
+    df = geolocate.with_geolocation(pages_stream)
+    df = cellindex.with_cell_index(df, zoom)
+    return tiling.with_tile_assignment(
+        df, resolution, tile_size_cell, x="lon", y="lat"
+    )
+
+
+def windowed_tile_counts(
+    tiled_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed per-tile page counts with a watermark for late
+    data — the streaming twin of the flagship per-tile histogram."""
+    return (
+        tiled_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("xt"), F.col("yt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("text_bytes"),
+        )
+    )
+
+
+def read_pages_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream over a pages directory (parquet)."""
+    return spark.readStream.schema(schema).parquet(path)

@@ -1,0 +1,145 @@
+"""M3: the reference's three asserted overlay invariants as exact goldens
+(tests/overlay.ipynb cells 26-32), plus the WKB-polygon overlay path checked
+against numpy-computed expected areas.
+
+These are "the reference implementation's overlay unit tests" the north
+star requires matching.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.core import geometry as G
+from pygridmap_spark.core import wkb
+from pygridmap_spark.operators import overlay as OV
+from pygridmap_spark.sources import polygons as PG
+
+BBOX = (0.0, 0.0, 200_000.0, 200_000.0)
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # 4x4 grid of 50km cells, val = cell_id + 1 (the DUMMYCOL analog)
+    return PG.grid_layer(spark, BBOX, (50_000.0, 50_000.0)).cache()
+
+
+def test_overlay_identity(spark, grid):
+    """Overlay a grid WITH ITSELF (how in {union, intersection}, rule='sum')
+    preserves the value column exactly (tests/overlay.ipynb cell 26)."""
+    for how in ("intersection", "union"):
+        out = OV.grid_overlay_rects(grid, grid, ["val"], rule="sum", how=how)
+        got = {r["cell_id"]: r["val"] for r in out.collect()}
+        want = {r["cell_id"]: r["val"] for r in grid.collect()}
+        assert got == pytest.approx(want), how
+
+
+def test_overlay_mass_conservation(spark, grid):
+    """Coarse grid onto nscale x finer grid with rule='sum': each fine cell
+    gets val/nscale^2; re-summing the nscale^2 pieces restores val exactly
+    (tests/overlay.ipynb cells 28-30)."""
+    nscale = 4
+    fine = PG.grid_layer(spark, BBOX, (50_000.0 / nscale, 50_000.0 / nscale))
+    out = OV.grid_overlay_rects(fine, grid, ["val"], rule="sum", how="intersection")
+    rows = out.collect()
+    assert len(rows) == 16 * nscale * nscale
+    coarse_val = {r["cell_id"]: r["val"] for r in grid.collect()}
+    # every fine cell got exactly val/nscale^2 of its containing coarse cell
+    for r in rows:
+        cx, cy = r["cell_x"], r["cell_y"]
+        coarse_id = (cx // nscale) + (cy // nscale) * 4
+        assert r["val"] == pytest.approx(coarse_val[coarse_id] / nscale**2)
+    # re-sum restores the coarse values exactly
+    total = sum(r["val"] for r in rows)
+    assert total == pytest.approx(sum(coarse_val.values()))
+
+
+def test_overlay_rule_vs_pct_consistency(spark, grid):
+    """sum(val * area_pct) from a rule=None run equals the rule='sum'
+    output per cell (tests/overlay.ipynb cell 32) — on an offset grid so
+    cells straddle multiple 'polygons'."""
+    offset = PG.grid_layer(
+        spark, (25_000.0, 25_000.0, 175_000.0, 175_000.0), (50_000.0, 50_000.0)
+    )
+    pieces = OV.grid_overlay_rects(offset, grid, ["val"], rule=None)
+    manual = (
+        pieces.groupBy("cell_id")
+        .agg(F.sum(F.col("val") * F.col("area_pct")).alias("val"))
+        .collect()
+    )
+    summed = OV.grid_overlay_rects(offset, grid, ["val"], rule="sum").collect()
+    got = {r["cell_id"]: r["val"] for r in summed}
+    for r in manual:
+        assert got[r["cell_id"]] == pytest.approx(r["val"])
+    # every interior offset cell overlaps exactly 4 coarse cells at pct 1/16
+    counts = pieces.groupBy("cell_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)
+
+
+def test_overlay_rules_min_max_list(spark, grid):
+    offset = PG.grid_layer(
+        spark, (25_000.0, 25_000.0, 175_000.0, 175_000.0), (50_000.0, 50_000.0)
+    )
+    mx = OV.grid_overlay_rects(offset, grid, ["val"], rule="max", area=True).collect()
+    # each offset cell overlaps 4 coarse cells, each piece 25km x 25km =
+    # 1/4 of the coarse cell's area -> chosen piece's area_pct is 1/4
+    for r in mx:
+        assert r["area_pct"] == pytest.approx(1 / 4)
+    lst = OV.grid_overlay_rects(offset, grid, ["val"], rule="list").collect()
+    for r in lst:
+        assert len(r["__cover__"]) == 4
+        assert r["__cover__"] == sorted(r["__cover__"])
+
+
+def test_union_keeps_nonmatching_cells(spark, grid):
+    # grid vs a single far-away rect: union keeps all 16 cells (null attrs),
+    # intersection keeps none
+    far = PG.grid_layer(spark, (900_000.0, 900_000.0, 950_000.0, 950_000.0), (50_000.0, 50_000.0))
+    inter = OV.grid_overlay_rects(grid, far, ["val"], rule="sum", how="intersection")
+    assert inter.count() == 0
+    uni = OV.grid_overlay_rects(grid, far, ["val"], rule="sum", how="union")
+    assert uni.count() == 16
+    assert uni.filter(F.col("val").isNotNull()).count() == 0
+
+
+def test_polygon_overlay_matches_numpy(spark, grid):
+    """WKB-polygon path: piece areas equal the numpy kernel's direct
+    computation for every (cell, polygon) pair."""
+    polys = PG.synthetic_polygons(spark, n=6, bbox=BBOX, seed=11)
+    pieces = OV.grid_overlay_polygons(
+        spark, grid, polys, ["pop"], rule=None
+    ).collect()
+    cells = {r["cell_id"]: (r["x"], r["y"], r["xmax"], r["ymax"]) for r in grid.collect()}
+    geoms = {
+        r["poly_id"]: wkb.decode_multipolygon(bytes(r["geometry"]))
+        for r in polys.collect()
+    }
+    assert len(pieces) > 0
+    seen_nonzero = 0
+    for r in pieces:
+        x0, y0, x1, y1 = cells[r["cell_id"]]
+        mp = geoms[r["poly_id"]]
+        want = G.multipolygon_clip_area(mp, x0, y0, x1, y1)
+        assert r["piece_area"] == pytest.approx(want, rel=1e-9)
+        want_pct = want / G.multipolygon_area(mp)
+        assert r["area_pct"] == pytest.approx(want_pct, rel=1e-9)
+        seen_nonzero += 1
+    assert seen_nonzero > 0
+    # completeness: every nonzero numpy intersection appears as a piece
+    got_pairs = {(r["cell_id"], r["poly_id"]) for r in pieces}
+    for cid, (x0, y0, x1, y1) in cells.items():
+        for pid, mp in geoms.items():
+            if G.multipolygon_clip_area(mp, x0, y0, x1, y1) > 1e-6:
+                assert (cid, pid) in got_pairs
+
+
+def test_area_interpolate_mass_conservation(spark, grid):
+    """Areal interpolation conserves total mass for polygons fully inside
+    the grid: sum over cells of interpolated pop == sum of poly pops."""
+    polys = PG.synthetic_polygons(spark, n=5, bbox=(20_000.0, 20_000.0, 180_000.0, 180_000.0), seed=3)
+    out = OV.area_interpolate(spark, polys, grid, ["pop"])
+    total = out.agg(F.sum("pop")).collect()[0][0]
+    want = sum(r["pop"] for r in polys.select("pop").collect())
+    assert total == pytest.approx(want, rel=1e-9)
+    # cover lists present and sorted
+    assert out.filter(F.size("__cover__") >= 1).count() == out.count()
