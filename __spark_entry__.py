@@ -1,38 +1,653 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001; ``queries()`` maps
+every SURVEY §2 operator family to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` gives the DuckDB-equivalent SQL over the same tables.
+
+Oracle-precision policy: money-style sums go through exact decimal
+accumulation then cast to double (order-independent across engines);
+per-row doubles (distances, cosines) are rounded to 6 decimals on both
+sides; synthetic coordinates use integer-hash arithmetic (geolocate.
+lat_lon_from_id) reproducible in int64 SQL. Operators whose hashing
+primitives don't exist in DuckDB (xxhash64-based MinHash/SimHash, LSH) are
+registered without an oracle — the driver records the rows-only check and
+pytest pins their semantics on synthetic duplicates instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import geolocate as GEO
+from pygridmap_spark.functions import text as TX
+from pygridmap_spark.functions import tiling as TF
+from pygridmap_spark.functions import cellindex as CI
+from pygridmap_spark.operators import dedup as DD
+from pygridmap_spark.operators import knn as KNN
+from pygridmap_spark.operators import overlay as OV
+from pygridmap_spark.operators import raster as RA
+from pygridmap_spark.operators import similarity as SIM
+from pygridmap_spark.operators import textstats as TS
+from pygridmap_spark.operators import tiler as TL
+from pygridmap_spark.sources import polygons as PG
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- flagship ---------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> geolocate -> cell index -> tile assignment ->
+    per-tile histogram (pages + text bytes per tile)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.withColumns({"lat": lat, "lon": lon})
+    pts = CI.with_cell_index(pts, 6, lon="lon", lat="lat")
+    tiled = TF.with_tile_assignment(pts, resolution=0.25, tile_size_cell=16, x="lon", y="lat")
+    return (
+        tiled.groupBy("xt", "yt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("text_bytes"),
+            F.countDistinct("cell_id").cast("long").alias("n_cells"),
+        )
+    )
+
+
+# --- shared SQL fragments (keep Spark + DuckDB derivations in one place) ----
+
+_GEO_SQL = (
+    "-60.0 + (doc_id * 2654435761 % 1300000) / 10000.0 AS lat, "
+    "-180.0 + (doc_id * 2246822519 % 3600000) / 10000.0 AS lon"
+)
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    """(score CTE columns, CASE expr) replicating functions.text.lang_id."""
+    score_cols = []
+    for lang, words in TX.LANG_STOPWORDS.items():
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, '{w}', ''))) / {len(w)}.0" for w in words
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = list(TX.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return ", ".join(score_cols), case
+
+
+# --- queries ----------------------------------------------------------------
+
+
+def _q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 tile-assignment arithmetic over geolocated documents."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.withColumns({"lat": lat, "lon": lon})
+    out = TF.with_tile_assignment(pts, resolution=0.25, tile_size_cell=16, x="lon", y="lat")
+    return out.select(
+        "doc_id",
+        F.col("xt").cast("long").alias("xt"),
+        F.col("yt").cast("long").alias("yt"),
+        F.col("cx").cast("long").alias("cx"),
+        F.col("cy").cast("long").alias("cy"),
+    )
+
+
+def _q_tile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.withColumns({"lat": lat, "lon": lon})
+    tiled = TF.with_tile_assignment(pts, resolution=0.25, tile_size_cell=16, x="lon", y="lat")
+    return tiled.groupBy(
+        F.col("xt").cast("long").alias("xt"), F.col("yt").cast("long").alias("yt")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("text_bytes"),
+    )
+
+
+def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/G13 multi-resolution roll-up via the grid_aggregation operator."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value") * 731.0).alias("x"),
+        ((F.col("user_id") % 1000).cast("double") * 13.7).alias("y"),
+        # decimal accumulation: order-independent exact sums across engines
+        F.col("value").cast("decimal(20,6)").alias("val"),
+    )
+    out = TL.grid_aggregation(ev, resolution=100.0, a=4, aggregation_rounding=None)
+    return out.select(
+        "x",
+        "y",
+        F.round(F.col("val").cast("double"), 6).alias("val_sum"),
+    )
+
+
+def _q_top1_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W1: top-1 per group by area-pct-analog (extendedprice)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cell = (F.col("l_orderkey") % 97).alias("cell")
+    w = Window.partitionBy("cell").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.select(cell, "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+def _q_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 weighted-sum aggregation (TPC-H Q1 shape, exact decimal sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pipeline: customer x orders x lineitem x nation (broadcast dims)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _q_pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-analog: point-in-polygon join of geolocated docs against rect
+    regions derived from the nation table (broadcast dim side)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("poly_id"),
+        (F.lit(-180.0) + (F.col("n_nationkey") * 13 % 300).cast("double")).alias("rxmin"),
+        (F.lit(-60.0) + (F.col("n_nationkey") * 7 % 100).cast("double")).alias("rymin"),
+    ).withColumns(
+        {"rxmax": F.col("rxmin") + 30.0, "rymax": F.col("rymin") + 25.0}
+    )
+    joined = pts.join(
+        F.broadcast(nation),
+        (F.col("lon") >= F.col("rxmin"))
+        & (F.col("lon") < F.col("rxmax"))
+        & (F.col("lat") >= F.col("rymin"))
+        & (F.col("lat") < F.col("rymax")),
+    )
+    return joined.select("doc_id", F.col("poly_id").cast("long").alias("poly_id"))
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via cell-ring expansion (exact; oracle = brute-force SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.select(F.col("doc_id").alias("point_id"), lon.alias("x"), lat.alias("y"))
+    qs = pts.filter(F.col("point_id") < 20).select(
+        F.col("point_id").alias("query_id"), "x", "y"
+    )
+    out = KNN.knn_cellring(pts, qs, k=5, cell=10.0)
+    return out.select(
+        "query_id",
+        "point_id",
+        F.round(F.col("dist"), 6).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_grid_overlay_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlay core (J5/J6+A1+A2): offset grid x value grid, rule=sum —
+    closed-form rectangle intersection, oracle = inequality join in SQL."""
+    base = PG.grid_layer(spark, (0.0, 0.0, 100_000.0, 100_000.0), (5_000.0, 5_000.0))
+    offset = PG.grid_layer(
+        spark, (2_500.0, 2_500.0, 97_500.0, 97_500.0), (5_000.0, 5_000.0)
+    ).drop("val")
+    out = OV.grid_overlay_rects(offset, base, ["val"], rule="sum", how="intersection")
+    return out.select(
+        F.col("cell_id").alias("cell_id"),
+        F.round(F.col("val"), 6).alias("val"),
+    )
+
+
+def _q_grid_maker_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/J1/J2/F1: grid maker over a rectangular mask, trim=False, flags
+    out. Oracle: closed-form rect-vs-cell intersection tests."""
+    from pygridmap_spark.core import wkb
+    import pandas as pd
+
+    mask_pdf = pd.DataFrame(
+        {"poly_id": [0], "geometry": [wkb.encode_box(23_000.0, 31_000.0, 68_500.0, 79_500.0)]}
+    )
+    mask = spark.createDataFrame(mask_pdf)
+    from pygridmap_spark.operators import gridding as GR
+
+    out = GR.grid_maker(
+        spark, mask=mask, cell=(10_000.0, 10_000.0), bbox=(0.0, 0.0, 100_000.0, 100_000.0),
+        trim=False,
+    )
+    return out.select(
+        F.col("cell_x").cast("long").alias("cell_x"),
+        F.col("cell_y").cast("long").alias("cell_y"),
+        F.col("__intersects__").cast("long").alias("intersects"),
+        F.col("__within__").cast("long").alias("within"),
+    )
+
+
+def _q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A5: synthetic raster -> coarsened grid roll-up (y-flip pinned)."""
+    r = RA.synthetic_raster(spark, width=64, height=48, nodata_every=7)
+    r = RA.with_cell_coords(r, height=48, resolution=100.0)
+    out = RA.resample_to_grid(r, resolution=100.0, a=4, aggregation_fun={"band1": "sum"})
+    return out.select("x", "y", F.col("band1").alias("band_sum"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over documents + a shifted duplicate copy
+    (synthesized in-query so real duplicate groups exist)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = DD.exact_duplicates(docs.unionByName(dupes), "doc_id", "text")
+    return out.select("doc_id", "canonical_id", "fp", F.col("group_size").cast("long").alias("group_size"))
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk_bruteforce(emb, qs, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TS.document_stats(docs)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (threshold low enough to
+    produce rows on the synthetic embeddings)."""
+    from pygridmap_spark.functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", V.cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= 0.93)
+        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+    )
+
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (streaming twin runs the same
+    expression via Structured Streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("wstart"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("wstart").cast("long").alias("wstart_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (xxhash64-based; no SQL oracle — driver
+    rows-only; semantics pinned in tests/test_dedup.py on synthetic dups)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    return DD.minhash_lsh_pairs(
+        docs.unionByName(mutated), jaccard_threshold=0.5
+    )
+
+
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check; pytest pins semantics)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return DD.simhash_near_duplicates(docs.unionByName(dupes), max_hamming=3)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (rows-only: approximate by design; recall is
+    measured against the brute-force oracle in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk_lsh(emb, qs, k=10, planes=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assignment": _q_tile_assignment,
+        "tile_histogram": _q_tile_histogram,
+        "cell_rollup": _q_cell_rollup,
+        "top1_per_cell": _q_top1_per_cell,
+        "weighted_sum": _q_weighted_sum,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "pip_rect_join": _q_pip_rect_join,
+        "knn_cellring": _q_knn,
+        "grid_overlay_offset": _q_grid_overlay_offset,
+        "grid_maker_trim": _q_grid_maker_trim,
+        "raster_resample": _q_raster_resample,
+        "dedup_exact": _q_dedup_exact,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "token_counts": _q_token_counts,
+        "lang_id_counts": _q_lang_id_counts,
+        "quality_scores": _q_quality_scores,
+        "fingerprints": _q_fingerprints,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_windowed": _q_events_windowed,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "ann_cosine_topk_lsh": _q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    score_cols, lang_case = _lang_scores_sql()
+    geo_cte = f"WITH pts AS (SELECT doc_id, {_GEO_SQL} FROM documents)"
+    return {
+        "tile_assignment": f"""
+            {geo_cte}
+            SELECT doc_id,
+                   CAST(floor((lon - 0.0) / 4.0) AS BIGINT) AS xt,
+                   CAST(floor((lat - 0.0) / 4.0) AS BIGINT) AS yt,
+                   CAST(floor((lon - 0.0) / 0.25 - floor((lon - 0.0) / 4.0) * 16) AS BIGINT) AS cx,
+                   CAST(floor((lat - 0.0) / 0.25 - floor((lat - 0.0) / 4.0) * 16) AS BIGINT) AS cy
+            FROM pts
+        """,
+        "tile_histogram": f"""
+            {geo_cte}
+            SELECT CAST(floor(lon / 4.0) AS BIGINT) AS xt,
+                   CAST(floor(lat / 4.0) AS BIGINT) AS yt,
+                   count(*) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS text_bytes
+            FROM pts JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "cell_rollup": """
+            WITH ev AS (
+                SELECT value * 731.0 AS x, (user_id % 1000) * 13.7 AS y, value AS val
+                FROM events
+            )
+            SELECT 400.0 * floor(x / 400.0) AS x,
+                   400.0 * floor(y / 400.0) AS y,
+                   round(CAST(sum(CAST(val AS DECIMAL(20,6))) AS DOUBLE), 6) AS val_sum
+            FROM ev GROUP BY 1, 2
+        """,
+        "top1_per_cell": """
+            SELECT CAST(cell AS BIGINT) AS cell, orderkey, linenumber, price FROM (
+                SELECT l_orderkey % 97 AS cell, l_orderkey AS orderkey,
+                       CAST(l_linenumber AS BIGINT) AS linenumber,
+                       l_extendedprice AS price,
+                       row_number() OVER (
+                           PARTITION BY l_orderkey % 97
+                           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+                       ) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "weighted_sum": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "pip_rect_join": f"""
+            {geo_cte},
+            rects AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+                       -180.0 + (n_nationkey * 13 % 300) AS rxmin,
+                       -60.0 + (n_nationkey * 7 % 100) AS rymin
+                FROM nation
+            )
+            SELECT doc_id, poly_id
+            FROM pts JOIN rects
+              ON lon >= rxmin AND lon < rxmin + 30.0
+             AND lat >= rymin AND lat < rymin + 25.0
+        """,
+        "knn_cellring": f"""
+            {geo_cte},
+            qs AS (SELECT doc_id AS query_id, lon AS qx, lat AS qy FROM pts WHERE doc_id < 20),
+            pairs AS (
+                SELECT q.query_id, p.doc_id AS point_id,
+                       sqrt((p.lon - q.qx) * (p.lon - q.qx) + (p.lat - q.qy) * (p.lat - q.qy)) AS d
+                FROM qs q CROSS JOIN pts p
+            )
+            SELECT query_id, point_id, round(d, 6) AS dist, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY d ASC, point_id ASC
+                ) AS rank FROM pairs
+            ) WHERE rank <= 5
+        """,
+        "grid_overlay_offset": """
+            WITH base AS (
+                SELECT r1.range AS ix, r2.range AS iy,
+                       r1.range * 5000.0 AS x, r2.range * 5000.0 AS y,
+                       CAST(r1.range + r2.range * 20 + 1 AS DOUBLE) AS val
+                FROM range(0, 20) r1, range(0, 20) r2
+            ),
+            off AS (
+                SELECT r1.range + r2.range * 19 AS cell_id,
+                       2500.0 + r1.range * 5000.0 AS x, 2500.0 + r2.range * 5000.0 AS y
+                FROM range(0, 19) r1, range(0, 19) r2
+            ),
+            pieces AS (
+                SELECT o.cell_id, b.val,
+                       greatest(0, least(o.x + 5000.0, b.x + 5000.0) - greatest(o.x, b.x))
+                     * greatest(0, least(o.y + 5000.0, b.y + 5000.0) - greatest(o.y, b.y)) AS piece
+                FROM off o JOIN base b
+                  ON b.x < o.x + 5000.0 AND b.x + 5000.0 > o.x
+                 AND b.y < o.y + 5000.0 AND b.y + 5000.0 > o.y
+            )
+            SELECT cell_id, round(sum(val * piece / 25000000.0), 6) AS val
+            FROM pieces WHERE piece > 0 GROUP BY cell_id
+        """,
+        "grid_maker_trim": """
+            SELECT r1.range AS cell_x, r2.range AS cell_y,
+                   CAST(r1.range * 10000.0 < 68500.0 AND (r1.range + 1) * 10000.0 > 23000.0
+                    AND r2.range * 10000.0 < 79500.0 AND (r2.range + 1) * 10000.0 > 31000.0
+                       AS BIGINT) AS intersects,
+                   CAST(r1.range * 10000.0 >= 23000.0 AND (r1.range + 1) * 10000.0 <= 68500.0
+                    AND r2.range * 10000.0 >= 31000.0 AND (r2.range + 1) * 10000.0 <= 79500.0
+                       AS BIGINT) AS within
+            FROM range(0, 10) r1, range(0, 10) r2
+        """,
+        "raster_resample": """
+            WITH raster AS (
+                SELECT r1.range AS col, r2.range AS row,
+                       CASE WHEN (r1.range + r2.range * 64) % 7 = 0 THEN NULL
+                            ELSE CAST(r1.range + r2.range * 64 AS DOUBLE) END AS band1,
+                       r1.range * 100.0 AS x, (47 - r2.range) * 100.0 AS y
+                FROM range(0, 64) r1, range(0, 48) r2
+            )
+            SELECT 400.0 * floor(x / 400.0) AS x, 400.0 * floor(y / 400.0) AS y,
+                   round(coalesce(sum(band1), 0), 6) AS band_sum
+            FROM raster GROUP BY 1, 2
+        """,
+        "dedup_exact": f"""
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+            ),
+            f AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM all_docs)
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+                   fp,
+                   count(*) OVER (PARTITION BY fp) AS group_size
+            FROM f QUALIFY group_size > 1
+        """,
+        "ann_cosine_topk": """
+            WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM qs q CROSS JOIN embeddings c
+            )
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 10
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   END AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed
+            FROM documents
+        """,
+        "lang_id_counts": f"""
+            WITH padded AS (SELECT ' ' || text || ' ' AS p FROM documents),
+            scores AS (SELECT {score_cols} FROM padded)
+            SELECT {lang_case} AS lang_pred, count(*) AS n
+            FROM scores GROUP BY 1
+        """,
+        "quality_scores": r"""
+            WITH feats AS (
+                SELECT doc_id,
+                       length(text) AS lt,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           / greatest(length(text), 1) AS alpha,
+                       length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))
+                           / greatest(length(text), 1) AS punct,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+                       ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0
+                      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5.0
+                      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4.0
+                      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) / 4.0
+                      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4.0
+                       ) AS sw_hits
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(0.25 * least(lt / 500.0, 1.0)
+                       + 0.35 * alpha
+                       + 0.20 * least(4.0 * punct, 1.0)
+                       + 0.20 * least(4.0 * (sw_hits / greatest(ntok, 1)), 1.0), 6) AS quality
+            FROM feats
+        """,
+        "fingerprints": f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.93
+        """,
+        "events_windowed": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart_epoch,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # minhash_lsh_pairs / simhash_near_dup / ann_cosine_topk_lsh:
+        # intentionally no oracle (xxhash64 / approximate-by-design) —
+        # driver records rows-only; pytest pins their semantics.
+    }

@@ -8,6 +8,7 @@ from pygridmap_spark.operators import (
     overlay,
     raster,
     similarity,
+    spatialjoin,
     textstats,
     tiler,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "overlay",
     "raster",
     "similarity",
+    "spatialjoin",
     "textstats",
     "tiler",
 ]

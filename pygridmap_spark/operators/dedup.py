@@ -57,6 +57,25 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 
+# affine-rehash constants: one base xxhash64 per shingle, then k cheap
+# (a_i*h + b_i) mod p variants — the standard universal-hash-family trick.
+# a_i < 2^30 and h masked to 32 bits keep products under 2^62: no ANSI
+# overflow. Constants derive from splitmix-style mixing of the index.
+_MH_PRIME = (1 << 61) - 1
+
+
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    params = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % ((1 << 30) - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MH_PRIME
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -64,19 +83,28 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: for seed i, min over word-shingles of
-    xxhash64(shingle, i). Pure Catalyst: shingling via slice/transform,
-    minhash via nested transform + array_min. Docs with no shingles are
-    dropped (can't be near-dup candidates)."""
-    shingles = TX.word_shingles(F.col(text_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("__sh__"), lambda s: F.xxhash64(s, i))),
+    """MinHash signature per doc (array<long> of length num_hashes) plus
+    the distinct shingle set (for exact Jaccard verification).
+
+    Plan: explode shingles -> ONE xxhash64 per shingle -> k affine rehashes
+    inside a single hash aggregate (min per seed + collect_set) -> one
+    shuffle on the doc id. Scales linearly in total shingles; no nested
+    array materialization. Docs with no shingles drop out (can't be
+    near-dup candidates)."""
+    ex = (
+        df.select(F.col(id_col), F.explode(TX.word_shingles(F.col(text_col), shingle_n)).alias("__sh__"))
+        .withColumn("__h__", F.xxhash64("__sh__").bitwiseAND(F.lit(0xFFFFFFFF)))
     )
-    return (
-        df.select(F.col(id_col), shingles.alias("__sh__"))
-        .filter(F.size("__sh__") > 0)
-        .select(F.col(id_col), sig.alias("signature"), F.col("__sh__").alias("shingles"))
+    aggs = [
+        F.min((F.col("__h__") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"__mh{i}__")
+        for i, (a, b) in enumerate(_mh_params(num_hashes))
+    ]
+    aggs.append(F.collect_set("__sh__").alias("shingles"))
+    agg = ex.groupBy(id_col).agg(*aggs)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__mh{i}__") for i in range(num_hashes)]).alias("signature"),
+        "shingles",
     )
 
 
@@ -97,7 +125,9 @@ def minhash_lsh_pairs(
     self-join per bucket (skew-capped by AQE; giant buckets indicate
     boilerplate and can be salted/limited upstream)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # materialize signatures once: the banding self-join would otherwise
+    # recompute the shingle+hash pipeline on both sides
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     banded = sigs.select(
         F.col(id_col),
         F.col("shingles"),
@@ -135,7 +165,8 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "_sh_a", "_sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect(F.array_distinct("_sh_a"), F.array_distinct("_sh_b")))
+    # shingles are already distinct sets (collect_set)
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     return (
         pairs.withColumn("jaccard", inter.cast("double") / union)

@@ -1,0 +1,177 @@
+"""Point-in-polygon spatial joins — the engine's page-assignment operators
+(SURVEY §2.4 J1/J2 re-expressed as indexed equi-joins).
+
+Design principle: **the cell grid is the spatial index**. Regions are
+expanded to the integer cells their bboxes cover (JVM `sequence`/`explode`,
+distributed); points carry the same cell key; the join is a broadcast hash
+equi-join on (cell_ix, cell_iy) — never a nested-loop scan. The exact
+phase is then:
+
+- rects: a residual range predicate (pure Catalyst, codegen),
+- WKB polygons: two-phase — cover cells classified ALL_IN / BOUNDARY
+  driver-side by exact clip area (the reference's coarse short-circuit,
+  gridding.py:146-151); only points in BOUNDARY cells run the vectorized
+  numpy ray-cast (gridding.py:180-182's J2), via one Arrow-batched UDF.
+
+At 10^12 pages the points side never shuffles: the region side is a
+dimension table (countries/NUTS ~10^3-10^5 rows) whose cover-cell explosion
+stays broadcastable at a suitably coarse zoom.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygridmap_spark.core import geometry as G
+from pygridmap_spark.core import wkb
+from pygridmap_spark.operators.gridding import ALL_IN, ALL_OUT, BOUNDARY, classify_rect
+
+
+def _cell_bounds_exprs(z: int):
+    n = float(1 << z)
+    lo = lambda c, off, span: F.floor((c + F.lit(off)) / F.lit(span) * F.lit(n)).cast("long")  # noqa: E731
+    return n, lo
+
+
+def rect_pip_join(
+    points: DataFrame,
+    rects: DataFrame,
+    z: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+    how: str = "inner",
+) -> DataFrame:
+    """Points x axis-aligned rect regions. ``rects`` needs poly_id +
+    (rxmin, rymin, rxmax, rymax). Returns points joined with poly_id
+    (half-open [min, max) containment).
+
+    Plan: rects explode to cover cells at zoom z (distributed, tiny),
+    broadcast hash equi-join on the cell key, residual range filter.
+    """
+    n = float(1 << z)
+    pts = points.withColumns(
+        {
+            "__cix__": F.floor((F.col(lon) + 180.0) / 360.0 * n).cast("long"),
+            "__ciy__": F.floor((F.col(lat) + 90.0) / 180.0 * n).cast("long"),
+        }
+    )
+    eps = 1e-12
+    cover = (
+        rects.withColumn(
+            "__cix__",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("rxmin") + 180.0) / 360.0 * n).cast("long"),
+                    F.floor((F.col("rxmax") - eps + 180.0) / 360.0 * n).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "__ciy__",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("rymin") + 90.0) / 180.0 * n).cast("long"),
+                    F.floor((F.col("rymax") - eps + 90.0) / 180.0 * n).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = pts.join(F.broadcast(cover), ["__cix__", "__ciy__"], how)
+    out = joined.filter(
+        (F.col(lon) >= F.col("rxmin"))
+        & (F.col(lon) < F.col("rxmax"))
+        & (F.col(lat) >= F.col("rymin"))
+        & (F.col(lat) < F.col("rymax"))
+    )
+    return out.drop("__cix__", "__ciy__", "rxmin", "rymin", "rxmax", "rymax")
+
+
+def polygon_pip_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: DataFrame,
+    z: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+    geometry_col: str = "geometry",
+    poly_key: str = "poly_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Points x WKB polygon layer (two-phase exact PIP).
+
+    Driver classifies each polygon's cover cells once (clip-area exact);
+    ALL_IN cells assign their points with zero geometry work, BOUNDARY
+    cells run the vectorized even-odd ray cast on candidate points only.
+    """
+    n = 1 << z
+    rows = polygons.select(poly_key, geometry_col, *keep_cols).collect()
+    geoms: dict[int, list] = {}
+    cover_rows = []
+    for r in rows:
+        mp = wkb.decode_multipolygon(bytes(r[geometry_col]))
+        pid = r[poly_key]
+        geoms[pid] = mp
+        bxmin, bymin, bxmax, bymax = G.multipolygon_bbox(mp)
+        lo_x = int(math.floor((bxmin + 180.0) / 360.0 * n))
+        hi_x = int(math.floor((bxmax - 1e-12 + 180.0) / 360.0 * n))
+        lo_y = int(math.floor((bymin + 90.0) / 180.0 * n))
+        hi_y = int(math.floor((bymax - 1e-12 + 90.0) / 180.0 * n))
+        for cix in range(lo_x, hi_x + 1):
+            for ciy in range(lo_y, hi_y + 1):
+                cxmin = -180.0 + cix * 360.0 / n
+                cymin = -90.0 + ciy * 180.0 / n
+                cls = classify_rect(
+                    mp, cxmin, cymin, cxmin + 360.0 / n, cymin + 180.0 / n
+                )
+                if cls != ALL_OUT:
+                    cover_rows.append((cix, ciy, pid, cls))
+    cover = spark.createDataFrame(
+        cover_rows, "__cix__ long, __ciy__ long, poly_id long, __cls__ int"
+    )
+    pts = points.withColumns(
+        {
+            "__cix__": F.floor((F.col(lon) + 180.0) / 360.0 * F.lit(float(n))).cast("long"),
+            "__ciy__": F.floor((F.col(lat) + 90.0) / 180.0 * F.lit(float(n))).cast("long"),
+        }
+    )
+    cand = pts.join(F.broadcast(cover), ["__cix__", "__ciy__"])
+    interior = cand.filter(F.col("__cls__") == ALL_IN)
+
+    boundary = cand.filter(F.col("__cls__") == BOUNDARY)
+    bcast = spark.sparkContext.broadcast(
+        {pid: [[np.asarray(ring).tolist() for ring in poly] for poly in mp] for pid, mp in geoms.items()}
+    )
+    schema = boundary.schema
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, list] = {}
+
+        def get(pid):
+            if pid not in cache:
+                cache[pid] = [
+                    [np.asarray(r, dtype=np.float64) for r in poly]
+                    for poly in bcast.value[pid]
+                ]
+            return cache[pid]
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            keep = np.zeros(len(batch), dtype=bool)
+            px = batch[lon].to_numpy(dtype=np.float64)
+            py = batch[lat].to_numpy(dtype=np.float64)
+            # group by polygon id -> one vectorized ray-cast per polygon
+            pids = batch["poly_id"].to_numpy()
+            for pid in np.unique(pids):
+                sel = pids == pid
+                keep[sel] = G.points_in_multipolygon(px[sel], py[sel], get(pid))
+            yield batch[keep]
+
+    exact = boundary.mapInPandas(_exact, schema)
+    return interior.unionByName(exact).drop("__cix__", "__ciy__", "__cls__")
