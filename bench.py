@@ -155,7 +155,7 @@ def main() -> None:
             "spark.locality.wait": "0",
         }
         best: dict[int, float] = {}
-        for rep in range(2):
+        for rep in range(3):
             for cores in (small, large):
                 s = get_spark(
                     app=f"bench_scale_{rep}_{cores}",

@@ -263,24 +263,33 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
     standard pigeonhole blocking: split the 64-bit hash into ``blocks``
-    16-bit chunks; any pair within distance <= blocks-1 shares at least one
-    exact chunk -> equi-join per chunk, verify with bit_count(xor)."""
+    chunks; any pair within distance <= blocks-1 shares at least one exact
+    chunk -> equi-join per chunk, verify with bit_count(xor). ``blocks``
+    defaults to max_hamming+1 — the minimum that makes the recall exact."""
+    if blocks is None:
+        blocks = min(max_hamming + 1, 32)
+    if blocks < max_hamming + 1:
+        raise ValueError(
+            f"blocks={blocks} cannot guarantee recall at max_hamming={max_hamming}"
+        )
+    width = 64 // blocks
     sh = simhash(df, id_col, text_col)
+    chunk_exprs = []
+    for i in range(blocks):
+        w = width if i < blocks - 1 else 64 - width * (blocks - 1)
+        chunk_exprs.append(
+            F.shiftrightunsigned(F.col("simhash"), width * i).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+        )
     chunked = sh.select(
         id_col,
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
     a = chunked.select(
         "chunk_idx", "chunk", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha")

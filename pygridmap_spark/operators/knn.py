@@ -91,19 +91,30 @@ def knn_cellring(
     p.persist()
     q_all.persist()
 
-    # phase 1: grow r until every query has >= k candidates in its disk
-    pending = q_all
+    # phase 1: grow r until every query has >= k candidates in its disk.
+    # Each round materializes via localCheckpoint — iterative DataFrame
+    # loops otherwise re-derive the whole previous lineage every round
+    # (exponential plan blowup).
+    pending = q_all.localCheckpoint(eager=True)
     satisfied_parts: list[DataFrame] = []  # (query row + chosen radius)
     r = 1
     while r <= max_radius:
         cand_count = _disk_join(pending, p, r, point_id, query_id).groupBy(
             query_id
         ).count()
-        ok = pending.join(
-            cand_count.filter(F.col("count") >= k).select(query_id), query_id, "left_semi"
-        ).withColumn("_r", F.lit(r))
+        ok = (
+            pending.join(
+                cand_count.filter(F.col("count") >= k).select(query_id),
+                query_id,
+                "left_semi",
+            )
+            .withColumn("_r", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
         satisfied_parts.append(ok)
-        pending = pending.join(ok.select(query_id), query_id, "left_anti")
+        pending = pending.join(
+            ok.select(query_id), query_id, "left_anti"
+        ).localCheckpoint(eager=True)
         if pending.isEmpty():
             pending = None
             break
@@ -137,7 +148,37 @@ def knn_cellring(
         final.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, point_id, "dist", "rank")
+        .localCheckpoint(eager=True)
     )
+
+    # correctness backstop: queries whose disk never reached k candidates
+    # (isolated queries beyond max_radius) get exact brute force — the
+    # 'broadcast-join fallback' of the north star, applied per-straggler.
+    n_points = p.count()
+    want = min(k, n_points)
+    got_counts = out.groupBy(query_id).count()
+    incomplete = q_all.join(
+        got_counts.filter(F.col("count") >= want).select(query_id),
+        query_id,
+        "left_anti",
+    )
+    if not incomplete.isEmpty():
+        scored = p.crossJoin(
+            F.broadcast(incomplete.select(query_id, "_qx", "_qy"))
+        ).withColumn(
+            "dist",
+            F.sqrt((F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2),
+        )
+        bf = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, point_id, "dist", "rank")
+        )
+        out = out.join(
+            incomplete.select(query_id), query_id, "left_anti"
+        ).unionByName(bf)
+    p.unpersist()
+    q_all.unpersist()
     return out
 
 

@@ -1,0 +1,121 @@
+"""M2: GridMaker — cell generation, two-phase mask classification, trim /
+interior semantics, qtree parity (SURVEY §2.7, reference gridding.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.core import geometry as G
+from pygridmap_spark.core import wkb
+from pygridmap_spark.operators import gridding as GR
+from pygridmap_spark.sources import polygons as PG
+
+BBOX = (0.0, 0.0, 100_000.0, 100_000.0)
+
+
+def rect_mask(spark, x0, y0, x1, y1):
+    pdf = pd.DataFrame({"poly_id": [0], "geometry": [wkb.encode_box(x0, y0, x1, y1)]})
+    return spark.createDataFrame(pdf)
+
+
+def test_grid_maker_no_mask_counts(spark):
+    out = GR.grid_maker(spark, bbox=BBOX, cell=(10_000.0, 10_000.0))
+    rows = out.collect()
+    assert len(rows) == 100
+    xs = sorted({r["__x__"] for r in rows})
+    assert xs == [i * 10_000.0 for i in range(10)]
+    # tile ids: 32x32-cell default tile -> single tile 0
+    assert {r["__tile__"] for r in rows} == {0}
+
+
+def test_grid_maker_rect_mask_flags(spark):
+    mask = rect_mask(spark, 23_000.0, 31_000.0, 68_500.0, 79_500.0)
+    out = GR.grid_maker(
+        spark, mask=mask, cell=(10_000.0, 10_000.0), bbox=BBOX, trim=False
+    ).collect()
+    assert len(out) == 100
+    for r in out:
+        x0, y0 = r["__x__"], r["__y__"]
+        inter = x0 < 68_500 and x0 + 10_000 > 23_000 and y0 < 79_500 and y0 + 10_000 > 31_000
+        within = x0 >= 23_000 and x0 + 10_000 <= 68_500 and y0 >= 31_000 and y0 + 10_000 <= 79_500
+        assert r["__intersects__"] == inter, (x0, y0)
+        assert r["__within__"] == within, (x0, y0)
+
+
+def test_grid_maker_trim_and_interior(spark):
+    mask = rect_mask(spark, 23_000.0, 31_000.0, 68_500.0, 79_500.0)
+    trimmed = GR.grid_maker(spark, mask=mask, cell=(10_000.0, 10_000.0), bbox=BBOX, trim=True)
+    n_inter = trimmed.count()
+    interior = GR.grid_maker(
+        spark, mask=mask, cell=(10_000.0, 10_000.0), bbox=BBOX, trim=True, interior=True
+    )
+    n_within = interior.count()
+    # intersecting band is strictly larger than the fully-within core
+    assert n_inter > n_within > 0
+    assert interior.filter(~F.col("__within__")).count() == 0
+
+
+def test_grid_maker_polygon_mask_matches_numpy(spark):
+    """Irregular polygon mask: engine flags equal direct numpy clip areas."""
+    polys_df = PG.synthetic_polygons(spark, n=3, bbox=BBOX, seed=5)
+    mask_rows = [bytes(r["geometry"]) for r in polys_df.collect()]
+    mask_polys = []
+    for buf in mask_rows:
+        mask_polys.extend(wkb.decode_multipolygon(buf))
+    out = GR.grid_maker(
+        spark, mask=polys_df, cell=(5_000.0, 5_000.0), bbox=BBOX, trim=False
+    ).collect()
+    cell_area = 5_000.0 * 5_000.0
+    for r in out:
+        a = G.multipolygon_clip_area(
+            mask_polys, r["__x__"], r["__y__"], r["__x__"] + 5_000, r["__y__"] + 5_000
+        )
+        assert r["__intersects__"] == (a > 1e-9 * cell_area), (r["__x__"], r["__y__"])
+        assert r["__within__"] == (a >= cell_area * (1 - 1e-9)), (r["__x__"], r["__y__"])
+
+
+def test_qtree_classify_parity_with_cellwise(spark):
+    """Quadtree refinement emits exactly the cells the flat classification
+    does (the reference's qtree vs prll mode equivalence)."""
+    polys_df = PG.synthetic_polygons(spark, n=2, bbox=BBOX, seed=9)
+    mask_polys = []
+    for r in polys_df.collect():
+        mask_polys.extend(wkb.decode_multipolygon(bytes(r["geometry"])))
+    cell = (12_500.0, 12_500.0)  # 8x8 grid, power-of-2 friendly
+    interior, boundary = GR.qtree_classify(mask_polys, list(BBOX), cell)
+    # expand interior blocks + boundary cells into the cell set they cover
+    qtree_cells = set()
+    for bx0, by0, bx1, by1 in interior:
+        for ix in range(int(round((bx1 - bx0) / cell[1]))):
+            for iy in range(int(round((by1 - by0) / cell[0]))):
+                qtree_cells.add((bx0 + ix * cell[1], by0 + iy * cell[0]))
+    boundary_cells = {(b[0], b[1]) for b in boundary}
+    # flat (prll-style) classification of every cell
+    flat_inter, flat_within = set(), set()
+    cell_area = cell[0] * cell[1]
+    for ix in range(8):
+        for iy in range(8):
+            x0, y0 = ix * cell[1], iy * cell[0]
+            a = G.multipolygon_clip_area(mask_polys, x0, y0, x0 + cell[1], y0 + cell[0])
+            if a > 1e-9 * cell_area:
+                flat_inter.add((x0, y0))
+            if a >= cell_area * (1 - 1e-9):
+                flat_within.add((x0, y0))
+    # every fully-within cell is in an interior block; every other
+    # intersecting cell is among boundary candidates
+    assert flat_within == qtree_cells
+    assert flat_inter - flat_within <= boundary_cells
+    # boundary candidates never include fully-within cells
+    assert not (boundary_cells & qtree_cells)
+
+
+def test_grid_maker_emit_wkb(spark):
+    out = GR.grid_maker(spark, bbox=(0.0, 0.0, 20_000.0, 20_000.0), cell=(10_000.0, 10_000.0), emit_wkb=True)
+    rows = out.collect()
+    for r in rows:
+        kind, mp = wkb.decode(bytes(r["geometry"]))
+        assert kind == "multipolygon"
+        assert G.multipolygon_area(mp) == pytest.approx(1e8)

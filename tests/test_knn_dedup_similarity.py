@@ -1,0 +1,180 @@
+"""M5: kNN (cell-ring == brute force on adversarial layouts), dedup family
+semantics on synthetic duplicates, ANN recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.operators import dedup as DD
+from pygridmap_spark.operators import knn as KNN
+from pygridmap_spark.operators import similarity as SIM
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def _knn_sets(df):
+    return {
+        (r["query_id"], r["rank"]): (r["point_id"], round(r["dist"], 9))
+        for r in df.collect()
+    }
+
+
+def test_knn_cellring_equals_bruteforce_uniform(spark):
+    pts = spark.range(400).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 20) * 10.0).alias("x"),
+        ((F.col("id") / 20).cast("int") * 10.0).alias("y"),
+    )
+    qs = spark.createDataFrame(
+        [(0, 5.0, 5.0), (1, 199.0, 0.0), (2, 95.0, 95.0)], "query_id long, x double, y double"
+    )
+    bf = _knn_sets(KNN.knn_bruteforce(pts, qs, 4))
+    cr = _knn_sets(KNN.knn_cellring(pts, qs, 4, cell=10.0))
+    assert bf == cr
+
+
+def test_knn_cellring_equals_bruteforce_clustered(spark):
+    """Adversarial: dense cluster + far outlier queries (forces multi-round
+    radius doubling and the per-query final-radius guarantee)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.gauss(0, 1.0), rng.gauss(0, 1.0)) for i in range(300)]
+    rows += [(1000 + i, 500.0 + rng.random(), 500.0 + rng.random()) for i in range(5)]
+    pts = spark.createDataFrame(rows, "point_id long, x double, y double")
+    qs = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 500.5, 500.5), (2, 250.0, 250.0)],
+        "query_id long, x double, y double",
+    )
+    bf = _knn_sets(KNN.knn_bruteforce(pts, qs, 6))
+    cr = _knn_sets(KNN.knn_cellring(pts, qs, 6, cell=2.0))
+    assert bf == cr
+
+
+def test_knn_k_larger_than_points(spark):
+    pts = spark.createDataFrame([(0, 0.0, 0.0), (1, 1.0, 1.0)], "point_id long, x double, y double")
+    qs = spark.createDataFrame([(0, 0.5, 0.5)], "query_id long, x double, y double")
+    out = KNN.knn_cellring(pts, qs, 5, cell=1.0).collect()
+    assert len(out) == 2  # all available points, ranked
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def docs_with_dups(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today!"),  # norm-dup of 0
+        (2, "a completely different document about spark joins and shuffle partitions"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+        (4, "totally unrelated text mentioning gridmap tiling and overlay operators"),
+        (5, "a completely different document about spark joins and shuffle partitions"),  # exact dup of 2
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups(spark, docs_with_dups):
+    out = DD.exact_duplicates(docs_with_dups).collect()
+    groups = {r["doc_id"]: r["canonical_id"] for r in out}
+    assert groups == {0: 0, 1: 0, 2: 2, 5: 2}
+
+
+def test_dedup_exact_keeps_min_id(spark, docs_with_dups):
+    kept = sorted(r["doc_id"] for r in DD.dedup_exact(docs_with_dups).collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.minhash_lsh_pairs(
+            docs_with_dups, num_hashes=64, bands=32, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)  # norm-identical
+    assert (2, 5) in pairs and pairs[(2, 5)] == pytest.approx(1.0)
+    assert (0, 3) in pairs and pairs[(0, 3)] > 0.6  # one word changed
+    assert (2, 4) not in pairs
+
+
+def test_minhash_jaccard_estimate_tracks_exact(spark):
+    """Signature agreement rate approximates exact Jaccard (MinHash
+    property) for a controlled pair."""
+    a = "w" + " w".join(str(i) for i in range(40))
+    b = "w" + " w".join(str(i) for i in range(20, 60))
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["signature"] for r in DD.minhash_signatures(df, num_hashes=128).collect()}
+    agree = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 128
+    sh = {r["doc_id"]: set(r["shingles"]) for r in DD.minhash_signatures(df, num_hashes=8).collect()}
+    exact = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+    assert agree == pytest.approx(exact, abs=0.15)
+
+
+def test_simhash_near_duplicates(spark, docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_near_duplicates(docs_with_dups, max_hamming=10).collect()
+    }
+    assert (2, 5) in pairs and pairs[(2, 5)] == 0  # identical token stream
+    assert (0, 3) in pairs  # one token differs -> small hamming
+    assert (2, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark, docs_with_dups):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.ngram_jaccard_pairs(docs_with_dups, jaccard_threshold=0.5).collect()
+    }
+    assert (2, 5) in pairs
+
+
+# ---------------------------------------------------------------------------
+# similarity / ANN
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def vectors_df(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16)).astype("float32")
+    rows = [(i, base[i].tolist(), 0) for i in range(50)]
+    # 51 = near-copy of 0
+    rows.append((51, (base[0] + 0.01 * rng.standard_normal(16).astype("float32")).tolist(), 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_bruteforce_topk_self_is_rank1(spark, vectors_df):
+    qs = vectors_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk_bruteforce(vectors_df, qs, k=3).collect()
+    rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert rank1 == {0: 0, 1: 1, 2: 2}
+    near = [r for r in out if r["query_id"] == 0 and r["rank"] == 2]
+    assert near[0]["vec_id"] == 51
+
+
+def test_lsh_topk_recall_against_bruteforce(spark, vectors_df):
+    qs = vectors_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = SIM.cosine_topk_bruteforce(vectors_df, qs, k=3).collect()
+    lsh = SIM.cosine_topk_lsh(vectors_df, qs, k=3, planes=8, multiprobe_bits=1).collect()
+    bf_pairs = {(r["query_id"], r["vec_id"]) for r in bf}
+    lsh_pairs = {(r["query_id"], r["vec_id"]) for r in lsh}
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.5  # small-sample LSH; exact rank-1 self must survive
+    assert all((q, q) in lsh_pairs for q in range(5))
+
+
+def test_embedding_near_duplicates_lsh(spark, vectors_df):
+    out = DD.embedding_near_duplicates(vectors_df, threshold=0.95, planes=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 51) in pairs

@@ -1,0 +1,111 @@
+"""Streaming pipeline (file source -> windowed per-tile counts, checked
+against the identical batch computation) and text-function unit tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import text as TX
+from pygridmap_spark.sources import pages as P
+from pygridmap_spark.streaming import pipeline as SP
+
+
+def test_streaming_windowed_tile_counts_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages_src")
+    pages = P.pages(spark, 2000)
+    pages.write.parquet(src)
+
+    stream = SP.read_pages_stream(spark, src, pages.schema)
+    assert stream.isStreaming
+    tiled = SP.tile_stream(stream, resolution=0.01, tile_size_cell=128, zoom=8)
+    counts = SP.windowed_tile_counts(tiled, window="1 minute", watermark="2 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("tile_counts")
+        .outputMode("append")  # watermark allows append with final windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT window.start AS wstart, xt, yt, n_pages, text_bytes FROM tile_counts"
+    )
+    batch = (
+        SP.tile_stream(spark.read.parquet(src), resolution=0.01, tile_size_cell=128, zoom=8)
+        .groupBy(F.window("warc_ts", "1 minute").getField("start").alias("wstart"), "xt", "yt")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum(F.length("text")).alias("text_bytes"))
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # availableNow append-mode emits only watermark-closed windows; all
+    # emitted rows must match the batch result, and most windows close
+    assert g <= b
+    assert len(g) >= 0.5 * len(b)
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two words",), ("a  b\tc\nd",)], "text string"
+    )
+    got = [r[0] for r in df.select(TX.token_count(F.col("text"))).collect()]
+    assert got == [0, 0, 1, 2, 4]
+
+
+def test_lang_id_basic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is of no concern to me",),
+            ("der hund und die katze ist nicht da",),
+            ("le chat est dans la maison avec les autres",),
+            ("xyzzy qwerty 12345",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(TX.lang_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [("",), ("the and of to is " * 30,), ("!!!###$$$",)], "text string"
+    )
+    got = [r[0] for r in df.select(TX.quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= v <= 1.0 for v in got)
+    assert got[1] > got[2]  # stopword-rich english beats symbol soup
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "HELLO ... WORLD")],
+        "id long, text string",
+    )
+    fps = [r[0] for r in df.select(TX.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(TX.word_shingles(F.col("text"), 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello, world! it's 42",)], "text string")
+    n = df.select(TX.bpe_ish_token_count(F.col("text"))).collect()[0][0]
+    assert n >= 7  # hello , world ! it ' s 42
+
+
+def test_vectors_cosine(spark):
+    from pygridmap_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(V.cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == 0.0  # zero-vector guard
+    l2 = [r[0] for r in df.select(V.l2_distance(F.col("a"), F.col("b"))).collect()]
+    assert l2[1] == pytest.approx(2**0.5)
