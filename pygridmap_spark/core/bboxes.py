@@ -181,6 +181,33 @@ def align_bbox(cellsize: Sequence[float], bbox: Bbox) -> list[float]:
     return [xmin, ymin, xmin + nx * width, ymin + ny * height]
 
 
+def bbox_to_ring(bbox: Bbox, density: int | None = None, buffer: float = 0.0) -> list[tuple[float, float]]:
+    """bbox -> closed polygon ring, optionally densified with ``density``
+    intermediate vertices per side and buffered outward (G2,
+    base.py:237-254). Densification matters when the ring will be
+    reprojected; here it feeds WKB mask construction."""
+    xmin, ymin, xmax, ymax = bbox
+    xmin -= buffer
+    ymin -= buffer
+    xmax += buffer
+    ymax += buffer
+    if not density:
+        return [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]
+    n = int(density)
+    ring: list[tuple[float, float]] = []
+    for (x0, y0), (x1, y1) in (
+        ((xmin, ymin), (xmax, ymin)),
+        ((xmax, ymin), (xmax, ymax)),
+        ((xmax, ymax), (xmin, ymax)),
+        ((xmin, ymax), (xmin, ymin)),
+    ):
+        for k in range(n + 1):
+            t = k / (n + 1)
+            ring.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+    ring.append((xmin, ymin))
+    return ring
+
+
 def tile_assign(
     x: float,
     y: float,

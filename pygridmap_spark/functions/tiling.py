@@ -93,6 +93,28 @@ def tile_bbox_exprs(
     return xmin, ymin, xmin + tm, ymin + tm
 
 
+def bbox_union_agg(x="x", y="y", xmax="xmax", ymax="ymax") -> list[Column]:
+    """A12 (bbox form, base.py:497-503): reduce-union of boxes = coordinate
+    extremes — one aggregation, no geometry."""
+    return [
+        F.min(x).alias("xmin"),
+        F.min(y).alias("ymin"),
+        F.max(xmax).alias("xmax"),
+        F.max(ymax).alias("ymax"),
+    ]
+
+
+def bbox_intersection_agg(x="x", y="y", xmax="xmax", ymax="ymax") -> list[Column]:
+    """A13 (bbox form, base.py:432-482): reduce-intersection of boxes =
+    max-of-mins / min-of-maxes (empty when xmin>xmax in the result)."""
+    return [
+        F.max(x).alias("xmin"),
+        F.max(y).alias("ymin"),
+        F.min(xmax).alias("xmax"),
+        F.min(ymax).alias("ymax"),
+    ]
+
+
 def round_to_tolerance(col: Column, aggregation_rounding: int = 6) -> Column:
     """Aggregate rounding to 10^-k (gridtiler.py:414-416): round(v*t)/t."""
     tol = F.lit(float(10 ** aggregation_rounding))

@@ -310,6 +310,146 @@ def grid_overlay_polygons(
     return out
 
 
+def grid_overlay_polygons_distributed(
+    cells: DataFrame,
+    polygons: DataFrame,
+    columns: Sequence[str],
+    rule: str | None = "sum",
+    cover: bool = False,
+    area: bool = False,
+    how: str = "intersection",
+    geometry_col: str = "geometry",
+    poly_key: str = "poly_id",
+) -> DataFrame:
+    """Overlay with a polygon layer too large to collect/broadcast.
+
+    Fully distributed plan (no driver-side geometry):
+    1. per-polygon bbox/area via one Arrow UDF pass (WKB decode batch-wise),
+    2. cover-cell explosion as JVM ``sequence``/``explode`` on the bbox,
+       carrying the WKB (duplication bounded by cover-cell counts),
+    3. shuffled equi-join with the cells on the grid cell key (AQE handles
+       skew: a continent-sized polygon's cover cells split across tasks),
+    4. exact Sutherland-Hodgman clip on candidate pairs only.
+
+    Same semantics as :func:`grid_overlay_polygons` (pinned by tests).
+    """
+    spark = cells.sparkSession
+    grid_meta = cells.agg(
+        F.min("x").alias("x0"),
+        F.min("y").alias("y0"),
+        F.max(F.col("xmax") - F.col("x")).alias("w"),
+        F.max(F.col("ymax") - F.col("y")).alias("h"),
+    ).collect()[0]
+    gx0, gy0, gw, gh = grid_meta["x0"], grid_meta["y0"], grid_meta["w"], grid_meta["h"]
+
+    # 1. bbox + area per polygon, decoded batch-at-a-time
+    meta_schema = (
+        f"{poly_key} long, __wkb__ binary, poly_area double, "
+        "__bxmin__ double, __bymin__ double, __bxmax__ double, __bymax__ double"
+    )
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = {
+                poly_key: batch[poly_key].to_numpy(),
+                "__wkb__": batch[geometry_col],
+                "poly_area": np.empty(len(batch)),
+                "__bxmin__": np.empty(len(batch)),
+                "__bymin__": np.empty(len(batch)),
+                "__bxmax__": np.empty(len(batch)),
+                "__bymax__": np.empty(len(batch)),
+            }
+            for i, buf in enumerate(batch[geometry_col]):
+                mp = wkb.decode_multipolygon(bytes(buf))
+                out["poly_area"][i] = G.multipolygon_area(mp)
+                (
+                    out["__bxmin__"][i],
+                    out["__bymin__"][i],
+                    out["__bxmax__"][i],
+                    out["__bymax__"][i],
+                ) = G.multipolygon_bbox(mp)
+            yield pd.DataFrame(out)
+
+    meta = polygons.select(poly_key, geometry_col).mapInPandas(_meta, meta_schema)
+
+    # 2. cover-cell explosion (JVM)
+    eps = 1e-12
+    cover_df = meta.withColumn(
+        "_gix",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__bxmin__") - gx0) / gw).cast("long"),
+                F.floor((F.col("__bxmax__") - eps - gx0) / gw).cast("long"),
+            )
+        ),
+    ).withColumn(
+        "_giy",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__bymin__") - gy0) / gh).cast("long"),
+                F.floor((F.col("__bymax__") - eps - gy0) / gh).cast("long"),
+            )
+        ),
+    ).select(poly_key, "__wkb__", "poly_area", "_gix", "_giy")
+
+    left = cells.select(
+        "cell_id",
+        F.floor((F.col("x") - F.lit(gx0)) / F.lit(gw)).cast("long").alias("_gix"),
+        F.floor((F.col("y") - F.lit(gy0)) / F.lit(gh)).cast("long").alias("_giy"),
+        F.col("x").alias("_ax"),
+        F.col("y").alias("_ay"),
+        F.col("xmax").alias("_axm"),
+        F.col("ymax").alias("_aym"),
+    )
+    pairs = left.join(cover_df, ["_gix", "_giy"])
+
+    # 3. exact clip on candidate pairs (decode cache keyed by poly id)
+    def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for batch in batches:
+            if not len(batch):
+                continue
+            ax = batch["_ax"].to_numpy()
+            ay = batch["_ay"].to_numpy()
+            axm = batch["_axm"].to_numpy()
+            aym = batch["_aym"].to_numpy()
+            pids = batch[poly_key].to_numpy()
+            bufs = batch["__wkb__"]
+            areas = np.empty(len(batch))
+            for i in range(len(batch)):
+                pid = pids[i]
+                mp = cache.get(pid)
+                if mp is None:
+                    mp = wkb.decode_multipolygon(bytes(bufs.iloc[i]))
+                    if len(cache) < 4096:
+                        cache[pid] = mp
+                areas[i] = G.multipolygon_clip_area(mp, ax[i], ay[i], axm[i], aym[i])
+            out = batch[["cell_id", poly_key, "poly_area"]].copy()
+            out["piece_area"] = areas
+            yield out[out["piece_area"] > 0]
+
+    pieces = pairs.mapInPandas(
+        _clip, f"cell_id long, {poly_key} long, poly_area double, piece_area double"
+    )
+    attrs = polygons.select(poly_key, *columns)
+    pieces = (
+        pieces.join(attrs, poly_key)
+        .withColumn(
+            "area_pct",
+            F.when(F.col("poly_area") > 0, F.col("piece_area") / F.col("poly_area")),
+        )
+        .select("cell_id", poly_key, "piece_area", "area_pct", *columns)
+    )
+    if rule is None:
+        return pieces
+    out = _apply_rule(pieces, cells, columns, rule, cover, area)
+    if how == "intersection":
+        out = _drop_unmatched(out, columns, area, rule)
+    return out
+
+
 def area_interpolate(
     spark: SparkSession,
     source_polygons: DataFrame,

@@ -175,3 +175,90 @@ def polygon_pip_join(
 
     exact = boundary.mapInPandas(_exact, schema)
     return interior.unionByName(exact).drop("__cix__", "__ciy__", "__cls__")
+
+
+def polygon_pip_join_distributed(
+    points: DataFrame,
+    polygons: DataFrame,
+    z: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+    geometry_col: str = "geometry",
+    poly_key: str = "poly_id",
+) -> DataFrame:
+    """Points x WKB polygons when the polygon layer itself is too large to
+    collect (e.g. parcel-level layers). Fully distributed two-phase plan:
+
+    1. one Arrow pass over polygons emits (cover cell, class, WKB) rows —
+       the classification clip runs where the polygon row lives,
+    2. shuffled equi-join with points on the cell key (AQE skew-splits the
+       cover cells of continent-sized polygons),
+    3. ALL_IN cells pass through; BOUNDARY candidates run the vectorized
+       ray cast, decoding the carried WKB once per polygon per batch.
+
+    Same output as :func:`polygon_pip_join` (pinned by tests).
+    """
+    n = 1 << z
+
+    def _cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_rows = []
+            for _, row in batch.iterrows():
+                mp = wkb.decode_multipolygon(bytes(row[geometry_col]))
+                bxmin, bymin, bxmax, bymax = G.multipolygon_bbox(mp)
+                lo_x = int(math.floor((bxmin + 180.0) / 360.0 * n))
+                hi_x = int(math.floor((bxmax - 1e-12 + 180.0) / 360.0 * n))
+                lo_y = int(math.floor((bymin + 90.0) / 180.0 * n))
+                hi_y = int(math.floor((bymax - 1e-12 + 90.0) / 180.0 * n))
+                for cix in range(lo_x, hi_x + 1):
+                    for ciy in range(lo_y, hi_y + 1):
+                        cxmin = -180.0 + cix * 360.0 / n
+                        cymin = -90.0 + ciy * 180.0 / n
+                        cls = classify_rect(
+                            mp, cxmin, cymin, cxmin + 360.0 / n, cymin + 180.0 / n
+                        )
+                        if cls != ALL_OUT:
+                            out_rows.append(
+                                (cix, ciy, row[poly_key], cls, bytes(row[geometry_col]))
+                            )
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["__cix__", "__ciy__", poly_key, "__cls__", "__wkb__"],
+                )
+
+    cover = polygons.select(poly_key, geometry_col).mapInPandas(
+        _cover, f"__cix__ long, __ciy__ long, {poly_key} long, __cls__ int, __wkb__ binary"
+    )
+    pts = points.withColumns(
+        {
+            "__cix__": F.floor((F.col(lon) + 180.0) / 360.0 * F.lit(float(n))).cast("long"),
+            "__ciy__": F.floor((F.col(lat) + 90.0) / 180.0 * F.lit(float(n))).cast("long"),
+        }
+    )
+    cand = pts.join(cover, ["__cix__", "__ciy__"])
+    interior = cand.filter(F.col("__cls__") == ALL_IN).drop("__wkb__")
+    boundary = cand.filter(F.col("__cls__") == BOUNDARY)
+    schema = interior.schema
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for batch in batches:
+            if not len(batch):
+                continue
+            px = batch[lon].to_numpy(dtype=np.float64)
+            py = batch[lat].to_numpy(dtype=np.float64)
+            pids = batch[poly_key].to_numpy()
+            keep = np.zeros(len(batch), dtype=bool)
+            for pid in np.unique(pids):
+                sel = np.nonzero(pids == pid)[0]
+                mp = cache.get(pid)
+                if mp is None:
+                    mp = wkb.decode_multipolygon(bytes(batch["__wkb__"].iloc[sel[0]]))
+                    if len(cache) < 4096:
+                        cache[pid] = mp
+                keep[sel] = G.points_in_multipolygon(px[sel], py[sel], mp)
+            yield batch[keep].drop(columns=["__wkb__"])
+
+    exact = boundary.mapInPandas(_exact, schema)
+    return interior.unionByName(exact).drop("__cix__", "__ciy__", "__cls__")

@@ -89,3 +89,42 @@ def read_tiles(spark, folder: str, format: str = "parquet") -> DataFrame:
 def read_info(folder: str) -> dict:
     with open(os.path.join(folder, "info.json")) as fh:
         return json.load(fh)
+
+
+def export_reference_layout(folder: str, file_extension: str | None = None) -> int:
+    """Restructure a hive-partitioned tile tree (xt=<v>/yt=<v>/part-*.ext)
+    into the reference tiler's exact file contract ``<xt>/<yt>.<ext>``
+    (gridtiler.py:124-144: one file per tile, folder per xt). Driver-side
+    rename pass over the already-written tree; returns #tiles moved.
+
+    Requires cluster=True writes (one part file per tile). GridViz and other
+    reference-layout consumers read the result directly."""
+    import shutil
+
+    moved = 0
+    for xt_dir in sorted(os.listdir(folder)):
+        if not xt_dir.startswith("xt="):
+            continue
+        xt = xt_dir.split("=", 1)[1]
+        for yt_dir in sorted(os.listdir(os.path.join(folder, xt_dir))):
+            if not yt_dir.startswith("yt="):
+                continue
+            yt = yt_dir.split("=", 1)[1]
+            src_dir = os.path.join(folder, xt_dir, yt_dir)
+            parts = [f for f in os.listdir(src_dir) if f.startswith("part-")]
+            if not parts:
+                continue
+            if len(parts) > 1:
+                raise ValueError(
+                    f"tile ({xt},{yt}) has {len(parts)} part files; "
+                    "write with cluster=True for one file per tile"
+                )
+            ext = file_extension or parts[0].rsplit(".", 1)[-1]
+            dst_dir = os.path.join(folder, xt)
+            os.makedirs(dst_dir, exist_ok=True)
+            shutil.move(
+                os.path.join(src_dir, parts[0]), os.path.join(dst_dir, f"{yt}.{ext}")
+            )
+            moved += 1
+        shutil.rmtree(os.path.join(folder, xt_dir))
+    return moved

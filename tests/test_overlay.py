@@ -143,3 +143,28 @@ def test_area_interpolate_mass_conservation(spark, grid):
     assert total == pytest.approx(want, rel=1e-9)
     # cover lists present and sorted
     assert out.filter(F.size("__cover__") >= 1).count() == out.count()
+
+
+def test_distributed_polygon_overlay_matches_broadcast(spark, grid):
+    """The no-driver-geometry distributed path returns exactly the
+    broadcast path's pieces."""
+    polys = PG.synthetic_polygons(spark, n=6, bbox=BBOX, seed=11)
+    bcast = OV.grid_overlay_polygons(spark, grid, polys, ["pop"], rule=None)
+    dist = OV.grid_overlay_polygons_distributed(grid, polys, ["pop"], rule=None)
+    key = lambda r: (r["cell_id"], r["poly_id"])  # noqa: E731
+    b = {key(r): (r["piece_area"], r["area_pct"]) for r in bcast.collect()}
+    d = {key(r): (r["piece_area"], r["area_pct"]) for r in dist.collect()}
+    assert set(b) == set(d)
+    for k in b:
+        assert b[k][0] == pytest.approx(d[k][0], rel=1e-12)
+        assert b[k][1] == pytest.approx(d[k][1], rel=1e-12)
+
+
+def test_distributed_polygon_overlay_rules(spark, grid):
+    polys = PG.synthetic_polygons(spark, n=4, bbox=(20_000.0, 20_000.0, 180_000.0, 180_000.0), seed=3)
+    out = OV.grid_overlay_polygons_distributed(
+        grid, polys, ["pop"], rule="sum", area=True, cover=True
+    )
+    total = out.agg(F.sum("pop")).collect()[0][0]
+    want = sum(r["pop"] for r in polys.select("pop").collect())
+    assert total == pytest.approx(want, rel=1e-9)
