@@ -403,6 +403,64 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(emb, qs, k=10, planes=10)
 
 
+def _q_overlay_rule_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 overlay rule: cell takes attrs of its most-overlapping polygon
+    (ties by ascending poly_id)."""
+    base = PG.grid_layer(spark, (0.0, 0.0, 100_000.0, 100_000.0), (5_000.0, 5_000.0))
+    offset = PG.grid_layer(
+        spark, (1_000.0, 2_000.0, 96_000.0, 97_000.0), (5_000.0, 5_000.0)
+    ).drop("val")
+    out = OV.grid_overlay_rects(offset, base, ["val"], rule="max", area=True)
+    return out.select(
+        "cell_id",
+        F.col("val"),
+        F.round(F.col("piece_area"), 6).alias("piece_area"),
+        F.round(F.col("area_pct"), 9).alias("area_pct"),
+    )
+
+
+def _spread_sql(col: str) -> str:
+    e = f"({col} & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"((({e} | ({e} << {shift})) & {mask}))"
+    return e
+
+
+def _q_cell_index_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/quadtree cell encoding (the engine's H3/S2-analog) — oracle
+    reproduces the bit-spreading in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+    out = CI.with_cell_index(pts, 8, lon="lon", lat="lat")
+    return out.select("doc_id", "cell_ix", "cell_iy", "cell_id")
+
+
+def _q_raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 raster point sampling: events-derived points equi-joined onto the
+    synthetic raster's computed (col, row) keys (y-flip pinned)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") % 640).cast("double") / 10.0).alias("x"),
+        ((F.col("user_id") % 480).cast("double") / 10.0).alias("y"),
+    )
+    r = RA.synthetic_raster(spark, width=64, height=48, nodata_every=7)
+    out = RA.sample_at_points(ev, r, height=48, resolution=1.0)
+    return out.select("event_id", F.col("band1").alias("band1"))
+
+
+def _q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): opaque binary -> feature vector via
+    Arrow batches, deterministic fake decoder (real codec stubbed)."""
+    from pygridmap_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.col("text"), F.lit("utf-8")).alias("html"),
+    )
+    return MM.decode_and_featurize(docs, feature_dim=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assignment": _q_tile_assignment,
@@ -427,6 +485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
+        "overlay_rule_max": _q_overlay_rule_max,
+        "cell_index_morton": _q_cell_index_morton,
+        "raster_point_sample": _q_raster_point_sample,
+        "multimodal_featurize": _q_multimodal_featurize,
     }
 
 
@@ -647,7 +709,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        # minhash_lsh_pairs / simhash_near_dup / ann_cosine_topk_lsh:
-        # intentionally no oracle (xxhash64 / approximate-by-design) —
-        # driver records rows-only; pytest pins their semantics.
+        "overlay_rule_max": """
+            WITH base AS (
+                SELECT r1.range AS ix, r2.range AS iy,
+                       r1.range * 5000.0 AS x, r2.range * 5000.0 AS y,
+                       CAST(r1.range + r2.range * 20 + 1 AS DOUBLE) AS val
+                FROM range(0, 20) r1, range(0, 20) r2
+            ),
+            off AS (
+                SELECT r1.range + r2.range * 19 AS cell_id,
+                       1000.0 + r1.range * 5000.0 AS x, 2000.0 + r2.range * 5000.0 AS y
+                FROM range(0, 19) r1, range(0, 19) r2
+            ),
+            pieces AS (
+                SELECT o.cell_id, b.val,
+                       b.ix + b.iy * 20 AS poly_id,
+                       greatest(0, least(o.x + 5000.0, b.x + 5000.0) - greatest(o.x, b.x))
+                     * greatest(0, least(o.y + 5000.0, b.y + 5000.0) - greatest(o.y, b.y)) AS piece
+                FROM off o JOIN base b
+                  ON b.x < o.x + 5000.0 AND b.x + 5000.0 > o.x
+                 AND b.y < o.y + 5000.0 AND b.y + 5000.0 > o.y
+            ),
+            ranked AS (
+                SELECT cell_id, val, piece,
+                       row_number() OVER (
+                           PARTITION BY cell_id
+                           ORDER BY piece / 25000000.0 DESC, poly_id ASC
+                       ) AS rn
+                FROM pieces WHERE piece > 0
+            )
+            SELECT cell_id, val, round(piece, 6) AS piece_area,
+                   round(piece / 25000000.0, 9) AS area_pct
+            FROM ranked WHERE rn = 1
+        """,
+        "cell_index_morton": f"""
+            {geo_cte},
+            cells AS (
+                SELECT doc_id,
+                       greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT), 255)) AS cell_ix,
+                       greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 256.0) AS BIGINT), 255)) AS cell_iy
+                FROM pts
+            )
+            SELECT doc_id, cell_ix, cell_iy,
+                   ({_spread_sql('cell_ix')} | ({_spread_sql('cell_iy')} << 1)) AS cell_id
+            FROM cells
+        """,
+        "raster_point_sample": """
+            WITH pts AS (
+                SELECT event_id,
+                       CAST(floor((event_id % 640) / 10.0) AS BIGINT) AS col,
+                       47 - CAST(floor((user_id % 480) / 10.0) AS BIGINT) AS row
+                FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN (col + row * 64) % 7 = 0 THEN NULL
+                        ELSE CAST(col + row * 64 AS DOUBLE) END AS band1
+            FROM pts
+        """,
+        # minhash_lsh_pairs / simhash_near_dup / ann_cosine_topk_lsh /
+        # multimodal_featurize: intentionally no oracle (xxhash64 /
+        # approximate-by-design / binary plumbing) — driver records
+        # rows-only; pytest pins their semantics.
     }

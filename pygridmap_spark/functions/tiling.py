@@ -28,6 +28,11 @@ def tile_xy(
 
     ``xt = floor((x - x0) / (res*ts))``; in-tile
     ``cx = floor((x - x0)/res - xt*ts)`` in [0, ts-1].
+
+    Known float edge (property-tested): when ``(x-x0)/(res*ts)`` rounds just
+    below an integer while ``(x-x0)/res`` rounds onto it, ``cx == ts``.
+    The reference hits the same case and only warns (gridtiler.py:115-118);
+    we reproduce its arithmetic exactly rather than clamp.
     """
     tile_size_m = float(resolution) * int(tile_size_cell)
     xt = F.floor((x - F.lit(float(x_origin))) / F.lit(tile_size_m)).cast("int")
