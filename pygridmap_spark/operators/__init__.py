@@ -2,6 +2,7 @@
 
 from pygridmap_spark.operators import (
     dedup,
+    frames,
     gridding,
     knn,
     multimodal,
@@ -15,6 +16,7 @@ from pygridmap_spark.operators import (
 
 __all__ = [
     "dedup",
+    "frames",
     "gridding",
     "knn",
     "multimodal",

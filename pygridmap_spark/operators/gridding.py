@@ -108,12 +108,22 @@ def grid_maker(
     crop: bool = True,
     geometry_col: str = "geometry",
     emit_wkb: bool = False,
+    mode: str = "prll",
 ) -> DataFrame:
     """Build the regular grid covering ``bbox`` (or the mask extent),
     flagged/trimmed against the mask. ``cell`` is (height, width) like the
     reference; ``tile`` is the processing-tile size in cells (defaults to a
     ~32x32-cell tile, the partition/classification unit).
+
+    ``mode`` mirrors the reference's GridMaker modes (gridding.py:95-96):
+    'prll' classifies fixed tiles; 'qtree' (gridding.py:191-255) refines
+    adaptively so only O(perimeter) cells ever see exact geometry —
+    identical output (pinned by tests). qtree requires trim=True (the
+    reference's qtree prunes disjoint blocks, so all-out cells are never
+    materialized).
     """
+    if mode not in ("prll", "qtree", "seq"):
+        raise ValueError(f"mode must be prll|qtree|seq, got {mode!r}")
     height, width = float(cell[0]), float(cell[1])
     polys = None
     if mask is not None:
@@ -128,6 +138,16 @@ def grid_maker(
     tilesize = list(tile) if tile else [32, 32]
     nytiles, nxtiles = B.get_tile_shape([height, width], tilesize, bbox)
 
+    xmin, ymin = bbox[0], bbox[1]
+
+    if mode == "qtree" and polys is not None:
+        if not trim:
+            raise ValueError("qtree mode requires trim=True (all-out cells are pruned)")
+        return _grid_maker_qtree(
+            spark, polys, bbox, height, width, tilesize, nxtiles, ncols,
+            interior, emit_wkb,
+        )
+
     # --- phase A: driver-side tile classification (coarse short-circuit) ---
     tile_cls = {}
     if polys is not None:
@@ -139,7 +159,6 @@ def grid_maker(
                 tile_cls[(ix, iy)] = classify_rect(polys, txmin, tymin, txmax, tymax)
 
     # --- distributed cell generation -----------------------------------------
-    xmin, ymin = bbox[0], bbox[1]
     cells = (
         spark.range(ncols)
         .select(F.col("id").cast("int").alias("cell_x"))
@@ -217,6 +236,112 @@ def grid_maker(
     out = interior_cells.unionByName(boundary_cells)
     if trim:
         out = out.filter(F.col("__within__") if interior else F.col("__intersects__"))
+    return _finalize(out, height, width, emit_wkb)
+
+
+def _grid_maker_qtree(
+    spark: SparkSession,
+    polys,
+    bbox,
+    height: float,
+    width: float,
+    tilesize,
+    nxtiles: int,
+    ncols: int,
+    interior: bool,
+    emit_wkb: bool,
+) -> DataFrame:
+    """qtree-mode cell production: interior blocks expand to flagged cells
+    with zero geometry work; boundary candidate cells run the exact UDF."""
+    xmin, ymin = bbox[0], bbox[1]
+    interior_blocks, boundary_cells = qtree_classify(polys, list(bbox), [height, width])
+
+    def cell_cols(df: DataFrame) -> DataFrame:
+        tile_ix = (F.col("cell_x") / tilesize[1]).cast("int")
+        tile_iy = (F.col("cell_y") / tilesize[0]).cast("int")
+        return df.select(
+            "cell_x",
+            "cell_y",
+            (F.lit(xmin) + F.col("cell_x") * F.lit(width)).alias("__x__"),
+            (F.lit(ymin) + F.col("cell_y") * F.lit(height)).alias("__y__"),
+            (tile_ix + tile_iy * F.lit(nxtiles)).alias("__tile__"),
+            (F.col("cell_x").cast("long") + F.col("cell_y").cast("long") * ncols).alias("cell_id"),
+            "__intersects__",
+            "__within__",
+        )
+
+    # interior blocks -> cells (distributed explode; blocks are few)
+    block_rows = [
+        (
+            int(round((b[0] - xmin) / width)),
+            int(round((b[1] - ymin) / height)),
+            int(round((b[2] - b[0]) / width)),
+            int(round((b[3] - b[1]) / height)),
+        )
+        for b in interior_blocks
+    ]
+    if block_rows:
+        blocks = spark.createDataFrame(block_rows, "bx int, by int, nx int, ny int")
+        inter_cells = (
+            blocks.withColumn("dx", F.explode(F.sequence(F.lit(0), F.col("nx") - 1)))
+            .withColumn("dy", F.explode(F.sequence(F.lit(0), F.col("ny") - 1)))
+            .select(
+                (F.col("bx") + F.col("dx")).cast("int").alias("cell_x"),
+                (F.col("by") + F.col("dy")).cast("int").alias("cell_y"),
+                F.lit(True).alias("__intersects__"),
+                F.lit(True).alias("__within__"),
+            )
+        )
+        inter_cells = cell_cols(inter_cells)
+    else:
+        inter_cells = None
+
+    # boundary candidates -> exact flags via the Arrow UDF
+    cand_rows = [
+        (int(round((b[0] - xmin) / width)), int(round((b[1] - ymin) / height)))
+        for b in boundary_cells
+    ]
+    bcast = spark.sparkContext.broadcast(
+        [[np.asarray(r).tolist() for r in p] for p in polys]
+    )
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask_polys = [[np.asarray(r, dtype=np.float64) for r in p] for p in bcast.value]
+        cell_area = width * height
+        for batch in batches:
+            if not len(batch):
+                continue
+            x0 = xmin + batch["cell_x"].to_numpy() * width
+            y0 = ymin + batch["cell_y"].to_numpy() * height
+            n = len(batch)
+            inter = np.zeros(n, dtype=bool)
+            within = np.zeros(n, dtype=bool)
+            for i in range(n):
+                a = G.multipolygon_clip_area(
+                    mask_polys, x0[i], y0[i], x0[i] + width, y0[i] + height
+                )
+                inter[i] = a > 1e-9 * cell_area
+                within[i] = a >= cell_area * (1.0 - 1e-9)
+            out = batch.copy()
+            out["__intersects__"] = inter
+            out["__within__"] = within
+            yield out
+
+    if cand_rows:
+        cand = spark.createDataFrame(cand_rows, "cell_x int, cell_y int")
+        bound_cells = cell_cols(
+            cand.mapInPandas(
+                _exact, "cell_x int, cell_y int, __intersects__ boolean, __within__ boolean"
+            )
+        )
+    else:
+        bound_cells = None
+
+    parts = [p for p in (inter_cells, bound_cells) if p is not None]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.filter(F.col("__within__") if interior else F.col("__intersects__"))
     return _finalize(out, height, width, emit_wkb)
 
 

@@ -49,3 +49,37 @@ def windowed_tile_counts(
 def read_pages_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-source stream over a pages directory (parquet)."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def stateful_url_dedup(pages_stream: DataFrame, key: str = "url") -> DataFrame:
+    """Streaming exactly-once URL dedup — a custom stateful operator via
+    ``applyInPandasWithState`` (the recrawl-suppression stage of a
+    continuous ingest): the first occurrence of each key is emitted, every
+    later occurrence (same or later micro-batch) is dropped. State per key
+    is one boolean; at crawl scale the state store shards by the same hash
+    partitioning as the shuffle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = pages_stream.schema
+
+    def _dedup(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                first = pdf.sort_values("warc_ts").iloc[[0]]
+                break
+        state.update((True,))
+        if first is None:
+            return iter(())
+        return iter([first])
+
+    return pages_stream.groupBy(key).applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType="emitted boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -119,3 +119,43 @@ def test_grid_maker_emit_wkb(spark):
         kind, mp = wkb.decode(bytes(r["geometry"]))
         assert kind == "multipolygon"
         assert G.multipolygon_area(mp) == pytest.approx(1e8)
+
+
+def test_qtree_mode_matches_prll_mode(spark):
+    """mode='qtree' produces exactly the prll-mode trimmed grid
+    (the reference's mode-equivalence, gridding.py:95-96, 191-255)."""
+    polys_df = PG.synthetic_polygons(spark, n=3, bbox=BBOX, seed=5)
+    kw = dict(mask=polys_df, cell=(6_250.0, 6_250.0), bbox=BBOX, trim=True)
+    prll = GR.grid_maker(spark, mode="prll", **kw)
+    qtree = GR.grid_maker(spark, mode="qtree", **kw)
+    key = ["cell_x", "cell_y", "__intersects__", "__within__"]
+    p = {tuple(r[k] for k in key) for r in prll.collect()}
+    q = {tuple(r[k] for k in key) for r in qtree.collect()}
+    assert p == q and len(p) > 0
+    # interior-only variant too
+    p2 = {tuple(r[k] for k in key) for r in GR.grid_maker(spark, mode="prll", interior=True, **kw).collect()}
+    q2 = {tuple(r[k] for k in key) for r in GR.grid_maker(spark, mode="qtree", interior=True, **kw).collect()}
+    assert p2 == q2
+
+
+def test_qtree_requires_trim(spark):
+    polys_df = PG.synthetic_polygons(spark, n=2, bbox=BBOX, seed=1)
+    with pytest.raises(ValueError):
+        GR.grid_maker(spark, mask=polys_df, cell=(10_000.0, 10_000.0), bbox=BBOX, trim=False, mode="qtree")
+
+
+def test_frame_map_and_row_apply(spark):
+    from pygridmap_spark.operators import frames
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    out = frames.frame_map(df, lambda pdf: pdf[pdf["v"] > 50], "id long, v double")
+    assert out.count() == 74
+    ra = frames.row_apply(df, lambda row: row["id"] + row["v"], "s", "double")
+    assert ra.agg(F.sum("s")).collect()[0][0] == sum(i + 2.0 * i for i in range(100))
+    ga = frames.grouped_apply(
+        df.withColumn("g", (F.col("id") % 4).cast("int")),
+        ["g"],
+        lambda pdf: pdf.nlargest(1, "v"),
+        "id long, v double, g int",
+    )
+    assert ga.count() == 4

@@ -109,3 +109,25 @@ def test_vectors_cosine(spark):
     assert got[2] == 0.0  # zero-vector guard
     l2 = [r[0] for r in df.select(V.l2_distance(F.col("a"), F.col("b"))).collect()]
     assert l2[1] == pytest.approx(2**0.5)
+
+
+def test_stateful_url_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicated urls emit exactly once."""
+    src = str(tmp_path / "dup_src")
+    pages = P.pages(spark, 300)
+    dup = pages.limit(100)
+    pages.unionByName(dup).repartition(4).write.parquet(src)
+
+    stream = SP.read_pages_stream(spark, src, pages.schema)
+    deduped = SP.stateful_url_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url, count(*) c FROM dedup_out GROUP BY url")
+    assert got.count() == 300
+    assert got.filter("c > 1").count() == 0
