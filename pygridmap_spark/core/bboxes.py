@@ -181,6 +181,36 @@ def align_bbox(cellsize: Sequence[float], bbox: Bbox) -> list[float]:
     return [xmin, ymin, xmin + nx * width, ymin + ny * height]
 
 
+def align_pos_location(
+    cellsize: Sequence[float],
+    bbox: Bbox,
+    loc: Sequence[float],
+    maxsize: float | None = None,
+) -> list[float]:
+    """G11 (base.py:391-429, LLc anchor): grow ``bbox`` so that a regular
+    grid of ``cellsize`` passes exactly through the anchor location(s)
+    ``loc`` ((x, y) or (x0, y0, x1, y1)).
+
+    Semantics: each output side is the anchor shifted by a whole number of
+    cells, chosen to enclose the bbox (min sides move down/left to
+    ``loc - ceil(|loc-bound|/size)*size``; max sides move up/right
+    likewise, padded by ``maxsize``)."""
+    height, width = cellsize
+    if maxsize is None:
+        maxsize = max(height, width)
+    if len(loc) == 2:
+        loc = [loc[0], loc[1], loc[0], loc[1]]
+    ceildist = lambda b, p, size: size * math.ceil(abs(b - p) / size)  # noqa: E731
+    xmax = max(bbox[2], loc[2] + maxsize)
+    ymax = max(bbox[3], loc[3] + maxsize)
+    return [
+        loc[0] if loc[0] <= bbox[0] else loc[0] - ceildist(loc[0], bbox[0], width),
+        loc[1] if loc[1] <= bbox[1] else loc[1] - ceildist(loc[1], bbox[1], height),
+        loc[2] + maxsize if loc[2] >= bbox[2] else loc[2] + ceildist(loc[2], xmax, width),
+        loc[3] + maxsize if loc[3] >= bbox[3] else loc[3] + ceildist(loc[3], ymax, height),
+    ]
+
+
 def bbox_to_ring(bbox: Bbox, density: int | None = None, buffer: float = 0.0) -> list[tuple[float, float]]:
     """bbox -> closed polygon ring, optionally densified with ``density``
     intermediate vertices per side and buffered outward (G2,

@@ -345,6 +345,17 @@ def _grid_maker_qtree(
     return _finalize(out, height, width, emit_wkb)
 
 
+def sort_grid(df: DataFrame, sort: str = "rc") -> DataFrame:
+    """O1 output sort (the reference's path at gridding.py:356-362 is broken
+    — undefined names; this is the intended working semantics): 'rc' sorts
+    by tile then (x, y), 'cr' by tile then (y, x)."""
+    if sort == "rc":
+        return df.orderBy("__tile__", "__x__", "__y__")
+    if sort == "cr":
+        return df.orderBy("__tile__", "__y__", "__x__")
+    raise ValueError(f"sort must be 'rc' or 'cr', got {sort!r}")
+
+
 def _finalize(df: DataFrame, height: float, width: float, emit_wkb: bool) -> DataFrame:
     df = df.drop("_tix", "_tiy", "_cls").withColumns(
         {

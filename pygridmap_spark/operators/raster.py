@@ -97,6 +97,48 @@ def resample_to_grid(
     return tiler.grid_aggregation(df, resolution, a, aggregation_fun)
 
 
+def resample_generic(
+    out_grid: DataFrame,
+    rasters: dict[str, tuple[DataFrame, int, float, float, float]],
+    x: str = "x",
+    y: str = "y",
+    resolution_out: float = 1.0,
+) -> DataFrame:
+    """T4 (gridtiler_raster.py:223-437): resample arbitrary (differently
+    gridded) rasters onto an output grid by sampling each raster at the
+    output cell CENTRE. ``rasters`` maps band name -> (raster_df, height,
+    x0, y0, resolution). All-null bands are dropped (the reference's
+    :339-347 check), as one post-agg pass."""
+    from pyspark.sql import functions as F
+
+    centres = out_grid.withColumns(
+        {
+            "__cx__": F.col(x) + resolution_out / 2.0,
+            "__cy__": F.col(y) + resolution_out / 2.0,
+        }
+    )
+    out = centres
+    for band, (rdf, height, x0, y0, res) in rasters.items():
+        keyed = out.withColumns(
+            {
+                "col": F.floor((F.col("__cx__") - F.lit(x0)) / F.lit(res)).cast("int"),
+                "row": (
+                    F.lit(height - 1)
+                    - F.floor((F.col("__cy__") - F.lit(y0)) / F.lit(res))
+                ).cast("int"),
+            }
+        )
+        out = keyed.join(rdf.select("col", "row", band), ["col", "row"], "left").drop(
+            "col", "row"
+        )
+    out = out.drop("__cx__", "__cy__")
+    nonnull = out.agg(
+        *[F.count(b).alias(b) for b in rasters]
+    ).collect()[0]
+    dead = [b for b in rasters if nonnull[b] == 0]
+    return out.drop(*dead)
+
+
 def sample_at_points(
     points: DataFrame,
     raster: DataFrame,

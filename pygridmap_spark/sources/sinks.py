@@ -91,6 +91,41 @@ def read_info(folder: str) -> dict:
         return json.load(fh)
 
 
+def read_grid_csv(spark, path: str, delimiter: str = ",") -> DataFrame:
+    """S1/S2: CSV grid scan (one row per cell, x/y = lower-left corner).
+    Header + schema inference, matching the reference's DictReader intake
+    (gridtiler.py:87-92) but as one distributed scan."""
+    return (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("sep", delimiter)
+        .csv(path)
+    )
+
+
+def csv_to_parquet(spark, folder: str, compression: str = "snappy") -> None:
+    """S4 (gridtiler.py:279-300): rewrite a CSV tile tree as parquet in
+    place. In Spark you normally write parquet directly; this exists for
+    tile trees produced elsewhere."""
+    df = read_tiles(spark, folder, format="csv")
+    tmp = folder.rstrip("/") + "__pq"
+    df.repartition("xt", "yt").write.mode("overwrite").partitionBy("xt", "yt").option(
+        "compression", compression
+    ).parquet(tmp)
+    import shutil
+
+    info = os.path.join(folder, "info.json")
+    info_data = None
+    if os.path.exists(info):
+        with open(info) as fh:
+            info_data = fh.read()
+    shutil.rmtree(folder)
+    shutil.move(tmp, folder)
+    if info_data is not None:
+        with open(os.path.join(folder, "info.json"), "w") as fh:
+            fh.write(info_data)
+
+
 def export_reference_layout(folder: str, file_extension: str | None = None) -> int:
     """Restructure a hive-partitioned tile tree (xt=<v>/yt=<v>/part-*.ext)
     into the reference tiler's exact file contract ``<xt>/<yt>.<ext>``

@@ -129,3 +129,83 @@ def test_floats_to_ints_formatting(spark):
     df = spark.createDataFrame([(12.0,), (12.5,), (None,)], "v double")
     got = [r[0] for r in df.select(TF.floats_to_ints(F.col("v"))).collect()]
     assert got == [12.0, 12.5, None]  # 12.0 exact-int normalized (type stays double)
+
+
+def test_align_pos_location():
+    # anchor at origin, bbox off-grid: sides land on whole cell multiples
+    out = B.align_pos_location([10.0, 10.0], [3.0, 4.0, 97.0, 96.0], [0.0, 0.0])
+    assert out[0] % 10 == 0 and out[1] % 10 == 0
+    assert out[0] <= 3.0 and out[1] <= 4.0
+    assert out[2] >= 97.0 and out[3] >= 96.0
+    assert (out[2] - 0.0) % 10 == 0 and (out[3] - 0.0) % 10 == 0
+    # bbox already anchored stays put (plus maxsize padding on max sides)
+    out2 = B.align_pos_location([10.0, 10.0], [0.0, 0.0, 100.0, 100.0], [0.0, 0.0])
+    assert out2[0] == 0.0 and out2[1] == 0.0
+
+
+def test_sort_grid(spark):
+    from pygridmap_spark.operators import gridding as GR
+
+    g = GR.grid_maker(spark, bbox=(0.0, 0.0, 30_000.0, 30_000.0), cell=(10_000.0, 10_000.0))
+    rows = GR.sort_grid(g, "rc").collect()
+    keys = [(r["__tile__"], r["__x__"], r["__y__"]) for r in rows]
+    assert keys == sorted(keys)
+    rows_cr = GR.sort_grid(g, "cr").collect()
+    keys_cr = [(r["__tile__"], r["__y__"], r["__x__"]) for r in rows_cr]
+    assert keys_cr == sorted(keys_cr)
+
+
+def test_csv_roundtrip_and_to_parquet(spark, tmp_path):
+    from pygridmap_spark.operators import tiler as TL
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 1.0), (200_000.0, 0.0, 2.0)], "x double, y double, pop double"
+    )
+    out_dir = str(tmp_path / "t")
+    TL.grid_tiling(df, out_dir, resolution=1000.0, format="csv")
+    sinks.csv_to_parquet(spark, out_dir)
+    back = sinks.read_tiles(spark, out_dir)
+    assert back.count() == 2
+    assert os.path.exists(os.path.join(out_dir, "info.json"))
+    # plain csv grid reader
+    csv_path = str(tmp_path / "grid.csv")
+    df.toPandas().to_csv(csv_path, index=False)
+    assert sinks.read_grid_csv(spark, csv_path).count() == 2
+
+
+def test_resample_generic_two_rasters(spark):
+    from pygridmap_spark.operators import raster as RA
+    from pygridmap_spark.sources import polygons as PG
+
+    out_grid = PG.grid_layer(spark, (0.0, 0.0, 8.0, 8.0), (2.0, 2.0), val_from_index=False)
+    r1 = RA.synthetic_raster(spark, 8, 8, band="band1")
+    r2 = RA.synthetic_raster(spark, 4, 4, band="band2")  # coarser raster
+    dead = RA.synthetic_raster(spark, 8, 8, band="band3").withColumn(
+        "band3", F.lit(None).cast("double")
+    )
+    out = RA.resample_generic(
+        out_grid,
+        {
+            "band1": (r1, 8, 0.0, 0.0, 1.0),
+            "band2": (r2, 4, 0.0, 0.0, 2.0),
+            "band3": (dead, 8, 0.0, 0.0, 1.0),
+        },
+        resolution_out=2.0,
+    )
+    assert "band3" not in out.columns  # all-null band dropped
+    rows = {(r["x"], r["y"]): (r["band1"], r["band2"]) for r in out.collect()}
+    # cell (0,0): centre (1,1) -> r1 col 1, row 6 -> 1 + 6*8 = 49
+    assert rows[(0.0, 0.0)][0] == 49.0
+    # r2: centre (1,1) -> col 0, row 3 -> 0 + 3*4 = 12
+    assert rows[(0.0, 0.0)][1] == 12.0
+
+
+def test_connected_components(spark):
+    from pygridmap_spark.operators import dedup as DD
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component_id"] for r in DD.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
