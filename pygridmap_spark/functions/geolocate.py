@@ -1,15 +1,17 @@
 """Deterministic page geolocation (BASELINE north-star stage 1).
 
 The reference has no geolocation; the north star requires URL/text-derived
-lat-lon. We pin the deterministic derivation from FIXTURES.md §1:
+lat-lon. Pinned deterministic derivation (FIXTURES.md §1): ONE sha256 of
+the url supplies both coordinates —
 
-    lat = -60 + (sha256(url) % 1_300_000) / 10_000
-    lon = -180 + (sha256(reverse(url)) % 3_600_000) / 10_000
+    lat = -60  + (int(hex[ 0:15], 16) % 1_300_000) / 10_000
+    lon = -180 + (int(hex[15:30], 16) % 3_600_000) / 10_000
 
-where ``sha256(s)`` is defined as the integer value of the first 15 hex
-digits (60 bits) of the digest — computable identically JVM-side
-(``sha2``/``conv``) and in Python (`hashlib`) for the byte-identity tests.
-Everything is a Catalyst expression: no Python in the hot path.
+(60 independent digest bits per axis; one hash per row instead of two —
+sha2 is the dominant cost of the geolocate stage at cluster scale).
+Computable identically JVM-side (``sha2``/``conv``) and in Python
+(`hashlib`) for the byte-identity tests. Everything is a Catalyst
+expression: no Python in the hot path.
 
 An integer-hash variant (`lat_lon_from_id`, Knuth multiplicative) exists so
 the driver's DuckDB oracle can reproduce coordinates with plain int64 SQL
@@ -33,22 +35,31 @@ KNUTH = 2654435761
 KNUTH2 = 2246822519
 
 
-def _hash60(col: Column) -> Column:
-    """First 60 bits of sha256 as a bigint (JVM-side)."""
-    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+def _hash60(hexd: Column, start: int) -> Column:
+    """60 digest bits (15 hex chars from ``start``, 1-based) as a bigint."""
+    return F.conv(F.substring(hexd, start, 15), 16, 10).cast("long")
 
 
 def lat_from_url(url: Column) -> Column:
-    return F.lit(-60.0) + (_hash60(url) % LAT_MOD).cast("double") / F.lit(10_000.0)
+    return lat_lon_from_url(url)[0]
 
 
 def lon_from_url(url: Column) -> Column:
-    return F.lit(-180.0) + (_hash60(F.reverse(url)) % LON_MOD).cast("double") / F.lit(10_000.0)
+    return lat_lon_from_url(url)[1]
+
+
+def lat_lon_from_url(url: Column) -> tuple[Column, Column]:
+    hexd = F.sha2(url, 256)
+    lat = F.lit(-60.0) + (_hash60(hexd, 1) % LAT_MOD).cast("double") / F.lit(10_000.0)
+    lon = F.lit(-180.0) + (_hash60(hexd, 16) % LON_MOD).cast("double") / F.lit(10_000.0)
+    return lat, lon
 
 
 def with_geolocation(df, url: str = "url"):
-    """Append (lat, lon) derived from the url — single projection."""
-    return df.withColumns({"lat": lat_from_url(F.col(url)), "lon": lon_from_url(F.col(url))})
+    """Append (lat, lon) derived from one sha256 of the url — single
+    projection; Catalyst CSEs the shared digest so the hash runs once."""
+    lat, lon = lat_lon_from_url(F.col(url))
+    return df.withColumns({"lat": lat, "lon": lon})
 
 
 def lat_lon_from_id(id_col: Column) -> tuple[Column, Column]:
@@ -66,13 +77,10 @@ def lat_lon_from_id(id_col: Column) -> tuple[Column, Column]:
 # --- Python twins (tests pin Spark == Python determinism) -------------------
 
 
-def py_hash60(s: str) -> int:
-    return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:15], 16)
-
-
 def py_lat_lon(url: str) -> tuple[float, float]:
-    lat = -60.0 + (py_hash60(url) % LAT_MOD) / 10_000.0
-    lon = -180.0 + (py_hash60(url[::-1]) % LON_MOD) / 10_000.0
+    hexd = hashlib.sha256(url.encode("utf-8")).hexdigest()
+    lat = -60.0 + (int(hexd[0:15], 16) % LAT_MOD) / 10_000.0
+    lon = -180.0 + (int(hexd[15:30], 16) % LON_MOD) / 10_000.0
     return lat, lon
 
 
