@@ -125,20 +125,23 @@ def main() -> None:
     queries = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # flagship throughput: one warmup (cold file cache + JIT), report the
-    # steady-state run — the per-executor regime a long-running cluster job
-    # sits in
+    # flagship throughput: one warmup (cold file cache + JIT) then best-of-2
+    # — the steady-state regime a long-running cluster job sits in; best-of
+    # because this shared VM shows multi-second steal bursts
     flagship_pages_pipeline(spark, n_pages)
-    elapsed, _ = flagship_pages_pipeline(spark, n_pages)
+    elapsed = min(flagship_pages_pipeline(spark, n_pages)[0] for _ in range(2))
     pages_per_sec = n_pages / elapsed
     timings["flagship_pages_pipeline"] = round(elapsed, 3)
 
     for name in HEADLINE:
         q = queries[name]
-        t0 = time.time()
-        df = q(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            df = q(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
 
     spark.stop()
 
@@ -149,13 +152,17 @@ def main() -> None:
     extras = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1":
         small, large = (4, 16) if CPUS >= 16 else (max(CPUS // 4, 1), CPUS)
-        n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", str(int(320_000_000 * sf))))
+        # sized so the small config runs ~20 s: long enough to amortize job
+        # overhead, short enough that the whole bench stays under ~5 min
+        # (BENCH/BASELINE.md carries the bigger 32M-page study)
+        n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", str(int(160_000_000 * sf))))
         conf = {
             "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
             "spark.locality.wait": "0",
         }
         best: dict[int, float] = {}
-        for rep in range(3):
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        for rep in range(reps):
             for cores in (small, large):
                 s = get_spark(
                     app=f"bench_scale_{rep}_{cores}",
