@@ -44,6 +44,43 @@ from pygridmap_spark.core import wkb
 RULES = ("sum", "max", "min", "list", None)
 
 
+def crop_grid(
+    cells: DataFrame,
+    bbox: Sequence[float] | None = None,
+    tile: int | None = None,
+    cell_range: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """V1 (overlay.py:187-241): subset the grid to a tile — by explicit
+    tile-column value, integer cell-index range, or bbox predicate. All
+    three are plain filters, so on a tile-partitioned table they become
+    partition pruning; there is no index-reset (__gridx__) dependence —
+    cell_id is stable."""
+    out = cells
+    if tile is not None:
+        out = out.filter(F.col("__tile__") == tile)
+    if cell_range is not None:
+        x0, y0, x1, y1 = cell_range
+        out = out.filter(
+            (F.col("cell_x") >= x0)
+            & (F.col("cell_x") < x1)
+            & (F.col("cell_y") >= y0)
+            & (F.col("cell_y") < y1)
+        )
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = bbox
+        # accept both the overlay convention (x/y) and GridMaker output
+        # (__x__/__y__)
+        xcol = "x" if "x" in out.columns else "__x__"
+        ycol = "y" if "y" in out.columns else "__y__"
+        out = out.filter(
+            (F.col(xcol) < xmax)
+            & (F.col("xmax") > xmin)
+            & (F.col(ycol) < ymax)
+            & (F.col("ymax") > ymin)
+        )
+    return out
+
+
 def _apply_rule(
     pieces: DataFrame,
     grid: DataFrame,

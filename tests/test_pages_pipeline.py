@@ -98,3 +98,42 @@ def test_morton_prefix_and_skew_tools(spark, pages_df):
     assert salted.count() == df.count()
     hist = skew.key_histogram(df, ["cell_id"], top=5).collect()
     assert len(hist) <= 5
+
+
+def test_salted_repartition_balances_hot_key(spark):
+    """90%-hot-key data: plain repartition on the key puts the hot key in
+    one partition; salting spreads it across ~salt partitions."""
+    from pyspark.sql import functions as F
+
+    from pygridmap_spark.plans import skew
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("cell_id"),
+        F.col("id").cast("string").alias("url"),
+    )
+    plain = df.repartition(8, "cell_id").withColumn(
+        "p", F.spark_partition_id()
+    )
+    hot_parts_plain = (
+        plain.filter("cell_id = 7").select("p").distinct().count()
+    )
+    salted = skew.salted_repartition(
+        df, ["cell_id"], salt=8, discriminator="url", num_partitions=8
+    ).withColumn("p", F.spark_partition_id())
+    hot_parts_salted = (
+        salted.filter("cell_id = 7").select("p").distinct().count()
+    )
+    assert hot_parts_plain == 1
+    assert hot_parts_salted >= 4  # hot key spread over most partitions
+
+
+def test_crop_grid_variants(spark):
+    from pygridmap_spark.operators import gridding as GR
+    from pygridmap_spark.operators.overlay import crop_grid
+
+    g = GR.grid_maker(
+        spark, bbox=(0.0, 0.0, 100_000.0, 100_000.0), cell=(10_000.0, 10_000.0), tile=(5, 5)
+    )
+    assert crop_grid(g, tile=0).count() == 25
+    assert crop_grid(g, cell_range=(0, 0, 3, 3)).count() == 9
+    assert crop_grid(g, bbox=(0.0, 0.0, 25_000.0, 15_000.0)).count() == 3 * 2
