@@ -98,11 +98,13 @@ def test_wkb_roundtrip_preserves_area(ring):
 def test_tile_assign_in_tile_position_invariants(x, y, res, ts, x0, y0):
     xt, yt, cx, cy = B.tile_assign(x, y, res, ts, x0, y0)
     # reference semantics (gridtiler.py:101-118): in-tile positions land in
-    # [0, ts-1] except for a float-cancellation edge where the reference
-    # itself emits a warning and keeps cx == ts; property pins that exact
-    # behavior (range [0, ts]) — goldens pin the well-conditioned cases.
-    assert 0 <= cx <= ts
-    assert 0 <= cy <= ts
+    # [0, ts-1] except for float-cancellation edges in BOTH directions —
+    # the reference's own range check warns on cx < 0 (e.g. denormal
+    # origins, where /(res*ts) underflows to -0 while /res doesn't) and on
+    # cx > ts-1, keeping the value either way. Property pins that exact
+    # behavior; goldens pin the well-conditioned cases.
+    assert -1 <= cx <= ts
+    assert -1 <= cy <= ts
     assert xt == math.floor((x - x0) / (res * ts))
     # the cell's reconstructed origin is never beyond the point
     cell_origin_x = x0 + (xt * ts + cx) * res
