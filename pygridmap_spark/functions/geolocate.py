@@ -29,8 +29,10 @@ LAT_MOD = 1_300_000  # -60 .. +70 degrees in 1e-4 steps
 LON_MOD = 3_600_000  # -180 .. +180 degrees in 1e-4 steps
 
 # Multiplicative hash constants for the id-hash variant (public-domain
-# Knuth / xxhash-prime values; pure int64 arithmetic, no overflow for
-# ids < ~4e9 so Spark SQL and DuckDB SQL agree bit-for-bit)
+# Knuth / xxhash-prime values). Pure int64 arithmetic overflows (ANSI
+# error) at id >= 2^63/2654435761 ≈ 3.47e9 — this helper exists for
+# ORACLE-checkable queries over the bounded-id test tables; lake-scale
+# geolocation uses the sha2 url path, which has no id bound.
 KNUTH = 2654435761
 KNUTH2 = 2246822519
 
@@ -64,7 +66,8 @@ def with_geolocation(df, url: str = "url"):
 
 def lat_lon_from_id(id_col: Column) -> tuple[Column, Column]:
     """Oracle-friendly integer-hash geolocation: identical arithmetic in
-    Spark SQL and DuckDB SQL (int64, no overflow for ids < ~7e9):
+    Spark SQL and DuckDB SQL (int64; ids must stay < ~3.47e9 or the
+    multiply overflows — use the sha2 url path at lake scale):
 
         lat = -60 + ((id * 2654435761) % 1_300_000) / 10_000
         lon = -180 + ((id * 2246822519) % 3_600_000) / 10_000

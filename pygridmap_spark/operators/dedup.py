@@ -168,11 +168,16 @@ def minhash_lsh_pairs(
     # shingles are already distinct sets (collect_set)
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
-    return (
+    out = (
         pairs.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
+        # materialize before releasing the signature cache (otherwise a
+        # later action would recompute sigs uncached)
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

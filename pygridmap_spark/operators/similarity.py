@@ -56,7 +56,10 @@ def with_hyperplane_signature(
 
     Plane normals are literal arrays (seeded, deterministic across runs and
     executors); the whole signature is JVM-side."""
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:  # empty input: keep the schema contract, no planes
+        return df.withColumn("signature", F.lit(0).cast("long"))
+    dim = len(first[0])
     lits = _plane_literals(dim, planes, seed)
     bits = [
         F.when(V.dot(F.col(vec_col), lit) >= 0, F.lit(1).cast("long")).otherwise(
@@ -84,21 +87,25 @@ def cosine_topk_lsh(
     """Approximate cosine top-k via hyperplane-LSH bucket equi-join.
 
     Queries probe their own bucket plus every bucket at Hamming distance
-    <= multiprobe_bits (signature with one bit flipped) — recall/latency
-    dial. Results are exact cosines over the candidate set."""
+    <= multiprobe_bits (all combinations of flipped sign bits) — the
+    recall/latency dial; probe count grows as C(planes, b), so keep
+    multiprobe_bits <= 2 in practice. Results are exact cosines over the
+    candidate set."""
+    import itertools
+
     c = with_hyperplane_signature(
         corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")), "_cv", planes, seed
     )
     q = with_hyperplane_signature(
         queries.select(F.col(query_id), F.col(vec_col).alias("_qv")), "_qv", planes, seed
     )
-    if multiprobe_bits >= 1:
-        probes = F.array(
-            F.col("signature"),
-            *[F.col("signature").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
-        )
-    else:
-        probes = F.array(F.col("signature"))
+    masks = [0]
+    for b in range(1, multiprobe_bits + 1):
+        for combo in itertools.combinations(range(planes), b):
+            masks.append(sum(1 << p for p in combo))
+    probes = F.array(
+        *[F.col("signature").bitwiseXOR(F.lit(m)) for m in masks]
+    )
     qp = q.withColumn("signature", F.explode(probes))
     scored = qp.join(c, "signature").withColumn(
         "cosine", V.cosine(F.col("_qv"), F.col("_cv"))

@@ -45,11 +45,12 @@ def rect_pip_join(
     z: int = 7,
     lon: str = "lon",
     lat: str = "lat",
-    how: str = "inner",
 ) -> DataFrame:
-    """Points x axis-aligned rect regions. ``rects`` needs poly_id +
-    (rxmin, rymin, rxmax, rymax). Returns points joined with poly_id
-    (half-open [min, max) containment).
+    """Points x axis-aligned rect regions (inner containment join).
+    ``rects`` needs poly_id + (rxmin, rymin, rxmax, rymax). Returns points
+    joined with poly_id (half-open [min, max) containment). Points in no
+    region are dropped — for kept-with-null semantics, left-anti the result
+    back against the points table.
 
     Plan: rects explode to cover cells at zoom z (distributed, tiny),
     broadcast hash equi-join on the cell key, residual range filter.
@@ -82,7 +83,7 @@ def rect_pip_join(
             ),
         )
     )
-    joined = pts.join(F.broadcast(cover), ["__cix__", "__ciy__"], how)
+    joined = pts.join(F.broadcast(cover), ["__cix__", "__ciy__"])
     out = joined.filter(
         (F.col(lon) >= F.col("rxmin"))
         & (F.col(lon) < F.col("rxmax"))

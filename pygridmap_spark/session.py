@@ -19,11 +19,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    import re
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    # local[N] -> N threads; shuffle width matching cores avoids tiny-task
-    # overhead at test scale while staying proportional on a real cluster.
-    n_threads = cpus if "*" in master else int(master.split("[")[1].rstrip("]"))
+    # local[N] -> N threads; anything else (yarn, spark://, local[*])
+    # falls back to the host cpu count for the shuffle-width default.
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    n_threads = int(m.group(1)) if m else cpus
     builder = (
         SparkSession.builder.master(master)
         .appName(app)

@@ -36,13 +36,11 @@ def write_tiles(
     cluster: bool = True,
 ) -> dict:
     """Write df (already carrying xt/yt) as a tile tree; returns the
-    info.json dict (also written to ``output_folder/info.json``)."""
-    bounds = df.agg(
-        F.min("xt").alias("minTX"),
-        F.max("xt").alias("maxTX"),
-        F.min("yt").alias("minTY"),
-        F.max("yt").alias("maxTY"),
-    ).collect()[0]
+    info.json dict (also written to ``output_folder/info.json``).
+
+    The tiling bounds come from the written partition directory names — a
+    metadata-only listing — so the upstream pipeline executes exactly once
+    (an up-front min/max aggregation would be a second full job)."""
     out = df
     if cluster:
         out = out.repartition("xt", "yt")
@@ -53,6 +51,14 @@ def write_tiles(
         writer.option("header", True).csv(output_folder)
     else:
         raise ValueError(f"unsupported tile format {format!r}")
+    xts, yts = [], []
+    for xt_dir in os.listdir(output_folder):
+        if not xt_dir.startswith("xt="):
+            continue
+        xts.append(int(xt_dir.split("=", 1)[1]))
+        for yt_dir in os.listdir(os.path.join(output_folder, xt_dir)):
+            if yt_dir.startswith("yt="):
+                yts.append(int(yt_dir.split("=", 1)[1]))
     info = {
         "dims": [],
         "crs": crs,
@@ -60,10 +66,10 @@ def write_tiles(
         "originPoint": {"x": x_origin, "y": y_origin},
         "resolutionGeo": resolution,
         "tilingBounds": {
-            "yMin": bounds["minTY"],
-            "yMax": bounds["maxTY"],
-            "xMax": bounds["maxTX"],
-            "xMin": bounds["minTX"],
+            "yMin": min(yts) if yts else None,
+            "yMax": max(yts) if yts else None,
+            "xMax": max(xts) if xts else None,
+            "xMin": min(xts) if xts else None,
         },
     }
     os.makedirs(output_folder, exist_ok=True)
