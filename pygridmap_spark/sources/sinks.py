@@ -34,31 +34,59 @@ def write_tiles(
     parquet_compression: str = "snappy",
     mode: str = "overwrite",
     cluster: bool = True,
+    coarsen: int = 0,
 ) -> dict:
     """Write df (already carrying xt/yt) as a tile tree; returns the
     info.json dict (also written to ``output_folder/info.json``).
 
     The tiling bounds come from the written partition directory names — a
     metadata-only listing — so the upstream pipeline executes exactly once
-    (an up-front min/max aggregation would be a second full job)."""
+    (an up-front min/max aggregation would be a second full job).
+
+    ``coarsen=k`` partitions by super-tiles ``(xt >> k, yt >> k)`` with the
+    rows sorted by (xt, yt) inside each file — the escape hatch for sparse
+    globe-spanning data where per-tile directories would explode (readers
+    still prune to 4^-k of the data on a tile predicate, then min/max
+    row-group stats on the sorted xt/yt finish the job)."""
     out = df
-    if cluster:
-        out = out.repartition("xt", "yt")
-    writer = out.write.mode(mode).partitionBy("xt", "yt")
+    if coarsen > 0:
+        out = out.withColumns(
+            {
+                "xt_super": F.shiftright(F.col("xt"), coarsen),
+                "yt_super": F.shiftright(F.col("yt"), coarsen),
+            }
+        )
+        part_cols = ["xt_super", "yt_super"]
+        out = out.repartition(*part_cols).sortWithinPartitions("xt", "yt")
+    else:
+        part_cols = ["xt", "yt"]
+        if cluster:
+            out = out.repartition(*part_cols)
+    writer = out.write.mode(mode).partitionBy(*part_cols)
     if format == "parquet":
         writer.option("compression", parquet_compression).parquet(output_folder)
     elif format == "csv":
         writer.option("header", True).csv(output_folder)
     else:
         raise ValueError(f"unsupported tile format {format!r}")
-    xts, yts = [], []
-    for xt_dir in os.listdir(output_folder):
-        if not xt_dir.startswith("xt="):
-            continue
-        xts.append(int(xt_dir.split("=", 1)[1]))
-        for yt_dir in os.listdir(os.path.join(output_folder, xt_dir)):
-            if yt_dir.startswith("yt="):
-                yts.append(int(yt_dir.split("=", 1)[1]))
+    if coarsen > 0:
+        # exact bounds from the written files (columnar xt/yt scan only)
+        b = (
+            read_tiles(df.sparkSession, output_folder, format)
+            .agg(F.min("xt"), F.max("xt"), F.min("yt"), F.max("yt"))
+            .collect()[0]
+        )
+        xts = [b[0], b[1]]
+        yts = [b[2], b[3]]
+    else:
+        xts, yts = [], []
+        for xt_dir in os.listdir(output_folder):
+            if not xt_dir.startswith("xt="):
+                continue
+            xts.append(int(xt_dir.split("=", 1)[1]))
+            for yt_dir in os.listdir(os.path.join(output_folder, xt_dir)):
+                if yt_dir.startswith("yt="):
+                    yts.append(int(yt_dir.split("=", 1)[1]))
     info = {
         "dims": [],
         "crs": crs,

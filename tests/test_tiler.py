@@ -119,3 +119,30 @@ def test_grid_aggregation_negative_coords(spark):
     df = spark.createDataFrame([(-1.0, -1.0, 5.0)], "x double, y double, pop double")
     out = TL.grid_aggregation(df, 1000.0, 4, aggregation_rounding=None).collect()
     assert (out[0]["x"], out[0]["y"]) == (-4000.0, -4000.0)
+
+
+def test_write_tiles_coarsened_supertiles(spark, tmp_path):
+    """coarsen=k: super-tile partition dirs, rows sorted by (xt, yt) inside,
+    exact tilingBounds, read-back prunes on the super key."""
+    import pyspark.sql.functions as SF
+
+    from pygridmap_spark.sources import pages as P
+    from pygridmap_spark.functions import geolocate as GEO, tiling as TFN
+
+    df = TFN.with_tile_assignment(
+        GEO.with_geolocation(P.pages(spark, 1500)), 0.25, 16, x="lon", y="lat"
+    )
+    out_dir = str(tmp_path / "super")
+    info = sinks.write_tiles(df, out_dir, resolution=0.25, tile_size_cell=16, coarsen=3)
+    dirs = [d for d in os.listdir(out_dir) if d.startswith("xt_super=")]
+    assert dirs and not any(d.startswith("xt=") for d in os.listdir(out_dir))
+    back = sinks.read_tiles(spark, out_dir)
+    assert back.count() == 1500
+    got = back.agg(
+        SF.min("xt"), SF.max("xt"), SF.min("yt"), SF.max("yt")
+    ).collect()[0]
+    tb = info["tilingBounds"]
+    assert (got[0], got[1], got[2], got[3]) == (tb["xMin"], tb["xMax"], tb["yMin"], tb["yMax"])
+    # super key consistent with shifted tile ids
+    chk = back.filter(SF.shiftright("xt", 3) != SF.col("xt_super")).count()
+    assert chk == 0
