@@ -56,6 +56,8 @@ def ring_bbox(ring: Ring) -> tuple[float, float, float, float]:
 
 def multipolygon_bbox(mp: MultiPolygon) -> tuple[float, float, float, float]:
     bxs = [ring_bbox(p[0]) for p in mp if len(p)]
+    if not bxs:
+        raise ValueError("empty multipolygon has no bbox (skip empty geometries)")
     xmin = min(b[0] for b in bxs)
     ymin = min(b[1] for b in bxs)
     xmax = max(b[2] for b in bxs)
@@ -76,6 +78,11 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: Ring) -> np.ndarray:
     (standard ray-cast caveat); the engine's two-phase joins only call this
     for boundary cells, and goldens avoid degenerate on-edge points.
     """
+    # treat the ring as cyclic whether or not the closing vertex is
+    # repeated (WKB in the wild is not always explicitly closed; the
+    # shoelace uses np.roll, so PIP must agree)
+    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+        ring = np.vstack([ring, ring[:1]])
     x0, y0 = ring[:-1, 0], ring[:-1, 1]  # edge starts
     x1, y1 = ring[1:, 0], ring[1:, 1]  # edge ends
     px = px[:, None]

@@ -154,6 +154,10 @@ def minhash_lsh_pairs(
     Scale: docs explode to ``bands`` bucket rows; pair generation is a
     self-join per bucket (skew-capped by AQE; giant buckets indicate
     boilerplate and can be salted/limited upstream)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     # materialize signatures once: the banding self-join would otherwise
     # recompute the shingle+hash pipeline on both sides
@@ -346,11 +350,12 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
     """Duplicate-group clustering: pairs -> (doc_id, component_id) where
     component_id is the min doc id reachable through the pair graph.
 
-    Iterative min-label propagation (alternating large/small-star style):
-    each round every node adopts the minimum label in its neighborhood;
-    rounds are localCheckpointed; converges in O(log n) rounds on dup
-    graphs (which are near-cliques). This is how LSH pair output becomes
-    'keep one per group' at scale."""
+    Each round does (a) neighbor-min propagation and (b) pointer jumping
+    (label <- label of label), so label paths halve every round and
+    convergence is O(log diameter) — plain 1-hop propagation alone would
+    need O(diameter) rounds and silently split long transitive dup chains.
+    Rounds are localCheckpointed; raises RuntimeError if max_iter rounds
+    don't converge (never returns silently-wrong groups)."""
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
@@ -363,29 +368,46 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["u"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: label <- label's own label (halves label paths)
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            stepped.join(parent, stepped["label"] == parent["pnode"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
+        stable = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
+        if stable:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph diameter exceeds 2^rounds)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
 

@@ -44,23 +44,76 @@ ALL_OUT, BOUNDARY, ALL_IN = 0, 1, 2
 
 
 def _decode_mask(mask_rows: Sequence[bytes]):
-    """WKB mask rows -> flat list of polygons (ring lists)."""
-    polys = []
+    """WKB mask rows -> list of multipolygons (one per mask row; empty
+    geometries skipped). Row identity is preserved because the reference's
+    within/intersects flags OR-reduce PER GEOMETRY (gridding.py:180-182) —
+    summing clip areas across overlapping mask rows would over-count and
+    misclassify partially covered rects as fully-within."""
+    geoms = []
     for buf in mask_rows:
-        polys.extend(wkb.decode_multipolygon(bytes(buf)))
-    return polys
+        mp = wkb.decode_multipolygon(bytes(buf))
+        if mp and any(len(p) for p in mp):
+            geoms.append(mp)
+    return geoms
 
 
-def classify_rect(polys, xmin, ymin, xmax, ymax, eps=1e-9) -> int:
-    """Exact rect-vs-mask classification via clip areas: clip == rect area
-    -> ALL_IN; clip == 0 -> ALL_OUT; else BOUNDARY."""
+def classify_rect(geoms, xmin, ymin, xmax, ymax, eps=1e-9) -> int:
+    """Exact rect-vs-mask classification, reference OR semantics
+    (gridding.py:146-151, 180-182): ALL_IN iff any single mask geometry
+    fully covers the rect; ALL_OUT iff no geometry touches it; else
+    BOUNDARY. ``geoms`` is a list of multipolygons (one per mask row);
+    a flat polygon list (ring-list elements) is accepted for backward
+    compatibility. Per-geometry bbox prefilter keeps the driver loop
+    O(intersecting pairs)."""
     rect_area = (xmax - xmin) * (ymax - ymin)
-    clipped = sum(G.clip_area(p, xmin, ymin, xmax, ymax) for p in polys)
-    if clipped <= eps * max(rect_area, 1.0):
-        return ALL_OUT
-    if clipped >= rect_area * (1.0 - 1e-9):
-        return ALL_IN
-    return BOUNDARY
+    any_hit = False
+    for g in geoms:
+        mp = g if (len(g) and isinstance(g[0], list)) else [g]
+        try:
+            bxmin, bymin, bxmax, bymax = G.multipolygon_bbox(mp)
+        except ValueError:
+            continue
+        if bxmax < xmin or bxmin > xmax or bymax < ymin or bymin > ymax:
+            continue
+        clipped = G.multipolygon_clip_area(mp, xmin, ymin, xmax, ymax)
+        if clipped >= rect_area * (1.0 - 1e-9):
+            return ALL_IN
+        if clipped > eps * max(rect_area, 1.0):
+            any_hit = True
+    return BOUNDARY if any_hit else ALL_OUT
+
+
+def _serialize_geoms(geoms):
+    """per-row multipolygons -> plain nested lists (broadcast-safe)."""
+    return [[[np.asarray(r).tolist() for r in poly] for poly in g] for g in geoms]
+
+
+def _deserialize_geoms(data):
+    return [
+        [[np.asarray(r, dtype=np.float64) for r in poly] for poly in g] for g in data
+    ]
+
+
+def _exact_flags(geoms, x0, y0, width, height):
+    """Per-cell flags with the reference's OR-per-geometry reduction
+    (gridding.py:180-182): within/intersects true if ANY single mask row
+    covers/touches the cell — never summed across overlapping rows."""
+    n = len(x0)
+    inter = np.zeros(n, dtype=bool)
+    within = np.zeros(n, dtype=bool)
+    cell_area = width * height
+    for i in range(n):
+        for mp in geoms:
+            a = G.multipolygon_clip_area(
+                mp, x0[i], y0[i], x0[i] + width, y0[i] + height
+            )
+            if a >= cell_area * (1.0 - 1e-9):
+                within[i] = True
+                inter[i] = True
+                break
+            if a > 1e-9 * cell_area:
+                inter[i] = True
+    return inter, within
 
 
 def qtree_classify(polys, bbox, cellsize, max_level: int | None = None):
@@ -128,9 +181,15 @@ def grid_maker(
     polys = None
     if mask is not None:
         mask_rows = [r[0] for r in mask.select(geometry_col).collect()]
-        polys = _decode_mask(mask_rows)
+        polys = _decode_mask(mask_rows)  # list of per-row multipolygons
         if bbox is None:
-            bbox = list(G.multipolygon_bbox(polys))
+            boxes = [G.multipolygon_bbox(g) for g in polys]
+            bbox = [
+                min(b[0] for b in boxes),
+                min(b[1] for b in boxes),
+                max(b[2] for b in boxes),
+                max(b[3] for b in boxes),
+            ]
     if bbox is None:
         raise ValueError("either mask or bbox is required")
     bbox = B.align_bbox([height, width], bbox) if crop else list(bbox)
@@ -201,30 +260,19 @@ def grid_maker(
     )
 
     # --- phase B: exact per-cell classification, boundary tiles only --------
-    bcast = spark.sparkContext.broadcast(
-        [[(np.asarray(r)).tolist() for r in p] for p in polys]
-    )
+    bcast = spark.sparkContext.broadcast(_serialize_geoms(polys))
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in cells.schema.fields
     ) + ", __intersects__ boolean, __within__ boolean"
 
     def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mask_polys = [[np.asarray(r, dtype=np.float64) for r in p] for p in bcast.value]
+        geoms = _deserialize_geoms(bcast.value)
         for batch in batches:
             if not len(batch):
                 continue
             x0 = batch["__x__"].to_numpy(dtype=np.float64)
             y0 = batch["__y__"].to_numpy(dtype=np.float64)
-            n = len(batch)
-            inter = np.zeros(n, dtype=bool)
-            within = np.zeros(n, dtype=bool)
-            cell_area = width * height
-            for i in range(n):
-                a = G.multipolygon_clip_area(
-                    mask_polys, x0[i], y0[i], x0[i] + width, y0[i] + height
-                )
-                inter[i] = a > 1e-9 * cell_area
-                within[i] = a >= cell_area * (1.0 - 1e-9)
+            inter, within = _exact_flags(geoms, x0, y0, width, height)
             batch = batch.copy()
             batch["__intersects__"] = inter
             batch["__within__"] = within
@@ -301,27 +349,16 @@ def _grid_maker_qtree(
         (int(round((b[0] - xmin) / width)), int(round((b[1] - ymin) / height)))
         for b in boundary_cells
     ]
-    bcast = spark.sparkContext.broadcast(
-        [[np.asarray(r).tolist() for r in p] for p in polys]
-    )
+    bcast = spark.sparkContext.broadcast(_serialize_geoms(polys))
 
     def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mask_polys = [[np.asarray(r, dtype=np.float64) for r in p] for p in bcast.value]
-        cell_area = width * height
+        geoms = _deserialize_geoms(bcast.value)
         for batch in batches:
             if not len(batch):
                 continue
             x0 = xmin + batch["cell_x"].to_numpy() * width
             y0 = ymin + batch["cell_y"].to_numpy() * height
-            n = len(batch)
-            inter = np.zeros(n, dtype=bool)
-            within = np.zeros(n, dtype=bool)
-            for i in range(n):
-                a = G.multipolygon_clip_area(
-                    mask_polys, x0[i], y0[i], x0[i] + width, y0[i] + height
-                )
-                inter[i] = a > 1e-9 * cell_area
-                within[i] = a >= cell_area * (1.0 - 1e-9)
+            inter, within = _exact_flags(geoms, x0, y0, width, height)
             out = batch.copy()
             out["__intersects__"] = inter
             out["__within__"] = within
@@ -338,6 +375,12 @@ def _grid_maker_qtree(
         bound_cells = None
 
     parts = [p for p in (inter_cells, bound_cells) if p is not None]
+    if not parts:
+        # mask disjoint from bbox: empty grid with the full output schema
+        empty = spark.createDataFrame(
+            [], "cell_x int, cell_y int, __intersects__ boolean, __within__ boolean"
+        )
+        return _finalize(cell_cols(empty), height, width, emit_wkb)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

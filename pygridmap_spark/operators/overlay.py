@@ -98,7 +98,7 @@ def _apply_rule(
     # reference's V4 pre-drop (overlay.py:377-383) — avoids name collisions
     stale = [c for c in (*columns, "piece_area", "area_pct", "__cover__") if c in grid.columns]
     grid = grid.drop(*stale)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n_pieces__")]
     if rule == "sum":
         aggs += [
             F.sum(F.col(c) * F.col("area_pct")).alias(c) for c in columns
@@ -114,7 +114,7 @@ def _apply_rule(
         keep = [cell_key, *columns]
         if area:
             keep += ["piece_area", "area_pct"]
-        sel = ranked.select(*keep)
+        sel = ranked.select(*keep).withColumn("__n_pieces__", F.lit(1).cast("long"))
         return grid.join(sel, cell_key, "left")
     elif rule == "list":
         aggs += [F.sort_array(F.collect_list(poly_key)).alias("__cover__")]
@@ -208,21 +208,16 @@ def grid_overlay_rects(
     if rule is None:
         return pieces
     out = _apply_rule(pieces, cells, columns, rule, cover, area)
-    if how == "intersection":
-        # inner semantics: drop grid cells with no overlap (union keeps them
-        # with null attrs — reference 'union' restricted to the grid frame)
-        out = _drop_unmatched(out, columns, area, rule)
-    return out
+    # inner semantics drop grid cells with no overlap (union keeps them
+    # with null attrs — reference 'union' restricted to the grid frame)
+    return _drop_unmatched(out, columns, area, rule) if how == "intersection" else out.drop("__n_pieces__")
 
 
 def _drop_unmatched(out: DataFrame, columns, area, rule) -> DataFrame:
-    if rule == "list":
-        return out.filter(F.col("__cover__").isNotNull())
-    if columns:
-        return out.filter(F.col(columns[0]).isNotNull())
-    if area:
-        return out.filter(F.col("piece_area").isNotNull())
-    return out
+    """Intersection semantics: keep only cells that genuinely overlapped —
+    keyed on the piece-count marker, NOT attribute nullness (a cell whose
+    only overlapping polygon carries a NULL attribute still overlaps)."""
+    return out.filter(F.col("__n_pieces__").isNotNull()).drop("__n_pieces__")
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +259,8 @@ def grid_overlay_polygons(
     cand_rows = []
     for r in rows:
         mp = wkb.decode_multipolygon(bytes(r[geometry_col]))
+        if not mp or not any(len(p) for p in mp):
+            continue  # empty geometry: overlays nothing
         pid = r[poly_key]
         geoms[pid] = mp
         parea = G.multipolygon_area(mp)
@@ -277,10 +274,11 @@ def grid_overlay_polygons(
             for iy in range(lo_y, hi_y + 1):
                 cand_rows.append((ix, iy, pid))
 
+    key_type = dict(polygons.dtypes)[poly_key]
     cand_df = spark.createDataFrame(
-        cand_rows, "_gix long, _giy long, poly_id long"
+        cand_rows, f"_gix long, _giy long, {poly_key} {key_type}"
     )
-    attr_schema = "poly_id long, poly_area double" + "".join(
+    attr_schema = f"{poly_key} {key_type}, poly_area double" + "".join(
         f", {c} {dict(polygons.dtypes)[c]}" for c in columns
     )
     attr_df = spark.createDataFrame(attr_rows, attr_schema)
@@ -318,33 +316,33 @@ def grid_overlay_polygons(
             ay = batch["_ay"].to_numpy()
             axm = batch["_axm"].to_numpy()
             aym = batch["_aym"].to_numpy()
-            pids = batch["poly_id"].to_numpy()
+            pids = batch[poly_key].to_numpy()
             areas = np.empty(len(batch))
             for i in range(len(batch)):
                 areas[i] = G.multipolygon_clip_area(
                     get(pids[i]), ax[i], ay[i], axm[i], aym[i]
                 )
-            out = batch[["cell_id", "poly_id"]].copy()
+            out = batch[["cell_id", poly_key]].copy()
             out["piece_area"] = areas
             yield out[out["piece_area"] > 0]
 
     pieces = pairs.mapInPandas(
-        _clip, "cell_id long, poly_id long, piece_area double"
+        _clip, f"cell_id long, {poly_key} {key_type}, piece_area double"
     )
     pieces = (
-        pieces.join(F.broadcast(attr_df), "poly_id")
+        pieces.join(F.broadcast(attr_df), poly_key)
         .withColumn(
             "area_pct",
             F.when(F.col("poly_area") > 0, F.col("piece_area") / F.col("poly_area")),
         )
-        .select("cell_id", "poly_id", "piece_area", "area_pct", *columns)
+        .select("cell_id", poly_key, "piece_area", "area_pct", *columns)
     )
     if rule is None:
         return pieces
-    out = _apply_rule(pieces, cells, columns, rule, cover, area)
+    out = _apply_rule(pieces, cells, columns, rule, cover, area, poly_key=poly_key)
     if how == "intersection":
-        out = _drop_unmatched(out, columns, area, rule)
-    return out
+        return _drop_unmatched(out, columns, area, rule)
+    return out.drop("__n_pieces__")
 
 
 def grid_overlay_polygons_distributed(
@@ -380,8 +378,9 @@ def grid_overlay_polygons_distributed(
     gx0, gy0, gw, gh = grid_meta["x0"], grid_meta["y0"], grid_meta["w"], grid_meta["h"]
 
     # 1. bbox + area per polygon, decoded batch-at-a-time
+    key_type = dict(polygons.dtypes)[poly_key]
     meta_schema = (
-        f"{poly_key} long, __wkb__ binary, poly_area double, "
+        f"{poly_key} {key_type}, __wkb__ binary, poly_area double, "
         "__bxmin__ double, __bymin__ double, __bxmax__ double, __bymax__ double"
     )
 
@@ -398,8 +397,12 @@ def grid_overlay_polygons_distributed(
                 "__bxmax__": np.empty(len(batch)),
                 "__bymax__": np.empty(len(batch)),
             }
+            keep_mask = np.ones(len(batch), dtype=bool)
             for i, buf in enumerate(batch[geometry_col]):
                 mp = wkb.decode_multipolygon(bytes(buf))
+                if not mp or not any(len(p) for p in mp):
+                    keep_mask[i] = False  # empty geometry: overlays nothing
+                    continue
                 out["poly_area"][i] = G.multipolygon_area(mp)
                 (
                     out["__bxmin__"][i],
@@ -407,7 +410,7 @@ def grid_overlay_polygons_distributed(
                     out["__bxmax__"][i],
                     out["__bymax__"][i],
                 ) = G.multipolygon_bbox(mp)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out)[keep_mask]
 
     meta = polygons.select(poly_key, geometry_col).mapInPandas(_meta, meta_schema)
 
@@ -468,7 +471,7 @@ def grid_overlay_polygons_distributed(
             yield out[out["piece_area"] > 0]
 
     pieces = pairs.mapInPandas(
-        _clip, f"cell_id long, {poly_key} long, poly_area double, piece_area double"
+        _clip, f"cell_id long, {poly_key} {key_type}, poly_area double, piece_area double"
     )
     attrs = polygons.select(poly_key, *columns)
     pieces = (
@@ -481,10 +484,10 @@ def grid_overlay_polygons_distributed(
     )
     if rule is None:
         return pieces
-    out = _apply_rule(pieces, cells, columns, rule, cover, area)
+    out = _apply_rule(pieces, cells, columns, rule, cover, area, poly_key=poly_key)
     if how == "intersection":
-        out = _drop_unmatched(out, columns, area, rule)
-    return out
+        return _drop_unmatched(out, columns, area, rule)
+    return out.drop("__n_pieces__")
 
 
 def area_interpolate(

@@ -116,6 +116,8 @@ def polygon_pip_join(
     cover_rows = []
     for r in rows:
         mp = wkb.decode_multipolygon(bytes(r[geometry_col]))
+        if not mp or not any(len(p) for p in mp):
+            continue  # empty geometry: matches nothing
         pid = r[poly_key]
         geoms[pid] = mp
         bxmin, bymin, bxmax, bymax = G.multipolygon_bbox(mp)
@@ -132,8 +134,9 @@ def polygon_pip_join(
                 )
                 if cls != ALL_OUT:
                     cover_rows.append((cix, ciy, pid, cls))
+    key_type = dict(polygons.dtypes)[poly_key]
     cover = spark.createDataFrame(
-        cover_rows, "__cix__ long, __ciy__ long, poly_id long, __cls__ int"
+        cover_rows, f"__cix__ long, __ciy__ long, {poly_key} {key_type}, __cls__ int"
     )
     pts = points.withColumns(
         {
@@ -168,7 +171,7 @@ def polygon_pip_join(
             px = batch[lon].to_numpy(dtype=np.float64)
             py = batch[lat].to_numpy(dtype=np.float64)
             # group by polygon id -> one vectorized ray-cast per polygon
-            pids = batch["poly_id"].to_numpy()
+            pids = batch[poly_key].to_numpy()
             for pid in np.unique(pids):
                 sel = pids == pid
                 keep[sel] = G.points_in_multipolygon(px[sel], py[sel], get(pid))
@@ -206,6 +209,8 @@ def polygon_pip_join_distributed(
             out_rows = []
             for _, row in batch.iterrows():
                 mp = wkb.decode_multipolygon(bytes(row[geometry_col]))
+                if not mp or not any(len(p) for p in mp):
+                    continue  # empty geometry: matches nothing
                 bxmin, bymin, bxmax, bymax = G.multipolygon_bbox(mp)
                 lo_x = int(math.floor((bxmin + 180.0) / 360.0 * n))
                 hi_x = int(math.floor((bxmax - 1e-12 + 180.0) / 360.0 * n))
@@ -228,8 +233,9 @@ def polygon_pip_join_distributed(
                     columns=["__cix__", "__ciy__", poly_key, "__cls__", "__wkb__"],
                 )
 
+    key_type = dict(polygons.dtypes)[poly_key]
     cover = polygons.select(poly_key, geometry_col).mapInPandas(
-        _cover, f"__cix__ long, __ciy__ long, {poly_key} long, __cls__ int, __wkb__ binary"
+        _cover, f"__cix__ long, __ciy__ long, {poly_key} {key_type}, __cls__ int, __wkb__ binary"
     )
     pts = points.withColumns(
         {

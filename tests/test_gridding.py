@@ -59,33 +59,33 @@ def test_grid_maker_trim_and_interior(spark):
 
 
 def test_grid_maker_polygon_mask_matches_numpy(spark):
-    """Irregular polygon mask: engine flags equal direct numpy clip areas."""
+    """Irregular polygon mask: engine flags equal direct numpy clip areas
+    with the reference's OR-per-geometry reduction (gridding.py:180-182) —
+    never summed across (possibly overlapping) mask rows."""
     polys_df = PG.synthetic_polygons(spark, n=3, bbox=BBOX, seed=5)
-    mask_rows = [bytes(r["geometry"]) for r in polys_df.collect()]
-    mask_polys = []
-    for buf in mask_rows:
-        mask_polys.extend(wkb.decode_multipolygon(buf))
+    geoms = [wkb.decode_multipolygon(bytes(r["geometry"])) for r in polys_df.collect()]
     out = GR.grid_maker(
         spark, mask=polys_df, cell=(5_000.0, 5_000.0), bbox=BBOX, trim=False
     ).collect()
     cell_area = 5_000.0 * 5_000.0
     for r in out:
-        a = G.multipolygon_clip_area(
-            mask_polys, r["__x__"], r["__y__"], r["__x__"] + 5_000, r["__y__"] + 5_000
-        )
-        assert r["__intersects__"] == (a > 1e-9 * cell_area), (r["__x__"], r["__y__"])
-        assert r["__within__"] == (a >= cell_area * (1 - 1e-9)), (r["__x__"], r["__y__"])
+        areas = [
+            G.multipolygon_clip_area(
+                g, r["__x__"], r["__y__"], r["__x__"] + 5_000, r["__y__"] + 5_000
+            )
+            for g in geoms
+        ]
+        assert r["__intersects__"] == any(a > 1e-9 * cell_area for a in areas)
+        assert r["__within__"] == any(a >= cell_area * (1 - 1e-9) for a in areas)
 
 
 def test_qtree_classify_parity_with_cellwise(spark):
     """Quadtree refinement emits exactly the cells the flat classification
     does (the reference's qtree vs prll mode equivalence)."""
     polys_df = PG.synthetic_polygons(spark, n=2, bbox=BBOX, seed=9)
-    mask_polys = []
-    for r in polys_df.collect():
-        mask_polys.extend(wkb.decode_multipolygon(bytes(r["geometry"])))
+    geoms = [wkb.decode_multipolygon(bytes(r["geometry"])) for r in polys_df.collect()]
     cell = (12_500.0, 12_500.0)  # 8x8 grid, power-of-2 friendly
-    interior, boundary = GR.qtree_classify(mask_polys, list(BBOX), cell)
+    interior, boundary = GR.qtree_classify(geoms, list(BBOX), cell)
     # expand interior blocks + boundary cells into the cell set they cover
     qtree_cells = set()
     for bx0, by0, bx1, by1 in interior:
@@ -99,10 +99,13 @@ def test_qtree_classify_parity_with_cellwise(spark):
     for ix in range(8):
         for iy in range(8):
             x0, y0 = ix * cell[1], iy * cell[0]
-            a = G.multipolygon_clip_area(mask_polys, x0, y0, x0 + cell[1], y0 + cell[0])
-            if a > 1e-9 * cell_area:
+            areas = [
+                G.multipolygon_clip_area(g, x0, y0, x0 + cell[1], y0 + cell[0])
+                for g in geoms
+            ]
+            if any(a > 1e-9 * cell_area for a in areas):
                 flat_inter.add((x0, y0))
-            if a >= cell_area * (1 - 1e-9):
+            if any(a >= cell_area * (1 - 1e-9) for a in areas):
                 flat_within.add((x0, y0))
     # every fully-within cell is in an interior block; every other
     # intersecting cell is among boundary candidates
