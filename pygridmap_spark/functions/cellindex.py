@@ -24,6 +24,11 @@ MAX_Z = 16  # 32-bit morton; plenty for partitioning (2^16 x 2^16 cells)
 
 def lonlat_to_cell_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
     """Equirectangular cell indices at zoom z, clamped to [0, 2^z - 1]."""
+    if not 0 < z <= MAX_Z:
+        raise ValueError(
+            f"z must be in (0, {MAX_Z}]: the Morton bit-spreading masks to 16"
+            " bits and silently collides beyond that"
+        )
     n = 1 << z
     ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
     iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))).cast("long")

@@ -127,6 +127,17 @@ def round_to_tolerance(col: Column, aggregation_rounding: int = 6) -> Column:
 
 
 def floats_to_ints(col: Column) -> Column:
-    """Cosmetic ``12.0 -> 12`` normalization (gridtiler.py:567-576) — output
-    formatting; returns long where exact, else leaves the double."""
-    return F.when(col == F.floor(col), col.cast("long").cast("double")).otherwise(col)
+    """Cosmetic ``12.0 -> "12"`` normalization for CSV output
+    (gridtiler.py:567-576): returns a STRING column — "12" where the value
+    is integral, the plain double rendering otherwise (a when/otherwise
+    with a long branch would just coerce back to double and change
+    nothing). Non-finite values pass through as their string forms."""
+    is_intlike = (
+        col.isNotNull()
+        & ~F.isnan(col)
+        & (F.abs(col) < F.lit(float(1 << 62)))
+        & (col == F.floor(col))
+    )
+    return F.when(is_intlike, col.cast("long").cast("string")).otherwise(
+        col.cast("string")
+    )

@@ -131,10 +131,10 @@ def resample_generic(
         out = keyed.join(rdf.select("col", "row", band), ["col", "row"], "left").drop(
             "col", "row"
         )
-    out = out.drop("__cx__", "__cy__")
-    nonnull = out.agg(
-        *[F.count(b).alias(b) for b in rasters]
-    ).collect()[0]
+    out = out.drop("__cx__", "__cy__").persist()
+    # all-null-band probe reads the persisted result, so the caller's first
+    # action does not recompute the whole multi-raster join chain
+    nonnull = out.agg(*[F.count(b).alias(b) for b in rasters]).collect()[0]
     dead = [b for b in rasters if nonnull[b] == 0]
     return out.drop(*dead)
 

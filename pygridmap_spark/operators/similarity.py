@@ -56,8 +56,8 @@ def with_hyperplane_signature(
 
     Plane normals are literal arrays (seeded, deterministic across runs and
     executors); the whole signature is JVM-side."""
-    first = df.select(vec_col).first()
-    if first is None:  # empty input: keep the schema contract, no planes
+    first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if first is None:  # empty/all-null input: keep the schema contract
         return df.withColumn("signature", F.lit(0).cast("long"))
     dim = len(first[0])
     lits = _plane_literals(dim, planes, seed)

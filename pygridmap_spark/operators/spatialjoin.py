@@ -33,10 +33,33 @@ from pygridmap_spark.core import wkb
 from pygridmap_spark.operators.gridding import ALL_IN, ALL_OUT, BOUNDARY, classify_rect
 
 
-def _cell_bounds_exprs(z: int):
-    n = float(1 << z)
-    lo = lambda c, off, span: F.floor((c + F.lit(off)) / F.lit(span) * F.lit(n)).cast("long")  # noqa: E731
-    return n, lo
+def _point_cell_exprs(lon: str, lat: str, z: int):
+    """Clamped point cell indices — delegates to the shared cellindex
+    formula so lat=90 / lon=180 map into the top cell instead of an
+    out-of-range index that can never match a cover cell."""
+    from pygridmap_spark.functions import cellindex
+
+    return cellindex.lonlat_to_cell_xy(F.col(lon), F.col(lat), z)
+
+
+def _cover_cell_range(bxmin, bymin, bxmax, bymax, z: int):
+    """Integer cover-cell ranges of a bbox at zoom z (clamped). One shared
+    implementation for both polygon-PIP variants — the two must stay
+    byte-identical for their pinned output parity."""
+    n = 1 << z
+    clamp = lambda v: min(max(v, 0), n - 1)  # noqa: E731
+    lo_x = clamp(int(math.floor((bxmin + 180.0) / 360.0 * n)))
+    hi_x = clamp(int(math.floor((bxmax - 1e-12 + 180.0) / 360.0 * n)))
+    lo_y = clamp(int(math.floor((bymin + 90.0) / 180.0 * n)))
+    hi_y = clamp(int(math.floor((bymax - 1e-12 + 90.0) / 180.0 * n)))
+    return lo_x, hi_x, lo_y, hi_y
+
+
+def _cell_rect(cix: int, ciy: int, z: int):
+    n = 1 << z
+    cxmin = -180.0 + cix * 360.0 / n
+    cymin = -90.0 + ciy * 180.0 / n
+    return cxmin, cymin, cxmin + 360.0 / n, cymin + 180.0 / n
 
 
 def rect_pip_join(
@@ -120,30 +143,18 @@ def polygon_pip_join(
             continue  # empty geometry: matches nothing
         pid = r[poly_key]
         geoms[pid] = mp
-        bxmin, bymin, bxmax, bymax = G.multipolygon_bbox(mp)
-        lo_x = int(math.floor((bxmin + 180.0) / 360.0 * n))
-        hi_x = int(math.floor((bxmax - 1e-12 + 180.0) / 360.0 * n))
-        lo_y = int(math.floor((bymin + 90.0) / 180.0 * n))
-        hi_y = int(math.floor((bymax - 1e-12 + 90.0) / 180.0 * n))
+        lo_x, hi_x, lo_y, hi_y = _cover_cell_range(*G.multipolygon_bbox(mp), z)
         for cix in range(lo_x, hi_x + 1):
             for ciy in range(lo_y, hi_y + 1):
-                cxmin = -180.0 + cix * 360.0 / n
-                cymin = -90.0 + ciy * 180.0 / n
-                cls = classify_rect(
-                    mp, cxmin, cymin, cxmin + 360.0 / n, cymin + 180.0 / n
-                )
+                cls = classify_rect(mp, *_cell_rect(cix, ciy, z))
                 if cls != ALL_OUT:
                     cover_rows.append((cix, ciy, pid, cls))
     key_type = dict(polygons.dtypes)[poly_key]
     cover = spark.createDataFrame(
         cover_rows, f"__cix__ long, __ciy__ long, {poly_key} {key_type}, __cls__ int"
     )
-    pts = points.withColumns(
-        {
-            "__cix__": F.floor((F.col(lon) + 180.0) / 360.0 * F.lit(float(n))).cast("long"),
-            "__ciy__": F.floor((F.col(lat) + 90.0) / 180.0 * F.lit(float(n))).cast("long"),
-        }
-    )
+    cix, ciy = _point_cell_exprs(lon, lat, z)
+    pts = points.withColumns({"__cix__": cix, "__ciy__": ciy})
     cand = pts.join(F.broadcast(cover), ["__cix__", "__ciy__"])
     interior = cand.filter(F.col("__cls__") == ALL_IN)
 
@@ -178,7 +189,13 @@ def polygon_pip_join(
             yield batch[keep]
 
     exact = boundary.mapInPandas(_exact, schema)
-    return interior.unionByName(exact).drop("__cix__", "__ciy__", "__cls__")
+    out = interior.unionByName(exact).drop("__cix__", "__ciy__", "__cls__")
+    if keep_cols:
+        # polygon attribute pass-through (joined back by key — the cover
+        # table stays narrow for the broadcast)
+        attrs = polygons.select(poly_key, *keep_cols)
+        out = out.join(F.broadcast(attrs), poly_key, "left")
+    return out
 
 
 def polygon_pip_join_distributed(
@@ -211,18 +228,10 @@ def polygon_pip_join_distributed(
                 mp = wkb.decode_multipolygon(bytes(row[geometry_col]))
                 if not mp or not any(len(p) for p in mp):
                     continue  # empty geometry: matches nothing
-                bxmin, bymin, bxmax, bymax = G.multipolygon_bbox(mp)
-                lo_x = int(math.floor((bxmin + 180.0) / 360.0 * n))
-                hi_x = int(math.floor((bxmax - 1e-12 + 180.0) / 360.0 * n))
-                lo_y = int(math.floor((bymin + 90.0) / 180.0 * n))
-                hi_y = int(math.floor((bymax - 1e-12 + 90.0) / 180.0 * n))
+                lo_x, hi_x, lo_y, hi_y = _cover_cell_range(*G.multipolygon_bbox(mp), z)
                 for cix in range(lo_x, hi_x + 1):
                     for ciy in range(lo_y, hi_y + 1):
-                        cxmin = -180.0 + cix * 360.0 / n
-                        cymin = -90.0 + ciy * 180.0 / n
-                        cls = classify_rect(
-                            mp, cxmin, cymin, cxmin + 360.0 / n, cymin + 180.0 / n
-                        )
+                        cls = classify_rect(mp, *_cell_rect(cix, ciy, z))
                         if cls != ALL_OUT:
                             out_rows.append(
                                 (cix, ciy, row[poly_key], cls, bytes(row[geometry_col]))
@@ -237,12 +246,8 @@ def polygon_pip_join_distributed(
     cover = polygons.select(poly_key, geometry_col).mapInPandas(
         _cover, f"__cix__ long, __ciy__ long, {poly_key} {key_type}, __cls__ int, __wkb__ binary"
     )
-    pts = points.withColumns(
-        {
-            "__cix__": F.floor((F.col(lon) + 180.0) / 360.0 * F.lit(float(n))).cast("long"),
-            "__ciy__": F.floor((F.col(lat) + 90.0) / 180.0 * F.lit(float(n))).cast("long"),
-        }
-    )
+    cix, ciy = _point_cell_exprs(lon, lat, z)
+    pts = points.withColumns({"__cix__": cix, "__ciy__": ciy})
     cand = pts.join(cover, ["__cix__", "__ciy__"])
     interior = cand.filter(F.col("__cls__") == ALL_IN).drop("__wkb__")
     boundary = cand.filter(F.col("__cls__") == BOUNDARY)

@@ -152,7 +152,11 @@ def grid_aggregation(
     }
     aggs = []
     for c in value_cols:
-        rule = aggregation_fun.get(c, "sum")
+        # numeric columns default to sum (the reference default); anything
+        # else to single_value — summing a string column under Spark-4 ANSI
+        # mode would throw at runtime (the reference's float() coercion
+        # likewise fails on non-numeric values)
+        rule = aggregation_fun.get(c, "sum" if c in numeric else "single_value")
         fn = AGG_FUNS[rule] if isinstance(rule, str) else rule
         expr = fn(F.col(c), a)
         # reference rounds only numeric aggregates (gridtiler.py:438-440)

@@ -65,7 +65,15 @@ def checkpoint(
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             manifest = json.load(fh)
-        if manifest.get("stage") == stage and manifest.get("complete"):
+        # resume only when stage identity AND lineage inputs match — a
+        # stale checkpoint of the same stage over different inputs must
+        # recompute, not silently serve old data
+        if (
+            manifest.get("stage") == stage
+            and manifest.get("complete")
+            and manifest.get("inputs") == list(inputs)
+            and manifest.get("partition_cols") == list(partition_cols)
+        ):
             return spark.read.parquet(path)
 
     writer = df.write.mode(mode)

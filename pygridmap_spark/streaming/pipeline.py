@@ -58,7 +58,7 @@ def stateful_url_dedup(pages_stream: DataFrame, key: str = "url") -> DataFrame:
     later occurrence (same or later micro-batch) is dropped. State per key
     is one boolean; at crawl scale the state store shards by the same hash
     partitioning as the shuffle."""
-    import pandas as pd
+    import pandas as pd  # noqa: F401 (used in the state fn)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = pages_stream.schema
@@ -66,15 +66,14 @@ def stateful_url_dedup(pages_stream: DataFrame, key: str = "url") -> DataFrame:
     def _dedup(key_tuple, pdfs, state: GroupState):
         if state.exists:
             return iter(())
-        first = None
-        for pdf in pdfs:
-            if len(pdf):
-                first = pdf.sort_values("warc_ts").iloc[[0]]
-                break
+        # the group may span multiple Arrow chunks: take the earliest row
+        # across ALL of them, not just the first non-empty chunk
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         state.update((True,))
-        if first is None:
+        if not chunks:
             return iter(())
-        return iter([first])
+        merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        return iter([merged.sort_values("warc_ts").iloc[[0]]])
 
     return pages_stream.groupBy(key).applyInPandasWithState(
         _dedup,

@@ -126,9 +126,16 @@ def test_export_reference_layout(spark, tmp_path):
 
 
 def test_floats_to_ints_formatting(spark):
-    df = spark.createDataFrame([(12.0,), (12.5,), (None,)], "v double")
+    """Cosmetic CSV rendering (gridtiler.py:567-576): integral doubles
+    lose the '.0', others keep their double rendering."""
+    df = spark.createDataFrame(
+        [(12.0,), (12.5,), (None,), (float("inf"),)], "v double"
+    )
     got = [r[0] for r in df.select(TF.floats_to_ints(F.col("v"))).collect()]
-    assert got == [12.0, 12.5, None]  # 12.0 exact-int normalized (type stays double)
+    assert got[0] == "12"
+    assert got[1] == "12.5"
+    assert got[2] is None
+    assert "inf" in got[3].lower()
 
 
 def test_align_pos_location():
