@@ -308,6 +308,23 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k via the Arrow/numpy matmul kernel (the bulk
+    scale path) — same oracle as the HOF variant; 6-decimal rounding on
+    both sides absorbs summation-order float differences."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk_bruteforce_np(emb, qs, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -456,14 +473,26 @@ def _q_raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only): opaque binary -> feature vector via
-    Arrow batches, deterministic fake decoder (real codec stubbed)."""
+    Arrow batches, deterministic fake decoder (real codec stubbed).
+
+    The feature vector is exploded to scalar (media_id, feat_idx, feat_value)
+    rows — the driver's rows-only canonicalization sorts/factorizes pandas
+    columns and cannot handle array cells (round-1 TypeError)."""
     from pygridmap_spark.operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.to_binary(F.col("text"), F.lit("utf-8")).alias("html"),
     )
-    return MM.decode_and_featurize(docs, feature_dim=8)
+    feats = MM.decode_and_featurize(docs, feature_dim=8)
+    return feats.select(
+        "media_id",
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    ).select(
+        "media_id",
+        "feat_idx",
+        F.col("feat_value").cast("double").alias("feat_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -481,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_resample": _q_raster_resample,
         "dedup_exact": _q_dedup_exact,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_cosine_topk_np": _q_ann_cosine_topk_np,
         "token_counts": _q_token_counts,
         "lang_id_counts": _q_lang_id_counts,
         "quality_scores": _q_quality_scores,
@@ -649,6 +679,19 @@ def oracle_sql() -> dict[str, str]:
             FROM f QUALIFY group_size > 1
         """,
         "ann_cosine_topk": """
+            WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM qs q CROSS JOIN embeddings c
+            )
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 10
+        """,
+        "ann_cosine_topk_np": """
             WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
             scored AS (
                 SELECT q.query_id, c.vec_id,

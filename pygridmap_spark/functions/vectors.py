@@ -44,6 +44,36 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Row-wise cosine via an Arrow-batched numpy kernel (einsum over the
+    stacked batch). Same semantics as :func:`cosine` (0 when either norm is
+    0, nulls propagate) but vectorized — the HOF form evaluates its lambdas
+    interpreted per element, measured ~50x slower on bulk scoring
+    (BENCH/BASELINE.md, minhash section). Use this in verification /
+    scoring hot paths; keep :func:`cosine` for oracle-checkable plans."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark's hint inference can't resolve the closure-local `pd`
+    @pandas_udf("double", functionType=200)  # SQL_SCALAR_PANDAS_UDF
+    def _cos(av, bv):
+        null = (av.isna() | bv.isna()).to_numpy()
+        vals = np.zeros(len(av), dtype=np.float64)
+        if (~null).any():
+            A = np.array(av[~null].tolist(), dtype=np.float64)
+            B = np.array(bv[~null].tolist(), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            vals[~null] = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+        # nullable Float64 so null inputs yield SQL NULL, not NaN (NaN sorts
+        # ABOVE every value in Spark — a NaN would pass >= threshold filters)
+        return pd.Series(pd.array(vals, dtype="Float64")).mask(null)
+
+    return _cos(a, b)
+
+
 def unit(a: Column) -> Column:
     """L2-normalize (returns array<double>); zero vector passes through."""
     n = norm(a)

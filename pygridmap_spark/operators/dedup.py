@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 from pygridmap_spark.functions import text as TX
 
 
+def _sql_type(df: DataFrame, col: str) -> str:
+    """Spark SQL type string of ``col`` — mapInPandas output schemas must
+    echo the input id type (string/int doc ids both work; round-1 hardcoded
+    ``long`` and broke on string ids)."""
+    types = dict(df.dtypes)
+    if col not in types:
+        raise ValueError(f"column {col!r} not in DataFrame ({list(types)})")
+    return types[col]
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -133,8 +143,9 @@ def minhash_signatures(
                 {id_col: ids, "signature": list(mins.T), "shingles": shingle_sets}
             )
 
+    id_type = _sql_type(df, id_col)
     return df.select(id_col, text_col).mapInPandas(
-        _kernel, f"{id_col} long, signature array<long>, shingles array<string>"
+        _kernel, f"{id_col} {id_type}, signature array<long>, shingles array<string>"
     )
 
 
@@ -151,20 +162,23 @@ def minhash_lsh_pairs(
     Jaccard (array_intersect/array_union — JVM). Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, deduped across bands.
 
-    Scale: docs explode to ``bands`` bucket rows; pair generation is a
-    self-join per bucket (skew-capped by AQE; giant buckets indicate
-    boilerplate and can be salted/limited upstream)."""
+    Scale: the band-join exchange carries ONLY (band, bucket, doc_id) — at
+    100 TB the dominant shuffle is the ×bands replication, so the shingle
+    arrays must not ride it. Shingle sets are joined back by doc id (twice,
+    for each pair side) only for the deduped candidate pairs, which are a
+    tiny fraction of the corpus. Pair generation is a self-join per bucket
+    (skew-capped by AQE; giant buckets indicate boilerplate and can be
+    salted/limited upstream)."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
         )
     rows_per_band = num_hashes // bands
-    # materialize signatures once: the banding self-join would otherwise
-    # recompute the shingle+hash pipeline on both sides
+    # materialize signatures once: the banding self-join and the two
+    # verify joins would otherwise recompute the shingle+hash pipeline
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     banded = sigs.select(
         F.col(id_col),
-        F.col("shingles"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -181,23 +195,19 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("doc_a"),
-        F.col("shingles").alias("_sh_a"),
-    )
-    b = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("doc_b"),
-        F.col("shingles").alias("_sh_b"),
-    )
+    a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_sh_a", "_sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # fetch shingle sets for the surviving candidates only (id equi-joins)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        pairs.join(sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b")), "doc_b")
     )
     # shingles are already distinct sets (collect_set)
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
@@ -255,46 +265,64 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """Spread 32-bit token hashes over all 64 bits (splitmix64 finalizer —
+    public-domain constants). uint64 arithmetic wraps, which is the point."""
+    h = h.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per doc — Arrow-batched numpy bit votes (token hashes
-    from a stable FNV-1a, vectorized with uint64 arithmetic; per-batch
-    Python cost is O(total tokens), no per-row interpreter loop)."""
+    """64-bit SimHash per doc — Arrow-batched numpy bit votes.
+
+    The whole batch is hashed as one flat token array: crc32 (zlib, C) per
+    token, splitmix64 bit-spread in numpy, ±1 bit votes segment-reduced per
+    doc with ``np.add.reduceat`` — the same flat-kernel shape as
+    ``minhash_signatures``. Round 1 used a per-token per-byte Python FNV
+    loop (the one interpreter-bound kernel in the repo); hash VALUES changed
+    with the rewrite, which is fine — semantics are pinned on synthetic
+    near-dups, not hash constants."""
+    import zlib
+
+    bit_idx = np.arange(bits, dtype=np.uint64)
 
     def _simhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if not len(batch):
                 continue
-            out_ids = batch[id_col].to_numpy()
+            tok_lists = [t.lower().split() for t in batch[text_col].astype(str)]
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
             sims = np.zeros(len(batch), dtype=np.uint64)
-            for i, txt in enumerate(batch[text_col].astype(str)):
-                toks = txt.lower().split()
-                if not toks:
-                    continue
-                hashes = _fnv1a_batch(toks)
-                bits_mat = (hashes[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-                votes = bits_mat.astype(np.int64) * 2 - 1
-                sims[i] = np.uint64(
-                    ((votes.sum(axis=0) > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum()
+            nz = lens > 0
+            if nz.any():
+                flat = np.fromiter(
+                    (zlib.crc32(tok.encode("utf-8")) for tl in tok_lists for tok in tl),
+                    dtype=np.uint64,
+                    count=int(lens.sum()),
                 )
-            yield pd.DataFrame({id_col: out_ids, "simhash": sims.astype(np.int64)})
+                hashes = _splitmix64(flat)
+                starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=starts[1:])
+                # per-bit ones count segment-summed per doc (bit majority
+                # vote == ones > tokens/2); one O(n_tokens) pass per bit
+                # keeps peak memory at n_tokens int64, not n_tokens*bits
+                ones = np.empty((len(starts), bits), dtype=np.int64)
+                for b in range(bits):
+                    ones[:, b] = np.add.reduceat(
+                        ((hashes >> np.uint64(b)) & np.uint64(1)).astype(np.int64), starts
+                    )
+                majority = (2 * ones > lens[nz][:, None]).astype(np.uint64)
+                sims[nz] = (majority << bit_idx).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: batch[id_col].to_numpy(), "simhash": sims.astype(np.int64)}
+            )
 
-    return df.select(id_col, text_col).mapInPandas(_simhash, f"{id_col} long, simhash long")
-
-
-def _fnv1a_batch(tokens: list[str]) -> np.ndarray:
-    """Vectorized-ish FNV-1a 64 over a token list (bytes loop per token is
-    numpy-reduced; tokens are short)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    prime = np.uint64(1099511628211)
-    basis = np.uint64(14695981039346656037)
-    for i, t in enumerate(tokens):
-        h = basis
-        for byte in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * int(prime) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    id_type = _sql_type(df, id_col)
+    return df.select(id_col, text_col).mapInPandas(_simhash, f"{id_col} {id_type}, simhash long")
 
 
 def simhash_near_duplicates(
@@ -441,7 +469,8 @@ def embedding_near_duplicates(
     return (
         a.join(b, "signature")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", V.cosine(F.col("_va"), F.col("_vb")))
+        # Arrow numpy kernel: candidate verification is the bulk hot path
+        .withColumn("cosine", V.cosine_arrow(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])

@@ -43,6 +43,77 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_bruteforce_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow/numpy matmul kernel — the bulk path.
+
+    The query set is collected to the driver (queries are small by contract
+    — this is the same broadcast assumption as the HOF variant) and shipped
+    in the UDF closure as a normalized (q, d) matrix. Each Arrow batch of
+    corpus vectors is normalized and scored with ONE matmul, then cut to
+    the per-batch top-k candidates per query (keeping all score ties at the
+    boundary, so the global tie-break on ascending corpus id stays exact).
+    Only ~k*q rows per batch reach the final window — the shuffle carries
+    candidates, not the corpus. Semantics identical to
+    :func:`cosine_topk_bruteforce` (zero-norm vectors score 0; ties break
+    on ascending corpus id)."""
+    import pandas as pd
+    from typing import Iterator
+
+    qrows = queries.select(query_id, vec_col).collect()
+    qid_type = dict(queries.dtypes)[query_id]
+    cid_type = dict(corpus.dtypes)[corpus_id]
+    schema = f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double"
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], schema).withColumn(
+            "rank", F.lit(1)
+        ).limit(0)
+    q_ids = [r[0] for r in qrows]
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    Q[qn > 0] /= qn[qn > 0, None]
+    Q[qn == 0] = 0.0  # zero-norm query scores 0 against everything
+    Qt = Q.T
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            C = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            C[cn > 0] /= cn[cn > 0, None]
+            C[cn == 0] = 0.0
+            scores = C @ Qt  # (n_batch, n_queries)
+            ids = batch[corpus_id].to_numpy()
+            n = scores.shape[0]
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                if n > k:
+                    kth = np.partition(col, n - k)[n - k]
+                    keep = np.flatnonzero(col >= kth)  # ties included
+                else:
+                    keep = np.arange(n)
+                out_q.extend([qid] * len(keep))
+                out_c.extend(ids[keep])
+                out_s.extend(col[keep])
+            yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "cosine": out_s})
+
+    cand = corpus.select(corpus_id, vec_col).mapInPandas(_score, schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 def _plane_literals(dim: int, planes: int, seed: int):
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((planes, dim))
@@ -107,8 +178,10 @@ def cosine_topk_lsh(
         *[F.col("signature").bitwiseXOR(F.lit(m)) for m in masks]
     )
     qp = q.withColumn("signature", F.explode(probes))
+    # candidate scoring via the Arrow numpy kernel — the HOF form is
+    # interpreted per element and this is the bulk hot path
     scored = qp.join(c, "signature").withColumn(
-        "cosine", V.cosine(F.col("_qv"), F.col("_cv"))
+        "cosine", V.cosine_arrow(F.col("_qv"), F.col("_cv"))
     ).dropDuplicates([query_id, corpus_id])
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     return (

@@ -178,3 +178,40 @@ def test_embedding_near_duplicates_lsh(spark, vectors_df):
     out = DD.embedding_near_duplicates(vectors_df, threshold=0.95, planes=8).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (0, 51) in pairs
+
+
+def test_bruteforce_np_matches_hof(spark, vectors_df):
+    """The Arrow/numpy matmul kernel returns the exact same top-k (ids,
+    ranks, cosines to 1e-9) as the HOF-expression baseline."""
+    qs = vectors_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hof = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+        for r in SIM.cosine_topk_bruteforce(vectors_df, qs, k=4).collect()
+    }
+    npk = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine"], 9))
+        for r in SIM.cosine_topk_bruteforce_np(vectors_df, qs, k=4).collect()
+    }
+    assert hof == npk
+
+
+def test_bruteforce_np_zero_norm_and_empty_queries(spark, vectors_df):
+    zq = spark.createDataFrame([(99, [0.0] * 16)], "query_id long, embedding array<float>")
+    out = SIM.cosine_topk_bruteforce_np(vectors_df, zq, k=2).collect()
+    assert len(out) == 2 and all(r["cosine"] == 0.0 for r in out)
+    empty = zq.filter(F.col("query_id") < 0)
+    assert SIM.cosine_topk_bruteforce_np(vectors_df, empty, k=2).count() == 0
+
+
+def test_minhash_simhash_string_ids(spark, docs_with_dups):
+    """Round-1 hardcoded `{id_col} long` in the mapInPandas schemas; string
+    doc ids must work (the overlay operators already derive key types)."""
+    docs = docs_with_dups.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    pairs = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.6).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs}  # non-empty, string ids
+    sh = DD.simhash(docs).collect()
+    assert all(isinstance(r["doc_id"], str) for r in sh)
