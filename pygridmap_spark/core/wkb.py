@@ -73,12 +73,37 @@ def decode_multipolygon(buf: bytes):
     return val
 
 
-def _decode_at(mv: memoryview, off: int):
-    byte_order = mv[off]
-    endian = "<" if byte_order == _LE else ">"
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+def _parse_header(mv: memoryview, off: int):
+    """Parse one geometry header: (base_type, endian, payload_offset).
+
+    EWKB (PostGIS) and ISO flag variants are handled explicitly — NOT
+    masked away: Z/M geometries carry extra doubles per vertex, so decoding
+    them as 2D silently yields garbage coordinates. An EWKB SRID payload is
+    skipped (4 bytes); Z/M raise."""
+    endian = "<" if mv[off] == _LE else ">"
     (gtype,) = struct.unpack_from(endian + "I", mv, off + 1)
     off += 5
-    gtype &= 0xFF  # mask off Z/M/SRID flag variants
+    if gtype & (_EWKB_Z | _EWKB_M):
+        raise ValueError(
+            f"EWKB Z/M geometry (type 0x{gtype:08x}) unsupported: only 2D WKB"
+        )
+    if gtype & _EWKB_SRID:
+        gtype &= ~_EWKB_SRID
+        off += 4  # skip the 4-byte SRID payload
+    if gtype >= 1000:  # ISO Z (1000) / M (2000) / ZM (3000) offsets
+        raise ValueError(
+            f"ISO WKB Z/M geometry (type {gtype}) unsupported: only 2D WKB"
+        )
+    return gtype, endian, off
+
+
+def _decode_at(mv: memoryview, off: int):
+    gtype, endian, off = _parse_header(mv, off)
     if gtype == WKB_POINT:
         x, y = struct.unpack_from(endian + "dd", mv, off)
         return ("point", (x, y)), off + 16
@@ -90,11 +115,10 @@ def _decode_at(mv: memoryview, off: int):
         off += 4
         polys = []
         for _ in range(n):
-            (inner_type,) = struct.unpack_from(("<" if mv[off] == _LE else ">") + "I", mv, off + 1)
-            if inner_type & 0xFF != WKB_POLYGON:
+            inner_type, inner_endian, off = _parse_header(mv, off)
+            if inner_type != WKB_POLYGON:
                 raise ValueError("MultiPolygon member is not a Polygon")
-            inner_endian = "<" if mv[off] == _LE else ">"
-            rings, off = _decode_rings(mv, off + 5, inner_endian)
+            rings, off = _decode_rings(mv, off, inner_endian)
             polys.append(rings)
         return ("multipolygon", polys), off
     raise ValueError(f"unsupported WKB geometry type {gtype}")

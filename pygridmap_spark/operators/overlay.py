@@ -115,6 +115,13 @@ def _apply_rule(
         if area:
             keep += ["piece_area", "area_pct"]
         sel = ranked.select(*keep).withColumn("__n_pieces__", F.lit(1).cast("long"))
+        if cover:
+            # max/min keep one representative row, but cover lists ALL
+            # intersecting polygons — aggregate it separately and merge
+            cov = pieces.groupBy(cell_key).agg(
+                F.sort_array(F.collect_list(poly_key)).alias("__cover__")
+            )
+            sel = sel.join(cov, cell_key, "left")
         return grid.join(sel, cell_key, "left")
     elif rule == "list":
         aggs += [F.sort_array(F.collect_list(poly_key)).alias("__cover__")]
@@ -127,6 +134,21 @@ def _apply_rule(
         ]
     agg = pieces.groupBy(cell_key).agg(*aggs)
     return grid.join(agg, cell_key, "left")
+
+
+def _grid_meta(df: DataFrame, what: str) -> tuple[float, float, float, float]:
+    """(x0, y0, max cell width, max cell height) of a rect layer — one tiny
+    driver job for plan constants. Raises on an empty layer instead of the
+    opaque ``max(None, None)`` TypeError downstream."""
+    row = df.agg(
+        F.min("x").alias("x0"),
+        F.min("y").alias("y0"),
+        F.max(F.col("xmax") - F.col("x")).alias("w"),
+        F.max(F.col("ymax") - F.col("y")).alias("h"),
+    ).collect()[0]
+    if row["x0"] is None or row["w"] is None:
+        raise ValueError(f"empty {what} layer: cannot derive grid geometry")
+    return row["x0"], row["y0"], row["w"], row["h"]
 
 
 # ---------------------------------------------------------------------------
@@ -155,13 +177,7 @@ def grid_overlay_rects(
     right grid's own geometry), then closed-form rectangle intersection.
     No UDF, no broadcastability requirement on either side.
     """
-    meta = other.agg(
-        F.min("x").alias("x0"),
-        F.min("y").alias("y0"),
-        F.max(F.col("xmax") - F.col("x")).alias("w"),
-        F.max(F.col("ymax") - F.col("y")).alias("h"),
-    ).collect()[0]
-    bx0, by0, bw, bh = meta["x0"], meta["y0"], meta["w"], meta["h"]
+    bx0, by0, bw, bh = _grid_meta(other, "other (right) grid")
     eps = 1e-9 * max(bw, bh)
 
     left = cells.select(
@@ -245,13 +261,7 @@ def grid_overlay_polygons(
     each polygon bbox into grid cell-key ranges; the exact Sutherland-
     Hodgman clip runs only on candidates, vectorized per batch.
     """
-    grid_meta = cells.agg(
-        F.min("x").alias("x0"),
-        F.min("y").alias("y0"),
-        F.max(F.col("xmax") - F.col("x")).alias("w"),
-        F.max(F.col("ymax") - F.col("y")).alias("h"),
-    ).collect()[0]
-    gx0, gy0, gw, gh = grid_meta["x0"], grid_meta["y0"], grid_meta["w"], grid_meta["h"]
+    gx0, gy0, gw, gh = _grid_meta(cells, "grid cells")
 
     rows = polygons.select(poly_key, geometry_col, *columns).collect()
     geoms: dict[int, list] = {}
@@ -369,13 +379,7 @@ def grid_overlay_polygons_distributed(
     Same semantics as :func:`grid_overlay_polygons` (pinned by tests).
     """
     spark = cells.sparkSession
-    grid_meta = cells.agg(
-        F.min("x").alias("x0"),
-        F.min("y").alias("y0"),
-        F.max(F.col("xmax") - F.col("x")).alias("w"),
-        F.max(F.col("ymax") - F.col("y")).alias("h"),
-    ).collect()[0]
-    gx0, gy0, gw, gh = grid_meta["x0"], grid_meta["y0"], grid_meta["w"], grid_meta["h"]
+    gx0, gy0, gw, gh = _grid_meta(cells, "grid cells")
 
     # 1. bbox + area per polygon, decoded batch-at-a-time
     key_type = dict(polygons.dtypes)[poly_key]

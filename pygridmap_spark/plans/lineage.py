@@ -18,13 +18,13 @@ per-partition metrics from the files and compares.
 from __future__ import annotations
 
 import json
-import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pygridmap_spark import __version__
+from pygridmap_spark.core import fsio
 
 MANIFEST = "_lineage.json"
 
@@ -61,10 +61,11 @@ def checkpoint(
     same stage already exists (and not ``force``), skip the write and
     return the checkpointed data — the resumable-restart path."""
     spark = df.sparkSession
-    manifest_path = os.path.join(path, MANIFEST)
-    if not force and os.path.exists(manifest_path):
-        with open(manifest_path) as fh:
-            manifest = json.load(fh)
+    # sidecar I/O goes through the Hadoop FS API: checkpoints land on the
+    # same filesystem as the data (s3://, hdfs://, file://)
+    manifest_path = fsio.join(path, MANIFEST)
+    if not force and fsio.exists(spark, manifest_path):
+        manifest = json.loads(fsio.read_text(spark, manifest_path))
         # resume only when stage identity AND lineage inputs match — a
         # stale checkpoint of the same stage over different inputs must
         # recompute, not silently serve old data
@@ -94,20 +95,21 @@ def checkpoint(
         "partitions": metrics,
         "complete": True,
     }
-    with open(manifest_path, "w") as fh:
-        json.dump(manifest, fh, indent=2)
+    fsio.write_text(spark, manifest_path, json.dumps(manifest, indent=2))
     return written
 
 
-def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST)) as fh:
-        return json.load(fh)
+def read_manifest(path: str, spark: SparkSession | None = None) -> dict:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("read_manifest needs an active SparkSession")
+    return json.loads(fsio.read_text(spark, fsio.join(path, MANIFEST)))
 
 
 def verify_lineage(spark: SparkSession, path: str) -> dict:
     """Recompute metrics from the checkpoint files and diff against the
     manifest. Returns {'ok': bool, 'mismatches': [...]}."""
-    manifest = read_manifest(path)
+    manifest = read_manifest(path, spark)
     df = spark.read.parquet(path)
     current = _partition_metrics(df, manifest["partition_cols"])
     want = {json.dumps(m["partition"], sort_keys=True): m for m in manifest["partitions"]}

@@ -18,8 +18,10 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pygridmap_spark.core import fsio
 
 
 def write_tiles(
@@ -62,6 +64,21 @@ def write_tiles(
         part_cols = ["xt", "yt"]
         if cluster:
             out = out.repartition(*part_cols)
+    spark = df.sparkSession
+    if format == "csv":
+        # reference contract: integral doubles render as '12', not '12.0'
+        # (gridtiler.py round_floats_to_ints applied to every cell value)
+        from pygridmap_spark.functions import tiling as _tiling
+
+        part_set = set(part_cols)
+        out = out.select(
+            *[
+                _tiling.floats_to_ints(F.col(c)).alias(c)
+                if t in ("double", "float") and c not in part_set
+                else F.col(c)
+                for c, t in out.dtypes
+            ]
+        )
     writer = out.write.mode(mode).partitionBy(*part_cols)
     if format == "parquet":
         writer.option("compression", parquet_compression).parquet(output_folder)
@@ -72,19 +89,21 @@ def write_tiles(
     if coarsen > 0:
         # exact bounds from the written files (columnar xt/yt scan only)
         b = (
-            read_tiles(df.sparkSession, output_folder, format)
+            read_tiles(spark, output_folder, format)
             .agg(F.min("xt"), F.max("xt"), F.min("yt"), F.max("yt"))
             .collect()[0]
         )
         xts = [b[0], b[1]]
         yts = [b[2], b[3]]
     else:
+        # metadata-only listing via the Hadoop FS API — works on s3://,
+        # hdfs:// and file:// alike (never touches row data)
         xts, yts = [], []
-        for xt_dir in os.listdir(output_folder):
+        for xt_dir in fsio.list_names(spark, output_folder):
             if not xt_dir.startswith("xt="):
                 continue
             xts.append(int(xt_dir.split("=", 1)[1]))
-            for yt_dir in os.listdir(os.path.join(output_folder, xt_dir)):
+            for yt_dir in fsio.list_names(spark, fsio.join(output_folder, xt_dir)):
                 if yt_dir.startswith("yt="):
                     yts.append(int(yt_dir.split("=", 1)[1]))
     info = {
@@ -100,9 +119,8 @@ def write_tiles(
             "xMin": min(xts) if xts else None,
         },
     }
-    os.makedirs(output_folder, exist_ok=True)
-    with open(os.path.join(output_folder, "info.json"), "w") as fh:
-        json.dump(info, fh, indent=3)
+    fsio.mkdirs(spark, output_folder)
+    fsio.write_text(spark, fsio.join(output_folder, "info.json"), json.dumps(info, indent=3))
     return info
 
 
@@ -120,8 +138,11 @@ def read_tiles(spark, folder: str, format: str = "parquet") -> DataFrame:
     )
 
 
-def read_info(folder: str) -> dict:
-    with open(os.path.join(folder, "info.json")) as fh:
+def read_info(folder: str, spark: SparkSession | None = None) -> dict:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        return json.loads(fsio.read_text(spark, fsio.join(folder, "info.json")))
+    with open(os.path.join(folder, "info.json")) as fh:  # no session: local only
         return json.load(fh)
 
 
@@ -146,41 +167,39 @@ def csv_to_parquet(spark, folder: str, compression: str = "snappy") -> None:
     df.repartition("xt", "yt").write.mode("overwrite").partitionBy("xt", "yt").option(
         "compression", compression
     ).parquet(tmp)
-    import shutil
-
-    info = os.path.join(folder, "info.json")
-    info_data = None
-    if os.path.exists(info):
-        with open(info) as fh:
-            info_data = fh.read()
-    shutil.rmtree(folder)
-    shutil.move(tmp, folder)
+    info = fsio.join(folder, "info.json")
+    info_data = fsio.read_text(spark, info) if fsio.exists(spark, info) else None
+    fsio.delete(spark, folder)
+    fsio.rename(spark, tmp, folder)
     if info_data is not None:
-        with open(os.path.join(folder, "info.json"), "w") as fh:
-            fh.write(info_data)
+        fsio.write_text(spark, fsio.join(folder, "info.json"), info_data)
 
 
-def export_reference_layout(folder: str, file_extension: str | None = None) -> int:
+def export_reference_layout(
+    folder: str, file_extension: str | None = None, spark: SparkSession | None = None
+) -> int:
     """Restructure a hive-partitioned tile tree (xt=<v>/yt=<v>/part-*.ext)
     into the reference tiler's exact file contract ``<xt>/<yt>.<ext>``
     (gridtiler.py:124-144: one file per tile, folder per xt). Driver-side
-    rename pass over the already-written tree; returns #tiles moved.
+    rename pass over the already-written tree (Hadoop FS API — works on
+    object stores too, though s3 renames are copies); returns #tiles moved.
 
     Requires cluster=True writes (one part file per tile). GridViz and other
     reference-layout consumers read the result directly."""
-    import shutil
-
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("export_reference_layout needs an active SparkSession")
     moved = 0
-    for xt_dir in sorted(os.listdir(folder)):
+    for xt_dir in sorted(fsio.list_names(spark, folder)):
         if not xt_dir.startswith("xt="):
             continue
         xt = xt_dir.split("=", 1)[1]
-        for yt_dir in sorted(os.listdir(os.path.join(folder, xt_dir))):
+        for yt_dir in sorted(fsio.list_names(spark, fsio.join(folder, xt_dir))):
             if not yt_dir.startswith("yt="):
                 continue
             yt = yt_dir.split("=", 1)[1]
-            src_dir = os.path.join(folder, xt_dir, yt_dir)
-            parts = [f for f in os.listdir(src_dir) if f.startswith("part-")]
+            src_dir = fsio.join(folder, xt_dir, yt_dir)
+            parts = [f for f in fsio.list_names(spark, src_dir) if f.startswith("part-")]
             if not parts:
                 continue
             if len(parts) > 1:
@@ -189,11 +208,10 @@ def export_reference_layout(folder: str, file_extension: str | None = None) -> i
                     "write with cluster=True for one file per tile"
                 )
             ext = file_extension or parts[0].rsplit(".", 1)[-1]
-            dst_dir = os.path.join(folder, xt)
-            os.makedirs(dst_dir, exist_ok=True)
-            shutil.move(
-                os.path.join(src_dir, parts[0]), os.path.join(dst_dir, f"{yt}.{ext}")
+            fsio.mkdirs(spark, fsio.join(folder, xt))
+            fsio.rename(
+                spark, fsio.join(src_dir, parts[0]), fsio.join(folder, xt, f"{yt}.{ext}")
             )
             moved += 1
-        shutil.rmtree(os.path.join(folder, xt_dir))
+        fsio.delete(spark, fsio.join(folder, xt_dir))
     return moved

@@ -145,3 +145,107 @@ def test_overlay_custom_poly_key_and_rule_max(spark):
     ):
         out = fn().collect()
         assert len(out) > 0
+
+
+# --- round-2 advice regressions ---------------------------------------------
+
+
+def test_wkb_ewkb_srid_skipped_and_zm_raise(spark):
+    """EWKB SRID variant decodes (4-byte SRID skipped); Z/M variants raise
+    instead of silently misreading vertex doubles (ADVICE r1)."""
+    import struct
+
+    import pytest
+
+    from pygridmap_spark.core import wkb
+
+    plain = wkb.encode_polygon([[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]])
+    # rewrite header as EWKB+SRID: type |= 0x20000000, insert srid=3035
+    ewkb_srid = (
+        plain[:1]
+        + struct.pack("<I", 3 | 0x20000000)
+        + struct.pack("<I", 3035)
+        + plain[5:]
+    )
+    kind_a, polys_a = wkb.decode(ewkb_srid)
+    kind_b, polys_b = wkb.decode(plain)
+    assert kind_a == kind_b == "multipolygon"
+    assert np.array_equal(polys_a[0][0], polys_b[0][0])
+    for flag in (0x80000000, 0x40000000):
+        bad = plain[:1] + struct.pack("<I", 3 | flag) + plain[5:]
+        with pytest.raises(ValueError, match="Z/M"):
+            wkb.decode(bad)
+    iso_z = plain[:1] + struct.pack("<I", 1003) + plain[5:]
+    with pytest.raises(ValueError, match="Z/M"):
+        wkb.decode(iso_z)
+
+
+def test_overlay_rule_max_with_cover(spark):
+    """rule='max' + cover=True returns the representative attrs AND the full
+    __cover__ polygon list (ADVICE r1: was silently dropped)."""
+    from pyspark.sql import functions as F
+
+    from pygridmap_spark.operators.overlay import grid_overlay_rects
+
+    cells = spark.createDataFrame(
+        [(0, 0.0, 0.0, 2.0, 2.0)], "cell_id long, x double, y double, xmax double, ymax double"
+    )
+    polys = spark.createDataFrame(
+        [(10, 0.0, 0.0, 1.0, 2.0, 5.0), (11, 1.0, 0.0, 2.0, 2.0, 7.0)],
+        "poly_id long, x double, y double, xmax double, ymax double, v double",
+    )
+    out = grid_overlay_rects(cells, polys, ["v"], rule="max", cover=True).collect()
+    assert len(out) == 1
+    assert out[0]["__cover__"] == [10, 11]
+    assert out[0]["v"] in (5.0, 7.0)
+
+
+def test_grid_overlay_rects_empty_other_raises(spark):
+    import pytest
+
+    from pygridmap_spark.operators.overlay import grid_overlay_rects
+
+    cells = spark.createDataFrame(
+        [(0, 0.0, 0.0, 2.0, 2.0)], "cell_id long, x double, y double, xmax double, ymax double"
+    )
+    empty = spark.createDataFrame(
+        [], "poly_id long, x double, y double, xmax double, ymax double, v double"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        grid_overlay_rects(cells, empty, ["v"], rule="sum")
+
+
+def test_csv_tiles_render_integral_doubles_without_dot_zero(spark, tmp_path):
+    """Reference contract (gridtiler round_floats_to_ints): CSV tile values
+    write '12' not '12.0' (ADVICE r1)."""
+    import glob
+
+    from pygridmap_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(0, 0, 12.0, 1.5), (0, 1, 3.0, 2.25)], "xt int, yt int, a double, b double"
+    )
+    out = str(tmp_path / "tiles")
+    sinks.write_tiles(df, out, resolution=1.0, format="csv")
+    text = "".join(
+        open(f).read() for f in glob.glob(out + "/xt=*/yt=*/*.csv")
+    )
+    assert "12.0" not in text and "12" in text
+    assert "2.25" in text  # non-integral untouched
+    back = sinks.read_tiles(spark, out, format="csv")
+    assert back.count() == 2
+
+
+def test_fsio_roundtrip_and_lineage_hadoop_fs(spark, tmp_path):
+    """Sidecar I/O goes through the Hadoop FS API — exercise an explicit
+    file:// scheme URI end-to-end (write_text/read_text/list/rename)."""
+    from pygridmap_spark.core import fsio
+
+    base = "file://" + str(tmp_path / "side")
+    fsio.mkdirs(spark, base)
+    fsio.write_text(spark, fsio.join(base, "x.json"), '{"a": 1}')
+    assert fsio.read_text(spark, fsio.join(base, "x.json")) == '{"a": 1}'
+    assert "x.json" in fsio.list_names(spark, base)
+    assert fsio.rename(spark, fsio.join(base, "x.json"), fsio.join(base, "y.json"))
+    assert fsio.exists(spark, fsio.join(base, "y.json"))
+    assert not fsio.exists(spark, fsio.join(base, "x.json"))
