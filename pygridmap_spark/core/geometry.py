@@ -205,3 +205,73 @@ def rect_intersection_area(
     w = np.minimum(axmax, bxmax) - np.maximum(axmin, bxmin)
     h = np.minimum(aymax, bymax) - np.maximum(aymin, bymin)
     return np.maximum(w, 0.0) * np.maximum(h, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# invalid-geometry contract + detection
+# ---------------------------------------------------------------------------
+#
+# The kernel assumes SIMPLE rings. For invalid input the behavior is
+# deterministic and documented (never an exception, never a crash), but the
+# two primitives disagree on purpose — callers who may receive real-world
+# invalid polygons should run `validate_polygon` first:
+#
+# - membership (`points_in_*`) is EVEN-ODD: a point inside one lobe of a
+#   self-intersecting "bowtie" ring IS inside (ray-cast parity — the same
+#   answer GEOS gives for the even-odd fill rule);
+# - areas (`ring_signed_area` / clip areas) are NET/ALGEBRAIC (shoelace):
+#   opposite-winding lobes CANCEL, so a symmetric bowtie has area 0, not
+#   the even-odd filled area. This is where a silently-wrong overlay would
+#   come from — hence the validator below (the reference leans on GEOS and
+#   retries overlays with buffer(eps) on TopologyException,
+#   /root/reference/pygridmap/overlay.py:299-309; we detect-and-report
+#   instead of repair).
+#
+# Duplicate consecutive vertices are harmless in every primitive (zero-
+# length edges contribute nothing to parity or shoelace sums).
+
+
+def ring_self_intersects(ring: Ring) -> bool:
+    """True if any two non-adjacent edges properly cross (O(n^2) segment
+    test, vectorized over the inner loop). A validation utility — not for
+    hot paths."""
+    n = len(ring) - 1  # closed ring: last point == first
+    if n < 4:
+        return False
+    p = ring[:-1]
+    q = ring[1:]
+    for i in range(n - 2):
+        # candidate edges j > i+1 (skip shared-endpoint neighbors; edge 0
+        # is adjacent to edge n-1 through the closure)
+        j0 = i + 2
+        j1 = n if i > 0 else n - 1
+        if j0 >= j1:
+            continue
+        a, b = p[i], q[i]
+        c, d = p[j0:j1], q[j0:j1]
+        d1 = np.cross(b - a, c - a)
+        d2 = np.cross(b - a, d - a)
+        d3 = np.cross(d - c, a - c)
+        d4 = np.cross(d - c, b - c)
+        if np.any((d1 * d2 < 0) & (d3 * d4 < 0)):
+            return True
+    return False
+
+
+def validate_polygon(polygon: Polygon) -> list[str]:
+    """Structural issues of one polygon (list of rings): unclosed rings,
+    degenerate (<3 distinct points) rings, self-intersections. Empty list
+    == clean. Mirrors the failure modes the reference repairs with
+    unary_union/buffer(eps)."""
+    issues = []
+    for k, ring in enumerate(polygon):
+        ring = np.asarray(ring, dtype=np.float64)
+        label = "shell" if k == 0 else f"hole {k}"
+        if len(ring) < 4:
+            issues.append(f"{label}: fewer than 3 distinct vertices")
+            continue
+        if not np.allclose(ring[0], ring[-1]):
+            issues.append(f"{label}: ring not closed")
+        if ring_self_intersects(ring):
+            issues.append(f"{label}: self-intersecting ring (areas are NET, not even-odd)")
+    return issues

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pygridmap_spark.core import bboxes as B
+from pygridmap_spark.core import crs as CRS
 from pygridmap_spark.core import geometry as G
 from pygridmap_spark.core import wkb
 
@@ -150,6 +151,20 @@ def qtree_classify(polys, bbox, cellsize, max_level: int | None = None):
     return interior, boundary
 
 
+def _buffer_amounts(buffer) -> tuple[float, float]:
+    """(by, bx) bbox expansion from the reference's buffer convention
+    (base.py:168-190): scalar, (by, bx) pair, True -> TOL_EPS, False/None -> 0."""
+    if buffer is None or buffer is False:
+        return 0.0, 0.0
+    if buffer is True:
+        return B.TOL_EPS, B.TOL_EPS
+    if isinstance(buffer, (tuple, list)):
+        if len(buffer) != 2:
+            raise TypeError(f"buffer pair must be (by, bx), got {buffer!r}")
+        return float(buffer[0]), float(buffer[1])
+    return float(buffer), float(buffer)
+
+
 def grid_maker(
     spark: SparkSession,
     mask: DataFrame | None = None,
@@ -162,6 +177,9 @@ def grid_maker(
     geometry_col: str = "geometry",
     emit_wkb: bool = False,
     mode: str = "prll",
+    crs: str | int | None = None,
+    xypos: str = "LLc",
+    buffer=None,
 ) -> DataFrame:
     """Build the regular grid covering ``bbox`` (or the mask extent),
     flagged/trimmed against the mask. ``cell`` is (height, width) like the
@@ -177,6 +195,16 @@ def grid_maker(
     """
     if mode not in ("prll", "qtree", "seq"):
         raise ValueError(f"mode must be prll|qtree|seq, got {mode!r}")
+    if xypos not in B.XYPOS:
+        raise ValueError(f"xypos must be one of {B.XYPOS}, got {xypos!r}")
+    # CRS guard: an explicit crs argument and the mask layer's declared CRS
+    # must agree (reference base.py:206-221 / gridding.py:282-289); the
+    # resolved CRS is attached to the emitted geometry column.
+    resolved_crs = CRS.ensure_same_crs(
+        crs,
+        CRS.crs_of(mask, geometry_col) if mask is not None else None,
+        context="grid_maker",
+    )
     height, width = float(cell[0]), float(cell[1])
     polys = None
     if mask is not None:
@@ -192,6 +220,9 @@ def grid_maker(
             ]
     if bbox is None:
         raise ValueError("either mask or bbox is required")
+    by, bx = _buffer_amounts(buffer)
+    if by or bx:
+        bbox = [bbox[0] - bx, bbox[1] - by, bbox[2] + bx, bbox[3] + by]
     bbox = B.align_bbox([height, width], bbox) if crop else list(bbox)
     nrows, ncols = B.get_grid_shape([height, width], bbox)
     tilesize = list(tile) if tile else [32, 32]
@@ -204,7 +235,7 @@ def grid_maker(
             raise ValueError("qtree mode requires trim=True (all-out cells are pruned)")
         return _grid_maker_qtree(
             spark, polys, bbox, height, width, tilesize, nxtiles, ncols,
-            interior, emit_wkb,
+            interior, emit_wkb, xypos, resolved_crs,
         )
 
     # --- phase A: driver-side tile classification (coarse short-circuit) ---
@@ -240,7 +271,7 @@ def grid_maker(
         out = cells.withColumns(
             {"__intersects__": F.lit(True), "__within__": F.lit(True)}
         )
-        return _finalize(out, height, width, emit_wkb)
+        return _finalize(out, height, width, emit_wkb, xypos, resolved_crs)
 
     # map tile class in as a literal lookup (tiny broadcast join)
     cls_df = spark.createDataFrame(
@@ -284,7 +315,7 @@ def grid_maker(
     out = interior_cells.unionByName(boundary_cells)
     if trim:
         out = out.filter(F.col("__within__") if interior else F.col("__intersects__"))
-    return _finalize(out, height, width, emit_wkb)
+    return _finalize(out, height, width, emit_wkb, xypos, resolved_crs)
 
 
 def _grid_maker_qtree(
@@ -298,6 +329,8 @@ def _grid_maker_qtree(
     ncols: int,
     interior: bool,
     emit_wkb: bool,
+    xypos: str = "LLc",
+    crs: str | None = None,
 ) -> DataFrame:
     """qtree-mode cell production: interior blocks expand to flagged cells
     with zero geometry work; boundary candidate cells run the exact UDF."""
@@ -380,26 +413,40 @@ def _grid_maker_qtree(
         empty = spark.createDataFrame(
             [], "cell_x int, cell_y int, __intersects__ boolean, __within__ boolean"
         )
-        return _finalize(cell_cols(empty), height, width, emit_wkb)
+        return _finalize(cell_cols(empty), height, width, emit_wkb, xypos, crs)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     out = out.filter(F.col("__within__") if interior else F.col("__intersects__"))
-    return _finalize(out, height, width, emit_wkb)
+    return _finalize(out, height, width, emit_wkb, xypos, crs)
 
 
-def sort_grid(df: DataFrame, sort: str = "rc") -> DataFrame:
+def sort_grid(df: DataFrame, sort: str = "rc", asc=True) -> DataFrame:
     """O1 output sort (the reference's path at gridding.py:356-362 is broken
     — undefined names; this is the intended working semantics): 'rc' sorts
-    by tile then (x, y), 'cr' by tile then (y, x)."""
+    by tile then (x, y), 'cr' by tile then (y, x). ``asc`` mirrors the
+    reference's per-column direction flags (base.py:176-185): a single bool
+    or one bool per sort column (tile, first, second)."""
     if sort == "rc":
-        return df.orderBy("__tile__", "__x__", "__y__")
-    if sort == "cr":
-        return df.orderBy("__tile__", "__y__", "__x__")
-    raise ValueError(f"sort must be 'rc' or 'cr', got {sort!r}")
+        cols = ["__tile__", "__x__", "__y__"]
+    elif sort == "cr":
+        cols = ["__tile__", "__y__", "__x__"]
+    else:
+        raise ValueError(f"sort must be 'rc' or 'cr', got {sort!r}")
+    flags = [asc] * len(cols) if isinstance(asc, bool) else list(asc)
+    if len(flags) != len(cols) or not all(isinstance(a, bool) for a in flags):
+        raise TypeError(f"asc must be a bool or {len(cols)} bools, got {asc!r}")
+    return df.orderBy(*[F.col(c).asc() if a else F.col(c).desc() for c, a in zip(cols, flags)])
 
 
-def _finalize(df: DataFrame, height: float, width: float, emit_wkb: bool) -> DataFrame:
+def _finalize(
+    df: DataFrame,
+    height: float,
+    width: float,
+    emit_wkb: bool,
+    xypos: str = "LLc",
+    crs: str | None = None,
+) -> DataFrame:
     df = df.drop("_tix", "_tiy", "_cls").withColumns(
         {
             "xmax": F.col("__x__") + F.lit(width),
@@ -418,4 +465,20 @@ def _finalize(df: DataFrame, height: float, width: float, emit_wkb: bool) -> Dat
             )
 
         df = df.withColumn("geometry", _box("__x__", "__y__", "xmax", "ymax"))
+        if crs:
+            df = CRS.with_crs(df, crs)
+    # xypos anchors the REPORTED (__x__, __y__) coordinate inside the cell
+    # (reference base.py:347-370 get_pos_location); xmax/ymax and geometry
+    # stay the true cell bounds
+    dx, dy = 0.0, 0.0
+    if xypos in ("LRc", "URc"):
+        dx = width
+    if xypos in ("ULc", "URc"):
+        dy = height
+    if xypos in ("CC", "centre"):
+        dx, dy = width / 2.0, height / 2.0
+    if dx or dy:
+        df = df.withColumns(
+            {"__x__": F.col("__x__") + F.lit(dx), "__y__": F.col("__y__") + F.lit(dy)}
+        )
     return df

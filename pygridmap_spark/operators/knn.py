@@ -92,36 +92,40 @@ def knn_cellring(
     q_all.persist()
 
     # phase 1: grow r until every query has >= k candidates in its disk.
-    # Each round materializes via localCheckpoint — iterative DataFrame
-    # loops otherwise re-derive the whole previous lineage every round
-    # (exponential plan blowup).
-    pending = q_all.localCheckpoint(eager=True)
+    # Each round joins ONLY the new ring (annulus prev_r < chebyshev <= r)
+    # and accumulates the count on the pending rows — the inner disk was
+    # already counted in earlier rounds, so no candidate row is ever
+    # generated twice. Each round materializes via localCheckpoint —
+    # iterative DataFrame loops otherwise re-derive the whole previous
+    # lineage every round (exponential plan blowup).
+    pending = q_all.withColumn("_cnt", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
     satisfied_parts: list[DataFrame] = []  # (query row + chosen radius)
-    r = 1
+    prev_r, r = 0, 1
     while r <= max_radius:
-        cand_count = _disk_join(pending, p, r, point_id, query_id).groupBy(
+        ring_count = _ring_join(pending, p, prev_r, r, point_id, query_id).groupBy(
             query_id
         ).count()
-        ok = (
-            pending.join(
-                cand_count.filter(F.col("count") >= k).select(query_id),
-                query_id,
-                "left_semi",
-            )
-            .withColumn("_r", F.lit(r))
+        pending = (
+            pending.join(ring_count, query_id, "left")
+            .withColumn("_cnt", F.col("_cnt") + F.coalesce(F.col("count"), F.lit(0)))
+            .drop("count")
             .localCheckpoint(eager=True)
         )
-        satisfied_parts.append(ok)
-        pending = pending.join(
-            ok.select(query_id), query_id, "left_anti"
-        ).localCheckpoint(eager=True)
+        satisfied_parts.append(
+            pending.filter(F.col("_cnt") >= k).drop("_cnt").withColumn("_r", F.lit(r))
+        )
+        pending = pending.filter(F.col("_cnt") < k).localCheckpoint(eager=True)
         if pending.isEmpty():
             pending = None
             break
-        r *= 2
+        prev_r, r = r, r * 2
     if pending is not None and not pending.isEmpty():
         # degenerate sparse case: give up on the index for the stragglers
-        satisfied_parts.append(pending.withColumn("_r", F.lit(max_radius)))
+        satisfied_parts.append(
+            pending.drop("_cnt").withColumn("_r", F.lit(max_radius))
+        )
     q_r = satisfied_parts[0]
     for part in satisfied_parts[1:]:
         q_r = q_r.unionByName(part)
@@ -186,6 +190,23 @@ def _disk_join(q: DataFrame, p: DataFrame, r: int, point_id: str, query_id: str)
     """Join queries to points within the Chebyshev-r cell disk (fixed r)."""
     qe = q.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r)))).withColumn(
         "_dy", F.explode(F.sequence(F.lit(-r), F.lit(r)))
+    )
+    return _finish_disk_join(qe, p, point_id, query_id)
+
+
+def _ring_join(
+    q: DataFrame, p: DataFrame, prev_r: int, r: int, point_id: str, query_id: str
+) -> DataFrame:
+    """Join queries to points in the Chebyshev ANNULUS prev_r < d <= r only
+    (prev_r=0 includes the center cell). The filter sits between the
+    generate and the join, so inner-disk cells never reach the exchange."""
+    qe = (
+        q.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .filter(
+            (F.greatest(F.abs(F.col("_dx")), F.abs(F.col("_dy"))) > prev_r)
+            | F.lit(prev_r == 0)
+        )
     )
     return _finish_disk_join(qe, p, point_id, query_id)
 

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pygridmap_spark.core import crs as CRS
 from pygridmap_spark.core import geometry as G
 from pygridmap_spark.core import wkb
 
@@ -177,6 +178,7 @@ def grid_overlay_rects(
     right grid's own geometry), then closed-form rectangle intersection.
     No UDF, no broadcastability requirement on either side.
     """
+    _check_how(how, rule)
     bx0, by0, bw, bh = _grid_meta(other, "other (right) grid")
     eps = 1e-9 * max(bw, bh)
 
@@ -222,11 +224,67 @@ def grid_overlay_rects(
         .select("cell_id", "poly_id", "piece_area", "area_pct", *columns)
     )
     if rule is None:
+        if how == "union_full":
+            polys = other.select(
+                (
+                    F.col("poly_id")
+                    if "poly_id" in other.columns
+                    else F.col("cell_id").alias("poly_id")
+                ),
+                *columns,
+            )
+            return _union_full_pieces(pieces, cells, polys, columns)
         return pieces
     out = _apply_rule(pieces, cells, columns, rule, cover, area)
     # inner semantics drop grid cells with no overlap (union keeps them
     # with null attrs — reference 'union' restricted to the grid frame)
     return _drop_unmatched(out, columns, area, rule) if how == "intersection" else out.drop("__n_pieces__")
+
+
+HOWS = ("intersection", "union", "union_full")
+
+
+def _check_how(how: str, rule) -> None:
+    if how not in HOWS:
+        raise ValueError(f"how must be one of {HOWS}, got {how!r}")
+    if how == "union_full" and rule is not None:
+        raise ValueError(
+            "how='union_full' returns raw pieces of BOTH layers (unmatched "
+            "polygons have no cell to aggregate onto) — use rule=None"
+        )
+
+
+def _union_full_pieces(
+    pieces: DataFrame,
+    cells: DataFrame,
+    polys: DataFrame,
+    columns,
+    poly_key: str = "poly_id",
+) -> DataFrame:
+    """Full planar-union parity (reference gpd.overlay(how='union'),
+    overlay.py:296-297): the intersection pieces PLUS unmatched grid cells
+    (null polygon key/attrs) PLUS unmatched polygons (null cell_id).
+    ``polys`` must carry (poly_key, *columns). Anti-joins on the piece keys."""
+    types = dict(pieces.dtypes)
+    un_cells = cells.join(
+        pieces.select("cell_id").distinct(), "cell_id", "left_anti"
+    ).select(
+        "cell_id",
+        F.lit(None).cast(types[poly_key]).alias(poly_key),
+        F.lit(None).cast("double").alias("piece_area"),
+        F.lit(None).cast("double").alias("area_pct"),
+        *[F.lit(None).cast(types[c]).alias(c) for c in columns],
+    )
+    un_polys = polys.join(
+        pieces.select(poly_key).distinct(), poly_key, "left_anti"
+    ).select(
+        F.lit(None).cast(types["cell_id"]).alias("cell_id"),
+        F.col(poly_key),
+        F.lit(None).cast("double").alias("piece_area"),
+        F.lit(None).cast("double").alias("area_pct"),
+        *columns,
+    )
+    return pieces.unionByName(un_cells).unionByName(un_polys)
 
 
 def _drop_unmatched(out: DataFrame, columns, area, rule) -> DataFrame:
@@ -261,6 +319,8 @@ def grid_overlay_polygons(
     each polygon bbox into grid cell-key ranges; the exact Sutherland-
     Hodgman clip runs only on candidates, vectorized per batch.
     """
+    _check_how(how, rule)
+    CRS.check_layers_crs(cells, polygons, "geometry", geometry_col, context="grid_overlay_polygons")
     gx0, gy0, gw, gh = _grid_meta(cells, "grid cells")
 
     rows = polygons.select(poly_key, geometry_col, *columns).collect()
@@ -348,6 +408,10 @@ def grid_overlay_polygons(
         .select("cell_id", poly_key, "piece_area", "area_pct", *columns)
     )
     if rule is None:
+        if how == "union_full":
+            return _union_full_pieces(
+                pieces, cells, polygons.select(poly_key, *columns), columns, poly_key
+            )
         return pieces
     out = _apply_rule(pieces, cells, columns, rule, cover, area, poly_key=poly_key)
     if how == "intersection":
@@ -378,6 +442,10 @@ def grid_overlay_polygons_distributed(
 
     Same semantics as :func:`grid_overlay_polygons` (pinned by tests).
     """
+    _check_how(how, rule)
+    CRS.check_layers_crs(
+        cells, polygons, "geometry", geometry_col, context="grid_overlay_polygons_distributed"
+    )
     spark = cells.sparkSession
     gx0, gy0, gw, gh = _grid_meta(cells, "grid cells")
 
@@ -487,6 +555,10 @@ def grid_overlay_polygons_distributed(
         .select("cell_id", poly_key, "piece_area", "area_pct", *columns)
     )
     if rule is None:
+        if how == "union_full":
+            return _union_full_pieces(
+                pieces, cells, polygons.select(poly_key, *columns), columns, poly_key
+            )
         return pieces
     out = _apply_rule(pieces, cells, columns, rule, cover, area, poly_key=poly_key)
     if how == "intersection":

@@ -1,0 +1,171 @@
+"""Round-2 parity additions: CRS guard (reference base.py:206-221,
+gridding.py:282-289), grid_maker xypos/buffer (base.py:168-190, 347-370),
+sort_grid asc flags, how='union_full' overlay, invalid-geometry contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.core import crs as CRS
+from pygridmap_spark.core import geometry as G
+from pygridmap_spark.core import wkb
+from pygridmap_spark.operators import gridding as GR
+from pygridmap_spark.operators import overlay as OV
+from pygridmap_spark.sources import polygons as PG
+
+
+# --- CRS ---------------------------------------------------------------------
+
+
+def test_normalize_crs_reference_parity():
+    assert CRS.normalize_crs(3035) == "EPSG:3035"
+    assert CRS.normalize_crs("3035") == "EPSG:3035"
+    assert CRS.normalize_crs("epsg:3035") == "EPSG:3035"
+    assert CRS.normalize_crs("EPSG:4326") == "EPSG:4326"
+    assert CRS.normalize_crs(None) is None
+    assert CRS.normalize_crs("ESRI:102013") == "ESRI:102013"
+    with pytest.raises(TypeError):
+        CRS.normalize_crs(3.5)
+
+
+def test_with_crs_metadata_roundtrip(spark):
+    polys = PG.synthetic_polygons(spark, n=3)
+    tagged = CRS.with_crs(polys, "3035")
+    assert CRS.crs_of(tagged) == "EPSG:3035"
+    # metadata survives projection of the column
+    assert CRS.crs_of(tagged.select("poly_id", "geometry")) == "EPSG:3035"
+    assert CRS.crs_of(polys) is None  # untagged layers stay undeclared
+
+
+def test_grid_maker_crs_mismatch_raises(spark):
+    mask = CRS.with_crs(PG.synthetic_polygons(spark, n=3, bbox=(0, 0, 10, 10)), 3035)
+    with pytest.raises(ValueError, match="CRS mismatch"):
+        GR.grid_maker(spark, mask=mask, cell=(1.0, 1.0), crs="EPSG:4326")
+    # agreeing / undeclared combinations pass
+    g = GR.grid_maker(spark, mask=mask, cell=(2.0, 2.0), crs=3035, emit_wkb=True)
+    assert CRS.crs_of(g) == "EPSG:3035"  # resolved CRS lands on the output
+
+
+def test_overlay_crs_mismatch_raises(spark):
+    cells = CRS.with_crs(
+        PG.grid_layer(spark, bbox=(0, 0, 100, 100), cell=(50.0, 50.0)), 3035
+    )
+    polys = CRS.with_crs(
+        PG.synthetic_polygons(spark, n=3, bbox=(0, 0, 100, 100)), 4326
+    )
+    with pytest.raises(ValueError, match="CRS mismatch"):
+        OV.grid_overlay_polygons(spark, cells, polys, ["pop"])
+    with pytest.raises(ValueError, match="CRS mismatch"):
+        OV.grid_overlay_polygons_distributed(cells, polys, ["pop"])
+
+
+# --- grid_maker xypos / buffer ------------------------------------------------
+
+
+def test_grid_maker_xypos_anchors(spark):
+    base = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0))
+    cc = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), xypos="CC")
+    urc = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), xypos="URc")
+    b = {r["cell_id"]: (r["__x__"], r["__y__"]) for r in base.collect()}
+    c = {r["cell_id"]: (r["__x__"], r["__y__"]) for r in cc.collect()}
+    u = {r["cell_id"]: (r["__x__"], r["__y__"]) for r in urc.collect()}
+    for cid, (bx, by) in b.items():
+        assert c[cid] == (bx + 1.0, by + 1.0)
+        assert u[cid] == (bx + 2.0, by + 2.0)
+    # bounds stay the true cell rect regardless of anchor
+    r0 = {r["cell_id"]: (r["xmax"], r["ymax"]) for r in cc.collect()}
+    rb = {r["cell_id"]: (r["xmax"], r["ymax"]) for r in base.collect()}
+    assert r0 == rb
+    with pytest.raises(ValueError, match="xypos"):
+        GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), xypos="nope")
+
+
+def test_grid_maker_buffer_expands_bbox(spark):
+    base = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0))
+    buf = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), buffer=2.0)
+    assert base.count() == 4 and buf.count() == 16  # one cell ring added
+    assert buf.agg(F.min("__x__")).collect()[0][0] == -2.0
+    pair = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), buffer=(2.0, 0.0))
+    # (by, bx): y-only expansion
+    assert pair.count() == 8
+    assert GR._buffer_amounts(True) == (GR.B.TOL_EPS, GR.B.TOL_EPS)
+    assert GR._buffer_amounts(False) == (0.0, 0.0)
+
+
+def test_sort_grid_asc_flags(spark):
+    g = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0))
+    asc = [r["__x__"] for r in GR.sort_grid(g, "rc").collect()]
+    desc = [r["__x__"] for r in GR.sort_grid(g, "rc", asc=[True, False, False]).collect()]
+    assert asc == sorted(asc) and desc == sorted(asc, reverse=True)
+    with pytest.raises(TypeError):
+        GR.sort_grid(g, "rc", asc=[True])
+
+
+# --- union_full ----------------------------------------------------------------
+
+
+def test_union_full_keeps_both_sides(spark):
+    cells = PG.grid_layer(spark, bbox=(0, 0, 100, 100), cell=(50.0, 50.0))
+    # one rect overlapping cell 0 only, one rect fully outside the grid
+    other = spark.createDataFrame(
+        [(10, 10.0, 10.0, 30.0, 30.0, 1.0), (11, 500.0, 500.0, 600.0, 600.0, 2.0)],
+        "poly_id long, x double, y double, xmax double, ymax double, v double",
+    )
+    out = OV.grid_overlay_rects(cells, other, ["v"], rule=None, how="union_full")
+    rows = out.collect()
+    matched = [r for r in rows if r["cell_id"] is not None and r["poly_id"] is not None]
+    un_cells = [r for r in rows if r["poly_id"] is None]
+    un_polys = [r for r in rows if r["cell_id"] is None]
+    assert len(matched) == 1 and matched[0]["piece_area"] == 400.0
+    assert {r["cell_id"] for r in un_cells} == {1, 2, 3}  # 3 untouched cells
+    assert [r["poly_id"] for r in un_polys] == [11] and un_polys[0]["v"] == 2.0
+    with pytest.raises(ValueError, match="union_full"):
+        OV.grid_overlay_rects(cells, other, ["v"], rule="sum", how="union_full")
+    with pytest.raises(ValueError, match="how"):
+        OV.grid_overlay_rects(cells, other, ["v"], how="outer")
+
+
+def test_union_full_polygons_matches_rects(spark):
+    cells = PG.grid_layer(spark, bbox=(0, 0, 100, 100), cell=(50.0, 50.0))
+    polys = spark.createDataFrame(
+        [
+            (10, wkb.encode_box(10.0, 10.0, 30.0, 30.0), 1.0),
+            (11, wkb.encode_box(500.0, 500.0, 600.0, 600.0), 2.0),
+        ],
+        "poly_id long, geometry binary, v double",
+    )
+    out = OV.grid_overlay_polygons(spark, cells, polys, ["v"], rule=None, how="union_full")
+    rows = out.collect()
+    assert len([r for r in rows if r["cell_id"] is None]) == 1
+    assert len([r for r in rows if r["poly_id"] is None]) == 3
+    d = OV.grid_overlay_polygons_distributed(cells, polys, ["v"], rule=None, how="union_full")
+    assert {(r["cell_id"], r["poly_id"]) for r in d.collect()} == {
+        (r["cell_id"], r["poly_id"]) for r in rows
+    }
+
+
+# --- invalid-geometry contract --------------------------------------------------
+
+
+def test_bowtie_ring_contract():
+    """Self-intersecting ring: membership is even-odd, areas are NET
+    (documented divergence — the validator flags it)."""
+    bow = np.array([(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)], float)
+    assert G.ring_self_intersects(bow)
+    assert G.ring_signed_area(bow) == 0.0  # opposite lobes cancel: NET area
+    # even-odd membership: inside the left lobe
+    assert G.points_in_ring(np.array([0.5]), np.array([1.0]), bow)[0]
+    assert not G.points_in_ring(np.array([1.0]), np.array([0.2]), bow)[0]
+    # clip to the full bbox keeps the net-zero area (no silent positive)
+    assert abs(G.clip_area([bow], 0, 0, 2, 2)) < 1e-12
+    issues = G.validate_polygon([bow])
+    assert issues and "self-intersecting" in issues[0]
+
+
+def test_duplicate_vertex_ring_harmless():
+    sq = np.array([(0, 0), (1, 0), (1, 0), (1, 1), (0, 1), (0, 0)], float)
+    assert not G.ring_self_intersects(sq)
+    assert abs(G.ring_signed_area(sq)) == 1.0
+    assert G.points_in_ring(np.array([0.5]), np.array([0.5]), sq)[0]
+    assert G.validate_polygon([sq]) == []
+    assert G.validate_polygon([np.array([(0, 0), (1, 1), (0, 0)], float)]) != []
