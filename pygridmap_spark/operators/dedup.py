@@ -67,23 +67,23 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 
-# affine-rehash constants: one base xxhash64 per shingle, then k cheap
-# (a_i*h + b_i) mod p variants — the standard universal-hash-family trick.
-# a_i < 2^30 and h masked to 32 bits keep products under 2^62: no ANSI
-# overflow. Constants derive from splitmix-style mixing of the index.
-_MH_PRIME = (1 << 61) - 1
+# k independent hash functions = splitmix64 finalizer over (shingle ^ seed_i)
+# with k fixed LCG-derived seeds. Round 1 used an affine family
+# (a_i*h + b_i) mod (2^61-1) with a_i < 2^30 over 32-bit h — those products
+# almost never wrap past the modulus, so every "hash" was order-preserving
+# in h and the k mins were all correlated with argmin(h): a biased Jaccard
+# estimator (caught by the estimate-tracks-exact test after the shingle
+# hash change). The seeded-finalizer family actually permutes.
+_MH_PRIME = (1 << 61) - 1  # kept for back-compat constants imports
 
 
-def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
-    params = []
+def _mh_seeds(num_hashes: int) -> np.ndarray:
     state = 0x9E3779B97F4A7C15
-    for _ in range(num_hashes):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = (state >> 16) % ((1 << 30) - 1) + 1
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        b = state % _MH_PRIME
-        params.append((a, b))
-    return params
+    seeds = np.empty(num_hashes, dtype=np.uint64)
+    for i in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        seeds[i] = state
+    return seeds
 
 
 def minhash_signatures(
@@ -94,58 +94,76 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature per doc (array<long> of length num_hashes) plus
-    the distinct shingle set (for exact Jaccard verification).
+    the distinct shingle HASH set (array<long> — 64-bit; exact Jaccard over
+    the hashes equals Jaccard over the shingle strings up to 64-bit
+    collisions, and hash sets shuffle/compare far cheaper than text).
 
-    Plan: ONE Arrow-batched kernel does normalize (vectorized pandas str
-    ops) -> shingle -> crc32 base hash (zlib, C) -> k affine rehash-mins as
-    a single numpy ``minimum.reduceat``. No shuffle, no interpreted
+    Plan: ONE Arrow-batched kernel does normalize -> tokenize -> crc32 per
+    DISTINCT token (zlib C call, cached per batch — web text repeats
+    tokens heavily) -> vectorized position-weighted splitmix64 combine of n
+    consecutive token hashes (no per-shingle string building — the round-1
+    kernel joined + encoded + crc32'd every shingle string, which was the
+    dominant cost) -> per-doc ``np.unique`` -> k affine rehash-mins as a
+    single numpy ``minimum.reduceat``. No shuffle, no interpreted
     higher-order expressions (a pure-Catalyst formulation with
-    transform/array_min lambdas measured ~25s for 5.7k docs — Spark
-    evaluates HOF lambdas per element on the interpreted path; this kernel
-    does the same work in <1s). Docs with no shingles drop out (can't be
-    near-dup candidates)."""
+    transform/array_min lambdas measured ~25s for 5.7k docs). Docs with no
+    shingles drop out (can't be near-dup candidates)."""
     import re as _re
     import zlib
     from typing import Iterator
 
-    params = np.array(_mh_params(num_hashes), dtype=np.int64)
-    a_vec = params[:, 0][:, None]
-    b_vec = params[:, 1][:, None]
+    seeds = _mh_seeds(num_hashes)[:, None]  # (k, 1)
     norm_re = _re.compile(r"[^a-z0-9]+")
+    # odd position multipliers so shingle hashes are order-sensitive
+    pos_mult = [
+        np.uint64(((0x9E3779B97F4A7C15 * (2 * j + 1)) | 1) & 0xFFFFFFFFFFFFFFFF)
+        for j in range(shingle_n)
+    ]
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if not len(batch):
                 continue
-            ids, shingle_sets, hash_lists = [], [], []
+            tok_hash: dict[str, int] = {}  # per-batch distinct-token cache
+            ids, shingle_sets = [], []
             for doc_id, text in zip(batch[id_col], batch[text_col].astype(str)):
                 toks = norm_re.sub(" ", text.lower()).split()
-                if len(toks) < shingle_n:
+                n_sh = len(toks) - shingle_n + 1
+                if n_sh < 1:
                     continue
-                sset = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
+                th = np.empty(len(toks), dtype=np.uint64)
+                for i, t in enumerate(toks):
+                    h = tok_hash.get(t)
+                    if h is None:
+                        h = zlib.crc32(t.encode("utf-8"))
+                        tok_hash[t] = h
+                    th[i] = h
+                acc = th[:n_sh] * pos_mult[0]
+                for j in range(1, shingle_n):
+                    acc = acc ^ (th[j : j + n_sh] * pos_mult[j])
                 ids.append(doc_id)
-                shingle_sets.append(sorted(sset))
-                hash_lists.append(
-                    [zlib.crc32(s.encode("utf-8")) for s in shingle_sets[-1]]
-                )
+                shingle_sets.append(np.unique(_splitmix64(acc)))
             if not ids:
                 continue
-            lens = np.fromiter((len(h) for h in hash_lists), dtype=np.int64, count=len(ids))
-            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hash_lists])
-            vals = (flat[None, :] * a_vec + b_vec) % _MH_PRIME  # < 2^62: no overflow
+            lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=len(ids))
+            flat = np.concatenate(shingle_sets)  # uint64
+            vals = _splitmix64(flat[None, :] ^ seeds)  # (k, n_shingles)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
-            mins = np.minimum.reduceat(vals, starts, axis=1)  # (k, n_docs)
+            # int64 view: signature values may be negative, which is fine —
+            # banding compares equality, never order
+            mins = np.minimum.reduceat(vals, starts, axis=1).astype(np.int64)
             yield pd.DataFrame(
-                {id_col: ids, "signature": list(mins.T), "shingles": shingle_sets}
+                {
+                    id_col: ids,
+                    "signature": list(mins.T),
+                    "shingles": [s.astype(np.int64) for s in shingle_sets],
+                }
             )
 
     id_type = _sql_type(df, id_col)
     return df.select(id_col, text_col).mapInPandas(
-        _kernel, f"{id_col} {id_type}, signature array<long>, shingles array<string>"
+        _kernel, f"{id_col} {id_type}, signature array<long>, shingles array<long>"
     )
 
 
