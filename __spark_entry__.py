@@ -250,6 +250,26 @@ def _q_grid_overlay_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overlay_union_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """how='union_full' (J6 full planar-union parity): pieces of BOTH
+    layers survive — unmatched grid cells with null polygon attrs,
+    unmatched polygons with null cell_id. Oracle: overlap join + two
+    anti-joins in SQL."""
+    cells = PG.grid_layer(spark, (0.0, 0.0, 100_000.0, 100_000.0), (10_000.0, 10_000.0))
+    other = (
+        PG.grid_layer(spark, (55_000.0, 55_000.0, 155_000.0, 155_000.0), (10_000.0, 10_000.0))
+        .withColumnRenamed("cell_id", "poly_id")
+    )
+    out = OV.grid_overlay_rects(cells, other, ["val"], rule=None, how="union_full")
+    return out.select(
+        "cell_id",
+        "poly_id",
+        F.round(F.col("piece_area"), 6).alias("piece_area"),
+        F.round(F.col("area_pct"), 6).alias("area_pct"),
+        F.col("val"),
+    )
+
+
 def _q_grid_maker_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1/J1/J2/F1: grid maker over a rectangular mask, trim=False, flags
     out. Oracle: closed-form rect-vs-cell intersection tests."""
@@ -506,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_join": _q_pip_rect_join,
         "knn_cellring": _q_knn,
         "grid_overlay_offset": _q_grid_overlay_offset,
+        "overlay_union_full": _q_overlay_union_full,
         "grid_maker_trim": _q_grid_maker_trim,
         "raster_resample": _q_raster_resample,
         "dedup_exact": _q_dedup_exact,
@@ -642,6 +663,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cell_id, round(sum(val * piece / 25000000.0), 6) AS val
             FROM pieces WHERE piece > 0 GROUP BY cell_id
+        """,
+        "overlay_union_full": """
+            WITH cells AS (
+                SELECT r1.range + r2.range * 10 AS cell_id,
+                       r1.range * 10000.0 AS x, r2.range * 10000.0 AS y
+                FROM range(0, 10) r1, range(0, 10) r2
+            ),
+            polys AS (
+                SELECT r1.range + r2.range * 10 AS poly_id,
+                       55000.0 + r1.range * 10000.0 AS x,
+                       55000.0 + r2.range * 10000.0 AS y,
+                       CAST(r1.range + r2.range * 10 + 1 AS DOUBLE) AS val
+                FROM range(0, 10) r1, range(0, 10) r2
+            ),
+            pieces AS (
+                SELECT c.cell_id, p.poly_id,
+                       greatest(0, least(c.x + 10000.0, p.x + 10000.0) - greatest(c.x, p.x))
+                     * greatest(0, least(c.y + 10000.0, p.y + 10000.0) - greatest(c.y, p.y)) AS piece,
+                       p.val
+                FROM cells c JOIN polys p
+                  ON p.x < c.x + 10000.0 AND p.x + 10000.0 > c.x
+                 AND p.y < c.y + 10000.0 AND p.y + 10000.0 > c.y
+            ),
+            matched AS (SELECT * FROM pieces WHERE piece > 0)
+            SELECT cell_id, poly_id, round(piece, 6) AS piece_area,
+                   round(piece / 100000000.0, 6) AS area_pct, val
+            FROM matched
+            UNION ALL
+            SELECT c.cell_id, NULL, NULL, NULL, NULL FROM cells c
+            WHERE c.cell_id NOT IN (SELECT cell_id FROM matched)
+            UNION ALL
+            SELECT NULL, p.poly_id, NULL, NULL, p.val FROM polys p
+            WHERE p.poly_id NOT IN (SELECT poly_id FROM matched)
         """,
         "grid_maker_trim": """
             SELECT r1.range AS cell_x, r2.range AS cell_y,
