@@ -133,15 +133,20 @@ def main() -> None:
     pages_per_sec = n_pages / elapsed
     timings["flagship_pages_pipeline"] = round(elapsed, 3)
 
+    # one untimed warmup pass (cold file cache / Python workers / JIT),
+    # then interleaved best-of-3: this shared VM shows multi-second steal
+    # bursts, and interleaving means a burst hits ONE rep of many queries
+    # instead of every rep of one query (CLAUDE.md bench protocol)
     for name in HEADLINE:
-        q = queries[name]
-        runs = []
-        for _ in range(2):
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.time()
-            df = q(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
+            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs[name].append(time.time() - t0)
+    for name in HEADLINE:
+        timings[name] = round(min(runs[name]), 3)
 
     spark.stop()
 
