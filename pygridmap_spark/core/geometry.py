@@ -275,3 +275,164 @@ def validate_polygon(polygon: Polygon) -> list[str]:
         if ring_self_intersects(ring):
             issues.append(f"{label}: self-intersecting ring (areas are NET, not even-odd)")
     return issues
+
+
+# ---------------------------------------------------------------------------
+# geometry-form unary union / intersection reduce (A12/A13)
+# ---------------------------------------------------------------------------
+#
+# Parity targets: reference base.py:432-527 (unary_union / intersection
+# over arbitrary geometries via GEOS). Without a boolean-ops engine the
+# useful contracts are provided directly:
+# - MEMBERSHIP against the union (OR) / intersection (AND) is EXACT —
+#   ray-cast parity per geometry composes;
+# - AREA is computed by adaptive quadtree refinement over the exact
+#   clip-to-rect kernel: decided blocks (fully inside / fully outside) are
+#   exact; undecided leaf blocks are bounded above and below, and the
+#   refinement runs until the bound gap is within `tol` of the bbox area.
+#   Returned value is the bound midpoint; the guarantee is
+#   |result - true| <= tol * bbox_area / 2.
+
+
+def points_in_union(px: np.ndarray, py: np.ndarray, geoms: list) -> np.ndarray:
+    """Exact membership in the unary union of multipolygons (OR)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for mp in geoms:
+        pend = ~inside
+        if pend.any():
+            idx = np.nonzero(pend)[0]
+            inside[idx] |= points_in_multipolygon(px[idx], py[idx], mp)
+    return inside
+
+
+def points_in_intersection(px: np.ndarray, py: np.ndarray, geoms: list) -> np.ndarray:
+    """Exact membership in the intersection of multipolygons (AND)."""
+    inside = np.ones(len(px), dtype=bool)
+    for mp in geoms:
+        pend = inside
+        if not pend.any():
+            break
+        idx = np.nonzero(pend)[0]
+        inside[idx] &= points_in_multipolygon(px[idx], py[idx], mp)
+    return inside
+
+
+def _reduce_area(geoms: list, mode: str, tol: float, max_blocks: int) -> float:
+    if not geoms:
+        return 0.0
+    if len(geoms) == 1:
+        return multipolygon_area(geoms[0])  # exact shoelace
+    boxes = [multipolygon_bbox(mp) for mp in geoms]
+    if mode == "union":
+        xmin = min(b[0] for b in boxes); ymin = min(b[1] for b in boxes)
+        xmax = max(b[2] for b in boxes); ymax = max(b[3] for b in boxes)
+    else:
+        xmin = max(b[0] for b in boxes); ymin = max(b[1] for b in boxes)
+        xmax = min(b[2] for b in boxes); ymax = min(b[3] for b in boxes)
+        if xmin >= xmax or ymin >= ymax:
+            return 0.0
+    bbox_area = (xmax - xmin) * (ymax - ymin)
+    decided = 0.0
+    lower = upper = 0.0
+    stack = [(xmin, ymin, xmax, ymax)]
+    blocks = 0
+    leaves: list[tuple] = []
+    while stack:
+        blocks += 1
+        if blocks > max_blocks:
+            raise RuntimeError(
+                f"{mode}_area: exceeded {max_blocks} refinement blocks at tol={tol}; "
+                "raise tol or max_blocks"
+            )
+        bx0, by0, bx1, by1 = stack.pop()
+        rect = (bx1 - bx0) * (by1 - by0)
+        clips = []
+        state = None
+        for mp, bb in zip(geoms, boxes):
+            if bb[2] <= bx0 or bb[0] >= bx1 or bb[3] <= by0 or bb[1] >= by1:
+                a = 0.0
+            else:
+                a = multipolygon_clip_area(mp, bx0, by0, bx1, by1)
+            clips.append(a)
+            full = a >= rect * (1.0 - 1e-9)
+            empty = a <= rect * 1e-12
+            if mode == "union" and full:
+                state = "in"
+                break
+            if mode == "intersection" and empty:
+                state = "out"
+                break
+        if state is None:
+            if mode == "union":
+                state = "out" if all(c <= rect * 1e-12 for c in clips) else (
+                    "split"
+                )
+            else:
+                state = "in" if all(c >= rect * (1.0 - 1e-9) for c in clips) else "split"
+        if state == "in":
+            decided += rect
+        elif state == "split":
+            leaves.append((bx0, by0, bx1, by1, rect, clips))
+    # refine undecided leaves breadth-first until the bound gap closes
+    while True:
+        lower = upper = 0.0
+        next_leaves = []
+        for bx0, by0, bx1, by1, rect, clips in leaves:
+            if mode == "union":
+                lo, hi = max(clips), min(rect, sum(clips))
+            else:
+                lo, hi = max(0.0, sum(clips) - (len(geoms) - 1) * rect), min(clips)
+            lower += lo
+            upper += hi
+            next_leaves.append((bx0, by0, bx1, by1))
+        if upper - lower <= tol * max(bbox_area, 1e-300) or not leaves:
+            return decided + (lower + upper) / 2.0
+        # split every undecided leaf in 4
+        stack = []
+        for bx0, by0, bx1, by1 in next_leaves:
+            mx, my = (bx0 + bx1) / 2.0, (by0 + by1) / 2.0
+            stack.extend(
+                [(bx0, by0, mx, my), (mx, by0, bx1, my), (bx0, my, mx, by1), (mx, my, bx1, by1)]
+            )
+        leaves = []
+        for bx0, by0, bx1, by1 in stack:
+            blocks += 1
+            if blocks > max_blocks:
+                raise RuntimeError(
+                    f"{mode}_area: exceeded {max_blocks} refinement blocks at tol={tol}; "
+                    "raise tol or max_blocks"
+                )
+            rect = (bx1 - bx0) * (by1 - by0)
+            clips = []
+            state = None
+            for mp, bb in zip(geoms, boxes):
+                if bb[2] <= bx0 or bb[0] >= bx1 or bb[3] <= by0 or bb[1] >= by1:
+                    a = 0.0
+                else:
+                    a = multipolygon_clip_area(mp, bx0, by0, bx1, by1)
+                clips.append(a)
+                if mode == "union" and a >= rect * (1.0 - 1e-9):
+                    state = "in"
+                    break
+                if mode == "intersection" and a <= rect * 1e-12:
+                    state = "out"
+                    break
+            if state is None:
+                if mode == "union":
+                    state = "out" if all(c <= rect * 1e-12 for c in clips) else "split"
+                else:
+                    state = "in" if all(c >= rect * (1.0 - 1e-9) for c in clips) else "split"
+            if state == "in":
+                decided += rect
+            elif state == "split":
+                leaves.append((bx0, by0, bx1, by1, rect, clips))
+
+
+def union_area(geoms: list, tol: float = 1e-6, max_blocks: int = 2_000_000) -> float:
+    """Area of the unary union of multipolygons (A12 geometry form)."""
+    return _reduce_area(geoms, "union", tol, max_blocks)
+
+
+def intersection_area(geoms: list, tol: float = 1e-6, max_blocks: int = 2_000_000) -> float:
+    """Area of the intersection of multipolygons (A13 geometry form)."""
+    return _reduce_area(geoms, "intersection", tol, max_blocks)

@@ -116,3 +116,36 @@ def test_multipolygon_clip_area_bbox_shortcircuit():
     mp = [[square(0, 0, 4)], [square(100, 100, 4)]]
     assert G.multipolygon_clip_area(mp, 2, 2, 102, 102) == pytest.approx(4.0 + 4.0)
     assert G.multipolygon_clip_area(mp, 50, 50, 60, 60) == 0.0
+
+
+# --- A12/A13 geometry forms (round 2) ----------------------------------------
+
+
+def _sq(x0, y0, x1, y1):
+    return [[np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], float)]]
+
+
+def test_union_area_geometry_form():
+    A, B = _sq(0, 0, 2, 2), _sq(1, 1, 3, 3)
+    assert abs(G.union_area([A, B], tol=1e-7) - 7.0) < 1e-5
+    assert abs(G.union_area([A, _sq(10, 10, 12, 12)]) - 8.0) < 1e-9  # disjoint
+    assert abs(G.union_area([A, _sq(0.5, 0.5, 1.5, 1.5)], tol=1e-7) - 4.0) < 1e-5  # nested
+    assert G.union_area([A]) == 4.0  # single geometry: exact shoelace
+    # non-rect: right triangle (area 8) union offset square, overlap 2
+    T = [[np.array([(0, 0), (4, 0), (0, 4), (0, 0)], float)]]
+    assert abs(G.union_area([T, _sq(1, 1, 3, 3)], tol=1e-6) - 10.0) < 1e-4
+
+
+def test_intersection_area_geometry_form():
+    A, B = _sq(0, 0, 2, 2), _sq(1, 1, 3, 3)
+    assert abs(G.intersection_area([A, B], tol=1e-7) - 1.0) < 1e-5
+    assert G.intersection_area([A, _sq(10, 10, 12, 12)]) == 0.0
+    assert abs(G.intersection_area([A, A, A], tol=1e-7) - 4.0) < 1e-5
+
+
+def test_union_intersection_membership_exact():
+    A, B = _sq(0, 0, 2, 2), _sq(1, 1, 3, 3)
+    px = np.array([1.5, 2.5, 0.5, 5.0])
+    py = np.array([1.5, 2.5, 0.5, 5.0])
+    assert G.points_in_union(px, py, [A, B]).tolist() == [True, True, True, False]
+    assert G.points_in_intersection(px, py, [A, B]).tolist() == [True, False, False, False]
