@@ -345,6 +345,20 @@ def _q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (rows-only: k-means assignment isn't
+    SQL-expressible; recall vs brute force is pinned in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk_ivf(emb, qs, k=10, nlist=32, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -541,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
+        "ann_cosine_topk_ivf": _q_ann_ivf,
         "overlay_rule_max": _q_overlay_rule_max,
         "cell_index_morton": _q_cell_index_morton,
         "raster_point_sample": _q_raster_point_sample,

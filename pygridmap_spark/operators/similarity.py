@@ -189,3 +189,136 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    sample_size: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """k-means coarse quantizer trained driver-side on a corpus sample
+    (standard IVF practice — FAISS trains on a sample too; the full corpus
+    never leaves the executors). Returns a unit-normalized (nlist, dim)
+    numpy array. Deterministic for a fixed seed/sample."""
+    import numpy as np
+
+    frac_rows = corpus.select(vec_col).limit(sample_size).collect()
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in frac_rows])
+    if len(X) == 0:
+        raise ValueError("empty corpus: cannot train IVF centroids")
+    nlist = min(nlist, len(X))
+    norms = np.linalg.norm(X, axis=1)
+    X[norms > 0] /= norms[norms > 0, None]
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        # cosine k-means: assign by max dot against unit centroids
+        cn = np.linalg.norm(cents, axis=1)
+        cents[cn > 0] /= cn[cn > 0, None]
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(nlist):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    cn = np.linalg.norm(cents, axis=1)
+    cents[cn > 0] /= cn[cn > 0, None]
+    return cents
+
+
+def with_ivf_list(
+    df: DataFrame, centroids, vec_col: str = "embedding", id_col: str | None = None
+) -> DataFrame:
+    """Append ``ivf_list`` (argmax-cosine centroid id) via one Arrow matmul
+    per batch. At scale this is the partitioning key: write the corpus
+    bucketed/partitioned by ivf_list and queries prune to nprobe lists."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    C = np.asarray(centroids, dtype=np.float64).T  # (dim, nlist)
+    cols = df.columns
+    schema_src = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = schema_src + ", ivf_list int"
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            X = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            n = np.linalg.norm(X, axis=1)
+            X[n > 0] /= n[n > 0, None]
+            out = batch.copy()
+            out["ivf_list"] = (X @ C).argmax(axis=1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(_assign, schema)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nlist: int = 64,
+    nprobe: int = 8,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    sample_size: int = 50_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: corpus rows live in their nearest
+    centroid's list; each query probes its ``nprobe`` nearest lists and
+    scores only those candidates exactly (Arrow numpy kernel).
+
+    Plan shape at 100 TB: the corpus-side assignment is one map pass (and
+    would be precomputed + partitioned-by in a real lake table, making the
+    probe join partition-pruned); the join is a plain equi-join on
+    ``ivf_list`` against a broadcast-size probe frame; exact scoring runs
+    on ~nprobe/nlist of the corpus. Recall/latency dial = nprobe."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist, vec_col, sample_size=sample_size, seed=seed
+        )
+    c = with_ivf_list(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")), centroids, "_cv"
+    )
+    qrows = queries.select(query_id, vec_col).collect()
+    if not qrows:
+        qid_type = dict(queries.dtypes)[query_id]
+        cid_type = dict(corpus.dtypes)[corpus_id]
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double, rank int"
+        )
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    Q[qn > 0] /= qn[qn > 0, None]
+    probes = np.argsort(-(Q @ np.asarray(centroids).T), axis=1)[:, : min(nprobe, len(centroids))]
+    spark = corpus.sparkSession
+    probe_rows = [
+        (r[0], r[1], int(pl))
+        for r, plist in zip(qrows, probes)
+        for pl in plist
+    ]
+    qp = spark.createDataFrame(
+        probe_rows, f"{query_id} {dict(queries.dtypes)[query_id]}, _qv {dict(queries.dtypes)[vec_col]}, ivf_list int"
+    )
+    scored = c.join(F.broadcast(qp), "ivf_list").withColumn(
+        "cosine", V.cosine_arrow(F.col("_qv"), F.col("_cv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -215,3 +215,29 @@ def test_minhash_simhash_string_ids(spark, docs_with_dups):
     assert {(r["doc_a"], r["doc_b"]) for r in pairs}  # non-empty, string ids
     sh = DD.simhash(docs).collect()
     assert all(isinstance(r["doc_id"], str) for r in sh)
+
+
+def test_ivf_topk_recall_and_exact_when_probing_all(spark, vectors_df):
+    qs = vectors_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r["query_id"], r["vec_id"]) for r in SIM.cosine_topk_bruteforce_np(vectors_df, qs, k=3).collect()}
+    ivf = {(r["query_id"], r["vec_id"]) for r in SIM.cosine_topk_ivf(vectors_df, qs, k=3, nlist=8, nprobe=3).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.5
+    # the query's own list is always its top probe: rank-1 self survives
+    assert all((q, q) in ivf for q in range(5))
+    # probing every list == exact
+    full = {(r["query_id"], r["vec_id"]) for r in SIM.cosine_topk_ivf(vectors_df, qs, k=3, nlist=8, nprobe=8).collect()}
+    assert full == bf
+
+
+def test_ivf_centroids_deterministic_and_unit(spark, vectors_df):
+    import numpy as np
+
+    c1 = SIM.train_ivf_centroids(vectors_df, nlist=8)
+    c2 = SIM.train_ivf_centroids(vectors_df, nlist=8)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    lists = SIM.with_ivf_list(vectors_df, c1)
+    assert lists.filter(F.col("ivf_list").isNull()).count() == 0
+    assert lists.select("ivf_list").distinct().count() <= 8
