@@ -37,7 +37,9 @@ HEADLINE = [
     "pip_rect_join",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "simhash_near_dup",
     "ann_cosine_topk",
+    "ann_cosine_topk_np",
     "lang_id_counts",
     "quality_scores",
     "events_windowed",
