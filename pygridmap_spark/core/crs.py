@@ -45,12 +45,14 @@ def normalize_crs(crs: str | int | None) -> str | None:
 
 def _anchor_col(df: DataFrame, geometry_col: str) -> str | None:
     """Column that carries the CRS declaration: the WKB geometry column when
-    present, else the rect-layer 'x' coordinate column (rect grids have no
-    geometry column; their coordinates are still in SOME projection)."""
+    present, else a rect-layer coordinate column — 'x', or GridMaker's
+    '__x__' (rect grids have no geometry column; their coordinates are
+    still in SOME projection)."""
     if geometry_col in df.columns:
         return geometry_col
-    if "x" in df.columns:
-        return "x"
+    for cand in ("x", "__x__"):
+        if cand in df.columns:
+            return cand
     return None
 
 

@@ -231,15 +231,34 @@ def rect_intersection_area(
 # length edges contribute nothing to parity or shoelace sums).
 
 
+def _on_segment(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Given p collinear with segment ab: is p within ab's bounding box?
+    p may be (m, 2); a, b are 2-vectors."""
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return ((p >= lo) & (p <= hi)).all(axis=-1)
+
+
 def ring_self_intersects(ring: Ring) -> bool:
-    """True if any two non-adjacent edges properly cross (O(n^2) segment
-    test, vectorized over the inner loop). A validation utility — not for
-    hot paths."""
-    n = len(ring) - 1  # closed ring: last point == first
+    """True if any two non-adjacent edges intersect — proper crossings AND
+    vertex touches / collinear overlaps (a figure-eight touching at one
+    repeated vertex has NET area diverging from even-odd just like a
+    bowtie, so the validator must flag it too). Consecutive duplicate
+    vertices are dropped first (zero-length edges are harmless, not
+    self-intersections). O(n^2) segment test, vectorized over the inner
+    loop. A validation utility — not for hot paths."""
+    pts = np.asarray(ring, dtype=np.float64)[:-1]  # open form
+    if len(pts) > 1:
+        keep = np.ones(len(pts), dtype=bool)
+        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        pts = pts[keep]
+    if len(pts) > 1 and (pts[-1] == pts[0]).all():
+        pts = pts[:-1]
+    n = len(pts)
     if n < 4:
         return False
-    p = ring[:-1]
-    q = ring[1:]
+    p = pts
+    q = np.roll(pts, -1, axis=0)
     for i in range(n - 2):
         # candidate edges j > i+1 (skip shared-endpoint neighbors; edge 0
         # is adjacent to edge n-1 through the closure)
@@ -253,9 +272,24 @@ def ring_self_intersects(ring: Ring) -> bool:
         d2 = np.cross(b - a, d - a)
         d3 = np.cross(d - c, a - c)
         d4 = np.cross(d - c, b - c)
-        if np.any((d1 * d2 < 0) & (d3 * d4 < 0)):
+        proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+        touch = (
+            ((d1 == 0) & _on_segment(c, a, b))
+            | ((d2 == 0) & _on_segment(d, a, b))
+            | ((d3 == 0) & _seg_contains(a, c, d))
+            | ((d4 == 0) & _seg_contains(b, c, d))
+        )
+        if np.any(proper | touch):
             return True
     return False
+
+
+def _seg_contains(p: np.ndarray, c: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Given scalar point p collinear with segments (c[i], d[i]): is p
+    within each segment's bounding box? c, d are (m, 2)."""
+    lo = np.minimum(c, d)
+    hi = np.maximum(c, d)
+    return ((p >= lo) & (p <= hi)).all(axis=1)
 
 
 def validate_polygon(polygon: Polygon) -> list[str]:
@@ -333,50 +367,54 @@ def _reduce_area(geoms: list, mode: str, tol: float, max_blocks: int) -> float:
             return 0.0
     bbox_area = (xmax - xmin) * (ymax - ymin)
     decided = 0.0
-    lower = upper = 0.0
-    stack = [(xmin, ymin, xmax, ymax)]
     blocks = 0
-    leaves: list[tuple] = []
-    while stack:
+
+    def classify(bx0, by0, bx1, by1):
+        """-> (state, rect, clips): 'in' (counts fully), 'out', or 'split'
+        (undecided — carries the per-geometry clip areas for bounding)."""
+        nonlocal blocks
         blocks += 1
         if blocks > max_blocks:
             raise RuntimeError(
                 f"{mode}_area: exceeded {max_blocks} refinement blocks at tol={tol}; "
                 "raise tol or max_blocks"
             )
-        bx0, by0, bx1, by1 = stack.pop()
         rect = (bx1 - bx0) * (by1 - by0)
         clips = []
-        state = None
         for mp, bb in zip(geoms, boxes):
             if bb[2] <= bx0 or bb[0] >= bx1 or bb[3] <= by0 or bb[1] >= by1:
                 a = 0.0
             else:
                 a = multipolygon_clip_area(mp, bx0, by0, bx1, by1)
             clips.append(a)
-            full = a >= rect * (1.0 - 1e-9)
-            empty = a <= rect * 1e-12
-            if mode == "union" and full:
-                state = "in"
-                break
-            if mode == "intersection" and empty:
-                state = "out"
-                break
-        if state is None:
-            if mode == "union":
-                state = "out" if all(c <= rect * 1e-12 for c in clips) else (
-                    "split"
-                )
-            else:
-                state = "in" if all(c >= rect * (1.0 - 1e-9) for c in clips) else "split"
-        if state == "in":
-            decided += rect
-        elif state == "split":
-            leaves.append((bx0, by0, bx1, by1, rect, clips))
+            # short-circuit: one full geometry decides a union block; one
+            # empty geometry decides an intersection block
+            if mode == "union" and a >= rect * (1.0 - 1e-9):
+                return "in", rect, clips
+            if mode == "intersection" and a <= rect * 1e-12:
+                return "out", rect, clips
+        if mode == "union":
+            state = "out" if all(c <= rect * 1e-12 for c in clips) else "split"
+        else:
+            state = "in" if all(c >= rect * (1.0 - 1e-9) for c in clips) else "split"
+        return state, rect, clips
+
+    leaves: list[tuple] = []
+
+    def consume(rects):
+        nonlocal decided
+        for bx0, by0, bx1, by1 in rects:
+            state, rect, clips = classify(bx0, by0, bx1, by1)
+            if state == "in":
+                decided += rect
+            elif state == "split":
+                leaves.append((bx0, by0, bx1, by1, rect, clips))
+
+    consume([(xmin, ymin, xmax, ymax)])
     # refine undecided leaves breadth-first until the bound gap closes
     while True:
         lower = upper = 0.0
-        next_leaves = []
+        next_rects = []
         for bx0, by0, bx1, by1, rect, clips in leaves:
             if mode == "union":
                 lo, hi = max(clips), min(rect, sum(clips))
@@ -384,48 +422,14 @@ def _reduce_area(geoms: list, mode: str, tol: float, max_blocks: int) -> float:
                 lo, hi = max(0.0, sum(clips) - (len(geoms) - 1) * rect), min(clips)
             lower += lo
             upper += hi
-            next_leaves.append((bx0, by0, bx1, by1))
-        if upper - lower <= tol * max(bbox_area, 1e-300) or not leaves:
-            return decided + (lower + upper) / 2.0
-        # split every undecided leaf in 4
-        stack = []
-        for bx0, by0, bx1, by1 in next_leaves:
             mx, my = (bx0 + bx1) / 2.0, (by0 + by1) / 2.0
-            stack.extend(
+            next_rects.extend(
                 [(bx0, by0, mx, my), (mx, by0, bx1, my), (bx0, my, mx, by1), (mx, my, bx1, by1)]
             )
+        if upper - lower <= tol * max(bbox_area, 1e-300) or not leaves:
+            return decided + (lower + upper) / 2.0
         leaves = []
-        for bx0, by0, bx1, by1 in stack:
-            blocks += 1
-            if blocks > max_blocks:
-                raise RuntimeError(
-                    f"{mode}_area: exceeded {max_blocks} refinement blocks at tol={tol}; "
-                    "raise tol or max_blocks"
-                )
-            rect = (bx1 - bx0) * (by1 - by0)
-            clips = []
-            state = None
-            for mp, bb in zip(geoms, boxes):
-                if bb[2] <= bx0 or bb[0] >= bx1 or bb[3] <= by0 or bb[1] >= by1:
-                    a = 0.0
-                else:
-                    a = multipolygon_clip_area(mp, bx0, by0, bx1, by1)
-                clips.append(a)
-                if mode == "union" and a >= rect * (1.0 - 1e-9):
-                    state = "in"
-                    break
-                if mode == "intersection" and a <= rect * 1e-12:
-                    state = "out"
-                    break
-            if state is None:
-                if mode == "union":
-                    state = "out" if all(c <= rect * 1e-12 for c in clips) else "split"
-                else:
-                    state = "in" if all(c >= rect * (1.0 - 1e-9) for c in clips) else "split"
-            if state == "in":
-                decided += rect
-            elif state == "split":
-                leaves.append((bx0, by0, bx1, by1, rect, clips))
+        consume(next_rects)
 
 
 def union_area(geoms: list, tol: float = 1e-6, max_blocks: int = 2_000_000) -> float:

@@ -465,8 +465,11 @@ def _finalize(
             )
 
         df = df.withColumn("geometry", _box("__x__", "__y__", "xmax", "ymax"))
-        if crs:
-            df = CRS.with_crs(df, crs)
+    if crs:
+        # declared on the geometry column, or on __x__ when emit_wkb=False
+        # (the default) — otherwise the resolved CRS would be silently
+        # dropped and the downstream overlay guard could never fire
+        df = CRS.with_crs(df, crs)
     # xypos anchors the REPORTED (__x__, __y__) coordinate inside the cell
     # (reference base.py:347-370 get_pos_location); xmax/ymax and geometry
     # stay the true cell bounds

@@ -62,11 +62,13 @@ def cosine_topk_bruteforce_np(
     Only ~k*q rows per batch reach the final window — the shuffle carries
     candidates, not the corpus. Semantics identical to
     :func:`cosine_topk_bruteforce` (zero-norm vectors score 0; ties break
-    on ascending corpus id)."""
+    on ascending corpus id), with one documented divergence: NULL
+    embeddings are EXCLUDED on both sides (the HOF baseline emits
+    null-cosine rows for them, which rank last anyway)."""
     import pandas as pd
     from typing import Iterator
 
-    qrows = queries.select(query_id, vec_col).collect()
+    qrows = queries.filter(F.col(vec_col).isNotNull()).select(query_id, vec_col).collect()
     qid_type = dict(queries.dtypes)[query_id]
     cid_type = dict(corpus.dtypes)[corpus_id]
     schema = f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double"
@@ -83,6 +85,7 @@ def cosine_topk_bruteforce_np(
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            batch = batch[batch[vec_col].notna()]
             if not len(batch):
                 continue
             C = np.array(batch[vec_col].tolist(), dtype=np.float64)
@@ -137,7 +140,6 @@ def with_hyperplane_signature(
     rng = np.random.default_rng(seed)
     planes_t = rng.standard_normal((planes, dim)).T  # (dim, planes)
     weights = (1 << np.arange(planes, dtype=np.uint64)).astype(np.uint64)
-    cols = list(df.columns)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", signature long"
@@ -220,16 +222,26 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 42,
 ):
-    """k-means coarse quantizer trained driver-side on a corpus sample
-    (standard IVF practice — FAISS trains on a sample too; the full corpus
-    never leaves the executors). Returns a unit-normalized (nlist, dim)
-    numpy array. Deterministic for a fixed seed/sample."""
+    """k-means coarse quantizer trained driver-side on a RANDOM corpus
+    sample (standard IVF practice — FAISS trains on a sample too; the full
+    corpus never leaves the executors). A plain ``limit`` would take the
+    first partitions' rows, which on sorted/clustered lake tables (by
+    language, time, topic) trains every centroid on one cluster — so the
+    sample is a seeded Bernoulli ``sample()`` (one extra count job for the
+    fraction). Returns a unit-normalized (nlist, dim) numpy array;
+    deterministic for a fixed seed and input partitioning."""
     import numpy as np
 
-    frac_rows = corpus.select(vec_col).limit(sample_size).collect()
-    X = np.array([np.asarray(r[0], dtype=np.float64) for r in frac_rows])
-    if len(X) == 0:
+    vecs = corpus.filter(F.col(vec_col).isNotNull()).select(vec_col)
+    total = vecs.count()
+    if total == 0:
         raise ValueError("empty corpus: cannot train IVF centroids")
+    if total > sample_size:
+        # oversample 2x so the post-sample limit still fills sample_size
+        frac = min(1.0, 2.0 * sample_size / total)
+        vecs = vecs.sample(withReplacement=False, fraction=frac, seed=seed)
+    frac_rows = vecs.limit(sample_size).collect()
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in frac_rows])
     nlist = min(nlist, len(X))
     norms = np.linalg.norm(X, axis=1)
     X[norms > 0] /= norms[norms > 0, None]
@@ -249,18 +261,16 @@ def train_ivf_centroids(
     return cents
 
 
-def with_ivf_list(
-    df: DataFrame, centroids, vec_col: str = "embedding", id_col: str | None = None
-) -> DataFrame:
+def with_ivf_list(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
     """Append ``ivf_list`` (argmax-cosine centroid id) via one Arrow matmul
-    per batch. At scale this is the partitioning key: write the corpus
-    bucketed/partitioned by ivf_list and queries prune to nprobe lists."""
+    per batch; NULL embeddings get list -1 (never probed). At scale this is
+    the partitioning key: write the corpus bucketed/partitioned by ivf_list
+    and queries prune to nprobe lists."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
 
     C = np.asarray(centroids, dtype=np.float64).T  # (dim, nlist)
-    cols = df.columns
     schema_src = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = schema_src + ", ivf_list int"
 
@@ -268,11 +278,15 @@ def with_ivf_list(
         for batch in batches:
             if not len(batch):
                 continue
-            X = np.array(batch[vec_col].tolist(), dtype=np.float64)
-            n = np.linalg.norm(X, axis=1)
-            X[n > 0] /= n[n > 0, None]
+            null = batch[vec_col].isna().to_numpy()
+            lists = np.full(len(batch), -1, dtype=np.int32)
+            if (~null).any():
+                X = np.array(batch[vec_col][~null].tolist(), dtype=np.float64)
+                n = np.linalg.norm(X, axis=1)
+                X[n > 0] /= n[n > 0, None]
+                lists[~null] = (X @ C).argmax(axis=1).astype(np.int32)
             out = batch.copy()
-            out["ivf_list"] = (X @ C).argmax(axis=1).astype(np.int32)
+            out["ivf_list"] = lists
             yield out
 
     return df.mapInPandas(_assign, schema)
@@ -309,7 +323,7 @@ def cosine_topk_ivf(
     c = with_ivf_list(
         corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")), centroids, "_cv"
     )
-    qrows = queries.select(query_id, vec_col).collect()
+    qrows = queries.filter(F.col(vec_col).isNotNull()).select(query_id, vec_col).collect()
     if not qrows:
         qid_type = dict(queries.dtypes)[query_id]
         cid_type = dict(corpus.dtypes)[corpus_id]

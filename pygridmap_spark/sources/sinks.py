@@ -169,8 +169,16 @@ def csv_to_parquet(spark, folder: str, compression: str = "snappy") -> None:
     ).parquet(tmp)
     info = fsio.join(folder, "info.json")
     info_data = fsio.read_text(spark, info) if fsio.exists(spark, info) else None
-    fsio.delete(spark, folder)
-    fsio.rename(spark, tmp, folder)
+    # swap via a checked rename chain — the original tree is deleted only
+    # AFTER the new tree holds its place (Hadoop rename returns False
+    # instead of throwing; an unchecked False after a delete loses data)
+    old = folder.rstrip("/") + "__old"
+    if not fsio.rename(spark, folder, old):
+        raise IOError(f"csv_to_parquet: could not move {folder!r} aside to {old!r}")
+    if not fsio.rename(spark, tmp, folder):
+        fsio.rename(spark, old, folder)  # roll back
+        raise IOError(f"csv_to_parquet: could not move {tmp!r} into place")
+    fsio.delete(spark, old)
     if info_data is not None:
         fsio.write_text(spark, fsio.join(folder, "info.json"), info_data)
 
@@ -209,9 +217,11 @@ def export_reference_layout(
                 )
             ext = file_extension or parts[0].rsplit(".", 1)[-1]
             fsio.mkdirs(spark, fsio.join(folder, xt))
-            fsio.rename(
-                spark, fsio.join(src_dir, parts[0]), fsio.join(folder, xt, f"{yt}.{ext}")
-            )
+            dst = fsio.join(folder, xt, f"{yt}.{ext}")
+            if not fsio.rename(spark, fsio.join(src_dir, parts[0]), dst):
+                raise IOError(
+                    f"export_reference_layout: rename of tile ({xt},{yt}) to {dst!r} failed"
+                )
             moved += 1
         fsio.delete(spark, fsio.join(folder, xt_dir))
     return moved

@@ -249,3 +249,51 @@ def test_fsio_roundtrip_and_lineage_hadoop_fs(spark, tmp_path):
     assert fsio.rename(spark, fsio.join(base, "x.json"), fsio.join(base, "y.json"))
     assert fsio.exists(spark, fsio.join(base, "y.json"))
     assert not fsio.exists(spark, fsio.join(base, "x.json"))
+
+
+# --- round-2 self-review regressions ----------------------------------------
+
+
+def test_figure_eight_vertex_touch_flagged():
+    """Vertex-touching self-intersection (figure-eight) has NET area 0 vs
+    even-odd filled area 2 — the validator must flag it, not just proper
+    crossings (round-2 review)."""
+    import numpy as np
+
+    from pygridmap_spark.core import geometry as G
+
+    fig8 = np.array(
+        [(0, 0), (2, 0), (1, 1), (0, 2), (2, 2), (1, 1), (0, 0)], float
+    )
+    assert G.ring_self_intersects(fig8)
+    assert G.validate_polygon([fig8]) != []
+    # collinear vertex on a straight edge stays clean (no false positive)
+    straight = np.array([(0, 0), (1, 0), (2, 0), (2, 2), (0, 2), (0, 0)], float)
+    assert not G.ring_self_intersects(straight)
+
+
+def test_ann_kernels_tolerate_null_embeddings(spark):
+    from pygridmap_spark.operators import similarity as SIM
+
+    rows = [(i, [float(i), 1.0]) for i in range(20)] + [(99, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, None)], "query_id long, embedding array<float>"
+    )
+    out = SIM.cosine_topk_bruteforce_np(emb, qs, k=3).collect()
+    assert len(out) == 3  # null query + null corpus row both excluded
+    assert all(r["vec_id"] != 99 for r in out)
+    ivf = SIM.cosine_topk_ivf(emb, qs, k=3, nlist=4, nprobe=4).collect()
+    assert len(ivf) == 3 and all(r["vec_id"] != 99 for r in ivf)
+    cents = SIM.train_ivf_centroids(emb, nlist=4)
+    lists = SIM.with_ivf_list(emb, cents)
+    assert lists.filter(F.col("vec_id") == 99).collect()[0]["ivf_list"] == -1
+
+
+def test_grid_maker_crs_survives_default_emit(spark):
+    """crs must land on the output even with emit_wkb=False (the default) —
+    otherwise the overlay mismatch guard can never fire downstream."""
+    from pygridmap_spark.core import crs as CRS
+
+    g = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), crs=3035)
+    assert CRS.crs_of(g) == "EPSG:3035"
