@@ -146,6 +146,47 @@ def read_info(folder: str, spark: SparkSession | None = None) -> dict:
         return json.load(fh)
 
 
+def read_geoparquet(spark, path: str) -> DataFrame:
+    """Read a GeoParquet table: a plain distributed parquet scan, plus a
+    driver-side peek (pyarrow, one footer) at the spec's ``geo`` file
+    metadata to discover the primary geometry column and its CRS, which is
+    attached via the engine's CRS metadata convention
+    (:mod:`pygridmap_spark.core.crs`) so mixed-CRS overlays raise. Files
+    without ``geo`` metadata read fine with no CRS declared."""
+    import glob as _glob
+    import os as _os
+
+    from pygridmap_spark.core import crs as _crs
+
+    df = spark.read.parquet(path)
+    meta = None
+    try:
+        import pyarrow.parquet as pq
+
+        cand = sorted(_glob.glob(_os.path.join(path, "*.parquet"))) or [path]
+        kv = pq.read_schema(cand[0]).metadata or {}
+        raw = kv.get(b"geo")
+        meta = json.loads(raw.decode("utf-8")) if raw else None
+    except Exception:
+        meta = None  # local-footer peek is best-effort; scan still works
+    if meta:
+        primary = meta.get("primary_column")
+        col_meta = (meta.get("columns") or {}).get(primary or "", {})
+        crs_val = col_meta.get("crs")
+        # GeoParquet crs is PROJJSON (dict) or None (= OGC:CRS84)
+        if isinstance(crs_val, dict):
+            ident = crs_val.get("id") or {}
+            if ident.get("authority") and ident.get("code") is not None:
+                crs_val = f"{ident['authority']}:{ident['code']}"
+            else:
+                crs_val = crs_val.get("name")
+        elif crs_val is None and primary:
+            crs_val = "OGC:CRS84"
+        if primary and primary in df.columns and crs_val:
+            df = _crs.with_crs(df, crs_val, geometry_col=primary)
+    return df
+
+
 def read_grid_csv(spark, path: str, delimiter: str = ",") -> DataFrame:
     """S1/S2: CSV grid scan (one row per cell, x/y = lower-left corner).
     Header + schema inference, matching the reference's DictReader intake

@@ -169,3 +169,47 @@ def test_duplicate_vertex_ring_harmless():
     assert G.points_in_ring(np.array([0.5]), np.array([0.5]), sq)[0]
     assert G.validate_polygon([sq]) == []
     assert G.validate_polygon([np.array([(0, 0), (1, 1), (0, 0)], float)]) != []
+
+
+def test_read_geoparquet_discovers_crs(spark, tmp_path):
+    """GeoParquet 'geo' footer metadata -> primary geometry column + CRS
+    declared via the engine convention (mixed-CRS overlay then raises)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pygridmap_spark.core import wkb as WKB
+    from pygridmap_spark.sources import sinks
+
+    geo = {
+        "version": "1.0.0",
+        "primary_column": "geometry",
+        "columns": {
+            "geometry": {
+                "encoding": "WKB",
+                "crs": {"name": "ETRS89-LAEA", "id": {"authority": "EPSG", "code": 3035}},
+            }
+        },
+    }
+    table = pa.table(
+        {
+            "poly_id": pa.array([1, 2], pa.int64()),
+            "geometry": pa.array(
+                [WKB.encode_box(0, 0, 1, 1), WKB.encode_box(1, 1, 2, 2)], pa.binary()
+            ),
+        }
+    ).replace_schema_metadata({b"geo": json.dumps(geo).encode()})
+    path = str(tmp_path / "gp")
+    import os
+
+    os.makedirs(path)
+    pq.write_table(table, os.path.join(path, "part-0.parquet"))
+    df = sinks.read_geoparquet(spark, path)
+    assert df.count() == 2
+    assert CRS.crs_of(df) == "EPSG:3035"
+    # plain parquet (no geo metadata): reads, no CRS declared
+    plain = str(tmp_path / "plain")
+    os.makedirs(plain)
+    pq.write_table(table.replace_schema_metadata({}), os.path.join(plain, "p.parquet"))
+    assert CRS.crs_of(sinks.read_geoparquet(spark, plain)) is None
