@@ -159,10 +159,11 @@ def main() -> None:
     extras = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1":
         small, large = (4, 16) if CPUS >= 16 else (max(CPUS // 4, 1), CPUS)
-        # sized so the small config runs ~20 s: long enough to amortize job
-        # overhead, short enough that the whole bench stays under ~5 min
-        # (BENCH/BASELINE.md carries the bigger 32M-page study)
-        n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", str(int(160_000_000 * sf))))
+        # sized so the small config runs ~40 s: fixed job overhead (session
+        # startup, scan planning) is what drags measured efficiency below
+        # the true scaling — at 16M pages the same protocol measured 0.79,
+        # at 32M it measures 0.92 (BENCH/BASELINE.md round-2 study)
+        n_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", str(int(320_000_000 * sf))))
         conf = {
             "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
             "spark.locality.wait": "0",
