@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Training-data dedup pipeline job: exact dedup -> MinHash+LSH near-dup
+pairs -> connected-components dup groups -> keep-one-per-group corpus,
+with per-stage lineage checkpoints and quality/language filters.
+
+The canonical web-corpus cleaning sequence (the reason the engine ships
+dedup as first-class operators):
+
+  1. quality gate   — drop empty / too-short / low-quality docs (pure
+                      Catalyst text scoring, no shuffle),
+  2. exact dedup    — one fingerprint shuffle, keep min-id per fingerprint,
+  3. near-dup pairs — MinHash signatures (Arrow kernel) -> LSH banding
+                      (ids-only shuffle) -> exact Jaccard verify,
+  4. dup groups     — pointer-jumping connected components over the pair
+                      graph (O(log diameter) rounds),
+  5. keep-one       — anti-join the non-canonical members out.
+
+Every stage checkpoints to parquet with a per-partition row-count/hash
+manifest (plans.lineage); a restart with the same --output skips completed
+stages. Submit (cluster):
+
+    spark-submit --py-files pygridmap_spark.zip jobs/dedup_pipeline.py \
+        --input <documents parquet> --output <work dir> \
+        [--jaccard 0.8] [--num-hashes 64] [--bands 16] [--min-tokens 5]
+
+Local smoke run:
+    python jobs/dedup_pipeline.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/dd
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--num-hashes", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pygridmap_spark.functions import text as TX
+    from pygridmap_spark.operators import dedup as DD
+    from pygridmap_spark.plans import lineage
+    from pygridmap_spark.session import get_spark
+
+    spark = get_spark(app="dedup_pipeline")
+    docs = spark.read.parquet(args.input)
+    idc, txt = args.id_col, args.text_col
+
+    # 1. quality gate — pure Catalyst, filter pushes into the scan
+    gated = docs.filter(
+        F.col(txt).isNotNull() & (TX.token_count(F.col(txt)) >= args.min_tokens)
+    )
+    gated = lineage.checkpoint(
+        gated, os.path.join(args.output, "s1_gated"), stage="quality_gate",
+        inputs=[args.input],
+    )
+
+    # 2. exact dedup
+    exact = lineage.checkpoint(
+        DD.dedup_exact(gated, idc, txt),
+        os.path.join(args.output, "s2_exact"), stage="exact_dedup",
+        inputs=[os.path.join(args.output, "s1_gated")],
+    )
+
+    # 3. near-dup pairs (MinHash + LSH + exact-Jaccard verify)
+    pairs = lineage.checkpoint(
+        DD.minhash_lsh_pairs(
+            exact, idc, txt,
+            num_hashes=args.num_hashes, bands=args.bands,
+            jaccard_threshold=args.jaccard,
+        ),
+        os.path.join(args.output, "s3_pairs"), stage="near_dup_pairs",
+        inputs=[os.path.join(args.output, "s2_exact")],
+    )
+
+    # 4. dup groups; 5. keep the canonical (min-id) member of each group
+    if pairs.isEmpty():
+        survivors = exact
+    else:
+        comps = DD.connected_components(pairs, "doc_a", "doc_b")
+        drop = comps.filter(F.col("doc_id") != F.col("component_id")).select(
+            F.col("doc_id").alias(idc)
+        )
+        survivors = exact.join(drop, idc, "left_anti")
+    survivors = lineage.checkpoint(
+        survivors, os.path.join(args.output, "s4_survivors"), stage="keep_one",
+        inputs=[os.path.join(args.output, "s3_pairs")],
+    )
+
+    n_in, n_gated, n_exact, n_out = (
+        docs.count(), gated.count(), exact.count(), survivors.count()
+    )
+    print(
+        f"dedup_pipeline: {n_in} in -> {n_gated} after quality gate -> "
+        f"{n_exact} after exact dedup -> {n_out} survivors "
+        f"({n_in - n_out} removed)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
