@@ -128,3 +128,74 @@ def test_rect_intersection_vectorized_matches_scalar(rects):
         w = max(0.0, min(axmax[i], b[2]) - max(axmin[i], b[0]))
         h = max(0.0, min(aymax[i], b[3]) - max(aymin[i], b[1]))
         assert got[i] == approx(w * h)
+
+
+# --- A12/A13 properties (round 2) ---------------------------------------------
+
+
+def _rect_mp(x0, y0, x1, y1):
+    return [[np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], float)]]
+
+
+@st.composite
+def rect_sets(draw):
+    n = draw(st.integers(2, 5))
+    rects = []
+    for _ in range(n):
+        x0 = draw(st.floats(0, 50, allow_nan=False))
+        y0 = draw(st.floats(0, 50, allow_nan=False))
+        w = draw(st.floats(1, 30, allow_nan=False))
+        h = draw(st.floats(1, 30, allow_nan=False))
+        rects.append((x0, y0, x0 + w, y0 + h))
+    return rects
+
+
+def _exact_union_area_rects(rects):
+    """Exact union area of axis-rects by coordinate-grid decomposition."""
+    xs = sorted({r[0] for r in rects} | {r[2] for r in rects})
+    ys = sorted({r[1] for r in rects} | {r[3] for r in rects})
+    total = 0.0
+    for i in range(len(xs) - 1):
+        for j in range(len(ys) - 1):
+            cx, cy = (xs[i] + xs[i + 1]) / 2, (ys[j] + ys[j + 1]) / 2
+            if any(r[0] <= cx <= r[2] and r[1] <= cy <= r[3] for r in rects):
+                total += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+    return total
+
+
+@given(rect_sets())
+@settings(max_examples=15, deadline=None)
+def test_union_area_matches_exact_rect_decomposition(rects):
+    geoms = [_rect_mp(*r) for r in rects]
+    want = _exact_union_area_rects(rects)
+    got = G.union_area(geoms, tol=2e-3)
+    # guarantee is tol * UNION-BBOX area / 2 (documented), not tol * result
+    bbox_area = (max(r[2] for r in rects) - min(r[0] for r in rects)) * (
+        max(r[3] for r in rects) - min(r[1] for r in rects)
+    )
+    assert abs(got - want) <= 2e-3 * bbox_area / 2 + 1e-9
+
+
+@given(rect_sets())
+@settings(max_examples=15, deadline=None)
+def test_intersection_area_matches_closed_form(rects):
+    geoms = [_rect_mp(*r) for r in rects]
+    x0 = max(r[0] for r in rects); y0 = max(r[1] for r in rects)
+    x1 = min(r[2] for r in rects); y1 = min(r[3] for r in rects)
+    want = max(0.0, x1 - x0) * max(0.0, y1 - y0)
+    got = G.intersection_area(geoms, tol=2e-3)
+    assert abs(got - want) <= max(2e-3 * 2500.0, 1e-3)
+
+
+@given(rect_sets())
+@settings(max_examples=30, deadline=None)
+def test_union_membership_consistent_with_area_decomposition(rects):
+    geoms = [_rect_mp(*r) for r in rects]
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-5, 90, 50)
+    py = rng.uniform(-5, 90, 50)
+    want = np.array(
+        [any(r[0] < x < r[2] and r[1] < y < r[3] for r in rects) for x, y in zip(px, py)]
+    )
+    got = G.points_in_union(px, py, geoms)
+    assert (got == want).all()
