@@ -132,3 +132,58 @@ def grid_layer(
             "ymax": F.col("y") + F.lit(float(height)),
         }
     )
+
+
+def read_geojson(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "poly_id",
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """Read a GeoJSON FeatureCollection into a WKB polygon layer (S7 — the
+    reference's geopandas GeoJSON intake, gridding.ipynb cell 14).
+
+    Driver-side parse: vector layers are dimension tables (a country/NUTS
+    file is KBs-to-MBs even for a 100 TB page corpus), so one json.loads on
+    the driver plus WKB encoding is the right plan — the result broadcasts
+    into the spatial joins like every other polygon layer. Feature
+    properties become columns; Polygon/MultiPolygon geometries only (the
+    grid engine's domain); the GeoJSON spec fixes the CRS to OGC:CRS84,
+    declared via the engine CRS convention. ``id_col`` comes from the
+    feature's ``id`` when present, else the feature index."""
+    import json
+
+    from pygridmap_spark.core import crs as CRS
+    from pygridmap_spark.core import fsio
+
+    data = json.loads(fsio.read_text(spark, path))
+    feats = data["features"] if data.get("type") == "FeatureCollection" else [data]
+    rows = []
+    prop_keys: list[str] = []
+    for i, feat in enumerate(feats):
+        geom = feat.get("geometry") or {}
+        gtype = geom.get("type")
+        coords = geom.get("coordinates", [])
+        if gtype == "Polygon":
+            buf = wkb.encode_polygon(coords)
+        elif gtype == "MultiPolygon":
+            buf = wkb.encode_multipolygon(coords)
+        else:
+            raise ValueError(
+                f"feature {i}: unsupported GeoJSON geometry {gtype!r} "
+                "(Polygon/MultiPolygon only)"
+            )
+        props = feat.get("properties") or {}
+        for k in props:
+            if k not in prop_keys:
+                prop_keys.append(k)
+        rows.append((feat.get("id", i), buf, props))
+    pdf = pd.DataFrame(
+        {
+            id_col: [r[0] for r in rows],
+            geometry_col: [r[1] for r in rows],
+            **{k: [r[2].get(k) for r in rows] for k in prop_keys},
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    return CRS.with_crs(df, "OGC:CRS84", geometry_col=geometry_col)

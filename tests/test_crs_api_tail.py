@@ -213,3 +213,54 @@ def test_read_geoparquet_discovers_crs(spark, tmp_path):
     os.makedirs(plain)
     pq.write_table(table.replace_schema_metadata({}), os.path.join(plain, "p.parquet"))
     assert CRS.crs_of(sinks.read_geoparquet(spark, plain)) is None
+
+
+def test_read_geojson_feature_collection(spark, tmp_path):
+    import json
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": 7,
+                "properties": {"name": "A", "pop": 10.5},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "B", "pop": 3.0},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        [[[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]]],
+                        [[[8, 8], [9, 8], [9, 9], [8, 9], [8, 8]]],
+                    ],
+                },
+            },
+        ],
+    }
+    p = tmp_path / "layer.geojson"
+    p.write_text(json.dumps(gj))
+    df = PG.read_geojson(spark, str(p))
+    rows = {r["poly_id"]: r for r in df.collect()}
+    assert set(rows) == {7, 1} and rows[7]["name"] == "A" and rows[7]["pop"] == 10.5
+    assert CRS.crs_of(df) == "OGC:CRS84"
+    from pygridmap_spark.core import geometry as G
+
+    mp = wkb.decode_multipolygon(bytes(rows[7]["geometry"]))
+    assert abs(G.multipolygon_area(mp) - 4.0) < 1e-12
+    mp2 = wkb.decode_multipolygon(bytes(rows[1]["geometry"]))
+    assert len(mp2) == 2  # two multipolygon parts survive
+    # unsupported geometry raises
+    bad = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {}, "geometry": {"type": "Point", "coordinates": [0, 0]}}
+    ]}
+    p2 = tmp_path / "bad.geojson"
+    p2.write_text(json.dumps(bad))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="Point"):
+        PG.read_geojson(spark, str(p2))
