@@ -51,25 +51,41 @@ def read_pages_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
-def stateful_url_dedup(pages_stream: DataFrame, key: str = "url") -> DataFrame:
+def stateful_url_dedup(
+    pages_stream: DataFrame, key: str = "url", ttl_minutes: int | None = None
+) -> DataFrame:
     """Streaming exactly-once URL dedup — a custom stateful operator via
     ``applyInPandasWithState`` (the recrawl-suppression stage of a
     continuous ingest): the first occurrence of each key is emitted, every
     later occurrence (same or later micro-batch) is dropped. State per key
     is one boolean; at crawl scale the state store shards by the same hash
-    partitioning as the shuffle."""
+    partitioning as the shuffle.
+
+    ``ttl_minutes`` bounds the state store: a key idle for that long is
+    evicted (processing-time timeout), so state size tracks the ACTIVE
+    url set instead of every url ever crawled — the unbounded default is
+    wrong at 10^12-url scale. Documented tradeoff: a recrawl arriving after
+    the TTL re-emits its url (dedup window = TTL, not forever); downstream
+    exact dedup (batch) catches stragglers."""
     import pandas as pd  # noqa: F401 (used in the state fn)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = pages_stream.schema
+    ttl_ms = ttl_minutes * 60_000 if ttl_minutes else None
 
     def _dedup(key_tuple, pdfs, state: GroupState):
-        if state.exists:
+        if state.hasTimedOut:
+            state.remove()  # idle key: evict, next occurrence re-emits
+            return iter(())
+        seen = state.exists
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # sliding: refreshed per batch
+        if seen:
             return iter(())
         # the group may span multiple Arrow chunks: take the earliest row
         # across ALL of them, not just the first non-empty chunk
         chunks = [pdf for pdf in pdfs if len(pdf)]
-        state.update((True,))
         if not chunks:
             return iter(())
         merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
@@ -80,5 +96,9 @@ def stateful_url_dedup(pages_stream: DataFrame, key: str = "url") -> DataFrame:
         outputStructType=out_schema,
         stateStructType="emitted boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -131,3 +131,26 @@ def test_stateful_url_dedup(spark, tmp_path):
     got = spark.sql("SELECT url, count(*) c FROM dedup_out GROUP BY url")
     assert got.count() == 300
     assert got.filter("c > 1").count() == 0
+
+
+def test_stateful_url_dedup_with_ttl(spark, tmp_path):
+    """TTL variant still dedups within the window (state eviction only
+    fires on idle keys; the dedup semantics inside the window are
+    unchanged)."""
+    src = str(tmp_path / "ttl_src")
+    pages = P.pages(spark, 120)
+    pages.unionByName(pages.limit(40)).repartition(4).write.parquet(src)
+
+    stream = SP.read_pages_stream(spark, src, pages.schema)
+    deduped = SP.stateful_url_dedup(stream, ttl_minutes=10)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_ttl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url, count(*) c FROM dedup_ttl_out GROUP BY url")
+    assert got.count() == 120
+    assert got.filter("c > 1").count() == 0
