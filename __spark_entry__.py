@@ -524,9 +524,32 @@ def _q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("features").alias("feat_idx", "feat_value"),
     ).select(
         "media_id",
-        "feat_idx",
-        F.col("feat_value").cast("double").alias("feat_value"),
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        F.round(F.col("feat_value").cast("double"), 6).alias("feat_value"),
     )
+
+
+def _multimodal_oracle_sql() -> str:
+    """DuckDB twin of the deterministic fake decoder: sha256 hex -> 8
+    little-endian uint32s -> (v % 1000)/1000. feature_dim=8 x 4 bytes = the
+    full 32-byte digest, so no repeat logic. Nibble arithmetic because
+    DuckDB lacks byte indexing on blobs."""
+
+    def nib(p: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+
+    def byte(p: int) -> str:
+        return f"(16 * {nib(p)} + {nib(p + 1)})"
+
+    def feat(k: int) -> str:
+        return "(" + " + ".join(f"{256**j} * {byte(1 + 8 * k + 2 * j)}" for j in range(4)) + ")"
+
+    branches = "\nUNION ALL\n".join(
+        f"SELECT media_id, CAST({k} AS BIGINT) AS feat_idx, "
+        f"round(({feat(k)} % 1000) / 1000.0, 6) AS feat_value FROM h"
+        for k in range(8)
+    )
+    return f"WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)\n{branches}"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -884,7 +907,8 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
         """,
         # minhash_lsh_pairs / simhash_near_dup / ann_cosine_topk_lsh /
-        # multimodal_featurize: intentionally no oracle (xxhash64 /
-        # approximate-by-design / binary plumbing) — driver records
+        # minhash/simhash/lsh/ivf: intentionally no oracle (xxhash64 /
+        # seeded-RNG / k-means primitives DuckDB lacks) — driver records
         # rows-only; pytest pins their semantics.
+        "multimodal_featurize": _multimodal_oracle_sql(),
     }
