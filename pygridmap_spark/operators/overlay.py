@@ -434,10 +434,11 @@ def grid_overlay_polygons_distributed(
 
     Fully distributed plan (no driver-side geometry):
     1. per-polygon bbox/area via one Arrow UDF pass (WKB decode batch-wise),
-    2. cover-cell explosion as JVM ``sequence``/``explode`` on the bbox,
-       carrying the WKB (duplication bounded by cover-cell counts),
+    2. cover-cell explosion as JVM ``sequence``/``explode`` on the bbox —
+       ids + keys only, the WKB never rides the replication,
     3. shuffled equi-join with the cells on the grid cell key (AQE handles
        skew: a continent-sized polygon's cover cells split across tasks),
+       then the WKB joined back ONCE per polygon by id,
     4. exact Sutherland-Hodgman clip on candidate pairs only.
 
     Same semantics as :func:`grid_overlay_polygons` (pinned by tests).
@@ -486,7 +487,13 @@ def grid_overlay_polygons_distributed(
 
     meta = polygons.select(poly_key, geometry_col).mapInPandas(_meta, meta_schema)
 
-    # 2. cover-cell explosion (JVM)
+    # 2. cover-cell explosion (JVM) — ids + bbox-derived keys ONLY. The WKB
+    # must not ride the x cover-cells replication into the cell-key
+    # exchange (a country polygon with 100k vertices and 10^4 cover cells
+    # would ship 10^4 copies); it is joined back by poly id AFTER the pair
+    # join, so the exchange carries each geometry once (hash-partitioned by
+    # key) and the per-pair duplication happens inside the clip stage,
+    # never re-shuffled. Same re-plumb shape as the minhash LSH band fix.
     eps = 1e-12
     cover_df = meta.withColumn(
         "_gix",
@@ -504,7 +511,7 @@ def grid_overlay_polygons_distributed(
                 F.floor((F.col("__bymax__") - eps - gy0) / gh).cast("long"),
             )
         ),
-    ).select(poly_key, "__wkb__", "poly_area", "_gix", "_giy")
+    ).select(poly_key, "poly_area", "_gix", "_giy")
 
     left = cells.select(
         "cell_id",
@@ -515,7 +522,12 @@ def grid_overlay_polygons_distributed(
         F.col("xmax").alias("_axm"),
         F.col("ymax").alias("_aym"),
     )
-    pairs = left.join(cover_df, ["_gix", "_giy"])
+    # raw WKB fetched once per polygon (no meta recompute — the pair join
+    # only contains keys that survived the meta pass, so empty geometries
+    # stay excluded). AQE splits a mega-polygon's skewed pair partition.
+    pairs = left.join(cover_df, ["_gix", "_giy"]).join(
+        polygons.select(poly_key, F.col(geometry_col).alias("__wkb__")), poly_key
+    )
 
     # 3. exact clip on candidate pairs (decode cache keyed by poly id)
     def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
