@@ -210,12 +210,15 @@ def polygon_pip_join_distributed(
     """Points x WKB polygons when the polygon layer itself is too large to
     collect (e.g. parcel-level layers). Fully distributed two-phase plan:
 
-    1. one Arrow pass over polygons emits (cover cell, class, WKB) rows —
-       the classification clip runs where the polygon row lives,
+    1. one Arrow pass over polygons emits (cover cell, class) rows — the
+       classification clip runs where the polygon row lives; the WKB does
+       NOT ride the cover-cell replication,
     2. shuffled equi-join with points on the cell key (AQE skew-splits the
        cover cells of continent-sized polygons),
-    3. ALL_IN cells pass through; BOUNDARY candidates run the vectorized
-       ray cast, decoding the carried WKB once per polygon per batch.
+    3. ALL_IN cells pass through with zero geometry work; BOUNDARY
+       candidates join the raw WKB back by polygon id (each geometry ships
+       once through that exchange) and run the vectorized ray cast,
+       decoding once per polygon per batch.
 
     Same output as :func:`polygon_pip_join` (pinned by tests).
     """
@@ -233,24 +236,25 @@ def polygon_pip_join_distributed(
                     for ciy in range(lo_y, hi_y + 1):
                         cls = classify_rect(mp, *_cell_rect(cix, ciy, z))
                         if cls != ALL_OUT:
-                            out_rows.append(
-                                (cix, ciy, row[poly_key], cls, bytes(row[geometry_col]))
-                            )
+                            out_rows.append((cix, ciy, row[poly_key], cls))
             if out_rows:
                 yield pd.DataFrame(
-                    out_rows,
-                    columns=["__cix__", "__ciy__", poly_key, "__cls__", "__wkb__"],
+                    out_rows, columns=["__cix__", "__ciy__", poly_key, "__cls__"]
                 )
 
     key_type = dict(polygons.dtypes)[poly_key]
     cover = polygons.select(poly_key, geometry_col).mapInPandas(
-        _cover, f"__cix__ long, __ciy__ long, {poly_key} {key_type}, __cls__ int, __wkb__ binary"
+        _cover, f"__cix__ long, __ciy__ long, {poly_key} {key_type}, __cls__ int"
     )
     cix, ciy = _point_cell_exprs(lon, lat, z)
     pts = points.withColumns({"__cix__": cix, "__ciy__": ciy})
     cand = pts.join(cover, ["__cix__", "__ciy__"])
-    interior = cand.filter(F.col("__cls__") == ALL_IN).drop("__wkb__")
-    boundary = cand.filter(F.col("__cls__") == BOUNDARY)
+    interior = cand.filter(F.col("__cls__") == ALL_IN)
+    # WKB fetched by id for BOUNDARY candidates only — each geometry ships
+    # once through this exchange instead of once per cover cell above
+    boundary = cand.filter(F.col("__cls__") == BOUNDARY).join(
+        polygons.select(poly_key, F.col(geometry_col).alias("__wkb__")), poly_key
+    )
     schema = interior.schema
 
     def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
