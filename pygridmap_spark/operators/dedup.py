@@ -268,13 +268,14 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.array_distinct("_sh_a"), F.array_distinct("_sh_b")))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
+    # no dropDuplicates: each doc has exactly ONE block key, so a pair can
+    # appear at most once — deduping would be a pure wasted shuffle
     return (
         a.join(b, "block")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -484,6 +485,9 @@ def embedding_near_duplicates(
     b = sig.select(
         F.col("signature"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
     )
+    # no dropDuplicates: one signature per vector, so a pair appears at
+    # most once (unlike multiprobe LSH search, where a query hits a
+    # candidate through several probed buckets)
     return (
         a.join(b, "signature")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -491,5 +495,4 @@ def embedding_near_duplicates(
         .withColumn("cosine", V.cosine_arrow(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
