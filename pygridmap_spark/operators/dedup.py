@@ -175,6 +175,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact shingle-set
     Jaccard (array_intersect/array_union — JVM). Returns
@@ -213,6 +214,20 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        # giant buckets are boilerplate (empty pages, templates): a bucket
+        # of m docs makes m^2/2 candidate pairs, so one 10^6-doc bucket is
+        # a job-killing 10^12-pair self-join. Cap the bucket width — the
+        # docs inside an over-cap bucket almost always still pair through
+        # their other bands (recall loss only for pairs whose EVERY shared
+        # band lands in an over-cap bucket).
+        wide = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(wide, ["band", "bucket"], "left_anti")
     a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"))
     pairs = (

@@ -241,3 +241,21 @@ def test_ivf_centroids_deterministic_and_unit(spark, vectors_df):
     lists = SIM.with_ivf_list(vectors_df, c1)
     assert lists.filter(F.col("ivf_list").isNull()).count() == 0
     assert lists.select("ivf_list").distinct().count() <= 8
+
+
+def test_minhash_lsh_max_bucket_cap(spark, docs_with_dups):
+    """max_bucket drops over-wide LSH buckets (boilerplate guard) without
+    losing pairs that share other, narrower bands."""
+    # identical boilerplate x 30 docs -> every band bucket has width 30
+    boiler = [(100 + i, "lorem ipsum dolor sit amet " * 4) for i in range(30)]
+    docs = docs_with_dups.unionByName(
+        spark.createDataFrame(boiler, "doc_id long, text string")
+    )
+    uncapped = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.6)
+    capped = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.6, max_bucket=10)
+    unc = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cap = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    boiler_pairs = {(a, b) for a, b in unc if a >= 100 and b >= 100}
+    assert len(boiler_pairs) == 30 * 29 // 2  # uncapped: full quadratic blowup
+    assert not any(a >= 100 and b >= 100 for a, b in cap)  # capped: dropped
+    assert cap == unc - boiler_pairs  # non-boilerplate pairs all survive
