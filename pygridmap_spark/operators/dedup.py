@@ -365,6 +365,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
     standard pigeonhole blocking: split the 64-bit hash into ``blocks``
@@ -392,6 +393,17 @@ def simhash_near_duplicates(
         "simhash",
         F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
+    if max_bucket is not None:
+        # boilerplate guard (see minhash_lsh_pairs.max_bucket): identical
+        # simhashes share EVERY chunk, so run exact dedup first — the cap
+        # is for near-identical templates flooding one chunk value
+        wide = (
+            chunked.groupBy("chunk_idx", "chunk")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("chunk_idx", "chunk")
+        )
+        chunked = chunked.join(wide, ["chunk_idx", "chunk"], "left_anti")
     a = chunked.select(
         "chunk_idx", "chunk", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha")
     )
