@@ -584,18 +584,20 @@ def area_interpolate(
     target_cells: DataFrame,
     columns: Sequence[str],
     geometry_col: str = "geometry",
+    distributed: bool = False,
 ) -> DataFrame:
     """Tobler-style weighted areal interpolation (overlay.py:559-605):
     rule='sum', area & cover on, intersection semantics — each target cell
-    receives sum(attr * overlap_share_of_source)."""
+    receives sum(attr * overlap_share_of_source). ``distributed=True``
+    routes through the no-broadcast overlay for source layers too large to
+    collect (identical output, pinned by the overlay parity tests)."""
+    kwargs = dict(
+        rule="sum", cover=True, area=True, how="intersection", geometry_col=geometry_col
+    )
+    if distributed:
+        return grid_overlay_polygons_distributed(
+            target_cells, source_polygons, columns, **kwargs
+        )
     return grid_overlay_polygons(
-        spark,
-        target_cells,
-        source_polygons,
-        columns,
-        rule="sum",
-        cover=True,
-        area=True,
-        how="intersection",
-        geometry_col=geometry_col,
+        spark, target_cells, source_polygons, columns, **kwargs
     )

@@ -143,6 +143,9 @@ def test_area_interpolate_mass_conservation(spark, grid):
     assert total == pytest.approx(want, rel=1e-9)
     # cover lists present and sorted
     assert out.filter(F.size("__cover__") >= 1).count() == out.count()
+    # distributed path conserves the same mass
+    dist = OV.area_interpolate(spark, polys, grid, ["pop"], distributed=True)
+    assert dist.agg(F.sum("pop")).collect()[0][0] == pytest.approx(want, rel=1e-9)
 
 
 def test_distributed_polygon_overlay_matches_broadcast(spark, grid):
