@@ -266,3 +266,43 @@ def export_reference_layout(
             moved += 1
         fsio.delete(spark, fsio.join(folder, xt_dir))
     return moved
+
+
+def write_spatially_clustered(
+    df: DataFrame,
+    path: str,
+    zoom: int = 10,
+    lon: str = "lon",
+    lat: str = "lat",
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Write parquet Z-order-clustered on the Morton cell key.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` on the interleaved
+    Morton code places spatially-near rows in the same file/row group, so
+    every row group's (lon, lat) min/max statistics become TIGHT — a bbox
+    predicate then skips most row groups at scan time (parquet row-group
+    pruning + Spark's PushedFilters). On an unsorted layout the stats span
+    the globe and nothing prunes. This is the standard lakehouse Z-order
+    layout (Delta OPTIMIZE ZORDER / Iceberg sort orders) expressed with
+    plain Spark primitives; the Morton column itself is dropped from the
+    written schema."""
+    from pygridmap_spark.functions import cellindex as CI
+
+    keyed = df.withColumn("__zorder__", CI.cell_id(F.col(lon), F.col(lat), zoom))
+    # explicit partition count: without it AQE coalesces small range
+    # partitions into one file and the clustering yields a single row
+    # group with globe-spanning stats (observed). At scale, size so each
+    # file is ~1 GB; row groups inside stay tight because the file is
+    # fully sorted.
+    n_files = num_files or keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    (
+        keyed.repartitionByRange(int(n_files), "__zorder__")
+        .sortWithinPartitions("__zorder__")
+        .drop("__zorder__")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )

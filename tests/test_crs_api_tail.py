@@ -264,3 +264,46 @@ def test_read_geojson_feature_collection(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="Point"):
         PG.read_geojson(spark, str(p2))
+
+
+def test_write_spatially_clustered_tightens_rowgroup_stats(spark, tmp_path):
+    """Z-order layout: per-row-group lon ranges shrink vs the unsorted
+    write — the statistic parquet row-group pruning feeds on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pygridmap_spark.sources import sinks
+
+    df = (
+        spark.range(20_000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 131 % 3600) / 10.0 - 180.0).alias("lon"),
+            ((F.col("id") * 17 % 1700) / 10.0 - 85.0).alias("lat"),
+        )
+        .repartition(8)
+    )
+    flat, zord = str(tmp_path / "flat"), str(tmp_path / "zord")
+    df.write.parquet(flat)
+    sinks.write_spatially_clustered(df, zord, zoom=10, num_files=64)
+
+    def avg_lon_span(root):
+        spans, rows = [], 0
+        for f in glob.glob(root + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    if col.path_in_schema == "lon" and col.statistics:
+                        spans.append(col.statistics.max - col.statistics.min)
+                        rows += g.num_rows
+        return sum(spans) / len(spans), rows
+
+    flat_span, n1 = avg_lon_span(flat)
+    z_span, n2 = avg_lon_span(zord)
+    assert n1 == n2 == 20_000
+    assert z_span < flat_span / 3  # clustered stats are dramatically tighter
+    # schema untouched (no __zorder__ leak)
+    assert set(spark.read.parquet(zord).columns) == {"id", "lon", "lat"}
