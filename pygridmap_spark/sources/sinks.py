@@ -306,3 +306,28 @@ def write_spatially_clustered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def read_tiles_window(
+    spark, folder: str, bbox, format: str = "parquet"
+) -> DataFrame:
+    """Windowed tile read (S5): scan only the tiles intersecting ``bbox``
+    (xmin, ymin, xmax, ymax in grid coordinates). Tile ranges are computed
+    from the tree's own info.json (origin + resolution x tileSizeCell) and
+    applied as xt/yt predicates — on the hive-partitioned tree these are
+    PartitionFilters, so non-window tiles are never even listed."""
+    import math
+
+    info = read_info(folder, spark)
+    tile_span = info["resolutionGeo"] * info["tileSizeCell"]
+    ox, oy = info["originPoint"]["x"], info["originPoint"]["y"]
+    xmin, ymin, xmax, ymax = bbox
+    xt0 = int(math.floor((xmin - ox) / tile_span))
+    xt1 = int(math.ceil((xmax - ox) / tile_span)) - 1
+    yt0 = int(math.floor((ymin - oy) / tile_span))
+    yt1 = int(math.ceil((ymax - oy) / tile_span)) - 1
+    df = read_tiles(spark, folder, format)
+    return df.filter(
+        (F.col("xt") >= xt0) & (F.col("xt") <= xt1)
+        & (F.col("yt") >= yt0) & (F.col("yt") <= yt1)
+    )

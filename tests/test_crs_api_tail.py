@@ -307,3 +307,20 @@ def test_write_spatially_clustered_tightens_rowgroup_stats(spark, tmp_path):
     assert z_span < flat_span / 3  # clustered stats are dramatically tighter
     # schema untouched (no __zorder__ leak)
     assert set(spark.read.parquet(zord).columns) == {"id", "lon", "lat"}
+
+
+def test_read_tiles_window_partition_pruning(spark, tmp_path):
+    from pygridmap_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(i, i % 5, i // 5, float(i)) for i in range(25)],
+        "row_id long, xt int, yt int, v double",
+    )
+    out = str(tmp_path / "tiles")
+    sinks.write_tiles(df, out, resolution=1.0, tile_size_cell=10)
+    # window covering tiles xt in [1,2], yt in [0,1) -> 2 tiles x 1 row each
+    win = sinks.read_tiles_window(spark, out, (10.0, 0.0, 30.0, 10.0))
+    rows = win.collect()
+    assert {(r["xt"], r["yt"]) for r in rows} == {(1, 0), (2, 0)}
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "xt" in plan  # pruned at listing
