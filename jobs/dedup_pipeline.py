@@ -47,6 +47,10 @@ def main() -> None:
     ap.add_argument("--num-hashes", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument(
+        "--max-bucket", type=int, default=100_000,
+        help="drop LSH buckets wider than this (boilerplate guard); 0 disables",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -59,6 +63,13 @@ def main() -> None:
     spark = get_spark(app="dedup_pipeline")
     docs = spark.read.parquet(args.input)
     idc, txt = args.id_col, args.text_col
+    # parameters are part of every stage's lineage identity: a rerun with
+    # the same --output but a different threshold must RECOMPUTE, not
+    # silently serve the old checkpoint
+    params = (
+        f"jaccard={args.jaccard},num_hashes={args.num_hashes},bands={args.bands},"
+        f"min_tokens={args.min_tokens},max_bucket={args.max_bucket}"
+    )
 
     # 1. quality gate — pure Catalyst, filter pushes into the scan
     gated = docs.filter(
@@ -66,14 +77,14 @@ def main() -> None:
     )
     gated = lineage.checkpoint(
         gated, os.path.join(args.output, "s1_gated"), stage="quality_gate",
-        inputs=[args.input],
+        inputs=[args.input, params],
     )
 
     # 2. exact dedup
     exact = lineage.checkpoint(
         DD.dedup_exact(gated, idc, txt),
         os.path.join(args.output, "s2_exact"), stage="exact_dedup",
-        inputs=[os.path.join(args.output, "s1_gated")],
+        inputs=[os.path.join(args.output, "s1_gated"), params],
     )
 
     # 3. near-dup pairs (MinHash + LSH + exact-Jaccard verify)
@@ -82,9 +93,10 @@ def main() -> None:
             exact, idc, txt,
             num_hashes=args.num_hashes, bands=args.bands,
             jaccard_threshold=args.jaccard,
+            max_bucket=args.max_bucket or None,
         ),
         os.path.join(args.output, "s3_pairs"), stage="near_dup_pairs",
-        inputs=[os.path.join(args.output, "s2_exact")],
+        inputs=[os.path.join(args.output, "s2_exact"), params],
     )
 
     # 4. dup groups; 5. keep the canonical (min-id) member of each group
@@ -98,7 +110,7 @@ def main() -> None:
         survivors = exact.join(drop, idc, "left_anti")
     survivors = lineage.checkpoint(
         survivors, os.path.join(args.output, "s4_survivors"), stage="keep_one",
-        inputs=[os.path.join(args.output, "s3_pairs")],
+        inputs=[os.path.join(args.output, "s3_pairs"), params],
     )
 
     n_in, n_gated, n_exact, n_out = (

@@ -1,6 +1,18 @@
-"""Pure (no-Spark) kernels — grid/tile coordinate math and numpy geometry —
-plus the CRS convention and the Hadoop-FS sidecar shim."""
+"""Pure (no-Spark) kernels — grid/tile coordinate math and numpy geometry.
 
-from pygridmap_spark.core import bboxes, crs, fsio, geometry, wkb
+``crs`` and ``fsio`` (which import pyspark) are exposed lazily so that the
+numpy-only kernels stay importable without a Spark install and Arrow
+workers importing a kernel don't pay the pyspark import.
+"""
+
+from pygridmap_spark.core import bboxes, geometry, wkb
 
 __all__ = ["bboxes", "crs", "fsio", "geometry", "wkb"]
+
+
+def __getattr__(name):
+    if name in ("crs", "fsio"):
+        import importlib
+
+        return importlib.import_module(f"pygridmap_spark.core.{name}")
+    raise AttributeError(f"module 'pygridmap_spark.core' has no attribute {name!r}")

@@ -453,7 +453,7 @@ def grid_overlay_polygons_distributed(
     # 1. bbox + area per polygon, decoded batch-at-a-time
     key_type = dict(polygons.dtypes)[poly_key]
     meta_schema = (
-        f"{poly_key} {key_type}, __wkb__ binary, poly_area double, "
+        f"{poly_key} {key_type}, poly_area double, "
         "__bxmin__ double, __bymin__ double, __bxmax__ double, __bymax__ double"
     )
 
@@ -463,7 +463,6 @@ def grid_overlay_polygons_distributed(
                 continue
             out = {
                 poly_key: batch[poly_key].to_numpy(),
-                "__wkb__": batch[geometry_col],
                 "poly_area": np.empty(len(batch)),
                 "__bxmin__": np.empty(len(batch)),
                 "__bymin__": np.empty(len(batch)),

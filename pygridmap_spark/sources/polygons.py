@@ -177,7 +177,19 @@ def read_geojson(
         for k in props:
             if k not in prop_keys:
                 prop_keys.append(k)
-        rows.append((feat.get("id", i), buf, props))
+        rows.append((feat.get("id"), i, buf, props))
+    # id policy: explicit feature ids when EVERY feature has one of a single
+    # type and they are unique; otherwise the feature index (mixed-type id
+    # columns crash createDataFrame, and an index fallback colliding with an
+    # explicit numeric id would silently double-count in keyed joins)
+    explicit = [r[0] for r in rows]
+    if all(v is not None for v in explicit) and len({type(v) for v in explicit}) == 1:
+        if len(set(explicit)) != len(explicit):
+            raise ValueError("duplicate GeoJSON feature ids — ids must be unique")
+        ids = explicit
+    else:
+        ids = [r[1] for r in rows]
+    rows = [(fid, r[2], r[3]) for fid, r in zip(ids, rows)]
     pdf = pd.DataFrame(
         {
             id_col: [r[0] for r in rows],

@@ -297,7 +297,13 @@ def write_spatially_clustered(
     # group with globe-spanning stats (observed). At scale, size so each
     # file is ~1 GB; row groups inside stay tight because the file is
     # fully sorted.
-    n_files = num_files or keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    if num_files is not None and num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
+    n_files = (
+        num_files
+        if num_files is not None
+        else keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     (
         keyed.repartitionByRange(int(n_files), "__zorder__")
         .sortWithinPartitions("__zorder__")

@@ -71,7 +71,9 @@ def stateful_url_dedup(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = pages_stream.schema
-    ttl_ms = ttl_minutes * 60_000 if ttl_minutes else None
+    if ttl_minutes is not None and ttl_minutes <= 0:
+        raise ValueError(f"ttl_minutes must be positive, got {ttl_minutes}")
+    ttl_ms = ttl_minutes * 60_000 if ttl_minutes is not None else None
 
     def _dedup(key_tuple, pdfs, state: GroupState):
         if state.hasTimedOut:

@@ -247,11 +247,13 @@ def test_read_geojson_feature_collection(spark, tmp_path):
     p.write_text(json.dumps(gj))
     df = PG.read_geojson(spark, str(p))
     rows = {r["poly_id"]: r for r in df.collect()}
-    assert set(rows) == {7, 1} and rows[7]["name"] == "A" and rows[7]["pop"] == 10.5
+    # feature 1 has no id -> index ids for ALL features (a 7/index mix
+    # could collide with an explicit numeric id)
+    assert set(rows) == {0, 1} and rows[0]["name"] == "A" and rows[0]["pop"] == 10.5
     assert CRS.crs_of(df) == "OGC:CRS84"
     from pygridmap_spark.core import geometry as G
 
-    mp = wkb.decode_multipolygon(bytes(rows[7]["geometry"]))
+    mp = wkb.decode_multipolygon(bytes(rows[0]["geometry"]))
     assert abs(G.multipolygon_area(mp) - 4.0) < 1e-12
     mp2 = wkb.decode_multipolygon(bytes(rows[1]["geometry"]))
     assert len(mp2) == 2  # two multipolygon parts survive
@@ -324,3 +326,33 @@ def test_read_tiles_window_partition_pruning(spark, tmp_path):
     assert {(r["xt"], r["yt"]) for r in rows} == {(1, 0), (2, 0)}
     plan = win._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "xt" in plan  # pruned at listing
+
+
+def test_read_geojson_mixed_and_duplicate_ids(spark, tmp_path):
+    import json
+
+    def write(features, name):
+        p = tmp_path / name
+        p.write_text(json.dumps({"type": "FeatureCollection", "features": features}))
+        return str(p)
+
+    poly = {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}
+    # mixed string/missing ids -> index fallback, no crash, no collision
+    mixed = write(
+        [
+            {"type": "Feature", "id": "DE", "properties": {}, "geometry": poly},
+            {"type": "Feature", "properties": {}, "geometry": poly},
+        ],
+        "mixed.geojson",
+    )
+    assert {r["poly_id"] for r in PG.read_geojson(spark, mixed).collect()} == {0, 1}
+    # duplicate explicit ids raise instead of double-counting downstream
+    dup = write(
+        [
+            {"type": "Feature", "id": 5, "properties": {}, "geometry": poly},
+            {"type": "Feature", "id": 5, "properties": {}, "geometry": poly},
+        ],
+        "dup.geojson",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        PG.read_geojson(spark, dup)
