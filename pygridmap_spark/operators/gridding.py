@@ -13,9 +13,11 @@ Spark-first plan (NOT the reference's process pool):
 2. cells are generated distributed: ``range(nx) x range(ny)`` (a
    BroadcastNestedLoopJoin of two ranges — no data motion, splittable),
 3. **two-phase spatial join** against the mask:
-   - phase A (driver, O(#tiles x #polys) clip-areas): classify every tile
-     rect as all-in / all-out / boundary using exact clip areas — the
-     coarse short-circuit the reference does per-tile (gridding.py:146-151),
+   - phase A: classify every tile rect as all-in / all-out / boundary
+     using exact clip areas — the coarse short-circuit the reference does
+     per-tile (gridding.py:146-151). Small grids classify on the driver
+     (zero job overhead); past 16k tiles the identical classify_rect runs
+     distributed over a tiles DataFrame with the broadcast mask,
    - phase B: only boundary-tile cells run the exact per-cell test, batch
      numpy inside mapInPandas (gridding.py:174-188's J2), interior/exterior
      tiles get their flags as literals — zero per-cell geometry work,
@@ -82,6 +84,43 @@ def classify_rect(geoms, xmin, ymin, xmax, ymax, eps=1e-9) -> int:
         if clipped > eps * max(rect_area, 1.0):
             any_hit = True
     return BOUNDARY if any_hit else ALL_OUT
+
+
+def _classify_tiles_distributed(
+    spark: SparkSession, polys, bbox, height, width, tilesize, nxtiles, nytiles
+) -> DataFrame:
+    """Distributed twin of the driver phase-A loop: one classify_rect per
+    tile inside an Arrow UDF with the broadcast mask. Emits only non-ALL_OUT
+    tiles (the cells join left-fills ALL_OUT)."""
+    bcast = spark.sparkContext.broadcast(_serialize_geoms(polys))
+    bbox_t = tuple(float(v) for v in bbox)
+    hw = (float(height), float(width))
+    ts = list(tilesize)
+
+    def _classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geoms = _deserialize_geoms(bcast.value)
+        for batch in batches:
+            if not len(batch):
+                continue
+            cls = np.empty(len(batch), dtype=np.int32)
+            tix = batch["_tix"].to_numpy()
+            tiy = batch["_tiy"].to_numpy()
+            for i in range(len(batch)):
+                txmin, tymin, txmax, tymax = B.get_tile_bbox(
+                    [int(tiy[i]), int(tix[i])], list(hw), ts, list(bbox_t), crop=True
+                )
+                cls[i] = classify_rect(geoms, txmin, tymin, txmax, tymax)
+            out = batch.copy()
+            out["_cls"] = cls
+            yield out[out["_cls"] > ALL_OUT]
+
+    tiles = (
+        spark.range(nxtiles)
+        .select(F.col("id").cast("int").alias("_tix"))
+        .crossJoin(spark.range(nytiles).select(F.col("id").cast("int").alias("_tiy")))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return tiles.mapInPandas(_classify, "_tix int, _tiy int, _cls int")
 
 
 def _serialize_geoms(geoms):
@@ -238,15 +277,28 @@ def grid_maker(
             interior, emit_wkb, xypos, resolved_crs,
         )
 
-    # --- phase A: driver-side tile classification (coarse short-circuit) ---
-    tile_cls = {}
+    # --- phase A: tile classification (coarse short-circuit) ---------------
+    # small grids classify on the driver (zero job overhead, same as the
+    # reference's per-tile loop); past the threshold the identical
+    # classify_rect runs distributed over a tiles DataFrame with the
+    # broadcast mask — the driver loop is O(#tiles x #polys) and a
+    # continental 100m grid has millions of tiles
+    DRIVER_TILE_LIMIT = 16_384
+    tile_cls: dict | None = {}
+    cls_df = None
     if polys is not None:
-        for iy in range(nytiles):
-            for ix in range(nxtiles):
-                txmin, tymin, txmax, tymax = B.get_tile_bbox(
-                    [iy, ix], [height, width], tilesize, bbox, crop=True
-                )
-                tile_cls[(ix, iy)] = classify_rect(polys, txmin, tymin, txmax, tymax)
+        if nxtiles * nytiles <= DRIVER_TILE_LIMIT:
+            for iy in range(nytiles):
+                for ix in range(nxtiles):
+                    txmin, tymin, txmax, tymax = B.get_tile_bbox(
+                        [iy, ix], [height, width], tilesize, bbox, crop=True
+                    )
+                    tile_cls[(ix, iy)] = classify_rect(polys, txmin, tymin, txmax, tymax)
+        else:
+            tile_cls = None
+            cls_df = _classify_tiles_distributed(
+                spark, polys, bbox, height, width, tilesize, nxtiles, nytiles
+            )
 
     # --- distributed cell generation -----------------------------------------
     cells = (
@@ -273,10 +325,11 @@ def grid_maker(
         )
         return _finalize(out, height, width, emit_wkb, xypos, resolved_crs)
 
-    # map tile class in as a literal lookup (tiny broadcast join)
-    cls_df = spark.createDataFrame(
-        [(ix, iy, c) for (ix, iy), c in tile_cls.items()], "_tix int, _tiy int, _cls int"
-    )
+    # map tile class in (tiny broadcast join either way: #tiles rows)
+    if cls_df is None:
+        cls_df = spark.createDataFrame(
+            [(ix, iy, c) for (ix, iy), c in tile_cls.items()], "_tix int, _tiy int, _cls int"
+        )
     cells = cells.join(F.broadcast(cls_df), ["_tix", "_tiy"], "left").fillna(
         {"_cls": ALL_OUT}
     )
