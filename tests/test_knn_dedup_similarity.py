@@ -259,3 +259,28 @@ def test_minhash_lsh_max_bucket_cap(spark, docs_with_dups):
     assert len(boiler_pairs) == 30 * 29 // 2  # uncapped: full quadratic blowup
     assert not any(a >= 100 and b >= 100 for a, b in cap)  # capped: dropped
     assert cap == unc - boiler_pairs  # non-boilerplate pairs all survive
+
+
+def test_quantized_topk_with_rerank_matches_exact(spark, vectors_df):
+    qs = vectors_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cq = SIM.quantize_embeddings(vectors_df)
+    assert cq.filter(F.col("q_codes").isNull()).count() == 0
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in SIM.cosine_topk_bruteforce_np(vectors_df, qs, k=3).collect()}
+    rr = {(r["query_id"], r["rank"]): r["vec_id"]
+          for r in SIM.cosine_topk_quantized(
+              cq, qs, k=3, rerank=10, rerank_corpus=vectors_df).collect()}
+    assert rr == exact  # rerank restores full precision
+    # quantized-only pass: high top-k agreement (int8 cosine error ~1e-2)
+    qo = {(r["query_id"], r["vec_id"])
+          for r in SIM.cosine_topk_quantized(cq, qs, k=3).collect()}
+    eo = {(q, v) for (q, _), v in exact.items()}
+    assert len(qo & eo) / len(eo) >= 0.8
+    # reconstruction error bound
+    row = cq.select("embedding", "q_codes", "q_scale").first()
+    import numpy as np
+    v = np.asarray(row["embedding"], dtype=np.float64)
+    rec = np.asarray(row["q_codes"], dtype=np.float64) * row["q_scale"]
+    assert np.abs(v - rec).max() <= row["q_scale"] / 2 + 1e-9
