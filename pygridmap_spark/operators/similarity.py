@@ -1,14 +1,18 @@
 """Similarity search over embedding columns (array<float>).
 
-- `cosine_topk_bruteforce`: exact top-k — broadcast the (small) query set,
-  score every corpus vector JVM-side (zip_with/aggregate), window top-k.
-  The baseline and the oracle.
-- `with_hyperplane_signature` + `cosine_topk_lsh`: random-hyperplane LSH —
-  the scale path. Plane normals are seeded numpy, embedded as literal
-  arrays so the signature is a pure Catalyst expression (dot per plane via
-  zip_with + aggregate, sign bit packed into a long). Bucket equi-join
-  beats the O(N*Q) scan when the corpus is large; multi-probe by flipping
-  one bit covers near-boundary vectors.
+- `cosine_topk_bruteforce`: exact top-k, HOF expressions (zip_with/
+  aggregate) — the DuckDB-oracle-checkable baseline.
+- `cosine_topk_bruteforce_np`: exact top-k, Arrow matmul kernel with
+  per-batch candidate cut — the bulk path (also oracle-gated).
+- `with_hyperplane_signature` + `cosine_topk_lsh`: random-hyperplane LSH
+  (seeded plane matrix in the UDF closure, one matmul + sign-pack per
+  batch); bucket equi-join + multiprobe — beats the O(N*Q) scan when the
+  corpus is large.
+- `train_ivf_centroids` / `with_ivf_list` / `cosine_topk_ivf`: IVF coarse
+  quantizer — the partition-pruned scale path (corpus written partitioned
+  by ivf_list; queries probe nprobe lists).
+- `quantize_embeddings` / `cosine_topk_quantized`: int8 codes at 1/4 the
+  scan bytes, optional exact float rerank of the shortlist.
 """
 
 from __future__ import annotations
