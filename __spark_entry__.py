@@ -359,6 +359,25 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized shortlist + exact float rerank — the rerank restores
+    full precision, so the oracle is the SAME exact top-k SQL as the
+    brute-force variants (hash-match proves the quantized path loses
+    nothing end-to-end)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cq = SIM.quantize_embeddings(emb)
+    out = SIM.cosine_topk_quantized(cq, qs, k=10, rerank=50, rerank_corpus=emb)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -569,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_cosine_topk_np": _q_ann_cosine_topk_np,
+        "ann_cosine_topk_quantized": _q_ann_quantized,
         "token_counts": _q_token_counts,
         "lang_id_counts": _q_lang_id_counts,
         "quality_scores": _q_quality_scores,
@@ -784,6 +804,19 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
         """,
         "ann_cosine_topk_np": """
+            WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM qs q CROSS JOIN embeddings c
+            )
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 10
+        """,
+        "ann_cosine_topk_quantized": """
             WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
             scored AS (
                 SELECT q.query_id, c.vec_id,
