@@ -360,16 +360,19 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """int8-quantized shortlist + exact float rerank — the rerank restores
-    full precision, so the oracle is the SAME exact top-k SQL as the
-    brute-force variants (hash-match proves the quantized path loses
-    nothing end-to-end)."""
+    """int8-quantized shortlist + exact float rerank — with a wide margin
+    (rerank = 20x k) the rerank restores full precision, so the oracle is
+    the SAME exact top-k SQL as the brute-force variants (hash-match
+    proves the quantized path loses nothing end-to-end). NOTE the match is
+    margin-dependent, not structural: a true top-k member whose int8
+    cosine falls below the rerank-th quantized score would be lost; int8
+    error ~1e-2 makes 20x a very comfortable margin on these fixtures."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cq = SIM.quantize_embeddings(emb)
-    out = SIM.cosine_topk_quantized(cq, qs, k=10, rerank=50, rerank_corpus=emb)
+    out = SIM.cosine_topk_quantized(cq, qs, k=10, rerank=200, rerank_corpus=emb)
     return out.select(
         "query_id",
         "vec_id",

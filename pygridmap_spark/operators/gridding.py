@@ -45,6 +45,10 @@ from pygridmap_spark.core import wkb
 
 ALL_OUT, BOUNDARY, ALL_IN = 0, 1, 2
 
+# phase-A cutover: grids with more tiles than this classify distributed
+# (module-level so tests can monkeypatch the cutover)
+DRIVER_TILE_LIMIT = 16_384
+
 
 def _decode_mask(mask_rows: Sequence[bytes]):
     """WKB mask rows -> list of multipolygons (one per mask row; empty
@@ -87,12 +91,12 @@ def classify_rect(geoms, xmin, ymin, xmax, ymax, eps=1e-9) -> int:
 
 
 def _classify_tiles_distributed(
-    spark: SparkSession, polys, bbox, height, width, tilesize, nxtiles, nytiles
+    spark: SparkSession, mask_bcast, bbox, height, width, tilesize, nxtiles, nytiles
 ) -> DataFrame:
     """Distributed twin of the driver phase-A loop: one classify_rect per
-    tile inside an Arrow UDF with the broadcast mask. Emits only non-ALL_OUT
-    tiles (the cells join left-fills ALL_OUT)."""
-    bcast = spark.sparkContext.broadcast(_serialize_geoms(polys))
+    tile inside an Arrow UDF with the (shared) broadcast mask. Emits only
+    non-ALL_OUT tiles (the cells join left-fills ALL_OUT)."""
+    bcast = mask_bcast
     bbox_t = tuple(float(v) for v in bbox)
     hw = (float(height), float(width))
     ts = list(tilesize)
@@ -283,7 +287,6 @@ def grid_maker(
     # classify_rect runs distributed over a tiles DataFrame with the
     # broadcast mask — the driver loop is O(#tiles x #polys) and a
     # continental 100m grid has millions of tiles
-    DRIVER_TILE_LIMIT = 16_384
     tile_cls: dict | None = {}
     cls_df = None
     if polys is not None:
@@ -296,8 +299,9 @@ def grid_maker(
                     tile_cls[(ix, iy)] = classify_rect(polys, txmin, tymin, txmax, tymax)
         else:
             tile_cls = None
+            mask_bcast = spark.sparkContext.broadcast(_serialize_geoms(polys))
             cls_df = _classify_tiles_distributed(
-                spark, polys, bbox, height, width, tilesize, nxtiles, nytiles
+                spark, mask_bcast, bbox, height, width, tilesize, nxtiles, nytiles
             )
 
     # --- distributed cell generation -----------------------------------------
@@ -325,12 +329,16 @@ def grid_maker(
         )
         return _finalize(out, height, width, emit_wkb, xypos, resolved_crs)
 
-    # map tile class in (tiny broadcast join either way: #tiles rows)
+    # map tile class in. Driver path: a tiny literal frame, force the
+    # broadcast. Distributed path: the non-ALL_OUT tile set can itself be
+    # millions of rows (the very case the path exists for) — let AQE pick
+    # the join strategy from its measured size.
     if cls_df is None:
         cls_df = spark.createDataFrame(
             [(ix, iy, c) for (ix, iy), c in tile_cls.items()], "_tix int, _tiy int, _cls int"
         )
-    cells = cells.join(F.broadcast(cls_df), ["_tix", "_tiy"], "left").fillna(
+        cls_df = F.broadcast(cls_df)
+    cells = cells.join(cls_df, ["_tix", "_tiy"], "left").fillna(
         {"_cls": ALL_OUT}
     )
     if trim:

@@ -47,6 +47,65 @@ def cosine_topk_bruteforce(
     )
 
 
+
+def _collect_query_matrix(queries: DataFrame, query_id: str, vec_col: str):
+    """(ids, normalized (q, d) matrix) of the non-null query vectors."""
+    qrows = queries.filter(F.col(vec_col).isNotNull()).select(query_id, vec_col).collect()
+    if not qrows:
+        return [], None
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    Q[qn > 0] /= qn[qn > 0, None]
+    Q[qn == 0] = 0.0  # zero-norm query scores 0 against everything
+    return [r[0] for r in qrows], Q
+
+
+def _matmul_shortlist_scan(
+    corpus: DataFrame,
+    corpus_id: str,
+    value_col: str,
+    q_ids,
+    Qt,
+    shortlist: int,
+    schema: str,
+) -> DataFrame:
+    """One normalized matmul per Arrow batch over ``value_col`` (float or
+    int8-code vectors — normalization makes any per-vector scale cancel),
+    cut to the per-batch ``shortlist`` best per query KEEPING score ties at
+    the boundary (so a later global tie-break on ascending id stays exact).
+    NULL vectors are excluded."""
+    import pandas as pd
+    from typing import Iterator
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            batch = batch[batch[value_col].notna()]
+            if not len(batch):
+                continue
+            C = np.array(batch[value_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            C[cn > 0] /= cn[cn > 0, None]
+            C[cn == 0] = 0.0
+            scores = C @ Qt  # (n_batch, n_queries)
+            ids = batch[corpus_id].to_numpy()
+            n = scores.shape[0]
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                if n > shortlist:
+                    kth = np.partition(col, n - shortlist)[n - shortlist]
+                    keep = np.flatnonzero(col >= kth)  # ties included
+                else:
+                    keep = np.arange(n)
+                out_q.extend([qid] * len(keep))
+                out_c.extend(ids[keep])
+                out_s.extend(col[keep])
+            yield pd.DataFrame({q_col: out_q, corpus_id: out_c, "cosine": out_s})
+
+    q_col = schema.split(" ", 1)[0]
+    return corpus.select(corpus_id, value_col).mapInPandas(_score, schema)
+
+
 def cosine_topk_bruteforce_np(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,50 +128,15 @@ def cosine_topk_bruteforce_np(
     on ascending corpus id), with one documented divergence: NULL
     embeddings are EXCLUDED on both sides (the HOF baseline emits
     null-cosine rows for them, which rank last anyway)."""
-    import pandas as pd
-    from typing import Iterator
-
-    qrows = queries.filter(F.col(vec_col).isNotNull()).select(query_id, vec_col).collect()
+    q_ids, Q = _collect_query_matrix(queries, query_id, vec_col)
     qid_type = dict(queries.dtypes)[query_id]
     cid_type = dict(corpus.dtypes)[corpus_id]
     schema = f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double"
-    if not qrows:
+    if not q_ids:
         return corpus.sparkSession.createDataFrame([], schema).withColumn(
             "rank", F.lit(1)
         ).limit(0)
-    q_ids = [r[0] for r in qrows]
-    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(Q, axis=1)
-    Q[qn > 0] /= qn[qn > 0, None]
-    Q[qn == 0] = 0.0  # zero-norm query scores 0 against everything
-    Qt = Q.T
-
-    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            batch = batch[batch[vec_col].notna()]
-            if not len(batch):
-                continue
-            C = np.array(batch[vec_col].tolist(), dtype=np.float64)
-            cn = np.linalg.norm(C, axis=1)
-            C[cn > 0] /= cn[cn > 0, None]
-            C[cn == 0] = 0.0
-            scores = C @ Qt  # (n_batch, n_queries)
-            ids = batch[corpus_id].to_numpy()
-            n = scores.shape[0]
-            out_q, out_c, out_s = [], [], []
-            for j, qid in enumerate(q_ids):
-                col = scores[:, j]
-                if n > k:
-                    kth = np.partition(col, n - k)[n - k]
-                    keep = np.flatnonzero(col >= kth)  # ties included
-                else:
-                    keep = np.arange(n)
-                out_q.extend([qid] * len(keep))
-                out_c.extend(ids[keep])
-                out_s.extend(col[keep])
-            yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "cosine": out_s})
-
-    cand = corpus.select(corpus_id, vec_col).mapInPandas(_score, schema)
+    cand = _matmul_shortlist_scan(corpus, corpus_id, vec_col, q_ids, Q.T, k, schema)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -413,54 +437,28 @@ def cosine_topk_quantized(
     rerank_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k over int8-quantized embeddings (cosine is scale-invariant, so
-    the per-vector scale cancels and scoring is one int8 matmul per batch).
-    With ``rerank`` (> k) and ``rerank_corpus`` (the float table), the
-    quantized pass shortlists ``rerank`` candidates per query and exact
-    float cosine re-scores only those — full-precision top-k at a quarter
-    of the scan bytes."""
-    import pandas as pd
-    from typing import Iterator
-
-    qrows = queries.filter(F.col(vec_col).isNotNull()).select(query_id, vec_col).collect()
+    the per-vector scale cancels and scoring is one int8 matmul per batch —
+    the same shared kernel as the float path). With ``rerank`` (>= k) and
+    ``rerank_corpus`` (the float table), the quantized pass shortlists
+    ``rerank`` candidates per query and exact float cosine re-scores only
+    those — full precision at a quarter of the scan bytes WHEN the margin
+    holds (a true top-k member quantized below the rerank-th quantized
+    score is lost; int8 cosine error is ~1e-2, so rerank >= 3-5x k is a
+    comfortable margin in practice)."""
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    q_ids, Q = _collect_query_matrix(queries, query_id, vec_col)
     qid_type = dict(queries.dtypes)[query_id]
     cid_type = dict(corpus_q.dtypes)[corpus_id]
     schema = f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double"
-    if not qrows:
+    if not q_ids:
         return corpus_q.sparkSession.createDataFrame([], schema).withColumn(
             "rank", F.lit(1)
         ).limit(0)
-    q_ids = [r[0] for r in qrows]
-    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(Q, axis=1)
-    Q[qn > 0] /= qn[qn > 0, None]
-    Qt = Q.T
     shortlist = rerank or k
-
-    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            batch = batch[batch[codes_col].notna()]
-            if not len(batch):
-                continue
-            C = np.array(batch[codes_col].tolist(), dtype=np.float64)
-            cn = np.linalg.norm(C, axis=1)
-            C[cn > 0] /= cn[cn > 0, None]  # scale cancels under cosine
-            scores = C @ Qt
-            ids = batch[corpus_id].to_numpy()
-            n = scores.shape[0]
-            out_q, out_c, out_s = [], [], []
-            for j, qid in enumerate(q_ids):
-                col = scores[:, j]
-                if n > shortlist:
-                    kth = np.partition(col, n - shortlist)[n - shortlist]
-                    keep = np.flatnonzero(col >= kth)
-                else:
-                    keep = np.arange(n)
-                out_q.extend([qid] * len(keep))
-                out_c.extend(ids[keep])
-                out_s.extend(col[keep])
-            yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "cosine": out_s})
-
-    cand = corpus_q.select(corpus_id, codes_col).mapInPandas(_score, schema)
+    cand = _matmul_shortlist_scan(
+        corpus_q, corpus_id, codes_col, q_ids, Q.T, shortlist, schema
+    )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     short = (
         cand.withColumn("rank", F.row_number().over(w))
@@ -471,7 +469,7 @@ def cosine_topk_quantized(
         return short.filter(F.col("rank") <= k)
     # exact float rerank over the shortlist only
     qdf = short.sparkSession.createDataFrame(
-        [(r[0], list(map(float, r[1]))) for r in qrows],
+        [(qid, [float(v) for v in Q[i]]) for i, qid in enumerate(q_ids)],
         f"{query_id} {qid_type}, _qv array<double>",
     )
     exact = (

@@ -165,10 +165,12 @@ def test_frame_map_and_row_apply(spark):
 
 
 def test_distributed_tile_classification_matches_driver(spark, monkeypatch):
-    """Past DRIVER_TILE_LIMIT the phase-A classification runs distributed;
-    output must be identical to the driver loop (forced via the limit)."""
+    """Past DRIVER_TILE_LIMIT, grid_maker's phase A runs distributed; the
+    END-TO-END output must match the driver-loop path cell for cell
+    (cutover forced by monkeypatching the module constant)."""
     import pandas as pd
 
+    import pygridmap_spark.operators.gridding as gr_mod
     from pygridmap_spark.core import wkb
 
     pdf = pd.DataFrame(
@@ -185,26 +187,14 @@ def test_distributed_tile_classification_matches_driver(spark, monkeypatch):
         mask=mask, cell=(5_000.0, 5_000.0), bbox=(0.0, 0.0, 100_000.0, 100_000.0),
         tile=[4, 4], trim=False,
     )
-    driver = GR.grid_maker(spark, **kwargs)
-    monkeypatch.setattr  # (limit is a local constant; force via size instead)
-    # force the distributed path by shrinking the module constant
-    import pygridmap_spark.operators.gridding as gr_mod
-    src_rows = {
+    driver = {
         (r["cell_x"], r["cell_y"]): (r["__intersects__"], r["__within__"])
-        for r in driver.collect()
+        for r in GR.grid_maker(spark, **kwargs).collect()
     }
-    dist_df = gr_mod._classify_tiles_distributed(
-        spark, gr_mod._decode_mask([r[0] for r in mask.select("geometry").collect()]),
-        [0.0, 0.0, 100_000.0, 100_000.0], 5_000.0, 5_000.0, [4, 4], 5, 5,
-    )
-    # compare tile classes against the driver loop directly
-    got = {(r["_tix"], r["_tiy"]): r["_cls"] for r in dist_df.collect()}
-    from pygridmap_spark.core import bboxes as B
-
-    polys = gr_mod._decode_mask([r[0] for r in mask.select("geometry").collect()])
-    for iy in range(5):
-        for ix in range(5):
-            bb = B.get_tile_bbox([iy, ix], [5_000.0, 5_000.0], [4, 4], [0.0, 0.0, 100_000.0, 100_000.0], crop=True)
-            want = gr_mod.classify_rect(polys, *bb)
-            assert got.get((ix, iy), gr_mod.ALL_OUT) == want
-    assert len(src_rows) == 400
+    monkeypatch.setattr(gr_mod, "DRIVER_TILE_LIMIT", 0)  # force distributed
+    dist = {
+        (r["cell_x"], r["cell_y"]): (r["__intersects__"], r["__within__"])
+        for r in GR.grid_maker(spark, **kwargs).collect()
+    }
+    assert len(driver) == 400
+    assert dist == driver
