@@ -122,3 +122,64 @@ def py_morton(ix: int, iy: int) -> int:
         return v
 
     return spread(ix) | (spread(iy) << 1)
+
+
+def hilbert_xy2d(ix, iy, z: int):
+    """Vectorized Hilbert distance of integer cells (numpy arrays in, int64
+    out) — the classic per-level rotate/flip walk, vectorized over CELLS so
+    the Python loop is O(z), not O(rows).
+
+    Hilbert beats Morton on locality (no quadrant-boundary jumps: every
+    consecutive d is an adjacent cell), which tightens range-partitioned
+    file stats further. Not expressible as a reasonable Catalyst tree: the
+    per-level swap makes the expression DAG exponential after
+    CollapseProject re-inlining, so this lives in the Arrow kernel layer."""
+    import numpy as np
+
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (z - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: when ry==0, optionally flip then swap x/y
+        flip = (ry == 0) & (rx == 1)
+        x[flip] = s - 1 - x[flip]
+        y[flip] = s - 1 - y[flip]
+        swap = ry == 0
+        x[swap], y[swap] = y[swap], x[swap].copy()
+        s >>= 1
+    return d
+
+
+def with_hilbert_index(df, z: int, lon: str = "lon", lat: str = "lat"):
+    """Append ``hilbert_d`` (int64 Hilbert distance at zoom z) via one
+    Arrow batch kernel; cell (ix, iy) computed with the same
+    lonlat_to_cell_xy arithmetic as the Morton index."""
+    import pandas as pd
+    from typing import Iterator
+
+    import numpy as np
+
+    if not 1 <= z <= MAX_Z:
+        raise ValueError(f"z must be in [1, {MAX_Z}], got {z}")
+    n = 1 << z
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", hilbert_d long"
+
+    def _hil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            lo = batch[lon].to_numpy(dtype=np.float64)
+            la = batch[lat].to_numpy(dtype=np.float64)
+            ix = np.clip(((lo + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+            iy = np.clip(((la + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+            out = batch.copy()
+            out["hilbert_d"] = hilbert_xy2d(ix, iy, z)
+            yield out
+
+    return df.mapInPandas(_hil, schema)

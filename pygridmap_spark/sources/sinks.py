@@ -277,6 +277,7 @@ def write_spatially_clustered(
     num_files: int | None = None,
     mode: str = "overwrite",
     compression: str = "snappy",
+    curve: str = "morton",
 ) -> None:
     """Write parquet Z-order-clustered on the Morton cell key.
 
@@ -291,7 +292,16 @@ def write_spatially_clustered(
     written schema."""
     from pygridmap_spark.functions import cellindex as CI
 
-    keyed = df.withColumn("__zorder__", CI.cell_id(F.col(lon), F.col(lat), zoom))
+    if curve == "morton":
+        keyed = df.withColumn("__zorder__", CI.cell_id(F.col(lon), F.col(lat), zoom))
+    elif curve == "hilbert":
+        # tighter locality (every consecutive key is an adjacent cell —
+        # no Morton quadrant jumps) at the cost of an Arrow kernel pass
+        keyed = CI.with_hilbert_index(df, zoom, lon=lon, lat=lat).withColumnRenamed(
+            "hilbert_d", "__zorder__"
+        )
+    else:
+        raise ValueError(f"curve must be 'morton' or 'hilbert', got {curve!r}")
     # explicit partition count: without it AQE coalesces small range
     # partitions into one file and the clustering yields a single row
     # group with globe-spanning stats (observed). At scale, size so each

@@ -356,3 +356,40 @@ def test_read_geojson_mixed_and_duplicate_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate"):
         PG.read_geojson(spark, dup)
+
+
+def test_hilbert_index_bijection_and_locality(spark):
+    import numpy as np
+
+    from pygridmap_spark.functions import cellindex as CI
+
+    z, n = 4, 16
+    got = CI.hilbert_xy2d(
+        np.repeat(np.arange(n), n), np.tile(np.arange(n), n), z
+    )
+    assert len(set(got.tolist())) == n * n and got.min() == 0 and got.max() == n * n - 1
+    pts = spark.range(100).select(
+        F.col("id"),
+        ((F.col("id") * 37 % 360) - 180.0).cast("double").alias("lon"),
+        ((F.col("id") * 17 % 170) - 85.0).cast("double").alias("lat"),
+    )
+    out = CI.with_hilbert_index(pts, 8)
+    assert out.count() == 100 and "hilbert_d" in out.columns
+    assert out.filter(F.col("hilbert_d") < 0).count() == 0
+
+
+def test_spatially_clustered_hilbert_curve(spark, tmp_path):
+    from pygridmap_spark.sources import sinks
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        ((F.col("id") * 131 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 17 % 1700) / 10.0 - 85.0).alias("lat"),
+    )
+    out = str(tmp_path / "hil")
+    sinks.write_spatially_clustered(df, out, zoom=8, num_files=8, curve="hilbert")
+    assert spark.read.parquet(out).count() == 2000
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="curve"):
+        sinks.write_spatially_clustered(df, out, curve="peano")
