@@ -270,6 +270,43 @@ def _q_overlay_union_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_area_interpolate_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 areal interpolation end-to-end through the REAL geometry path
+    (WKB decode -> Sutherland-Hodgman clip -> rule=sum/area/cover) with
+    rectangle polygons, so the DuckDB oracle is closed-form rect math."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as WKB
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("poly_id"),
+        (F.lit(-180.0) + (F.col("n_nationkey") * 13 % 300).cast("double")).alias("rxmin"),
+        (F.lit(-60.0) + (F.col("n_nationkey") * 7 % 100).cast("double")).alias("rymin"),
+    ).collect()
+    pdf = pd.DataFrame(
+        {
+            "poly_id": [r["poly_id"] for r in nat],
+            "geometry": [
+                WKB.encode_box(r["rxmin"], r["rymin"], r["rxmin"] + 30.0, r["rymin"] + 25.0)
+                for r in nat
+            ],
+            "val": [float(r["poly_id"] + 1) for r in nat],
+        }
+    )
+    polys = spark.createDataFrame(pdf)
+    cells = PG.grid_layer(
+        spark, bbox=(-180.0, -60.0, 180.0, 65.0), cell=(15.0, 15.0), val_from_index=False
+    )
+    out = OV.area_interpolate(spark, polys, cells, ["val"])
+    return out.select(
+        "cell_id",
+        F.round(F.col("val"), 6).alias("val"),
+        F.size("__cover__").cast("long").alias("n_cover"),
+        F.round(F.col("piece_area"), 6).alias("piece_area"),
+        F.round(F.col("area_pct"), 6).alias("area_pct"),
+    )
+
+
 def _q_grid_maker_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1/J1/J2/F1: grid maker over a rectangular mask, trim=False, flags
     out. Oracle: closed-form rect-vs-cell intersection tests."""
@@ -586,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cellring": _q_knn,
         "grid_overlay_offset": _q_grid_overlay_offset,
         "overlay_union_full": _q_overlay_union_full,
+        "area_interpolate_rects": _q_area_interpolate_rects,
         "grid_maker_trim": _q_grid_maker_trim,
         "raster_resample": _q_raster_resample,
         "dedup_exact": _q_dedup_exact,
@@ -723,6 +761,35 @@ def oracle_sql() -> dict[str, str]:
                  AND b.y < o.y + 5000.0 AND b.y + 5000.0 > o.y
             )
             SELECT cell_id, round(sum(val * piece / 25000000.0), 6) AS val
+            FROM pieces WHERE piece > 0 GROUP BY cell_id
+        """,
+        "area_interpolate_rects": """
+            WITH p AS (
+                SELECT n_nationkey AS poly_id,
+                       -180.0 + (n_nationkey * 13 % 300) AS rxmin,
+                       -60.0 + (n_nationkey * 7 % 100) AS rymin,
+                       CAST(n_nationkey + 1 AS DOUBLE) AS val
+                FROM nation
+            ),
+            pr AS (SELECT poly_id, rxmin, rymin, rxmin + 30.0 AS rxmax, rymin + 25.0 AS rymax, val FROM p),
+            cells AS (
+                SELECT r1.range + r2.range * 24 AS cell_id,
+                       -180.0 + r1.range * 15.0 AS x, -60.0 + r2.range * 15.0 AS y
+                FROM range(0, 24) r1, range(0, 9) r2
+            ),
+            pieces AS (
+                SELECT c.cell_id, pr.val,
+                       greatest(0, least(c.x + 15.0, pr.rxmax) - greatest(c.x, pr.rxmin))
+                     * greatest(0, least(c.y + 15.0, pr.rymax) - greatest(c.y, pr.rymin)) AS piece
+                FROM cells c JOIN pr
+                  ON pr.rxmin < c.x + 15.0 AND pr.rxmax > c.x
+                 AND pr.rymin < c.y + 15.0 AND pr.rymax > c.y
+            )
+            SELECT cell_id,
+                   round(sum(val * piece / 750.0), 6) AS val,
+                   count(*) AS n_cover,
+                   round(sum(piece), 6) AS piece_area,
+                   round(sum(piece / 750.0), 6) AS area_pct
             FROM pieces WHERE piece > 0 GROUP BY cell_id
         """,
         "overlay_union_full": """
