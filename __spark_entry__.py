@@ -331,6 +331,42 @@ def _q_grid_maker_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grid_maker_qtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 qtree mode over the same rect mask, trim=True — oracle: cells
+    whose rect intersects the mask (qtree prunes all-out blocks)."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb
+    from pygridmap_spark.operators import gridding as GR
+
+    mask_pdf = pd.DataFrame(
+        {"poly_id": [0], "geometry": [wkb.encode_box(23_000.0, 31_000.0, 68_500.0, 79_500.0)]}
+    )
+    mask = spark.createDataFrame(mask_pdf)
+    out = GR.grid_maker(
+        spark, mask=mask, cell=(10_000.0, 10_000.0), bbox=(0.0, 0.0, 100_000.0, 100_000.0),
+        trim=True, mode="qtree",
+    )
+    return out.select(
+        F.col("cell_x").cast("long").alias("cell_x"),
+        F.col("cell_y").cast("long").alias("cell_y"),
+        F.col("__within__").cast("long").alias("within"),
+    )
+
+
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-group clustering (pointer-jumping CC) over a deterministic edge
+    set from events — oracle: DuckDB recursive CTE computing the min
+    reachable id per node."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    pairs = ev.select(
+        (F.col("event_id") % 97).alias("doc_a"),
+        ((F.col("event_id") * 7 + 13) % 97).alias("doc_b"),
+    ).filter(F.col("doc_a") < F.col("doc_b")).distinct()
+    out = DD.connected_components(pairs, max_iter=30)
+    return out.select("doc_id", "component_id")
+
+
 def _q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/A5: synthetic raster -> coarsened grid roll-up (y-flip pinned)."""
     r = RA.synthetic_raster(spark, width=64, height=48, nodata_every=7)
@@ -625,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_union_full": _q_overlay_union_full,
         "area_interpolate_rects": _q_area_interpolate_rects,
         "grid_maker_trim": _q_grid_maker_trim,
+        "grid_maker_qtree": _q_grid_maker_qtree,
+        "connected_components": _q_connected_components,
         "raster_resample": _q_raster_resample,
         "dedup_exact": _q_dedup_exact,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -824,6 +862,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT NULL, p.poly_id, NULL, NULL, p.val FROM polys p
             WHERE p.poly_id NOT IN (SELECT poly_id FROM matched)
+        """,
+        "grid_maker_qtree": """
+            SELECT cell_x, cell_y, within FROM (
+                SELECT r1.range AS cell_x, r2.range AS cell_y,
+                       CAST(r1.range * 10000.0 < 68500.0 AND (r1.range + 1) * 10000.0 > 23000.0
+                        AND r2.range * 10000.0 < 79500.0 AND (r2.range + 1) * 10000.0 > 31000.0
+                           AS BIGINT) AS intersects,
+                       CAST(r1.range * 10000.0 >= 23000.0 AND (r1.range + 1) * 10000.0 <= 68500.0
+                        AND r2.range * 10000.0 >= 31000.0 AND (r2.range + 1) * 10000.0 <= 79500.0
+                           AS BIGINT) AS within
+                FROM range(0, 10) r1, range(0, 10) r2
+            ) WHERE intersects = 1
+        """,
+        "connected_components": """
+            WITH RECURSIVE e0 AS (
+                SELECT DISTINCT event_id % 97 AS doc_a, (event_id * 7 + 13) % 97 AS doc_b
+                FROM events WHERE event_id < 400
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM e0 WHERE doc_a < doc_b
+                UNION SELECT doc_b, doc_a FROM e0 WHERE doc_a < doc_b
+            ),
+            reach(node, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+            )
+            SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
         """,
         "grid_maker_trim": """
             SELECT r1.range AS cell_x, r2.range AS cell_y,
