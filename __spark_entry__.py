@@ -823,6 +823,10 @@ def oracle_sql() -> dict[str, str]:
                   ON pr.rxmin < c.x + 15.0 AND pr.rxmax > c.x
                  AND pr.rymin < c.y + 15.0 AND pr.rymax > c.y
             )
+            -- double accumulation is safe HERE (documented exception to
+            -- the decimal-sum rule): <= 25 terms, val and piece are exact
+            -- integers (coords on 1.0 multiples), so sums sit >= 1.6e-7
+            -- from any 6th-decimal rounding boundary vs ~1e-10 float noise
             SELECT cell_id,
                    round(sum(val * piece / 750.0), 6) AS val,
                    count(*) AS n_cover,

@@ -157,7 +157,8 @@ def hilbert_xy2d(ix, iy, z: int):
 def with_hilbert_index(df, z: int, lon: str = "lon", lat: str = "lat"):
     """Append ``hilbert_d`` (int64 Hilbert distance at zoom z) via one
     Arrow batch kernel; cell (ix, iy) computed with the same
-    lonlat_to_cell_xy arithmetic as the Morton index."""
+    lonlat_to_cell_xy arithmetic as the Morton index. Rows with null
+    coordinates get hilbert_d = -1 (cluster together at the front)."""
     import pandas as pd
     from typing import Iterator
 
@@ -166,9 +167,9 @@ def with_hilbert_index(df, z: int, lon: str = "lon", lat: str = "lat"):
     if not 1 <= z <= MAX_Z:
         raise ValueError(f"z must be in [1, {MAX_Z}], got {z}")
     n = 1 << z
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", hilbert_d long"
+    from pygridmap_spark.util import schema_with
+
+    schema = schema_with(df, "hilbert_d long")
 
     def _hil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -176,10 +177,14 @@ def with_hilbert_index(df, z: int, lon: str = "lon", lat: str = "lat"):
                 continue
             lo = batch[lon].to_numpy(dtype=np.float64)
             la = batch[lat].to_numpy(dtype=np.float64)
-            ix = np.clip(((lo + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
-            iy = np.clip(((la + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+            d = np.full(len(batch), -1, dtype=np.int64)  # null coords -> -1
+            ok = ~(np.isnan(lo) | np.isnan(la))
+            if ok.any():
+                ix = np.clip(((lo[ok] + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+                iy = np.clip(((la[ok] + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+                d[ok] = hilbert_xy2d(ix, iy, z)
             out = batch.copy()
-            out["hilbert_d"] = hilbert_xy2d(ix, iy, z)
+            out["hilbert_d"] = d
             yield out
 
     return df.mapInPandas(_hil, schema)

@@ -353,9 +353,9 @@ def grid_maker(
 
     # --- phase B: exact per-cell classification, boundary tiles only --------
     bcast = spark.sparkContext.broadcast(_serialize_geoms(polys))
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in cells.schema.fields
-    ) + ", __intersects__ boolean, __within__ boolean"
+    from pygridmap_spark.util import schema_with
+
+    out_schema = schema_with(cells, "__intersects__ boolean", "__within__ boolean")
 
     def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geoms = _deserialize_geoms(bcast.value)

@@ -168,9 +168,9 @@ def with_hyperplane_signature(
     rng = np.random.default_rng(seed)
     planes_t = rng.standard_normal((planes, dim)).T  # (dim, planes)
     weights = (1 << np.arange(planes, dtype=np.uint64)).astype(np.uint64)
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", signature long"
+    from pygridmap_spark.util import schema_with
+
+    schema = schema_with(df, "signature long")
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -299,8 +299,9 @@ def with_ivf_list(df: DataFrame, centroids, vec_col: str = "embedding") -> DataF
     from typing import Iterator
 
     C = np.asarray(centroids, dtype=np.float64).T  # (dim, nlist)
-    schema_src = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema = schema_src + ", ivf_list int"
+    from pygridmap_spark.util import schema_with
+
+    schema = schema_with(df, "ivf_list int")
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -398,9 +399,11 @@ def quantize_embeddings(
     import pandas as pd
     from typing import Iterator
 
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + f", {out_prefix}_codes array<tinyint>, {out_prefix}_scale float"
+    from pygridmap_spark.util import schema_with
+
+    schema = schema_with(
+        df, f"{out_prefix}_codes array<tinyint>", f"{out_prefix}_scale float"
+    )
 
     def _quant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

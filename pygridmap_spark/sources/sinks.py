@@ -300,6 +300,10 @@ def write_spatially_clustered(
         keyed = CI.with_hilbert_index(df, zoom, lon=lon, lat=lat).withColumnRenamed(
             "hilbert_d", "__zorder__"
         )
+        # repartitionByRange's boundary-sampling job would re-execute the
+        # full-row Arrow kernel; checkpoint so sampling + write share one
+        # materialization (the Morton branch is a cheap Catalyst expr)
+        keyed = keyed.localCheckpoint(eager=False)
     else:
         raise ValueError(f"curve must be 'morton' or 'hilbert', got {curve!r}")
     # explicit partition count: without it AQE coalesces small range

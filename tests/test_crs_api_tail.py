@@ -364,10 +364,15 @@ def test_hilbert_index_bijection_and_locality(spark):
     from pygridmap_spark.functions import cellindex as CI
 
     z, n = 4, 16
-    got = CI.hilbert_xy2d(
-        np.repeat(np.arange(n), n), np.tile(np.arange(n), n), z
-    )
+    xs = np.repeat(np.arange(n), n)
+    ys = np.tile(np.arange(n), n)
+    got = CI.hilbert_xy2d(xs, ys, z)
     assert len(set(got.tolist())) == n * n and got.min() == 0 and got.max() == n * n - 1
+    # THE Hilbert property (Morton passes bijection but not this): every
+    # consecutive distance is an adjacent cell — one manhattan step
+    order = np.argsort(got)
+    steps = np.abs(np.diff(xs[order])) + np.abs(np.diff(ys[order]))
+    assert (steps == 1).all()
     pts = spark.range(100).select(
         F.col("id"),
         ((F.col("id") * 37 % 360) - 180.0).cast("double").alias("lon"),
