@@ -63,11 +63,24 @@ def knn_bruteforce(
     )
 
 
+def estimate_knn_cell(points: DataFrame, k: int, x: str = "x", y: str = "y") -> float:
+    """Index cell size such that an average cell holds ~k points:
+    sqrt(bbox_area * k / n). One tiny min/max/count aggregation."""
+    r = points.agg(
+        F.min(x), F.max(x), F.min(y), F.max(y), F.count(F.lit(1))
+    ).collect()[0]
+    if r[4] == 0 or r[0] is None:
+        raise ValueError("empty points layer: cannot estimate a cell size")
+    w, h = r[1] - r[0], r[3] - r[2]
+    area = max(w, 1e-12) * max(h, 1e-12)
+    return float((area * max(k, 1) / r[4]) ** 0.5)
+
+
 def knn_cellring(
     points: DataFrame,
     queries: DataFrame,
     k: int,
-    cell: float,
+    cell: float | None = None,
     x: str = "x",
     y: str = "y",
     point_id: str = "point_id",
@@ -76,9 +89,13 @@ def knn_cellring(
 ) -> DataFrame:
     """Cell-ring-expansion kNN. Exact (same output as knn_bruteforce).
 
-    ``cell`` is the index cell size in coordinate units — pick it so an
-    average cell holds O(k) points (driver can estimate from counts).
+    ``cell`` is the index cell size in coordinate units — an average cell
+    should hold O(k) points. ``cell=None`` estimates it from the data
+    (:func:`estimate_knn_cell`); pass it explicitly on re-runs to skip the
+    estimation job.
     """
+    if cell is None:
+        cell = estimate_knn_cell(points, k, x, y)
     spark = points.sparkSession
     p = _with_cells(
         points.select(F.col(point_id), F.col(x).alias("_px"), F.col(y).alias("_py")),

@@ -284,3 +284,20 @@ def test_quantized_topk_with_rerank_matches_exact(spark, vectors_df):
     v = np.asarray(row["embedding"], dtype=np.float64)
     rec = np.asarray(row["q_codes"], dtype=np.float64) * row["q_scale"]
     assert np.abs(v - rec).max() <= row["q_scale"] / 2 + 1e-9
+
+
+def test_knn_auto_cell_matches_bruteforce(spark):
+    pts = spark.range(400).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 20) * 10.0).alias("x"),
+        ((F.col("id") / 20).cast("int") * 10.0).alias("y"),
+    )
+    qs = spark.createDataFrame(
+        [(0, 5.0, 5.0), (1, 199.0, 0.0)], "query_id long, x double, y double"
+    )
+    bf = {(r["query_id"], r["rank"]): r["point_id"] for r in KNN.knn_bruteforce(pts, qs, 4).collect()}
+    auto = {(r["query_id"], r["rank"]): r["point_id"] for r in KNN.knn_cellring(pts, qs, 4).collect()}
+    assert bf == auto
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty"):
+        KNN.estimate_knn_cell(pts.filter("point_id < 0"), 4)
