@@ -600,6 +600,38 @@ def _q_raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("band1").alias("band1"))
 
 
+def _q_raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector zonal statistics (per-polygon band stats, center-in
+    semantics) over the synthetic raster; rect polygons make the oracle
+    closed-form SQL."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as WKB
+
+    r = RA.synthetic_raster(spark, width=64, height=48, nodata_every=7)
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [0, 1, 2],
+                "geometry": [
+                    WKB.encode_box(3.0, 5.0, 31.0, 27.0),
+                    WKB.encode_box(20.0, 20.0, 64.0, 48.0),
+                    WKB.encode_box(40.0, 0.0, 58.0, 17.0),
+                ],
+            }
+        )
+    )
+    out = RA.zonal_stats(r, polys, bands=("band1",), height=48, resolution=1.0, z=9)
+    return out.select(
+        "poly_id",
+        F.col("band1_count").cast("long").alias("n"),
+        F.round(F.col("band1_sum"), 6).alias("band_sum"),
+        F.round(F.col("band1_mean"), 6).alias("band_mean"),
+        F.col("band1_min").alias("band_min"),
+        F.col("band1_max").alias("band_max"),
+    )
+
+
 def _q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only): opaque binary -> feature vector via
     Arrow batches, deterministic fake decoder (real codec stubbed).
@@ -681,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_rule_max": _q_overlay_rule_max,
         "cell_index_morton": _q_cell_index_morton,
         "raster_point_sample": _q_raster_point_sample,
+        "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
     }
 
@@ -866,6 +899,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT NULL, p.poly_id, NULL, NULL, p.val FROM polys p
             WHERE p.poly_id NOT IN (SELECT poly_id FROM matched)
+        """,
+        "raster_zonal_stats": """
+            WITH raster AS (
+                SELECT r1.range AS col, r2.range AS row,
+                       CASE WHEN (r1.range + r2.range * 64) % 7 = 0 THEN NULL
+                            ELSE CAST(r1.range + r2.range * 64 AS DOUBLE) END AS band1,
+                       r1.range + 0.5 AS cx, (47 - r2.range) + 0.5 AS cy
+                FROM range(0, 64) r1, range(0, 48) r2
+            ),
+            polys AS (
+                SELECT * FROM (VALUES
+                    (0, 3.0, 5.0, 31.0, 27.0),
+                    (1, 20.0, 20.0, 64.0, 48.0),
+                    (2, 40.0, 0.0, 58.0, 17.0)
+                ) AS t(poly_id, x0, y0, x1, y1)
+            )
+            SELECT p.poly_id,
+                   count(r.band1) AS n,
+                   round(sum(r.band1), 6) AS band_sum,
+                   round(avg(r.band1), 6) AS band_mean,
+                   min(r.band1) AS band_min,
+                   max(r.band1) AS band_max
+            FROM polys p JOIN raster r
+              ON r.cx > p.x0 AND r.cx < p.x1 AND r.cy > p.y0 AND r.cy < p.y1
+            GROUP BY p.poly_id
         """,
         "grid_maker_qtree": """
             SELECT cell_x, cell_y, within FROM (

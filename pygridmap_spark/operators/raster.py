@@ -162,3 +162,63 @@ def sample_at_points(
         }
     )
     return keyed.join(raster, ["col", "row"], "left")
+
+
+def zonal_stats(
+    raster: DataFrame,
+    polygons: DataFrame,
+    bands: Sequence[str] = ("band1",),
+    height: int | None = None,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    resolution: float = 1.0,
+    geometry_col: str = "geometry",
+    poly_key: str = "poly_id",
+    z: int = 7,
+) -> DataFrame:
+    """Per-polygon band statistics (count/sum/mean/min/max) — the classic
+    raster->vector zonal aggregation. Cell membership is by CELL CENTER
+    (standard zonal semantics): pixel centers run through the two-phase
+    polygon PIP join (interior cover cells assign with zero geometry work,
+    boundary pixels get the exact ray cast), then one groupBy(poly).
+    Nodata pixels (null band) are excluded from the stats per band.
+
+    ``height`` converts (col, row) to coords when the raster doesn't
+    already carry x/y (with_cell_coords semantics, y-flip included).
+    Coordinates must lie within the PIP index's world box
+    ([-180, 180] x [-90, 90] at the shared cell formula) — the same
+    constraint as every polygon_pip_join input."""
+    from pygridmap_spark.operators import spatialjoin as SJ
+
+    cells = raster
+    if "x" not in cells.columns or "y" not in cells.columns:
+        if height is None:
+            raise ValueError("height required when the raster has no x/y columns")
+        cells = with_cell_coords(cells, height, x0, y0, resolution)
+    centers = cells.withColumns(
+        {
+            "_cx": F.col("x") + F.lit(resolution / 2.0),
+            "_cy": F.col("y") + F.lit(resolution / 2.0),
+        }
+    )
+    # bands are POINT-side columns: they flow through the PIP join as-is
+    joined = SJ.polygon_pip_join(
+        centers.sparkSession,
+        centers,
+        polygons,
+        z=z,
+        lon="_cx",
+        lat="_cy",
+        geometry_col=geometry_col,
+        poly_key=poly_key,
+    )
+    aggs = []
+    for b in bands:
+        aggs += [
+            F.count(b).alias(f"{b}_count"),
+            F.sum(b).alias(f"{b}_sum"),
+            F.avg(b).alias(f"{b}_mean"),
+            F.min(b).alias(f"{b}_min"),
+            F.max(b).alias(f"{b}_max"),
+        ]
+    return joined.groupBy(poly_key).agg(*aggs)

@@ -141,3 +141,50 @@ def test_frame_sample_plan(spark):
     rows = MM.frame_sample_plan(df, n_frames=4).collect()
     assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
     assert [r["byte_offset"] for r in rows] == [0, 4, 8, 12]
+
+
+def test_zonal_stats_rect_polygons(spark):
+    """Zonal stats vs hand-computed rect sums (center-in semantics,
+    nodata excluded)."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb
+    from pygridmap_spark.operators import raster as RA
+
+    # 8x6 raster at resolution 1, origin 0: value = col + row*8
+    r = RA.synthetic_raster(spark, width=8, height=6, nodata_every=11)
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [0, 1],
+                # rect covering cell centers: cols 0..3, rows (flipped y) ...
+                "geometry": [
+                    wkb.encode_box(0.0, 0.0, 4.0, 3.0),   # x in [0,4), y in [0,3)
+                    wkb.encode_box(4.0, 3.0, 8.0, 6.0),   # opposite quadrant
+                ],
+            }
+        )
+    )
+    out = {r_["poly_id"]: r_ for r_ in RA.zonal_stats(
+        r, polys, bands=("band1",), height=6, resolution=1.0
+    ).collect()}
+    # expected: center (c+0.5, y+0.5) in box; y = 5 - row
+    import numpy as np
+
+    vals = {}
+    for pid, (x0, y0, x1, y1) in {0: (0, 0, 4, 3), 1: (4, 3, 8, 6)}.items():
+        vs = []
+        for col in range(8):
+            for row in range(6):
+                v = col + row * 8
+                if v % 11 == 0:
+                    continue  # nodata
+                cx, cy = col + 0.5, (5 - row) + 0.5
+                if x0 < cx < x1 and y0 < cy < y1:
+                    vs.append(v)
+        vals[pid] = vs
+    for pid, vs in vals.items():
+        assert out[pid]["band1_count"] == len(vs)
+        assert out[pid]["band1_sum"] == sum(vs)
+        assert out[pid]["band1_min"] == min(vs) and out[pid]["band1_max"] == max(vs)
+        assert abs(out[pid]["band1_mean"] - sum(vs) / len(vs)) < 1e-9
