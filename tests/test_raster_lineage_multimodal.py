@@ -188,3 +188,10 @@ def test_zonal_stats_rect_polygons(spark):
         assert out[pid]["band1_sum"] == sum(vs)
         assert out[pid]["band1_min"] == min(vs) and out[pid]["band1_max"] == max(vs)
         assert abs(out[pid]["band1_mean"] - sum(vs) / len(vs)) < 1e-9
+    # the no-broadcast variant returns identical stats
+    dist = {r_["poly_id"]: r_ for r_ in RA.zonal_stats(
+        r, polys, bands=("band1",), height=6, resolution=1.0, distributed=True
+    ).collect()}
+    for pid in vals:
+        assert dist[pid]["band1_sum"] == out[pid]["band1_sum"]
+        assert dist[pid]["band1_count"] == out[pid]["band1_count"]
