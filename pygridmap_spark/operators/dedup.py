@@ -11,6 +11,7 @@ shuffles are groupBy(bucket) and the verification join; no cross joins.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterator
 
 import numpy as np
@@ -19,6 +20,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pygridmap_spark.functions import text as TX
+
+log = logging.getLogger(__name__)
+
+
+def _drop_wide_buckets(keyed: DataFrame, key_cols: list[str], max_bucket: int, op: str) -> DataFrame:
+    """Anti-join out buckets wider than ``max_bucket``. The over-cap bucket
+    list is tiny by construction (only boilerplate keys exceed the cap), so
+    it is materialized once — which also yields the dropped-bucket count
+    for the log line — and BROADCAST into the anti-join, keeping the main
+    exploded frame un-shuffled."""
+    wide = (
+        keyed.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select(*key_cols)
+    )
+    rows = wide.collect()
+    if rows:
+        log.warning(
+            "%s: dropping %d over-cap bucket(s) (max_bucket=%d) — boilerplate "
+            "keys; pairs inside them are still reachable through other bands/chunks",
+            op, len(rows), max_bucket,
+        )
+        local = keyed.sparkSession.createDataFrame(rows, wide.schema)
+        keyed = keyed.join(F.broadcast(local), key_cols, "left_anti")
+    return keyed
 
 
 def _sql_type(df: DataFrame, col: str) -> str:
@@ -175,11 +202,17 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact shingle-set
     Jaccard (array_intersect/array_union — JVM). Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, deduped across bands.
+
+    ``max_bucket`` defaults to 100 000 (dropped buckets are logged): an
+    unbounded per-bucket self-join on one 10^6-doc boilerplate bucket is a
+    job-killing 10^12-pair explosion, and library callers at scale should
+    not need to know the knob exists to be safe. Pass ``None`` to opt out
+    explicitly (exact recall on pathological inputs).
 
     Scale: the band-join exchange carries ONLY (band, bucket, doc_id) — at
     100 TB the dominant shuffle is the ×bands replication, so the shingle
@@ -216,18 +249,11 @@ def minhash_lsh_pairs(
     )
     if max_bucket is not None:
         # giant buckets are boilerplate (empty pages, templates): a bucket
-        # of m docs makes m^2/2 candidate pairs, so one 10^6-doc bucket is
-        # a job-killing 10^12-pair self-join. Cap the bucket width — the
+        # of m docs makes m^2/2 candidate pairs. Cap the bucket width — the
         # docs inside an over-cap bucket almost always still pair through
         # their other bands (recall loss only for pairs whose EVERY shared
         # band lands in an over-cap bucket).
-        wide = (
-            banded.groupBy("band", "bucket")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select("band", "bucket")
-        )
-        banded = banded.join(wide, ["band", "bucket"], "left_anti")
+        banded = _drop_wide_buckets(banded, ["band", "bucket"], max_bucket, "minhash_lsh_pairs")
     a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"))
     pairs = (
@@ -365,13 +391,15 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
     standard pigeonhole blocking: split the 64-bit hash into ``blocks``
     chunks; any pair within distance <= blocks-1 shares at least one exact
     chunk -> equi-join per chunk, verify with bit_count(xor). ``blocks``
-    defaults to max_hamming+1 — the minimum that makes the recall exact."""
+    defaults to max_hamming+1 — the minimum that makes the recall exact.
+    ``max_bucket`` defaults to 100 000 (see minhash_lsh_pairs — same
+    boilerplate blow-up guard, same logged opt-out via ``None``)."""
     if blocks is None:
         blocks = min(max_hamming + 1, 32)
     if blocks < max_hamming + 1:
@@ -379,7 +407,10 @@ def simhash_near_duplicates(
             f"blocks={blocks} cannot guarantee recall at max_hamming={max_hamming}"
         )
     width = 64 // blocks
-    sh = simhash(df, id_col, text_col)
+    # persisted: the chunked frame feeds the wide-bucket count (when capped)
+    # plus BOTH sides of the self-join — without the cache the Arrow simhash
+    # kernel would re-run per consumer
+    sh = simhash(df, id_col, text_col).persist()
     chunk_exprs = []
     for i in range(blocks):
         w = width if i < blocks - 1 else 64 - width * (blocks - 1)
@@ -397,27 +428,28 @@ def simhash_near_duplicates(
         # boilerplate guard (see minhash_lsh_pairs.max_bucket): identical
         # simhashes share EVERY chunk, so run exact dedup first — the cap
         # is for near-identical templates flooding one chunk value
-        wide = (
-            chunked.groupBy("chunk_idx", "chunk")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select("chunk_idx", "chunk")
+        chunked = _drop_wide_buckets(
+            chunked, ["chunk_idx", "chunk"], max_bucket, "simhash_near_duplicates"
         )
-        chunked = chunked.join(wide, ["chunk_idx", "chunk"], "left_anti")
     a = chunked.select(
         "chunk_idx", "chunk", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha")
     )
     b = chunked.select(
         "chunk_idx", "chunk", F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb")
     )
-    return (
+    out = (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .dropDuplicates(["doc_a", "doc_b"])
+        # materialize before releasing the signature cache (minhash_lsh_pairs
+        # pattern — a later action would otherwise recompute sh uncached)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20) -> DataFrame:

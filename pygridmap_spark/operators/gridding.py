@@ -526,11 +526,6 @@ def _finalize(
             )
 
         df = df.withColumn("geometry", _box("__x__", "__y__", "xmax", "ymax"))
-    if crs:
-        # declared on the geometry column, or on __x__ when emit_wkb=False
-        # (the default) — otherwise the resolved CRS would be silently
-        # dropped and the downstream overlay guard could never fire
-        df = CRS.with_crs(df, crs)
     # xypos anchors the REPORTED (__x__, __y__) coordinate inside the cell
     # (reference base.py:347-370 get_pos_location); xmax/ymax and geometry
     # stay the true cell bounds
@@ -545,4 +540,11 @@ def _finalize(
         df = df.withColumns(
             {"__x__": F.col("__x__") + F.lit(dx), "__y__": F.col("__y__") + F.lit(dy)}
         )
+    if crs:
+        # declared on the geometry column, or on __x__ when emit_wkb=False
+        # (the default). Attached AFTER the xypos shift: replacing __x__
+        # with an Add expression drops column metadata, so attaching first
+        # would silently disarm the downstream overlay CRS-mismatch guard
+        # for any non-LLc anchor.
+        df = CRS.with_crs(df, crs)
     return df

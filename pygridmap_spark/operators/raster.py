@@ -171,7 +171,7 @@ def zonal_stats(
     height: int | None = None,
     x0: float = 0.0,
     y0: float = 0.0,
-    resolution: float = 1.0,
+    resolution: float | None = None,
     geometry_col: str = "geometry",
     poly_key: str = "poly_id",
     z: int = 7,
@@ -186,6 +186,11 @@ def zonal_stats(
 
     ``height`` converts (col, row) to coords when the raster doesn't
     already carry x/y (with_cell_coords semantics, y-flip included).
+    ``resolution`` defaults to 1.0 on that conversion path; when the raster
+    ALREADY carries x/y, an unspecified resolution is inferred from the data
+    (min positive spacing of distinct x values — one tiny width-sized agg)
+    instead of silently assuming 1.0, which would mis-offset pixel centers
+    and flip membership for boundary pixels of any non-unit raster.
     Coordinates must lie within the PIP index's world box
     ([-180, 180] x [-90, 90] at the shared cell formula) — the same
     constraint as every polygon_pip_join input."""
@@ -195,7 +200,23 @@ def zonal_stats(
     if "x" not in cells.columns or "y" not in cells.columns:
         if height is None:
             raise ValueError("height required when the raster has no x/y columns")
+        if resolution is None:
+            resolution = 1.0
         cells = with_cell_coords(cells, height, x0, y0, resolution)
+    elif resolution is None:
+        from pyspark.sql import Window
+
+        xs = cells.select(F.col("x").cast("double").alias("x")).distinct()
+        gap = xs.select(
+            (F.col("x") - F.lag("x").over(Window.orderBy("x"))).alias("d")
+        ).filter(F.col("d") > 0)
+        row = gap.agg(F.min("d").alias("d")).collect()[0]
+        if row["d"] is None:
+            raise ValueError(
+                "cannot infer raster resolution (a single distinct x); "
+                "pass resolution= explicitly"
+            )
+        resolution = float(row["d"])
     centers = cells.withColumns(
         {
             "_cx": F.col("x") + F.lit(resolution / 2.0),

@@ -224,11 +224,16 @@ def cosine_topk_lsh(
         *[F.col("signature").bitwiseXOR(F.lit(m)) for m in masks]
     )
     qp = q.withColumn("signature", F.explode(probes))
-    # candidate scoring via the Arrow numpy kernel — the HOF form is
-    # interpreted per element and this is the bulk hot path
-    scored = qp.join(c, "signature").withColumn(
-        "cosine", V.cosine_arrow(F.col("_qv"), F.col("_cv"))
-    ).dropDuplicates([query_id, corpus_id])
+    # multiprobe makes a (query, corpus) pair reachable through several
+    # probed buckets — dedup the candidate ids BEFORE scoring so the Arrow
+    # cosine kernel runs once per pair, not once per probe route (up to
+    # C(planes, b)+1 x less kernel work; identical output, since _qv/_cv
+    # are functionally dependent on the ids)
+    scored = (
+        qp.join(c, "signature")
+        .dropDuplicates([query_id, corpus_id])
+        .withColumn("cosine", V.cosine_arrow(F.col("_qv"), F.col("_cv")))
+    )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -254,22 +259,28 @@ def train_ivf_centroids(
     sample (standard IVF practice — FAISS trains on a sample too; the full
     corpus never leaves the executors). A plain ``limit`` would take the
     first partitions' rows, which on sorted/clustered lake tables (by
-    language, time, topic) trains every centroid on one cluster — so the
-    sample is a seeded Bernoulli ``sample()`` (one extra count job for the
-    fraction). Returns a unit-normalized (nlist, dim) numpy array;
-    deterministic for a fixed seed and input partitioning."""
+    language, time, topic) trains every centroid on one cluster — so each
+    row gets a seeded random priority and the sample is the global top-m by
+    priority. Spark plans ``orderBy(rand).limit(m)`` as
+    TakeOrderedAndProject: a per-partition partial top-m then one driver
+    merge — ONE pass over the corpus, no full-sort shuffle and, unlike a
+    Bernoulli ``sample()``, no prior full-scan ``count()`` job to derive a
+    fraction (at 100 TB that count is a whole extra job before training).
+    Returns a unit-normalized (nlist, dim) numpy array; deterministic for a
+    fixed seed and input partitioning."""
     import numpy as np
 
     vecs = corpus.filter(F.col(vec_col).isNotNull()).select(vec_col)
-    total = vecs.count()
-    if total == 0:
+    rows = (
+        vecs.withColumn("_prio", F.rand(seed))
+        .orderBy("_prio")
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
         raise ValueError("empty corpus: cannot train IVF centroids")
-    if total > sample_size:
-        # oversample 2x so the post-sample limit still fills sample_size
-        frac = min(1.0, 2.0 * sample_size / total)
-        vecs = vecs.sample(withReplacement=False, fraction=frac, seed=seed)
-    frac_rows = vecs.limit(sample_size).collect()
-    X = np.array([np.asarray(r[0], dtype=np.float64) for r in frac_rows])
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
     nlist = min(nlist, len(X))
     norms = np.linalg.norm(X, axis=1)
     X[norms > 0] /= norms[norms > 0, None]

@@ -86,26 +86,19 @@ def write_tiles(
         writer.option("header", True).csv(output_folder)
     else:
         raise ValueError(f"unsupported tile format {format!r}")
-    if coarsen > 0:
-        # exact bounds from the written files (columnar xt/yt scan only)
-        b = (
-            read_tiles(spark, output_folder, format)
-            .agg(F.min("xt"), F.max("xt"), F.min("yt"), F.max("yt"))
-            .collect()[0]
-        )
-        xts = [b[0], b[1]]
-        yts = [b[2], b[3]]
-    else:
-        # metadata-only listing via the Hadoop FS API — works on s3://,
-        # hdfs:// and file:// alike (never touches row data)
-        xts, yts = [], []
-        for xt_dir in fsio.list_names(spark, output_folder):
-            if not xt_dir.startswith("xt="):
-                continue
-            xts.append(int(xt_dir.split("=", 1)[1]))
-            for yt_dir in fsio.list_names(spark, fsio.join(output_folder, xt_dir)):
-                if yt_dir.startswith("yt="):
-                    yts.append(int(yt_dir.split("=", 1)[1]))
+    # exact bounds from the written files — xt/yt are PARTITION columns, so
+    # this agg never touches row data (partition-value discovery + a
+    # metadata-only scan). A recursive xt=*/yt=* directory listing would be
+    # O(#xt dirs x #yt dirs) driver-side LIST calls — 10^4-10^6 on an
+    # object store with a global fine tiling — so the columnar agg is used
+    # unconditionally, for the coarsen branch and the plain one alike.
+    b = (
+        read_tiles(spark, output_folder, format)
+        .agg(F.min("xt"), F.max("xt"), F.min("yt"), F.max("yt"))
+        .collect()[0]
+    )
+    xts = [v for v in (b[0], b[1]) if v is not None]
+    yts = [v for v in (b[2], b[3]) if v is not None]
     info = {
         "dims": [],
         "crs": crs,

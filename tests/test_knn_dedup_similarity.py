@@ -243,16 +243,29 @@ def test_ivf_centroids_deterministic_and_unit(spark, vectors_df):
     assert lists.select("ivf_list").distinct().count() <= 8
 
 
-def test_minhash_lsh_max_bucket_cap(spark, docs_with_dups):
+def test_minhash_lsh_max_bucket_cap(spark, docs_with_dups, caplog):
     """max_bucket drops over-wide LSH buckets (boilerplate guard) without
-    losing pairs that share other, narrower bands."""
+    losing pairs that share other, narrower bands; the drop is LOGGED."""
+    import inspect
+    import logging
+
+    # the guard must be ON by default — library callers at scale won't know
+    # the knob exists (the job-level default was already 100k; round 3
+    # aligned the library)
+    assert inspect.signature(DD.minhash_lsh_pairs).parameters["max_bucket"].default == 100_000
+    assert inspect.signature(DD.simhash_near_duplicates).parameters["max_bucket"].default == 100_000
     # identical boilerplate x 30 docs -> every band bucket has width 30
     boiler = [(100 + i, "lorem ipsum dolor sit amet " * 4) for i in range(30)]
     docs = docs_with_dups.unionByName(
         spark.createDataFrame(boiler, "doc_id long, text string")
     )
-    uncapped = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.6)
-    capped = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.6, max_bucket=10)
+    uncapped = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.6, max_bucket=None)
+    with caplog.at_level(logging.WARNING, logger="pygridmap_spark.operators.dedup"):
+        capped = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.6, max_bucket=10)
+    assert any(
+        "minhash_lsh_pairs" in r.message and "over-cap" in r.message
+        for r in caplog.records
+    )
     unc = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
     cap = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     boiler_pairs = {(a, b) for a, b in unc if a >= 100 and b >= 100}

@@ -292,8 +292,56 @@ def test_ann_kernels_tolerate_null_embeddings(spark):
 
 def test_grid_maker_crs_survives_default_emit(spark):
     """crs must land on the output even with emit_wkb=False (the default) —
-    otherwise the overlay mismatch guard can never fire downstream."""
+    otherwise the overlay mismatch guard can never fire downstream. Also
+    pinned for every non-LLc xypos: the coordinate shift replaces __x__
+    with an Add expression, which drops column metadata if the CRS is
+    attached first (round-3 advice fix)."""
     from pygridmap_spark.core import crs as CRS
 
     g = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), crs=3035)
     assert CRS.crs_of(g) == "EPSG:3035"
+    for xypos in ("CC", "URc", "LRc", "ULc"):
+        g2 = GR.grid_maker(spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), crs=3035, xypos=xypos)
+        assert CRS.crs_of(g2) == "EPSG:3035", xypos
+    # and with WKB emitted the anchor is the geometry column
+    g3 = GR.grid_maker(
+        spark, bbox=(0, 0, 4, 4), cell=(2.0, 2.0), crs=3035, xypos="CC", emit_wkb=True
+    )
+    assert CRS.crs_of(g3) == "EPSG:3035"
+
+
+def test_zonal_stats_infers_resolution_from_xy(spark):
+    """A raster that already carries x/y at a NON-unit resolution must get
+    correct pixel-center offsets when resolution is omitted (round-3 advice:
+    the old default 1.0 mis-offset centers and flipped boundary membership)."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb
+    from pygridmap_spark.operators import raster as RA
+
+    # 4x4 raster at resolution 0.5, origin 0: x/y precomputed
+    rows = [
+        (c * 0.5, r * 0.5, float(c + r * 4))
+        for c in range(4)
+        for r in range(4)
+    ]
+    rast = spark.createDataFrame(rows, "x double, y double, band1 double")
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "geometry": [wkb.encode_box(0.0, 0.0, 1.0, 1.0)]})
+    )
+    # centers (c*0.5+0.25, r*0.5+0.25): inside [0,1)^2 iff c<2 and r<2
+    expect = sorted(float(c + r * 4) for c in range(2) for r in range(2))
+    out = RA.zonal_stats(rast, polys, bands=("band1",)).collect()
+    assert len(out) == 1
+    assert out[0]["band1_count"] == 4
+    assert out[0]["band1_sum"] == sum(expect)
+    # with the OLD wrong default (resolution=1.0) centers land at +0.5 and
+    # membership differs — pin that passing it explicitly still works
+    out2 = RA.zonal_stats(rast, polys, bands=("band1",), resolution=0.5).collect()
+    assert out2[0]["band1_sum"] == out[0]["band1_sum"]
+    # single-column raster cannot infer: explicit error, not silent 1.0
+    one = spark.createDataFrame([(0.0, 0.0, 1.0)], "x double, y double, band1 double")
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot infer"):
+        RA.zonal_stats(one, polys, bands=("band1",))
