@@ -270,6 +270,59 @@ def _q_overlay_union_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overlay_pieces_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piece GEOMETRY emission (reference parity: overlay pieces carry
+    their clipped geometry, overlay.py:296-297). The piece WKB is decoded
+    BACK to corner coordinates in an Arrow pass, so the oracle hash-match
+    proves the emitted bytes encode exactly the closed-form intersection
+    rectangles — not just that areas came out right."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as WKB
+
+    base = PG.grid_layer(spark, (0.0, 0.0, 100_000.0, 100_000.0), (5_000.0, 5_000.0))
+    offset = PG.grid_layer(
+        spark, (2_500.0, 2_500.0, 97_500.0, 97_500.0), (5_000.0, 5_000.0)
+    ).drop("val")
+    pieces = OV.grid_overlay_rects(offset, base, [], rule=None, emit_wkb=True)
+
+    def _decode(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = {
+                "cell_id": batch["cell_id"],
+                "poly_id": batch["poly_id"],
+                "pxmin": [],
+                "pymin": [],
+                "pxmax": [],
+                "pymax": [],
+                "piece_area": batch["piece_area"],
+            }
+            for buf in batch["geometry"]:
+                ring = WKB.decode_multipolygon(bytes(buf))[0][0]
+                out["pxmin"].append(ring[:, 0].min())
+                out["pymin"].append(ring[:, 1].min())
+                out["pxmax"].append(ring[:, 0].max())
+                out["pymax"].append(ring[:, 1].max())
+            yield pd.DataFrame(out)
+
+    corners = pieces.mapInPandas(
+        _decode,
+        "cell_id long, poly_id long, pxmin double, pymin double, "
+        "pxmax double, pymax double, piece_area double",
+    )
+    return corners.select(
+        "cell_id",
+        "poly_id",
+        F.round("pxmin", 6).alias("pxmin"),
+        F.round("pymin", 6).alias("pymin"),
+        F.round("pxmax", 6).alias("pxmax"),
+        F.round("pymax", 6).alias("pymax"),
+        F.round("piece_area", 6).alias("piece_area"),
+    )
+
+
 def _q_area_interpolate_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V7 areal interpolation end-to-end through the REAL geometry path
     (WKB decode -> Sutherland-Hodgman clip -> rule=sum/area/cover) with
@@ -691,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cellring": _q_knn,
         "grid_overlay_offset": _q_grid_overlay_offset,
         "overlay_union_full": _q_overlay_union_full,
+        "overlay_pieces_wkb": _q_overlay_pieces_wkb,
         "area_interpolate_rects": _q_area_interpolate_rects,
         "grid_maker_trim": _q_grid_maker_trim,
         "grid_maker_qtree": _q_grid_maker_qtree,
@@ -833,6 +887,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cell_id, round(sum(val * piece / 25000000.0), 6) AS val
             FROM pieces WHERE piece > 0 GROUP BY cell_id
+        """,
+        "overlay_pieces_wkb": """
+            WITH base AS (
+                SELECT r1.range + r2.range * 20 AS poly_id,
+                       r1.range * 5000.0 AS x, r2.range * 5000.0 AS y
+                FROM range(0, 20) r1, range(0, 20) r2
+            ),
+            off AS (
+                SELECT r1.range + r2.range * 19 AS cell_id,
+                       2500.0 + r1.range * 5000.0 AS x, 2500.0 + r2.range * 5000.0 AS y
+                FROM range(0, 19) r1, range(0, 19) r2
+            )
+            SELECT o.cell_id, b.poly_id,
+                   round(greatest(o.x, b.x), 6) AS pxmin,
+                   round(greatest(o.y, b.y), 6) AS pymin,
+                   round(least(o.x + 5000.0, b.x + 5000.0), 6) AS pxmax,
+                   round(least(o.y + 5000.0, b.y + 5000.0), 6) AS pymax,
+                   round((least(o.x + 5000.0, b.x + 5000.0) - greatest(o.x, b.x))
+                       * (least(o.y + 5000.0, b.y + 5000.0) - greatest(o.y, b.y)), 6) AS piece_area
+            FROM off o JOIN base b
+              ON b.x < o.x + 5000.0 AND b.x + 5000.0 > o.x
+             AND b.y < o.y + 5000.0 AND b.y + 5000.0 > o.y
         """,
         "area_interpolate_rects": """
             WITH p AS (

@@ -102,6 +102,26 @@ def flagship_pages_pipeline(spark, n_pages: int) -> tuple[float, int]:
     return time.time() - t0, n_regions
 
 
+def ceiling_job(spark, n_rows: int, parts: int) -> float:
+    """Embarrassingly-parallel pure-JVM compute (chained xxhash64 over a
+    range — no Python, no shuffle beyond the final 1-row agg, no input
+    skew): the SCALING CEILING of this host. A shared VM with hypervisor
+    steal cannot scale even this perfectly, so the flagship's efficiency is
+    reported both raw and normalized by the ceiling measured in the SAME
+    bench run (interleaved reps, same steal weather)."""
+    from pyspark.sql import functions as F
+
+    h = F.col("id")
+    for i in range(8):
+        h = F.xxhash64(h, F.lit(i))
+    t0 = time.time()
+    # >>33 keeps the ANSI long sum clear of overflow (n_rows * 2^31 < 2^63)
+    spark.range(n_rows, numPartitions=parts).select(
+        F.sum(F.shiftrightunsigned(h, 33))
+    ).collect()
+    return time.time() - t0
+
+
 def main() -> None:
     from pygridmap_spark.session import get_spark
 
@@ -168,7 +188,10 @@ def main() -> None:
             "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
             "spark.locality.wait": "0",
         }
+        # pure-JVM ceiling rows sized so the small config runs ~15-20 s
+        n_ceiling = int(os.environ.get("SPARK_GRAFT_CEILING_ROWS", str(800_000_000)))
         best: dict[int, float] = {}
+        best_ceil: dict[int, float] = {}
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         for rep in range(reps):
             for cores in (small, large):
@@ -182,8 +205,12 @@ def main() -> None:
                     flagship_pages_pipeline(s, n_scaling)  # JIT/cache warmup
                 el, _ = flagship_pages_pipeline(s, n_scaling)
                 best[cores] = min(best.get(cores, el), el)
+                ce = ceiling_job(s, n_ceiling, cores * 4)
+                best_ceil[cores] = min(best_ceil.get(cores, ce), ce)
                 s.stop()
         thr_s, thr_l = n_scaling / best[small], n_scaling / best[large]
+        eff = (thr_l / thr_s) / (large / small)
+        ceff = (best_ceil[small] / best_ceil[large]) / (large / small)
         extras = {
             "scaling": {
                 "pages": n_scaling,
@@ -191,7 +218,13 @@ def main() -> None:
                 "cores_large": large,
                 "pages_per_sec_small": round(thr_s, 1),
                 "pages_per_sec_large": round(thr_l, 1),
-                "efficiency": round((thr_l / thr_s) / (large / small), 4),
+                "efficiency": round(eff, 4),
+                # the host's own ceiling, same run, interleaved reps: an
+                # embarrassingly-parallel pure-JVM job with zero Python and
+                # zero shuffle — nothing in the engine can scale better
+                # than this on this box (shared-VM steal + turbo effects)
+                "ceiling_efficiency": round(ceff, 4),
+                "normalized_efficiency": round(eff / ceff, 4),
             }
         }
 

@@ -189,6 +189,28 @@ def multipolygon_clip_area(
     return total
 
 
+def multipolygon_clip(
+    mp: MultiPolygon, xmin: float, ymin: float, xmax: float, ymax: float
+) -> MultiPolygon:
+    """mp ∩ rect as GEOMETRY (list of clipped polygons, holes included) —
+    the piece-geometry form of :func:`multipolygon_clip_area` (reference
+    overlay.py:296-297 carries the gpd.overlay pieces; the area kernel
+    discards the rings this returns). Invariant pinned by tests:
+    ``polygon_area`` summed over the result equals multipolygon_clip_area
+    exactly (same rings, same shoelace)."""
+    out: MultiPolygon = []
+    for poly in mp:
+        if not len(poly):
+            continue
+        bxmin, bymin, bxmax, bymax = ring_bbox(poly[0])
+        if bxmax < xmin or bxmin > xmax or bymax < ymin or bymin > ymax:
+            continue
+        clipped = clip_polygon_to_rect(poly, xmin, ymin, xmax, ymax)
+        if clipped and polygon_area(clipped) != 0.0:
+            out.append(clipped)
+    return out
+
+
 def rect_intersection_area(
     axmin: np.ndarray,
     aymin: np.ndarray,

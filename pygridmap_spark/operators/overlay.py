@@ -45,6 +45,30 @@ from pygridmap_spark.core import wkb
 RULES = ("sum", "max", "min", "list", None)
 
 
+def _box_wkb_udf():
+    """pandas UDF encoding rect corners as WKB polygons (cell geometry)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _box(x: pd.Series, y: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        return pd.Series(
+            [wkb.encode_box(a, b, c, d) for a, b, c, d in zip(x, y, x1, y1)],
+            dtype=object,
+        )
+
+    return _box
+
+
+def _check_emit_wkb(emit_wkb: bool, rule) -> None:
+    if emit_wkb and rule is not None:
+        raise ValueError(
+            "emit_wkb=True returns the raw piece rows with their clipped "
+            "geometry (reference overlay.py:296-297 parity) — rules "
+            "aggregate pieces away, so use rule=None"
+        )
+
+
 def crop_grid(
     cells: DataFrame,
     bbox: Sequence[float] | None = None,
@@ -165,6 +189,7 @@ def grid_overlay_rects(
     cover: bool = False,
     area: bool = False,
     how: str = "intersection",
+    emit_wkb: bool = False,
 ) -> DataFrame:
     """Overlay two rectangle layers. Both sides need
     (cell_id|poly_id, x, y, xmax, ymax); ``other`` carries the attribute
@@ -177,8 +202,14 @@ def grid_overlay_rects(
     the 1..4 coarse cells of the right grid it can touch — computed from the
     right grid's own geometry), then closed-form rectangle intersection.
     No UDF, no broadcastability requirement on either side.
+
+    ``emit_wkb=True`` (rule=None only) adds a ``geometry`` WKB column with
+    the actual intersection rectangle of each piece — the reference's
+    overlay output carries the gpd.overlay piece geometries
+    (overlay.py:296-297); without this flag there is nothing to *map*.
     """
     _check_how(how, rule)
+    _check_emit_wkb(emit_wkb, rule)
     bx0, by0, bw, bh = _grid_meta(other, "other (right) grid")
     eps = 1e-9 * max(bw, bh)
 
@@ -214,6 +245,18 @@ def grid_overlay_rects(
     w = F.least("_axm", "_bxm") - F.greatest("_ax", "_bx")
     h = F.least("_aym", "_bym") - F.greatest("_ay", "_by")
     piece = (F.greatest(w, F.lit(0.0)) * F.greatest(h, F.lit(0.0))).alias("piece_area")
+    extra = []
+    if emit_wkb:
+        # piece corners are closed-form; only the byte encoding needs Python
+        # (Arrow-batched), and only when the caller asked for geometry
+        extra = [
+            _box_wkb_udf()(
+                F.greatest("_ax", "_bx"),
+                F.greatest("_ay", "_by"),
+                F.least("_axm", "_bxm"),
+                F.least("_aym", "_bym"),
+            ).alias("geometry")
+        ]
     pieces = (
         joined.withColumn("piece_area", piece)
         .filter(F.col("piece_area") > 0)
@@ -221,7 +264,7 @@ def grid_overlay_rects(
             "area_pct",
             F.when(F.col("_barea") > 0, F.col("piece_area") / F.col("_barea")),
         )
-        .select("cell_id", "poly_id", "piece_area", "area_pct", *columns)
+        .select("cell_id", "poly_id", "piece_area", "area_pct", *columns, *extra)
     )
     if rule is None:
         if how == "union_full":
@@ -232,8 +275,13 @@ def grid_overlay_rects(
                     else F.col("cell_id").alias("poly_id")
                 ),
                 *columns,
+                *(
+                    [_box_wkb_udf()("x", "y", "xmax", "ymax").alias("geometry")]
+                    if emit_wkb
+                    else []
+                ),
             )
-            return _union_full_pieces(pieces, cells, polys, columns)
+            return _union_full_pieces(pieces, cells, polys, columns, emit_wkb=emit_wkb)
         return pieces
     out = _apply_rule(pieces, cells, columns, rule, cover, area)
     # inner semantics drop grid cells with no overlap (union keeps them
@@ -260,12 +308,19 @@ def _union_full_pieces(
     polys: DataFrame,
     columns,
     poly_key: str = "poly_id",
+    emit_wkb: bool = False,
 ) -> DataFrame:
     """Full planar-union parity (reference gpd.overlay(how='union'),
     overlay.py:296-297): the intersection pieces PLUS unmatched grid cells
     (null polygon key/attrs) PLUS unmatched polygons (null cell_id).
-    ``polys`` must carry (poly_key, *columns). Anti-joins on the piece keys."""
+    ``polys`` must carry (poly_key, *columns) — plus a ``geometry`` WKB
+    column when ``emit_wkb`` (unmatched pieces keep their ORIGINAL geometry:
+    the cell's rect, the polygon's full shape — gpd.overlay union parity).
+    Anti-joins on the piece keys."""
     types = dict(pieces.dtypes)
+    cell_geom = (
+        [_box_wkb_udf()("x", "y", "xmax", "ymax").alias("geometry")] if emit_wkb else []
+    )
     un_cells = cells.join(
         pieces.select("cell_id").distinct(), "cell_id", "left_anti"
     ).select(
@@ -274,6 +329,7 @@ def _union_full_pieces(
         F.lit(None).cast("double").alias("piece_area"),
         F.lit(None).cast("double").alias("area_pct"),
         *[F.lit(None).cast(types[c]).alias(c) for c in columns],
+        *cell_geom,
     )
     un_polys = polys.join(
         pieces.select(poly_key).distinct(), poly_key, "left_anti"
@@ -283,6 +339,7 @@ def _union_full_pieces(
         F.lit(None).cast("double").alias("piece_area"),
         F.lit(None).cast("double").alias("area_pct"),
         *columns,
+        *(["geometry"] if emit_wkb else []),
     )
     return pieces.unionByName(un_cells).unionByName(un_polys)
 
@@ -310,6 +367,7 @@ def grid_overlay_polygons(
     how: str = "intersection",
     geometry_col: str = "geometry",
     poly_key: str = "poly_id",
+    emit_wkb: bool = False,
 ) -> DataFrame:
     """Overlay the cell grid with an irregular WKB polygon layer.
 
@@ -318,8 +376,13 @@ def grid_overlay_polygons(
     executor instead of once per tile). Candidate pairs come from exploding
     each polygon bbox into grid cell-key ranges; the exact Sutherland-
     Hodgman clip runs only on candidates, vectorized per batch.
+
+    ``emit_wkb=True`` (rule=None only) carries each piece's CLIPPED
+    geometry (cell ∩ polygon, holes preserved) as WKB — the rings the clip
+    kernel computes anyway, encoded instead of discarded after the area.
     """
     _check_how(how, rule)
+    _check_emit_wkb(emit_wkb, rule)
     CRS.check_layers_crs(cells, polygons, "geometry", geometry_col, context="grid_overlay_polygons")
     gx0, gy0, gw, gh = _grid_meta(cells, "grid cells")
 
@@ -388,16 +451,27 @@ def grid_overlay_polygons(
             aym = batch["_aym"].to_numpy()
             pids = batch[poly_key].to_numpy()
             areas = np.empty(len(batch))
+            geoms_out = [None] * len(batch) if emit_wkb else None
             for i in range(len(batch)):
-                areas[i] = G.multipolygon_clip_area(
-                    get(pids[i]), ax[i], ay[i], axm[i], aym[i]
-                )
+                if emit_wkb:
+                    mpc = G.multipolygon_clip(get(pids[i]), ax[i], ay[i], axm[i], aym[i])
+                    areas[i] = G.multipolygon_area(mpc)
+                    if mpc:
+                        geoms_out[i] = wkb.encode_multipolygon(mpc)
+                else:
+                    areas[i] = G.multipolygon_clip_area(
+                        get(pids[i]), ax[i], ay[i], axm[i], aym[i]
+                    )
             out = batch[["cell_id", poly_key]].copy()
             out["piece_area"] = areas
+            if emit_wkb:
+                out["geometry"] = pd.Series(geoms_out, index=batch.index, dtype=object)
             yield out[out["piece_area"] > 0]
 
+    geom_field = ", geometry binary" if emit_wkb else ""
+    geom_cols = ["geometry"] if emit_wkb else []
     pieces = pairs.mapInPandas(
-        _clip, f"cell_id long, {poly_key} {key_type}, piece_area double"
+        _clip, f"cell_id long, {poly_key} {key_type}, piece_area double{geom_field}"
     )
     pieces = (
         pieces.join(F.broadcast(attr_df), poly_key)
@@ -405,12 +479,15 @@ def grid_overlay_polygons(
             "area_pct",
             F.when(F.col("poly_area") > 0, F.col("piece_area") / F.col("poly_area")),
         )
-        .select("cell_id", poly_key, "piece_area", "area_pct", *columns)
+        .select("cell_id", poly_key, "piece_area", "area_pct", *columns, *geom_cols)
     )
     if rule is None:
         if how == "union_full":
+            psel = [poly_key, *columns]
+            if emit_wkb:
+                psel.append(F.col(geometry_col).alias("geometry"))
             return _union_full_pieces(
-                pieces, cells, polygons.select(poly_key, *columns), columns, poly_key
+                pieces, cells, polygons.select(*psel), columns, poly_key, emit_wkb=emit_wkb
             )
         return pieces
     out = _apply_rule(pieces, cells, columns, rule, cover, area, poly_key=poly_key)
@@ -429,6 +506,7 @@ def grid_overlay_polygons_distributed(
     how: str = "intersection",
     geometry_col: str = "geometry",
     poly_key: str = "poly_id",
+    emit_wkb: bool = False,
 ) -> DataFrame:
     """Overlay with a polygon layer too large to collect/broadcast.
 
@@ -441,9 +519,11 @@ def grid_overlay_polygons_distributed(
        then the WKB joined back ONCE per polygon by id,
     4. exact Sutherland-Hodgman clip on candidate pairs only.
 
-    Same semantics as :func:`grid_overlay_polygons` (pinned by tests).
+    Same semantics as :func:`grid_overlay_polygons` (pinned by tests),
+    including ``emit_wkb`` piece geometry.
     """
     _check_how(how, rule)
+    _check_emit_wkb(emit_wkb, rule)
     CRS.check_layers_crs(
         cells, polygons, "geometry", geometry_col, context="grid_overlay_polygons_distributed"
     )
@@ -541,6 +621,7 @@ def grid_overlay_polygons_distributed(
             pids = batch[poly_key].to_numpy()
             bufs = batch["__wkb__"]
             areas = np.empty(len(batch))
+            geoms_out = [None] * len(batch) if emit_wkb else None
             for i in range(len(batch)):
                 pid = pids[i]
                 mp = cache.get(pid)
@@ -548,13 +629,24 @@ def grid_overlay_polygons_distributed(
                     mp = wkb.decode_multipolygon(bytes(bufs.iloc[i]))
                     if len(cache) < 4096:
                         cache[pid] = mp
-                areas[i] = G.multipolygon_clip_area(mp, ax[i], ay[i], axm[i], aym[i])
+                if emit_wkb:
+                    mpc = G.multipolygon_clip(mp, ax[i], ay[i], axm[i], aym[i])
+                    areas[i] = G.multipolygon_area(mpc)
+                    if mpc:
+                        geoms_out[i] = wkb.encode_multipolygon(mpc)
+                else:
+                    areas[i] = G.multipolygon_clip_area(mp, ax[i], ay[i], axm[i], aym[i])
             out = batch[["cell_id", poly_key, "poly_area"]].copy()
             out["piece_area"] = areas
+            if emit_wkb:
+                out["geometry"] = pd.Series(geoms_out, index=batch.index, dtype=object)
             yield out[out["piece_area"] > 0]
 
+    geom_field = ", geometry binary" if emit_wkb else ""
+    geom_cols = ["geometry"] if emit_wkb else []
     pieces = pairs.mapInPandas(
-        _clip, f"cell_id long, {poly_key} {key_type}, poly_area double, piece_area double"
+        _clip,
+        f"cell_id long, {poly_key} {key_type}, poly_area double, piece_area double{geom_field}",
     )
     attrs = polygons.select(poly_key, *columns)
     pieces = (
@@ -563,12 +655,15 @@ def grid_overlay_polygons_distributed(
             "area_pct",
             F.when(F.col("poly_area") > 0, F.col("piece_area") / F.col("poly_area")),
         )
-        .select("cell_id", poly_key, "piece_area", "area_pct", *columns)
+        .select("cell_id", poly_key, "piece_area", "area_pct", *columns, *geom_cols)
     )
     if rule is None:
         if how == "union_full":
+            psel = [poly_key, *columns]
+            if emit_wkb:
+                psel.append(F.col(geometry_col).alias("geometry"))
             return _union_full_pieces(
-                pieces, cells, polygons.select(poly_key, *columns), columns, poly_key
+                pieces, cells, polygons.select(*psel), columns, poly_key, emit_wkb=emit_wkb
             )
         return pieces
     out = _apply_rule(pieces, cells, columns, rule, cover, area, poly_key=poly_key)

@@ -171,3 +171,83 @@ def test_distributed_polygon_overlay_rules(spark, grid):
     total = out.agg(F.sum("pop")).collect()[0][0]
     want = sum(r["pop"] for r in polys.select("pop").collect())
     assert total == pytest.approx(want, rel=1e-9)
+
+
+def test_piece_geometry_rect_path(spark, grid):
+    """emit_wkb on the rect x rect path: every piece carries the exact
+    intersection rectangle as WKB (corners closed-form checkable)."""
+    fine = PG.grid_layer(spark, (25_000.0, 25_000.0, 175_000.0, 175_000.0), (50_000.0, 50_000.0))
+    pieces = OV.grid_overlay_rects(
+        fine, grid.selectExpr("cell_id as poly_id", "x", "y", "xmax", "ymax", "val"),
+        ["val"], rule=None, emit_wkb=True,
+    ).collect()
+    assert len(pieces) > 0
+    fine_rects = {r["cell_id"]: (r["x"], r["y"], r["xmax"], r["ymax"]) for r in fine.collect()}
+    coarse_rects = {r["cell_id"]: (r["x"], r["y"], r["xmax"], r["ymax"]) for r in grid.collect()}
+    for r in pieces:
+        ax, ay, axm, aym = fine_rects[r["cell_id"]]
+        bx, by, bxm, bym = coarse_rects[r["poly_id"]]
+        want = (max(ax, bx), max(ay, by), min(axm, bxm), min(aym, bym))
+        mp = wkb.decode_multipolygon(bytes(r["geometry"]))
+        ring = mp[0][0]
+        got = (ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max())
+        assert got == pytest.approx(want, abs=1e-9)
+        # piece area equals the geometry's shoelace area
+        assert r["piece_area"] == pytest.approx(G.multipolygon_area(mp), rel=1e-12)
+
+
+def test_piece_geometry_polygon_paths(spark, grid):
+    """emit_wkb on both WKB-polygon paths: shoelace(decoded piece WKB) ==
+    piece_area for every row, holes preserved, and the two physical paths
+    agree byte-for-byte."""
+    polys = PG.synthetic_polygons(spark, n=6, bbox=BBOX, seed=11)
+    bcast = OV.grid_overlay_polygons(
+        spark, grid, polys, ["pop"], rule=None, emit_wkb=True
+    ).collect()
+    assert len(bcast) > 0
+    for r in bcast:
+        mp = wkb.decode_multipolygon(bytes(r["geometry"]))
+        assert r["piece_area"] == pytest.approx(G.multipolygon_area(mp), rel=1e-12)
+    # the with-hole polygon (poly_id n-2) must keep its hole in at least
+    # one piece: some decoded piece has a polygon with >1 ring
+    hole_pieces = [r for r in bcast if r["poly_id"] == 4]
+    assert any(
+        len(poly) > 1
+        for r in hole_pieces
+        for poly in wkb.decode_multipolygon(bytes(r["geometry"]))
+    ), "hole lost in clipped piece geometry"
+    dist = OV.grid_overlay_polygons_distributed(
+        grid, polys, ["pop"], rule=None, emit_wkb=True
+    ).collect()
+    b = {(r["cell_id"], r["poly_id"]): bytes(r["geometry"]) for r in bcast}
+    d = {(r["cell_id"], r["poly_id"]): bytes(r["geometry"]) for r in dist}
+    assert b == d  # piece-for-piece identical WKB across physical paths
+
+
+def test_piece_geometry_union_full(spark, grid):
+    """emit_wkb + how='union_full': unmatched cells carry their rect WKB,
+    unmatched polygons their original geometry, pieces their clip."""
+    # polygons confined to a corner so most grid cells are unmatched
+    polys = PG.synthetic_polygons(
+        spark, n=3, bbox=(0.0, 0.0, 60_000.0, 60_000.0), seed=5, with_hole=False, with_multi=False
+    )
+    out = OV.grid_overlay_polygons(
+        spark, grid, polys, ["pop"], rule=None, how="union_full", emit_wkb=True
+    ).collect()
+    rects = {r["cell_id"]: (r["x"], r["y"], r["xmax"], r["ymax"]) for r in grid.collect()}
+    orig = {r["poly_id"]: bytes(r["geometry"]) for r in polys.collect()}
+    un_cells = [r for r in out if r["poly_id"] is None]
+    un_polys = [r for r in out if r["cell_id"] is None]
+    assert un_cells, "expected unmatched grid cells"
+    for r in un_cells:
+        mp = wkb.decode_multipolygon(bytes(r["geometry"]))
+        ring = mp[0][0]
+        x0, y0, x1, y1 = rects[r["cell_id"]]
+        assert (ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max()) == pytest.approx((x0, y0, x1, y1))
+    for r in un_polys:
+        assert bytes(r["geometry"]) == orig[r["poly_id"]]
+
+
+def test_emit_wkb_requires_rule_none(spark, grid):
+    with pytest.raises(ValueError, match="rule=None"):
+        OV.grid_overlay_rects(grid, grid, ["val"], rule="sum", emit_wkb=True)
