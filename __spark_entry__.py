@@ -624,8 +624,15 @@ def _q_overlay_rule_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spread_sql(col: str) -> str:
-    e = f"({col} & 65535)"
-    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+    # 64-bit Morton spreading (31 bits/axis) — mirrors cellindex._spread_bits
+    e = f"({col} & {0xFFFFFFFF})"
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
         e = f"((({e} | ({e} << {shift})) & {mask}))"
     return e
 
@@ -637,6 +644,17 @@ def _q_cell_index_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
     pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
     out = CI.with_cell_index(pts, 8, lon="lon", lat="lat")
+    return out.select("doc_id", "cell_ix", "cell_iy", "cell_id")
+
+
+def _q_cell_index_morton_z20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-bit-spreading variant (round-3: MAX_Z raised 16 -> 31): z=20
+    exceeds the old 16-bit/axis bound, so a hash-match here proves the
+    wide spreading end-to-end against DuckDB's own 64-bit bit arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+    out = CI.with_cell_index(pts, 20, lon="lon", lat="lat")
     return out.select("doc_id", "cell_ix", "cell_iy", "cell_id")
 
 
@@ -766,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf": _q_ann_ivf,
         "overlay_rule_max": _q_overlay_rule_max,
         "cell_index_morton": _q_cell_index_morton,
+        "cell_index_morton_z20": _q_cell_index_morton_z20,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -1195,6 +1214,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT), 255)) AS cell_ix,
                        greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 256.0) AS BIGINT), 255)) AS cell_iy
+                FROM pts
+            )
+            SELECT doc_id, cell_ix, cell_iy,
+                   ({_spread_sql('cell_ix')} | ({_spread_sql('cell_iy')} << 1)) AS cell_id
+            FROM cells
+        """,
+        "cell_index_morton_z20": f"""
+            {geo_cte},
+            cells AS (
+                SELECT doc_id,
+                       greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 1048576.0) AS BIGINT), 1048575)) AS cell_ix,
+                       greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 1048576.0) AS BIGINT), 1048575)) AS cell_iy
                 FROM pts
             )
             SELECT doc_id, cell_ix, cell_iy,

@@ -19,15 +19,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-MAX_Z = 16  # 32-bit morton; plenty for partitioning (2^16 x 2^16 cells)
+# 62-bit morton (31 bits/axis): 2^31 cells/axis is ~2 cm at the equator —
+# finer than any practical discrete global index. z=32 would push iy's top
+# spread bit into the SIGN bit of Spark's long, breaking Z-order
+# monotonicity for range partitioning / clustered writes and the base-4
+# quadkey conversion, so 31 is the honest 64-bit bound.
+MAX_Z = 31
 
 
 def lonlat_to_cell_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
     """Equirectangular cell indices at zoom z, clamped to [0, 2^z - 1]."""
     if not 0 < z <= MAX_Z:
         raise ValueError(
-            f"z must be in (0, {MAX_Z}]: the Morton bit-spreading masks to 16"
-            " bits and silently collides beyond that"
+            f"z must be in (0, {MAX_Z}]: the Morton bit-spreading masks to 31"
+            " bits/axis and the code must stay non-negative in a signed long"
         )
     n = 1 << z
     ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
@@ -37,20 +42,21 @@ def lonlat_to_cell_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]
 
 
 def _spread_bits(v: Column) -> Column:
-    """Interleave zeros between the low 16 bits (x -> x<<? magic masks).
+    """Interleave zeros between the low 32 bits (x -> x<<? magic masks).
 
-    Standard Morton bit-spreading: 5 shift/mask stages, each a JVM bitwise
-    expression."""
-    v = v.bitwiseAND(F.lit(0xFFFF))
-    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
-    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
-    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+    Standard 64-bit Morton bit-spreading: 6 shift/mask stages, each a JVM
+    bitwise expression (all masks positive in a signed long)."""
+    v = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
     return v
 
 
 def morton(ix: Column, iy: Column) -> Column:
-    """Z-order code from cell indices (<= 16 bits each)."""
+    """Z-order code from cell indices (<= 31 bits each)."""
     return _spread_bits(ix).bitwiseOR(F.shiftleft(_spread_bits(iy), 1))
 
 
@@ -114,11 +120,12 @@ def py_cell_xy(lon: float, lat: float, z: int) -> tuple[int, int]:
 
 def py_morton(ix: int, iy: int) -> int:
     def spread(v: int) -> int:
-        v &= 0xFFFF
-        v = (v | (v << 8)) & 0x00FF00FF
-        v = (v | (v << 4)) & 0x0F0F0F0F
-        v = (v | (v << 2)) & 0x33333333
-        v = (v | (v << 1)) & 0x55555555
+        v &= 0xFFFFFFFF
+        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v << 2)) & 0x3333333333333333
+        v = (v | (v << 1)) & 0x5555555555555555
         return v
 
     return spread(ix) | (spread(iy) << 1)

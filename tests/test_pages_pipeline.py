@@ -137,3 +137,43 @@ def test_crop_grid_variants(spark):
     assert crop_grid(g, tile=0).count() == 25
     assert crop_grid(g, cell_range=(0, 0, 3, 3)).count() == 9
     assert crop_grid(g, bbox=(0.0, 0.0, 25_000.0, 15_000.0)).count() == 3 * 2
+
+
+def test_morton_64bit_bijection_at_bound(spark):
+    """Round-3: MAX_Z raised 16 -> 31 (64-bit spreading). Bijection pinned
+    at the new bound: distinct (ix, iy) pairs -> distinct codes, Python
+    twin == Spark expression, interleave exactly recoverable, and the code
+    stays NON-NEGATIVE (sign bit untouched — Z-order monotonic in a signed
+    long)."""
+    import random
+
+    from pygridmap_spark.functions import cellindex as CI
+
+    z = 31
+    n = 1 << z
+    rng = random.Random(7)
+    pts = [(0, 0), (n - 1, n - 1), (n - 1, 0), (0, n - 1)] + [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(200)
+    ]
+    codes = [CI.py_morton(ix, iy) for ix, iy in pts]
+    assert len(set(codes)) == len(set(pts))  # injective on the sample
+    assert all(c >= 0 for c in codes)
+    assert CI.py_morton(n - 1, n - 1) == (1 << 62) - 1  # fills exactly 62 bits
+
+    def unspread(v):
+        v &= 0x5555555555555555
+        v = (v | (v >> 1)) & 0x3333333333333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+        v = (v | (v >> 16)) & 0xFFFFFFFF
+        return v
+
+    for (ix, iy), c in zip(pts, codes):
+        assert (unspread(c), unspread(c >> 1)) == (ix, iy)  # exact inverse
+
+    df = spark.createDataFrame(pts, "ix long, iy long")
+    got = df.select(CI.morton(F.col("ix"), F.col("iy")).alias("m")).collect()
+    assert [r["m"] for r in got] == codes  # Catalyst == Python twin
+    with pytest.raises(ValueError, match="31"):
+        CI.lonlat_to_cell_xy(F.lit(0.0), F.lit(0.0), 32)
