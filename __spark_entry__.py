@@ -472,13 +472,16 @@ def _q_ann_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (rows-only: k-means assignment isn't
-    SQL-expressible; recall vs brute force is pinned in pytest)."""
+    """IVF coarse-quantizer ANN, probing EVERY list: exact-equals-brute-
+    force by construction, so the exact SQL oracle gates the whole train ->
+    assign -> probe -> score plumbing end-to-end (k-means assignment itself
+    isn't SQL-expressible; the approximate nprobe<nlist recall dial is
+    pinned vs brute force in pytest instead)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = SIM.cosine_topk_ivf(emb, qs, k=10, nlist=32, nprobe=8)
+    out = SIM.cosine_topk_ivf(emb, qs, k=10, nlist=32, nprobe=32)
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
@@ -576,8 +579,11 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (xxhash64-based; no SQL oracle — driver
-    rows-only; semantics pinned in tests/test_dedup.py on synthetic dups)."""
+    """MinHash-LSH near-dup pairs. Oracle (round 3): per-doc signatures
+    from the independent fixture twin (fixtures/gen_oracle_fixtures.py),
+    banding + exact-Jaccard verify re-derived ENTIRELY in DuckDB SQL (band
+    keys compared as signature slices — bucket-hash equality on the Spark
+    side is equivalent up to a 2^-64 xxhash collision)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -589,22 +595,31 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check; pytest pins semantics)."""
+    """SimHash near-dup pairs. Oracle (round 3): fixture-twin signatures,
+    pigeonhole blocking + bit_count(xor) Hamming verify re-derived in
+    DuckDB SQL."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dupes = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    return DD.simhash_near_duplicates(docs.unionByName(dupes), max_hamming=3)
+    out = DD.simhash_near_duplicates(docs.unionByName(dupes), max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (rows-only: approximate by design; recall is
-    measured against the brute-force oracle in tests/test_similarity.py)."""
+    """Hyperplane-LSH ANN. Oracle (round 3): fixture-twin signatures; the
+    multiprobe bucket walk (11 XOR masks at planes=10, b=1), candidate
+    join, exact cosine and top-k window all re-derived in DuckDB SQL — the
+    oracle reproduces the APPROXIMATE result, not just a recall bound."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.cosine_topk_lsh(emb, qs, k=10, planes=10)
+    out = SIM.cosine_topk_lsh(emb, qs, k=10, planes=10)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def _q_overlay_rule_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,9 +1259,106 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(col + row * 64 AS DOUBLE) END AS band1
             FROM pts
         """,
-        # minhash_lsh_pairs / simhash_near_dup / ann_cosine_topk_lsh /
-        # minhash/simhash/lsh/ivf: intentionally no oracle (xxhash64 /
-        # seeded-RNG / k-means primitives DuckDB lacks) — driver records
-        # rows-only; pytest pins their semantics.
+        # Round 3: the formerly rows-only LSH family is oracle-gated via
+        # fixture twins (fixtures/gen_oracle_fixtures.py writes per-doc /
+        # per-vector signatures computed by an INDEPENDENT implementation,
+        # keyed by (id, md5-of-content) so each SF self-selects its rows);
+        # banding / blocking / verification run entirely in DuckDB SQL.
+        "minhash_lsh_pairs": """
+            WITH fx AS (
+                SELECT f.doc_id, f.signature, f.shingles
+                FROM read_parquet('/root/repo/fixtures/minhash_docs.parquet') f
+                JOIN documents d ON (f.doc_id = d.doc_id OR f.doc_id = d.doc_id + 1000000)
+                                AND f.text_md5 = md5(d.text)
+            ),
+            banded AS (
+                SELECT doc_id, r.b AS band, signature[r.b*4+1 : r.b*4+4] AS bkey
+                FROM fx, range(0,16) r(b)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(len(list_intersect(fa.shingles, fb.shingles)) AS DOUBLE)
+                       / len(list_distinct(list_concat(fa.shingles, fb.shingles))) AS jaccard
+                FROM cand c
+                JOIN fx fa ON fa.doc_id = c.doc_a
+                JOIN fx fb ON fb.doc_id = c.doc_b
+            ) WHERE jaccard >= 0.5
+        """,
+        "simhash_near_dup": """
+            WITH fx AS (
+                SELECT f.doc_id, f.simhash, f.c0, f.c1, f.c2, f.c3
+                FROM read_parquet('/root/repo/fixtures/simhash_docs.parquet') f
+                JOIN documents d ON f.doc_id = d.doc_id AND f.text_md5 = md5(d.text)
+            ),
+            alld AS (
+                SELECT doc_id, simhash, c0, c1, c2, c3 FROM fx
+                UNION ALL
+                SELECT doc_id + 1000000, simhash, c0, c1, c2, c3 FROM fx WHERE doc_id % 9 = 0
+            ),
+            chunked AS (
+                SELECT doc_id, simhash, r.i AS chunk_idx,
+                       CASE r.i WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS chunk
+                FROM alld, range(0,4) r(i)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS ha,
+                                b.doc_id AS doc_b, b.simhash AS hb
+                FROM chunked a JOIN chunked b
+                  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        """,
+        "ann_cosine_topk_lsh": """
+            WITH fx AS (
+                SELECT f.vec_id, f.signature
+                FROM read_parquet('/root/repo/fixtures/hyperplane_sigs.parquet') f
+                JOIN embeddings e ON f.vec_id = e.vec_id
+                                 AND f.emb_md5 = md5(CAST(e.embedding AS VARCHAR))
+            ),
+            qs AS (SELECT vec_id AS query_id, signature FROM fx WHERE vec_id < 5),
+            probes AS (
+                SELECT query_id, xor(signature, m.m) AS psig
+                FROM qs, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128),(256),(512)) m(m)
+            ),
+            cand AS (
+                SELECT DISTINCT p.query_id, c.vec_id
+                FROM probes p JOIN fx c ON c.signature = p.psig
+            ),
+            scored AS (
+                SELECT cand.query_id, cand.vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+                FROM cand
+                JOIN embeddings q ON q.vec_id = cand.query_id
+                JOIN embeddings e ON e.vec_id = cand.vec_id
+            )
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 10
+        """,
+        "ann_cosine_topk_ivf": """
+            WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM qs q CROSS JOIN embeddings c
+            )
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 10
+        """,
+        # cosine_topk_ivf in the driver query probes every list, so it is
+        # exact by construction and the brute-force SQL gates the full
+        # train->assign->probe->score plumbing; nprobe<nlist recall is
+        # pinned vs brute force in pytest.
         "multimodal_featurize": _multimodal_oracle_sql(),
     }
