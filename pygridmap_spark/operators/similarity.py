@@ -363,26 +363,43 @@ def cosine_topk_ivf(
     c = with_ivf_list(
         corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")), centroids, "_cv"
     )
-    qrows = queries.filter(F.col(vec_col).isNotNull()).select(query_id, vec_col).collect()
-    if not qrows:
+    qp = _probe_frame(queries, centroids, nprobe, query_id, vec_col)
+    if qp is None:
         qid_type = dict(queries.dtypes)[query_id]
         cid_type = dict(corpus.dtypes)[corpus_id]
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double, rank int"
         )
+    return _score_probed(c, qp, k, corpus_id, query_id)
+
+
+def _probe_frame(queries: DataFrame, centroids, nprobe: int, query_id: str, vec_col: str):
+    """(query, query_vec, probed ivf_list) dimension frame — the query side
+    of every IVF search (driver-side argsort over the tiny centroid
+    matrix). None when there are no non-null queries."""
+    import numpy as np
+
+    qrows = queries.filter(F.col(vec_col).isNotNull()).select(query_id, vec_col).collect()
+    if not qrows:
+        return None
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(Q, axis=1)
     Q[qn > 0] /= qn[qn > 0, None]
     probes = np.argsort(-(Q @ np.asarray(centroids).T), axis=1)[:, : min(nprobe, len(centroids))]
-    spark = corpus.sparkSession
     probe_rows = [
         (r[0], r[1], int(pl))
         for r, plist in zip(qrows, probes)
         for pl in plist
     ]
-    qp = spark.createDataFrame(
-        probe_rows, f"{query_id} {dict(queries.dtypes)[query_id]}, _qv {dict(queries.dtypes)[vec_col]}, ivf_list int"
+    return queries.sparkSession.createDataFrame(
+        probe_rows,
+        f"{query_id} {dict(queries.dtypes)[query_id]}, _qv {dict(queries.dtypes)[vec_col]}, ivf_list int",
     )
+
+
+def _score_probed(c: DataFrame, qp: DataFrame, k: int, corpus_id: str, query_id: str) -> DataFrame:
+    """Equi-join the assigned corpus with the broadcast probe frame, score
+    candidates with the Arrow cosine kernel, cut top-k per query."""
     scored = c.join(F.broadcast(qp), "ivf_list").withColumn(
         "cosine", V.cosine_arrow(F.col("_qv"), F.col("_cv"))
     )
@@ -392,6 +409,53 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus PARTITIONED BY its IVF list — the lake-table
+    form of the index. At 100 TB the assignment map-pass runs once at write
+    time; every later search's probed lists become PartitionFilters on this
+    tree (pruned at file listing — ~nprobe/nlist of the bytes are ever
+    touched, asserted in tests via the executed plan)."""
+    assigned = with_ivf_list(
+        corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")), centroids, "_cv"
+    )
+    assigned.write.mode(mode).partitionBy("ivf_list").parquet(path)
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids,
+    k: int,
+    nprobe: int = 8,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a :func:`write_ivf_index` tree. The union of all probed lists
+    is pushed as an ``ivf_list IN (...)`` predicate on the partition column
+    (PartitionFilters: unprobed lists are never listed or scanned); the
+    per-query refinement is the same broadcast probe equi-join as
+    :func:`cosine_topk_ivf` — identical output for identical centroids
+    (pinned in tests)."""
+    qp = _probe_frame(queries, centroids, nprobe, query_id, vec_col)
+    if qp is None:
+        qid_type = dict(queries.dtypes)[query_id]
+        return spark.createDataFrame(
+            [], f"{query_id} {qid_type}, {corpus_id} long, cosine double, rank int"
+        )
+    probed = sorted({r["ivf_list"] for r in qp.select("ivf_list").distinct().collect()})
+    c = spark.read.parquet(path).filter(F.col("ivf_list").isin(probed))
+    return _score_probed(c, qp, k, corpus_id, query_id)
 
 
 # ---------------------------------------------------------------------------

@@ -52,55 +52,84 @@ def read_pages_stream(spark: SparkSession, path: str, schema) -> DataFrame:
 
 
 def stateful_url_dedup(
-    pages_stream: DataFrame, key: str = "url", ttl_minutes: int | None = None
+    pages_stream: DataFrame,
+    key: str = "url",
+    ttl_minutes: int | None = None,
+    ttl_clock: str = "processing",
+    event_time_col: str = "warc_ts",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming exactly-once URL dedup — a custom stateful operator via
     ``applyInPandasWithState`` (the recrawl-suppression stage of a
     continuous ingest): the first occurrence of each key is emitted, every
     later occurrence (same or later micro-batch) is dropped. State per key
-    is one boolean; at crawl scale the state store shards by the same hash
-    partitioning as the shuffle.
+    is one boolean + last-seen event time; at crawl scale the state store
+    shards by the same hash partitioning as the shuffle.
 
     ``ttl_minutes`` bounds the state store: a key idle for that long is
-    evicted (processing-time timeout), so state size tracks the ACTIVE
-    url set instead of every url ever crawled — the unbounded default is
-    wrong at 10^12-url scale. Documented tradeoff: a recrawl arriving after
-    the TTL re-emits its url (dedup window = TTL, not forever); downstream
-    exact dedup (batch) catches stragglers."""
-    import pandas as pd  # noqa: F401 (used in the state fn)
+    evicted, so state size tracks the ACTIVE url set instead of every url
+    ever crawled — the unbounded default is wrong at 10^12-url scale.
+    Documented tradeoff: a recrawl arriving after the TTL re-emits its url
+    (dedup window = TTL, not forever); downstream exact dedup (batch)
+    catches stragglers.
+
+    ``ttl_clock`` picks which clock the TTL runs on:
+
+    - ``'processing'``: idle-wall-clock eviction — right for live ingest.
+    - ``'event'``: the timeout fires when the stream's WATERMARK passes
+      last-seen-event-time + TTL. Replayed / backfilled streams (event
+      time != arrival time) get a dedup window anchored to CRAWL time, so
+      a backfill replayed at 100x speed dedups exactly as the live run
+      would have. Requires a watermark on ``event_time_col`` — pass
+      ``watermark=` here or set ``withWatermark`` upstream."""
+    import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = pages_stream.schema
     if ttl_minutes is not None and ttl_minutes <= 0:
         raise ValueError(f"ttl_minutes must be positive, got {ttl_minutes}")
+    if ttl_clock not in ("processing", "event"):
+        raise ValueError(f"ttl_clock must be 'processing' or 'event', got {ttl_clock!r}")
     ttl_ms = ttl_minutes * 60_000 if ttl_minutes is not None else None
+    event_ttl = ttl_clock == "event" and ttl_ms is not None
+    if watermark is not None:
+        pages_stream = pages_stream.withWatermark(event_time_col, watermark)
+    out_schema = pages_stream.schema
 
     def _dedup(key_tuple, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()  # idle key: evict, next occurrence re-emits
             return iter(())
         seen = state.exists
-        state.update((True,))
+        (last_ms,) = state.get if seen else (0,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            batch_max_ms = int(merged[event_time_col].max().value // 1_000_000)
+            last_ms = max(last_ms, batch_max_ms)
+        state.update((last_ms,))
         if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)  # sliding: refreshed per batch
-        if seen:
+            if event_ttl:
+                # evict when the WATERMARK passes last event time + TTL —
+                # replay-safe: the window follows crawl time, not arrival
+                state.setTimeoutTimestamp(last_ms + ttl_ms)
+            else:
+                state.setTimeoutDuration(ttl_ms)  # sliding wall-clock
+        if seen or not chunks:
             return iter(())
         # the group may span multiple Arrow chunks: take the earliest row
         # across ALL of them, not just the first non-empty chunk
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if not chunks:
-            return iter(())
-        merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        return iter([merged.sort_values("warc_ts").iloc[[0]]])
+        return iter([merged.sort_values(event_time_col).iloc[[0]]])
 
+    if ttl_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_ttl:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return pages_stream.groupBy(key).applyInPandasWithState(
         _dedup,
         outputStructType=out_schema,
-        stateStructType="emitted boolean",
+        stateStructType="last_event_ms long",
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=timeout,
     )

@@ -314,3 +314,29 @@ def test_knn_auto_cell_matches_bruteforce(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="empty"):
         KNN.estimate_knn_cell(pts.filter("point_id < 0"), 4)
+
+
+def test_ivf_written_index_partition_pruning(spark, vectors_df, tmp_path):
+    """write_ivf_index + cosine_topk_ivf_indexed: the probed lists reach
+    the scan as PartitionFilters (unprobed lists never listed), and the
+    result is identical to the on-the-fly IVF search with the same
+    centroids."""
+    cents = SIM.train_ivf_centroids(vectors_df, nlist=8)
+    path = str(tmp_path / "ivf_index")
+    SIM.write_ivf_index(vectors_df, cents, path)
+    qs = vectors_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk_ivf_indexed(spark, path, qs, cents, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+    # the pruning predicate is real: fewer partition dirs scanned than exist
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1), plan[:2000]
+    # parity with the on-the-fly search (same centroids, same nprobe)
+    fly = SIM.cosine_topk_ivf(vectors_df, qs, k=3, nprobe=2, centroids=cents)
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in fly.collect()}
+    assert a == b and len(a) > 0

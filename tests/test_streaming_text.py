@@ -154,3 +154,77 @@ def test_stateful_url_dedup_with_ttl(spark, tmp_path):
     got = spark.sql("SELECT url, count(*) c FROM dedup_ttl_out GROUP BY url")
     assert got.count() == 120
     assert got.filter("c > 1").count() == 0
+
+
+def test_stateful_url_dedup_event_time_ttl(spark, tmp_path):
+    """Replay-safe TTL (round-3): the dedup window follows EVENT time via
+    the watermark, not arrival time. A key whose last event is older than
+    TTL when the watermark passes is evicted and re-emits; a key refreshed
+    within the event-time window stays suppressed — regardless of how fast
+    the backfill replays. Out-of-order rows inside a batch are covered by
+    the watermark delay contract."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType, StructField, StringType, TimestampType
+
+    src = str(tmp_path / "evt_src")
+    os.makedirs(src)
+    T = lambda s: pd.Timestamp(f"2026-01-01 {s}")  # noqa: E731
+
+    files = [
+        # f1: first sightings
+        [("A", T("10:00")), ("B", T("10:00"))],
+        # f2: A recrawled within the window (suppressed, extends A's TTL);
+        # D new; max event time pushes the watermark to 12:00
+        [("A", T("11:50")), ("D", T("12:00"))],
+        # f3: B idle and its event-time TTL (10:00 + 1h) < watermark ->
+        # evicted during this batch; A re-seen (still alive: 11:50+1h)
+        [("A", T("12:10")), ("E", T("12:30"))],
+        # f4: B reappears after eviction -> re-emitted; A still alive
+        [("B", T("12:40")), ("A", T("12:45"))],
+    ]
+    for i, rows in enumerate(files):
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = StructType(
+        [StructField("url", StringType()), StructField("warc_ts", TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = SP.stateful_url_dedup(
+        stream, ttl_minutes=60, ttl_clock="event", watermark="0 seconds"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("evt_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "evt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["url"], str(r["warc_ts"]))
+        for r in spark.sql("SELECT url, warc_ts FROM evt_dedup_out").collect()
+    }
+    want = {
+        ("A", "2026-01-01 10:00:00"),  # first A only — recrawls in-window
+        ("B", "2026-01-01 10:00:00"),  # first B
+        ("B", "2026-01-01 12:40:00"),  # B re-emitted after event-TTL eviction
+        ("D", "2026-01-01 12:00:00"),
+        ("E", "2026-01-01 12:30:00"),
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="ttl_clock"):
+        SP.stateful_url_dedup(stream, ttl_minutes=60, ttl_clock="bogus")
