@@ -323,6 +323,44 @@ def _q_overlay_pieces_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overlay_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General polygon x polygon overlay (round 3: reference
+    overlay_polygon parity, overlay.py:287-309) through the REAL boolean
+    kernel: the right layer is CONCAVE L-shapes, so every piece goes
+    through ear-clipping + per-triangle Sutherland-Hodgman; L-shapes are
+    rect-decomposable, so the DuckDB twin is closed-form (sum of the two
+    rectangle intersections)."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as WKB
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    lrows, rrows = [], []
+    for r in n:
+        k = r["n_nationkey"]
+        lx, ly = -180.0 + (k * 13 % 300), -60.0 + (k * 7 % 100)
+        lrows.append((k, WKB.encode_box(lx, ly, lx + 30.0, ly + 25.0)))
+        rx, ry = -170.0 + (k * 17 % 280), -55.0 + (k * 11 % 90)
+        ring = [
+            (rx, ry), (rx + 20.0, ry), (rx + 20.0, ry + 10.0),
+            (rx + 10.0, ry + 10.0), (rx + 10.0, ry + 20.0), (rx, ry + 20.0),
+        ]
+        rrows.append((k, WKB.encode_polygon([ring])))
+    left = spark.createDataFrame(
+        pd.DataFrame({"left_id": [a for a, _ in lrows], "geometry": [b for _, b in lrows]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"right_id": [a for a, _ in rrows], "geometry": [b for _, b in rrows]})
+    )
+    out = OV.polygon_overlay_pieces(left, right)
+    return out.select(
+        "left_id",
+        "right_id",
+        F.round("piece_area", 6).alias("piece_area"),
+        F.round("area_pct", 6).alias("area_pct"),
+    )
+
+
 def _q_area_interpolate_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V7 areal interpolation end-to-end through the REAL geometry path
     (WKB decode -> Sutherland-Hodgman clip -> rule=sum/area/cover) with
@@ -778,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_overlay_offset": _q_grid_overlay_offset,
         "overlay_union_full": _q_overlay_union_full,
         "overlay_pieces_wkb": _q_overlay_pieces_wkb,
+        "overlay_poly_poly": _q_overlay_poly_poly,
         "area_interpolate_rects": _q_area_interpolate_rects,
         "grid_maker_trim": _q_grid_maker_trim,
         "grid_maker_qtree": _q_grid_maker_qtree,
@@ -943,6 +982,31 @@ def oracle_sql() -> dict[str, str]:
             FROM off o JOIN base b
               ON b.x < o.x + 5000.0 AND b.x + 5000.0 > o.x
              AND b.y < o.y + 5000.0 AND b.y + 5000.0 > o.y
+        """,
+        "overlay_poly_poly": """
+            WITH l AS (
+                SELECT n_nationkey AS left_id,
+                       -180.0 + (n_nationkey * 13 % 300) AS lx,
+                       -60.0 + (n_nationkey * 7 % 100) AS ly
+                FROM nation
+            ),
+            r AS (
+                SELECT n_nationkey AS right_id,
+                       -170.0 + (n_nationkey * 17 % 280) AS rx,
+                       -55.0 + (n_nationkey * 11 % 90) AS ry
+                FROM nation
+            ),
+            pieces AS (
+                SELECT l.left_id, r.right_id,
+                       greatest(0, least(l.lx + 30.0, r.rx + 20.0) - greatest(l.lx, r.rx))
+                     * greatest(0, least(l.ly + 25.0, r.ry + 10.0) - greatest(l.ly, r.ry))
+                     + greatest(0, least(l.lx + 30.0, r.rx + 10.0) - greatest(l.lx, r.rx))
+                     * greatest(0, least(l.ly + 25.0, r.ry + 20.0) - greatest(l.ly, r.ry + 10.0)) AS piece
+                FROM l CROSS JOIN r
+            )
+            SELECT left_id, right_id, round(piece, 6) AS piece_area,
+                   round(piece / 300.0, 6) AS area_pct
+            FROM pieces WHERE piece > 0
         """,
         "area_interpolate_rects": """
             WITH p AS (

@@ -470,3 +470,277 @@ def intersection_area(geoms: list, tol: float = 1e-4, max_blocks: int = 2_000_00
     """Area of the intersection of multipolygons (A13 geometry form);
     same tol cost model as :func:`union_area`."""
     return _reduce_area(geoms, "intersection", tol, max_blocks)
+
+
+# ---------------------------------------------------------------------------
+# general polygon x polygon boolean kernel (round 3)
+#
+# The reference's overlay_polygon accepts two arbitrary polygon layers
+# (/root/reference/pygridmap/overlay.py:287-309, via GEOS). Re-derived here
+# without GEOS as Sutherland-Hodgman against CONVEX clip windows: a convex
+# clip polygon is clipped in one S-H pass (exact, dissolved output); a
+# non-convex simple clip ring is ear-clipped into triangles (a partition of
+# its interior), the subject is clipped against each triangle, and the
+# fragment set is the intersection region — disjoint interiors, so the
+# summed shoelace area is the exact intersection area and the multipolygon
+# covers exactly subject ∩ clip (fragment seams along triangulation edges,
+# documented). Subject holes ride through S-H like the rect path; clip-side
+# holes are rejected with a clear error (see intersect_polygons).
+# ---------------------------------------------------------------------------
+
+
+def _ring_open(ring: Ring) -> np.ndarray:
+    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(pts) > 1 and pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
+        pts = pts[:-1]
+    return pts
+
+
+def _ring_ccw(ring: np.ndarray) -> np.ndarray:
+    x, y = ring[:, 0], ring[:, 1]
+    area2 = float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    return ring[::-1] if area2 < 0 else ring
+
+
+def ring_is_convex(ring: Ring) -> bool:
+    """True when every turn of the (open or closed) ring has the same sign
+    (collinear vertices allowed)."""
+    pts = _ring_open(ring)
+    if len(pts) < 3:
+        return False
+    e = np.roll(pts, -1, axis=0) - pts
+    cr = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+    scale = float(np.abs(e).max()) or 1.0
+    nz = cr[np.abs(cr) > (scale * scale) * 1e-15]
+    return len(nz) == 0 or (nz > 0).all() or (nz < 0).all()
+
+
+def clip_ring_to_convex(ring: Ring, clip_ring: Ring) -> Ring:
+    """Sutherland-Hodgman clip of one (simple) ring against a CONVEX clip
+    ring — the general-window form of :func:`clip_ring_to_rect` (exact for
+    any simple subject because every clip edge is a half-plane)."""
+    pts = _ring_open(ring)
+    cp = _ring_ccw(_ring_open(clip_ring))
+    for i in range(len(cp)):
+        if len(pts) == 0:
+            return pts.reshape(0, 2)
+        a = cp[i]
+        d = cp[(i + 1) % len(cp)] - a
+        if d[0] == 0.0 and d[1] == 0.0:
+            continue  # duplicate clip vertex: degenerate edge is a no-op
+        s = d[0] * (pts[:, 1] - a[1]) - d[1] * (pts[:, 0] - a[0])
+        inside = s >= 0
+        out = []
+        n = len(pts)
+        for j in range(n):
+            k = (j + 1) % n
+            if inside[j]:
+                out.append(pts[j])
+                if not inside[k]:
+                    t = s[j] / (s[j] - s[k])
+                    out.append(pts[j] + t * (pts[k] - pts[j]))
+            elif inside[k]:
+                t = s[j] / (s[j] - s[k])
+                out.append(pts[j] + t * (pts[k] - pts[j]))
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    return pts
+
+
+def triangulate_ring(ring: Ring) -> list:
+    """Ear-clipping triangulation of a simple ring -> list of (3, 2)
+    arrays partitioning its interior. O(n^2); raises ValueError when no
+    ear exists (self-intersecting input)."""
+    pts = _ring_ccw(_ring_open(ring))
+    n = len(pts)
+    if n < 3:
+        return []
+    scale = float(np.abs(pts).max()) or 1.0
+    eps = (scale * scale) * 1e-15
+    idx = list(range(n))
+    tris = []
+    while len(idx) > 3:
+        found = False
+        for pos in range(len(idx)):
+            ip, ic, inx = idx[pos - 1], idx[pos], idx[(pos + 1) % len(idx)]
+            a, b, c = pts[ip], pts[ic], pts[inx]
+            cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+            if cross <= eps:
+                if abs(cross) <= eps:
+                    # collinear ear: zero area, safe to drop the vertex
+                    idx.pop(pos)
+                    found = True
+                    break
+                continue  # reflex
+            # ear is valid when no OTHER remaining vertex lies in the
+            # closed triangle (on-boundary blocks too: stay conservative)
+            ok = True
+            for other in idx:
+                if other in (ip, ic, inx):
+                    continue
+                p = pts[other]
+                d1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                d2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
+                d3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
+                if d1 >= -eps and d2 >= -eps and d3 >= -eps:
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([a, b, c]))
+                idx.pop(pos)
+                found = True
+                break
+        if not found:
+            raise ValueError(
+                "triangulate_ring: no ear found — ring is not simple "
+                "(self-intersecting); the boolean kernel requires simple rings"
+            )
+    a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
+    if abs((b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])) > eps:
+        tris.append(np.array([a, b, c]))
+    return tris
+
+
+def intersect_polygons(subject: Polygon, clip: Polygon) -> MultiPolygon:
+    """subject ∩ clip as geometry (list of polygons, subject holes
+    preserved). ``clip`` must be hole-free (outer ring only) — pass the
+    hole-free side as the clip; :func:`intersect_multipolygons` does that
+    swap automatically. Convex clip -> one dissolved piece; non-convex ->
+    triangle fragments with exact summed area."""
+    if len(clip) > 1:
+        raise ValueError(
+            "clip polygon has holes: general x general with holes on BOTH "
+            "sides is unsupported (put the hole-free layer on the clip side)"
+        )
+    if not subject or not len(subject[0]):
+        return []
+    couter = _ring_open(np.asarray(clip[0], dtype=np.float64))
+    if len(couter) < 3:
+        return []
+    scale = max(float(np.abs(couter).max()), 1.0)
+    area_eps = (scale * scale) * 1e-18
+    if ring_is_convex(couter):
+        windows = [couter]
+    else:
+        windows = triangulate_ring(couter)
+    out: MultiPolygon = []
+    for w in windows:
+        outer = clip_ring_to_convex(subject[0], w)
+        if len(outer) < 3:
+            continue
+        rings = [outer]
+        for hole in subject[1:]:
+            h = clip_ring_to_convex(hole, w)
+            if len(h) >= 3:
+                rings.append(h)
+        if abs(polygon_area(rings)) > area_eps:
+            out.append(rings)
+    return out
+
+
+def intersect_multipolygons(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
+    """a ∩ b as geometry: pairwise polygon intersections concatenated
+    (valid because each side's polygons have disjoint interiors). The
+    hole-free side of each pair is used as the clip window; two holey
+    polygons raise (documented kernel limit)."""
+    out: MultiPolygon = []
+    for pa in a:
+        if not len(pa):
+            continue
+        for pb in b:
+            if not len(pb):
+                continue
+            if len(pb) == 1:
+                out.extend(intersect_polygons(pa, pb))
+            elif len(pa) == 1:
+                out.extend(intersect_polygons(pb, pa))
+            else:
+                raise ValueError(
+                    "intersect_multipolygons: both polygons carry holes — "
+                    "unsupported (dissolve one side's holes first)"
+                )
+    return out
+
+
+def union_blocks(
+    geoms: list, tol: float = 1e-4, max_blocks: int = 2_000_000
+) -> tuple[list, list]:
+    """Quadtree block decomposition of the unary union (the GEOMETRY form
+    of :func:`union_area`, reference base.py:486-527 which returns the
+    union polygon via GEOS): ``(inside, boundary)`` rect lists where every
+    ``inside`` block lies fully in the union, ``inside + boundary`` covers
+    it, and the boundary blocks' total area <= tol x bbox_area — so
+    area(inside) and area(inside)+area(boundary) are exact lower/upper
+    geometric envelopes. Axis-aligned inputs on dyadic coordinates decide
+    exactly (boundary empties out)."""
+    if not geoms:
+        return [], []
+    boxes = [multipolygon_bbox(mp) for mp in geoms]
+    xmin = min(b[0] for b in boxes); ymin = min(b[1] for b in boxes)
+    xmax = max(b[2] for b in boxes); ymax = max(b[3] for b in boxes)
+    bbox_area = (xmax - xmin) * (ymax - ymin)
+    if bbox_area <= 0:
+        return [], []
+    inside: list = []
+    blocks = 0
+
+    def classify(bx0, by0, bx1, by1):
+        nonlocal blocks
+        blocks += 1
+        if blocks > max_blocks:
+            raise RuntimeError(
+                f"union_blocks: exceeded {max_blocks} blocks at tol={tol}; "
+                "raise tol or max_blocks"
+            )
+        rect = (bx1 - bx0) * (by1 - by0)
+        any_part = False
+        for mp, bb in zip(geoms, boxes):
+            if bb[2] <= bx0 or bb[0] >= bx1 or bb[3] <= by0 or bb[1] >= by1:
+                continue
+            a = multipolygon_clip_area(mp, bx0, by0, bx1, by1)
+            if a >= rect * (1.0 - 1e-9):
+                return "in"
+            if a > rect * 1e-12:
+                any_part = True
+        return "split" if any_part else "out"
+
+    leaves = [(xmin, ymin, xmax, ymax)]
+    while True:
+        nxt = []
+        for bx0, by0, bx1, by1 in leaves:
+            state = classify(bx0, by0, bx1, by1)
+            if state == "in":
+                inside.append((bx0, by0, bx1, by1))
+            elif state == "split":
+                nxt.append((bx0, by0, bx1, by1))
+        leaves = nxt
+        pending = sum((b[2] - b[0]) * (b[3] - b[1]) for b in leaves)
+        if not leaves or pending <= tol * bbox_area:
+            return inside, leaves
+        leaves = [
+            q
+            for bx0, by0, bx1, by1 in leaves
+            for mx, my in [((bx0 + bx1) / 2.0, (by0 + by1) / 2.0)]
+            for q in (
+                (bx0, by0, mx, my), (mx, by0, bx1, my),
+                (bx0, my, mx, by1), (mx, my, bx1, by1),
+            )
+        ]
+
+
+def union_geometry(
+    geoms: list, tol: float = 1e-4, cover: str = "inner", max_blocks: int = 2_000_000
+) -> MultiPolygon:
+    """Unary-union GEOMETRY as a multipolygon of quadtree blocks.
+    ``cover='inner'`` is contained in the exact union (area within
+    tol x bbox_area below it); ``'outer'`` contains it (same bound above).
+    Block decomposition, not a dissolved outline — the exact area /
+    membership forms (:func:`union_area`, :func:`points_in_union`) remain
+    the precision tools; this is the mappable/paintable form."""
+    if cover not in ("inner", "outer"):
+        raise ValueError(f"cover must be 'inner' or 'outer', got {cover!r}")
+    inside, boundary = union_blocks(geoms, tol, max_blocks)
+    rects = inside if cover == "inner" else inside + boundary
+    return [
+        [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)]
+        for x0, y0, x1, y1 in rects
+    ]

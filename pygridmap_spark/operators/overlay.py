@@ -672,6 +672,188 @@ def grid_overlay_polygons_distributed(
     return out.drop("__n_pieces__")
 
 
+def _poly_meta(polygons: DataFrame, poly_key: str, geometry_col: str, out_prefix: str) -> DataFrame:
+    """(key, area, bbox) per polygon via one Arrow decode pass — the shared
+    first stage of every distributed vector-layer plan (empty geometries
+    dropped here, excluded everywhere downstream)."""
+    key_type = dict(polygons.dtypes)[poly_key]
+    schema = (
+        f"{poly_key} {key_type}, {out_prefix}area double, "
+        f"{out_prefix}xmin double, {out_prefix}ymin double, "
+        f"{out_prefix}xmax double, {out_prefix}ymax double"
+    )
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            cols = {
+                poly_key: batch[poly_key].to_numpy(),
+                f"{out_prefix}area": np.empty(len(batch)),
+                f"{out_prefix}xmin": np.empty(len(batch)),
+                f"{out_prefix}ymin": np.empty(len(batch)),
+                f"{out_prefix}xmax": np.empty(len(batch)),
+                f"{out_prefix}ymax": np.empty(len(batch)),
+            }
+            keep = np.ones(len(batch), dtype=bool)
+            for i, buf in enumerate(batch[geometry_col]):
+                mp = wkb.decode_multipolygon(bytes(buf))
+                if not mp or not any(len(p) for p in mp):
+                    keep[i] = False
+                    continue
+                cols[f"{out_prefix}area"][i] = G.multipolygon_area(mp)
+                (
+                    cols[f"{out_prefix}xmin"][i],
+                    cols[f"{out_prefix}ymin"][i],
+                    cols[f"{out_prefix}xmax"][i],
+                    cols[f"{out_prefix}ymax"][i],
+                ) = G.multipolygon_bbox(mp)
+            yield pd.DataFrame(cols)[keep]
+
+    return polygons.select(poly_key, geometry_col).mapInPandas(_meta, schema)
+
+
+def polygon_overlay_pieces(
+    left: DataFrame,
+    right: DataFrame,
+    columns: Sequence[str] = (),
+    left_key: str = "left_id",
+    right_key: str = "right_id",
+    geometry_col: str = "geometry",
+    cell: float | None = None,
+    emit_wkb: bool = False,
+) -> DataFrame:
+    """General polygon x polygon overlay — intersection pieces of two
+    ARBITRARY WKB polygon layers (reference overlay_polygon,
+    overlay.py:287-309), neither side required to be a grid nor to fit on
+    the driver.
+
+    Fully distributed plan (same shape as grid_overlay_polygons_distributed):
+
+    1. one Arrow meta pass per side (bbox + area; WKB stays put),
+    2. both sides explode their bbox cover cells on a SHARED index grid —
+       ids + bbox scalars only ride the replication,
+    3. equi-join on the cell key, bbox-overlap prefilter, pair dedup
+       (ids-only exchange), then each side's WKB joined back ONCE by id,
+    4. exact piece geometry per pair via the boolean kernel
+       (core.geometry.intersect_multipolygons): Sutherland-Hodgman against
+       convex clips, ear-clipped triangle windows for concave ones. Holes
+       allowed on either side, not both per pair (kernel contract).
+
+    Output: (left_key, right_key, piece_area, area_pct=piece/right_area,
+    *right columns[, geometry WKB when emit_wkb]). ``cell`` is the spatial
+    index pitch; None derives it from the mean right-side bbox span (one
+    tiny agg over the meta frame)."""
+    if left_key == right_key:
+        raise ValueError("left_key and right_key must differ (rename one side)")
+    CRS.check_layers_crs(left, right, geometry_col, geometry_col, context="polygon_overlay_pieces")
+    lmeta = _poly_meta(left, left_key, geometry_col, "_l")
+    rmeta = _poly_meta(right, right_key, geometry_col, "_r")
+    if cell is None:
+        row = rmeta.agg(
+            F.avg(F.col("_rxmax") - F.col("_rxmin")).alias("w"),
+            F.avg(F.col("_rymax") - F.col("_rymin")).alias("h"),
+        ).collect()[0]
+        if row["w"] is None:
+            raise ValueError("empty right layer: cannot derive index cell size")
+        cell = max(row["w"], row["h"], 1e-12)
+    eps = 1e-12
+
+    def _cover(meta: DataFrame, key: str, p: str) -> DataFrame:
+        return meta.withColumn(
+            "_gix",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{p}xmin") / cell).cast("long"),
+                    F.floor((F.col(f"{p}xmax") - eps) / cell).cast("long"),
+                )
+            ),
+        ).withColumn(
+            "_giy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{p}ymin") / cell).cast("long"),
+                    F.floor((F.col(f"{p}ymax") - eps) / cell).cast("long"),
+                )
+            ),
+        )
+
+    lc = _cover(lmeta, left_key, "_l")
+    rc = _cover(rmeta, right_key, "_r").drop("_rarea")
+    pairs = (
+        lc.join(rc, ["_gix", "_giy"])
+        # bbox prefilter BEFORE the pair-dedup exchange
+        .filter(
+            (F.col("_lxmin") < F.col("_rxmax")) & (F.col("_lxmax") > F.col("_rxmin"))
+            & (F.col("_lymin") < F.col("_rymax")) & (F.col("_lymax") > F.col("_rymin"))
+        )
+        .select(left_key, right_key)
+        .dropDuplicates([left_key, right_key])
+    )
+    # WKB fetched once per side by id — never rides the cover replication
+    pairs = pairs.join(
+        left.select(left_key, F.col(geometry_col).alias("_lwkb")), left_key
+    ).join(
+        right.select(right_key, F.col(geometry_col).alias("_rwkb")), right_key
+    )
+
+    key_types = dict(left.dtypes) | dict(right.dtypes)
+    geom_field = ", geometry binary" if emit_wkb else ""
+    out_schema = (
+        f"{left_key} {key_types[left_key]}, {right_key} {key_types[right_key]}, "
+        f"piece_area double, right_area double{geom_field}"
+    )
+
+    def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lcache: dict = {}
+        rcache: dict = {}
+
+        def get(cache, key, buf):
+            mp = cache.get(key)
+            if mp is None:
+                mp = wkb.decode_multipolygon(bytes(buf))
+                if len(cache) < 4096:
+                    cache[key] = mp
+            return mp
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            lk = batch[left_key].to_numpy()
+            rk = batch[right_key].to_numpy()
+            areas = np.empty(len(batch))
+            rareas = np.empty(len(batch))
+            geoms_out = [None] * len(batch) if emit_wkb else None
+            for i in range(len(batch)):
+                a = get(lcache, lk[i], batch["_lwkb"].iloc[i])
+                b = get(rcache, rk[i], batch["_rwkb"].iloc[i])
+                pieces = G.intersect_multipolygons(a, b)
+                areas[i] = G.multipolygon_area(pieces)
+                rareas[i] = G.multipolygon_area(b)
+                if emit_wkb and pieces:
+                    geoms_out[i] = wkb.encode_multipolygon(pieces)
+            out = pd.DataFrame({left_key: lk, right_key: rk})
+            out["piece_area"] = areas
+            out["right_area"] = rareas
+            if emit_wkb:
+                out["geometry"] = pd.Series(geoms_out, index=out.index, dtype=object)
+            yield out[out["piece_area"] > 0]
+
+    pieces = pairs.mapInPandas(_clip, out_schema)
+    attrs = right.select(right_key, *columns)
+    return (
+        pieces.join(attrs, right_key)
+        .withColumn(
+            "area_pct",
+            F.when(F.col("right_area") > 0, F.col("piece_area") / F.col("right_area")),
+        )
+        .select(
+            left_key, right_key, "piece_area", "area_pct", *columns,
+            *(["geometry"] if emit_wkb else []),
+        )
+    )
+
+
 def area_interpolate(
     spark: SparkSession,
     source_polygons: DataFrame,

@@ -149,3 +149,49 @@ def test_union_intersection_membership_exact():
     py = np.array([1.5, 2.5, 0.5, 5.0])
     assert G.points_in_union(px, py, [A, B]).tolist() == [True, True, True, False]
     assert G.points_in_intersection(px, py, [A, B]).tolist() == [True, False, False, False]
+
+
+def test_union_geometry_blocks():
+    """A12 geometry form (round 3): inner/outer quadtree covers bound the
+    exact union geometrically and by area; dyadic rect inputs are exact."""
+    import numpy as np
+
+    from pygridmap_spark.core import geometry as G
+    from pygridmap_spark.core import wkb
+
+    sq = lambda x0, y0, s: [[np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]])]]  # noqa: E731
+    # dyadic-aligned rects: decided exactly, boundary empties out
+    a, b = sq(0.0, 0.0, 2.0), sq(1.0, 0.0, 2.0)  # 2x2 + 2x2 - 1x2 overlap = 6
+    inside, boundary = G.union_blocks([a, b], 1e-6)
+    got = sum((r[2] - r[0]) * (r[3] - r[1]) for r in inside)
+    assert got == pytest.approx(6.0, rel=1e-12)
+    assert boundary == []
+    # irregular union: inner <= exact <= outer, both within tol*bbox_area
+    rng = np.random.default_rng(9)
+    polys = []
+    for i in range(2):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 7))
+        r = rng.uniform(0.5, 1.2, 7)
+        ring = np.c_[np.cos(ang) * r + i, np.sin(ang) * r + 0.3 * i]
+        polys.append([[ring]])  # multipolygon with one 1-ring polygon
+    exact = G.union_area(polys, tol=1e-4)
+    tol = 3e-3
+    inner = G.union_geometry(polys, tol=tol, cover="inner")
+    outer = G.union_geometry(polys, tol=tol, cover="outer")
+    ai, ao = G.multipolygon_area(inner), G.multipolygon_area(outer)
+    bbox = G.multipolygon_bbox([p for mp in polys for p in mp])
+    bbox_area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
+    slack = tol * bbox_area
+    ref_err = 1e-4 * bbox_area  # exact itself carries its own tol
+    assert ai <= exact + ref_err and exact <= ao + ref_err
+    assert exact - ai <= slack + ref_err and ao - exact <= slack + ref_err
+    # inner blocks are genuinely inside: sampled points are union members
+    px, py = [], []
+    for poly in inner[:50]:
+        ring = poly[0]
+        px.append(ring[:, 0].mean())
+        py.append(ring[:, 1].mean())
+    assert G.points_in_union(np.array(px), np.array(py), polys).all()
+    # the geometry round-trips through WKB
+    buf = wkb.encode_multipolygon(inner)
+    assert G.multipolygon_area(wkb.decode_multipolygon(buf)) == pytest.approx(ai, rel=1e-12)

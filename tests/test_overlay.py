@@ -251,3 +251,101 @@ def test_piece_geometry_union_full(spark, grid):
 def test_emit_wkb_requires_rule_none(spark, grid):
     with pytest.raises(ValueError, match="rule=None"):
         OV.grid_overlay_rects(grid, grid, ["val"], rule="sum", emit_wkb=True)
+
+
+# ---------------------------------------------------------------------------
+# general polygon x polygon overlay (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _rects_as_polys(spark, grid_df, key_name):
+    import pandas as pd
+
+    rows = grid_df.select("cell_id", "x", "y", "xmax", "ymax").collect()
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                key_name: [r["cell_id"] for r in rows],
+                "geometry": [
+                    wkb.encode_box(r["x"], r["y"], r["xmax"], r["ymax"]) for r in rows
+                ],
+            }
+        )
+    )
+
+
+def test_polygon_overlay_pieces_matches_grid_path(spark, grid):
+    """poly x poly overlay on a WKB-ified grid returns exactly the grid
+    path's pieces (same clip kernel reached through the general plan)."""
+    left = _rects_as_polys(spark, grid, "left_id")
+    polys = PG.synthetic_polygons(spark, n=6, bbox=BBOX, seed=11).withColumnRenamed(
+        "poly_id", "right_id"
+    )
+    gen = OV.polygon_overlay_pieces(left, polys, ["pop"])
+    ref = OV.grid_overlay_polygons(
+        spark, grid, polys.withColumnRenamed("right_id", "poly_id"), ["pop"], rule=None
+    )
+    a = {(r["left_id"], r["right_id"]): r["piece_area"] for r in gen.collect()}
+    b = {(r["cell_id"], r["poly_id"]): r["piece_area"] for r in ref.collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-9), k
+
+
+def test_polygon_overlay_pieces_nonrect_vs_quadtree(spark):
+    """Non-rect x non-rect pairs: fragment-summed piece areas agree with
+    the quadtree-refined intersection_area bounds (the round-2 A13 oracle
+    machinery) pair by pair."""
+    la = PG.synthetic_polygons(spark, n=4, bbox=(0, 0, 1000.0, 1000.0), seed=21,
+                               with_hole=False, with_multi=False).withColumnRenamed("poly_id", "left_id")
+    rb = PG.synthetic_polygons(spark, n=4, bbox=(0, 0, 1000.0, 1000.0), seed=22,
+                               with_hole=False, with_multi=False).withColumnRenamed("poly_id", "right_id")
+    out = OV.polygon_overlay_pieces(la, rb, ["pop"], emit_wkb=True).collect()
+    assert len(out) > 0
+    ga = {r["left_id"]: wkb.decode_multipolygon(bytes(r["geometry"])) for r in la.collect()}
+    gb = {r["right_id"]: wkb.decode_multipolygon(bytes(r["geometry"])) for r in rb.collect()}
+    for r in out:
+        want = G.intersection_area([ga[r["left_id"]], gb[r["right_id"]]], tol=1e-6)
+        assert r["piece_area"] == pytest.approx(want, rel=1e-4, abs=1e-3), (
+            r["left_id"], r["right_id"])
+        # emitted piece geometry carries exactly the piece area
+        mp = wkb.decode_multipolygon(bytes(r["geometry"]))
+        assert G.multipolygon_area(mp) == pytest.approx(r["piece_area"], rel=1e-12)
+    # completeness: every overlapping pair (per quadtree area) is present
+    got_pairs = {(r["left_id"], r["right_id"]) for r in out}
+    for i, ma in ga.items():
+        for j, mb in gb.items():
+            if G.intersection_area([ma, mb], tol=1e-6) > 1.0:
+                assert (i, j) in got_pairs
+
+
+def test_polygon_overlay_pieces_concave_and_holes(spark):
+    """Concave (ear-clipped) right side + holey left side: closed-form
+    checks. L = [0,2]x[0,1] ∪ [0,1]x[1,2]; subject square-with-hole."""
+    import numpy as np
+    import pandas as pd
+
+    L = [np.array([[0.0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]])]
+    holey = [
+        np.array([[0.0, 0], [4, 0], [4, 4], [0, 4]]),
+        np.array([[1.0, 1], [1, 3], [3, 3], [3, 1]]),  # CW hole
+    ]
+    left = spark.createDataFrame(
+        pd.DataFrame({"left_id": [0], "geometry": [wkb.encode_multipolygon([holey])]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"right_id": [0], "geometry": [wkb.encode_multipolygon([L])]})
+    )
+    out = OV.polygon_overlay_pieces(left, right, emit_wkb=True).collect()
+    assert len(out) == 1
+    # L area 3; hole misses L entirely -> piece = 3; pct = 3/3 = 1
+    assert out[0]["piece_area"] == pytest.approx(3.0, rel=1e-12)
+    assert out[0]["area_pct"] == pytest.approx(1.0, rel=1e-12)
+    mp = wkb.decode_multipolygon(bytes(out[0]["geometry"]))
+    assert G.multipolygon_area(mp) == pytest.approx(3.0, rel=1e-12)
+    # same key name on both sides is an explicit error
+    with pytest.raises(ValueError, match="must differ"):
+        OV.polygon_overlay_pieces(
+            left, right.withColumnRenamed("right_id", "left_id"),
+            left_key="left_id", right_key="left_id",
+        )
