@@ -99,6 +99,83 @@ def checkpoint(
     return written
 
 
+def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
+    """True when the Iceberg Spark runtime is on the classpath AND a
+    catalog is configured. The engine's checkpoint layer maps 1:1 onto
+    Iceberg concepts — manifest == snapshot summary, ``inputs``/``stage``
+    == snapshot properties, partition metrics == partition-level
+    ``files`` metadata — so the Iceberg path is a thin writeTo binding,
+    not a redesign."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        return False
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    return impl is not None
+
+
+def checkpoint_table(
+    df: DataFrame,
+    table: str,
+    stage: str,
+    partition_cols: Sequence[str] = (),
+    inputs: Sequence[str] = (),
+    force: bool = False,
+    catalog: str = "spark_catalog",
+) -> DataFrame:
+    """Iceberg-table form of :func:`checkpoint` (north star names Iceberg
+    explicitly): write the stage output with ``writeTo(table)`` using the
+    Iceberg source, record stage identity + lineage inputs as TABLE
+    PROPERTIES, and resume by reading the table back when the recorded
+    stage/inputs match — snapshot-based restart instead of the parquet
+    manifest file. Per-partition row/hash metrics stay in a
+    ``<stage>.lineage`` property (same JSON the parquet path writes).
+
+    Requires the Iceberg Spark runtime (iceberg-spark-runtime jar + a
+    configured catalog); this container ships none, so the capability is
+    gated by :func:`iceberg_available` and exercised here only up to the
+    clear-error contract (tested); the parquet path carries the
+    functional coverage — identical manifest semantics, different
+    storage binding."""
+    spark = df.sparkSession
+    if not iceberg_available(spark, catalog):
+        raise RuntimeError(
+            "Iceberg runtime not available: add iceberg-spark-runtime to "
+            "spark.jars.packages and configure "
+            f"spark.sql.catalog.{catalog}=org.apache.iceberg.spark.SparkCatalog "
+            "(+ its warehouse); or use plans.lineage.checkpoint(path, ...) "
+            "for the parquet-manifest form with identical resume semantics"
+        )
+    props = {
+        "pygridmap.stage": stage,
+        "pygridmap.inputs": json.dumps(list(inputs)),
+        "pygridmap.partition_cols": json.dumps(list(partition_cols)),
+    }
+    if not force:
+        try:
+            existing = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+            }
+            if all(existing.get(k) == v for k, v in props.items()) and existing.get(
+                "pygridmap.complete"
+            ) == "true":
+                return spark.read.table(table)
+        except Exception:
+            pass  # table absent: fall through to the write
+    writer = df.writeTo(table).using("iceberg")
+    for c in partition_cols:
+        writer = writer.partitionedBy(F.col(c))
+    writer.createOrReplace()
+    written = spark.read.table(table)
+    metrics = _partition_metrics(written, partition_cols)
+    props["pygridmap.lineage"] = json.dumps(metrics)
+    props["pygridmap.complete"] = "true"
+    sets = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({sets})")
+    return written
+
+
 def read_manifest(path: str, spark: SparkSession | None = None) -> dict:
     spark = spark or SparkSession.getActiveSession()
     if spark is None:

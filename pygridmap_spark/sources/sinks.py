@@ -41,9 +41,10 @@ def write_tiles(
     """Write df (already carrying xt/yt) as a tile tree; returns the
     info.json dict (also written to ``output_folder/info.json``).
 
-    The tiling bounds come from the written partition directory names — a
-    metadata-only listing — so the upstream pipeline executes exactly once
-    (an up-front min/max aggregation would be a second full job).
+    The tiling bounds come from a columnar min/max over the WRITTEN tree's
+    xt/yt partition columns — partition-value discovery only, no row data
+    — so the upstream pipeline still executes exactly once and no
+    O(#dirs^2) recursive listing ever hits the object store.
 
     ``coarsen=k`` partitions by super-tiles ``(xt >> k, yt >> k)`` with the
     rows sorted by (xt, yt) inside each file — the escape hatch for sparse

@@ -195,3 +195,15 @@ def test_zonal_stats_rect_polygons(spark):
     for pid in vals:
         assert dist[pid]["band1_sum"] == out[pid]["band1_sum"]
         assert dist[pid]["band1_count"] == out[pid]["band1_count"]
+
+
+def test_checkpoint_table_iceberg_gate(spark):
+    """checkpoint_table: honest capability gate — without the Iceberg
+    runtime it raises the setup-guidance error instead of writing a
+    half-table; with it, the parquet manifest semantics map onto snapshot
+    properties (same resume predicate, documented)."""
+    import pytest as _pytest
+
+    assert lineage.iceberg_available(spark) is False  # none ships in-container
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        lineage.checkpoint_table(spark.range(5), "ck.t1", stage="s1")
