@@ -779,7 +779,7 @@ def polygon_overlay_pieces(
         )
 
     lc = _cover(lmeta, left_key, "_l")
-    rc = _cover(rmeta, right_key, "_r").drop("_rarea")
+    rc = _cover(rmeta, right_key, "_r")
     pairs = (
         lc.join(rc, ["_gix", "_giy"])
         # bbox prefilter BEFORE the pair-dedup exchange
@@ -787,7 +787,10 @@ def polygon_overlay_pieces(
             (F.col("_lxmin") < F.col("_rxmax")) & (F.col("_lxmax") > F.col("_rxmin"))
             & (F.col("_lymin") < F.col("_rymax")) & (F.col("_lymax") > F.col("_rymin"))
         )
-        .select(left_key, right_key)
+        # _rarea rides along (functionally dependent on right_key): the
+        # meta pass already paid the shoelace, the clip kernel must not
+        # re-pay it once per PAIR
+        .select(left_key, right_key, "_rarea")
         .dropDuplicates([left_key, right_key])
     )
     # WKB fetched once per side by id — never rides the cover replication
@@ -822,19 +825,17 @@ def polygon_overlay_pieces(
             lk = batch[left_key].to_numpy()
             rk = batch[right_key].to_numpy()
             areas = np.empty(len(batch))
-            rareas = np.empty(len(batch))
             geoms_out = [None] * len(batch) if emit_wkb else None
             for i in range(len(batch)):
                 a = get(lcache, lk[i], batch["_lwkb"].iloc[i])
                 b = get(rcache, rk[i], batch["_rwkb"].iloc[i])
                 pieces = G.intersect_multipolygons(a, b)
                 areas[i] = G.multipolygon_area(pieces)
-                rareas[i] = G.multipolygon_area(b)
                 if emit_wkb and pieces:
                     geoms_out[i] = wkb.encode_multipolygon(pieces)
             out = pd.DataFrame({left_key: lk, right_key: rk})
             out["piece_area"] = areas
-            out["right_area"] = rareas
+            out["right_area"] = batch["_rarea"].to_numpy()
             if emit_wkb:
                 out["geometry"] = pd.Series(geoms_out, index=out.index, dtype=object)
             yield out[out["piece_area"] > 0]
