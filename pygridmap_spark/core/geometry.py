@@ -600,28 +600,37 @@ def triangulate_ring(ring: Ring) -> list:
     return tris
 
 
-def intersect_polygons(subject: Polygon, clip: Polygon) -> MultiPolygon:
-    """subject ∩ clip as geometry (list of polygons, subject holes
-    preserved). ``clip`` must be hole-free (outer ring only) — pass the
-    hole-free side as the clip; :func:`intersect_multipolygons` does that
-    swap automatically. Convex clip -> one dissolved piece; non-convex ->
-    triangle fragments with exact summed area."""
+def clip_windows(clip: Polygon) -> list:
+    """Convex clip windows of a hole-free polygon: the (open) outer ring
+    itself when convex, else its ear-clipping triangles. Precompute and
+    cache this per polygon when the same clip participates in many pairs —
+    ear clipping is O(n^2) and must not be re-paid per pair."""
     if len(clip) > 1:
         raise ValueError(
             "clip polygon has holes: general x general with holes on BOTH "
             "sides is unsupported (put the hole-free layer on the clip side)"
         )
-    if not subject or not len(subject[0]):
-        return []
     couter = _ring_open(np.asarray(clip[0], dtype=np.float64))
     if len(couter) < 3:
         return []
+    return [couter] if ring_is_convex(couter) else triangulate_ring(couter)
+
+
+def intersect_polygons(subject: Polygon, clip: Polygon, windows: list | None = None) -> MultiPolygon:
+    """subject ∩ clip as geometry (list of polygons, subject holes
+    preserved). ``clip`` must be hole-free (outer ring only) — pass the
+    hole-free side as the clip; :func:`intersect_multipolygons` does that
+    swap automatically. Convex clip -> one dissolved piece; non-convex ->
+    triangle fragments with exact summed area. ``windows`` short-circuits
+    the convexity test / triangulation with a precomputed
+    :func:`clip_windows` result."""
+    if windows is None:
+        windows = clip_windows(clip)
+    if not windows or not subject or not len(subject[0]):
+        return []
+    couter = _ring_open(np.asarray(clip[0], dtype=np.float64))
     scale = max(float(np.abs(couter).max()), 1.0)
     area_eps = (scale * scale) * 1e-18
-    if ring_is_convex(couter):
-        windows = [couter]
-    else:
-        windows = triangulate_ring(couter)
     out: MultiPolygon = []
     for w in windows:
         outer = clip_ring_to_convex(subject[0], w)
@@ -637,22 +646,46 @@ def intersect_polygons(subject: Polygon, clip: Polygon) -> MultiPolygon:
     return out
 
 
-def intersect_multipolygons(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
+def intersect_multipolygons(
+    a: MultiPolygon,
+    b: MultiPolygon,
+    windows_cache: dict | None = None,
+    a_key=None,
+    b_key=None,
+) -> MultiPolygon:
     """a ∩ b as geometry: pairwise polygon intersections concatenated
     (valid because each side's polygons have disjoint interiors). The
     hole-free side of each pair is used as the clip window; two holey
-    polygons raise (documented kernel limit)."""
+    polygons raise (documented kernel limit).
+
+    ``windows_cache`` (any dict) with ``a_key``/``b_key`` memoizes
+    :func:`clip_windows` per (side, key, polygon-index) — essential when
+    the same concave polygon participates in many candidate pairs (the
+    overlay operator's situation): triangulation runs once per polygon,
+    not once per pair."""
+
+    def windows(poly, side, key, idx):
+        if windows_cache is None or key is None:
+            return clip_windows(poly)
+        ck = (side, key, idx)
+        w = windows_cache.get(ck)
+        if w is None:
+            w = clip_windows(poly)
+            if len(windows_cache) < 65536:
+                windows_cache[ck] = w
+        return w
+
     out: MultiPolygon = []
-    for pa in a:
+    for ia, pa in enumerate(a):
         if not len(pa):
             continue
-        for pb in b:
+        for ib, pb in enumerate(b):
             if not len(pb):
                 continue
             if len(pb) == 1:
-                out.extend(intersect_polygons(pa, pb))
+                out.extend(intersect_polygons(pa, pb, windows(pb, "b", b_key, ib)))
             elif len(pa) == 1:
-                out.extend(intersect_polygons(pb, pa))
+                out.extend(intersect_polygons(pb, pa, windows(pa, "a", a_key, ia)))
             else:
                 raise ValueError(
                     "intersect_multipolygons: both polygons carry holes — "

@@ -810,6 +810,9 @@ def polygon_overlay_pieces(
     def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lcache: dict = {}
         rcache: dict = {}
+        # ear-clipping a concave polygon is O(n^2): memoized per polygon,
+        # never re-paid per candidate pair
+        wcache: dict = {}
 
         def get(cache, key, buf):
             mp = cache.get(key)
@@ -829,7 +832,9 @@ def polygon_overlay_pieces(
             for i in range(len(batch)):
                 a = get(lcache, lk[i], batch["_lwkb"].iloc[i])
                 b = get(rcache, rk[i], batch["_rwkb"].iloc[i])
-                pieces = G.intersect_multipolygons(a, b)
+                pieces = G.intersect_multipolygons(
+                    a, b, windows_cache=wcache, a_key=("L", lk[i]), b_key=("R", rk[i])
+                )
                 areas[i] = G.multipolygon_area(pieces)
                 if emit_wkb and pieces:
                     geoms_out[i] = wkb.encode_multipolygon(pieces)

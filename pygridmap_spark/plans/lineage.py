@@ -164,8 +164,10 @@ def checkpoint_table(
         except Exception:
             pass  # table absent: fall through to the write
     writer = df.writeTo(table).using("iceberg")
-    for c in partition_cols:
-        writer = writer.partitionedBy(F.col(c))
+    if partition_cols:
+        # one call with every column: repeated partitionedBy calls REPLACE
+        # the previous spec rather than appending
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
     writer.createOrReplace()
     written = spark.read.table(table)
     metrics = _partition_metrics(written, partition_cols)
