@@ -597,6 +597,18 @@ def triangulate_ring(ring: Ring) -> list:
     a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
     if abs((b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])) > eps:
         tris.append(np.array([a, b, c]))
+    # self-check: ear triangles must partition the ring's interior, so
+    # their areas sum to the shoelace area. A non-simple (bowtie) ring can
+    # slip past the per-ear tests but not past this — fail loudly instead
+    # of returning a triangulation of some OTHER region (hypothesis found
+    # the silent variant).
+    ring_area = abs(ring_signed_area(np.vstack([pts, pts[:1]])))
+    tri_area = sum(abs(ring_signed_area(np.vstack([t, t[:1]]))) for t in tris)
+    if abs(tri_area - ring_area) > 1e-9 * max(ring_area, eps, 1e-300) + eps * len(pts):
+        raise ValueError(
+            "triangulate_ring: triangle areas disagree with the shoelace "
+            f"area ({tri_area} vs {ring_area}) — ring is not simple"
+        )
     return tris
 
 

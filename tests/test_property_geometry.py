@@ -199,3 +199,103 @@ def test_union_membership_consistent_with_area_decomposition(rects):
     )
     got = G.points_in_union(px, py, geoms)
     assert (got == want).all()
+
+
+@st.composite
+def simple_star_polygons(draw):
+    """Random star-shaped (hence simple, generally CONCAVE) ring. Evenly
+    spaced base angles + jitter < half the spacing keep every angular gap
+    < pi, which puts the center in the polygon's kernel — the construction
+    that GUARANTEES simplicity (free angles around an exterior center can
+    produce bowties; hypothesis found exactly that in the first version of
+    this strategy)."""
+    cx = draw(st.floats(-100.0, 100.0))
+    cy = draw(st.floats(-100.0, 100.0))
+    n = draw(st.integers(4, 12))
+    spacing = 2 * math.pi / n
+    jitter = draw(
+        st.lists(st.floats(-0.24, 0.24), min_size=n, max_size=n)
+    )
+    angles = [i * spacing + j * spacing for i, j in zip(range(n), jitter)]
+    radii = draw(st.lists(st.floats(1.0, 50.0), min_size=n, max_size=n))
+    ring = np.array(
+        [[cx + r * math.cos(a), cy + r * math.sin(a)] for a, r in zip(angles, radii)]
+    )
+    return ring
+
+
+@given(simple_star_polygons())
+@settings(max_examples=60, deadline=None)
+def test_triangulation_partitions_simple_ring(ring):
+    """Ear-clipping triangles of any simple ring sum exactly to its area
+    (they partition the interior)."""
+    area = abs(G.ring_signed_area(np.vstack([ring, ring[:1]])))
+    tris = G.triangulate_ring(ring)
+    tri_area = sum(abs(G.ring_signed_area(np.vstack([t, t[:1]]))) for t in tris)
+    assert tri_area == min(tri_area, area + 1e-6 * max(area, 1.0))
+    assert abs(tri_area - area) <= 1e-6 * max(area, 1.0)
+
+
+@given(simple_star_polygons(), simple_star_polygons())
+@settings(max_examples=25, deadline=None)
+def test_general_intersection_bounded_and_symmetric(a, b):
+    """subject ∩ clip through the boolean kernel: area within [0,
+    min(area_a, area_b)], symmetric in argument order, and consistent
+    with the quadtree intersection_area bounds."""
+    pa = abs(G.ring_signed_area(np.vstack([a, a[:1]])))
+    pb = abs(G.ring_signed_area(np.vstack([b, b[:1]])))
+    ab = G.multipolygon_area(G.intersect_multipolygons([[a]], [[b]]))
+    ba = G.multipolygon_area(G.intersect_multipolygons([[b]], [[a]]))
+    tol_abs = 1e-6 * max(pa, pb, 1.0)
+    assert -tol_abs <= ab <= min(pa, pb) + tol_abs
+    assert abs(ab - ba) <= tol_abs
+    if ab > tol_abs * 10:
+        qt = G.intersection_area([[[a]], [[b]]], tol=1e-3)
+        bbox_a = G.ring_bbox(a); bbox_b = G.ring_bbox(b)
+        ixmin = max(bbox_a[0], bbox_b[0]); iymin = max(bbox_a[1], bbox_b[1])
+        ixmax = min(bbox_a[2], bbox_b[2]); iymax = min(bbox_a[3], bbox_b[3])
+        slack = 1e-3 * max((ixmax - ixmin) * (iymax - iymin), 1.0) + tol_abs
+        assert abs(ab - qt) <= slack
+
+
+@given(simple_star_polygons(), st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_general_intersection_membership(a, seed):
+    """Random points agree: inside(subject ∩ clip pieces) == inside(a) AND
+    inside(b), sampled away from boundaries."""
+    rng = np.random.default_rng(seed)
+    # clip ring: a shifted copy of a (guaranteed same scale)
+    shift = np.array([rng.uniform(-20, 20), rng.uniform(-20, 20)])
+    b = a + shift
+    pieces = G.intersect_multipolygons([[a]], [[b]])
+    bbox = G.ring_bbox(a)
+    px = rng.uniform(bbox[0] - 10, bbox[2] + 10, 120)
+    py = rng.uniform(bbox[1] - 10, bbox[3] + 10, 120)
+    in_a = G.points_in_polygon(px, py, [a])
+    in_b = G.points_in_polygon(px, py, [b])
+    want = in_a & in_b
+    got = (
+        G.points_in_multipolygon(px, py, pieces)
+        if pieces
+        else np.zeros(len(px), dtype=bool)
+    )
+    diff = want != got
+    if diff.any():
+        # disagreements must hug piece boundaries (FP-eps ray-cast edges):
+        # every disagreeing point is within eps of some edge of a or b
+        for x, y in zip(px[diff], py[diff]):
+            d = _min_edge_distance(x, y, [a, b])
+            assert d < 1e-6, (x, y, d)
+
+
+def _min_edge_distance(x, y, rings):
+    best = np.inf
+    p = np.array([x, y])
+    for ring in rings:
+        pts = np.asarray(ring)
+        for i in range(len(pts)):
+            a0, b0 = pts[i], pts[(i + 1) % len(pts)]
+            ab = b0 - a0
+            t = np.clip(np.dot(p - a0, ab) / max(np.dot(ab, ab), 1e-300), 0, 1)
+            best = min(best, float(np.linalg.norm(a0 + t * ab - p)))
+    return best
