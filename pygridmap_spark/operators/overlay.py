@@ -722,11 +722,16 @@ def polygon_overlay_pieces(
     geometry_col: str = "geometry",
     cell: float | None = None,
     emit_wkb: bool = False,
+    how: str = "intersection",
 ) -> DataFrame:
     """General polygon x polygon overlay — intersection pieces of two
     ARBITRARY WKB polygon layers (reference overlay_polygon,
-    overlay.py:287-309), neither side required to be a grid nor to fit on
-    the driver.
+    overlay.py:287-309; its HOWS are exactly ['intersection', 'union']),
+    neither side required to be a grid nor to fit on the driver.
+    ``how='union_full'`` appends the gpd.overlay-union unmatched rows:
+    left polygons with no overlap (null right key/attrs) and right
+    polygons with no overlap (null left key), each carrying its ORIGINAL
+    geometry when ``emit_wkb``.
 
     Fully distributed plan (same shape as grid_overlay_polygons_distributed):
 
@@ -746,6 +751,8 @@ def polygon_overlay_pieces(
     tiny agg over the meta frame)."""
     if left_key == right_key:
         raise ValueError("left_key and right_key must differ (rename one side)")
+    if how not in ("intersection", "union_full"):
+        raise ValueError(f"how must be 'intersection' or 'union_full', got {how!r}")
     CRS.check_layers_crs(left, right, geometry_col, geometry_col, context="polygon_overlay_pieces")
     lmeta = _poly_meta(left, left_key, geometry_col, "_l")
     rmeta = _poly_meta(right, right_key, geometry_col, "_r")
@@ -847,17 +854,38 @@ def polygon_overlay_pieces(
 
     pieces = pairs.mapInPandas(_clip, out_schema)
     attrs = right.select(right_key, *columns)
-    return (
+    geom_cols = ["geometry"] if emit_wkb else []
+    out = (
         pieces.join(attrs, right_key)
         .withColumn(
             "area_pct",
             F.when(F.col("right_area") > 0, F.col("piece_area") / F.col("right_area")),
         )
-        .select(
-            left_key, right_key, "piece_area", "area_pct", *columns,
-            *(["geometry"] if emit_wkb else []),
-        )
+        .select(left_key, right_key, "piece_area", "area_pct", *columns, *geom_cols)
     )
+    if how == "union_full":
+        types = dict(out.dtypes)
+        nulls = [
+            F.lit(None).cast("double").alias("piece_area"),
+            F.lit(None).cast("double").alias("area_pct"),
+        ]
+        lgeom = [F.col(geometry_col).alias("geometry")] if emit_wkb else []
+        un_left = left.join(out.select(left_key).distinct(), left_key, "left_anti").select(
+            F.col(left_key),
+            F.lit(None).cast(types[right_key]).alias(right_key),
+            *nulls,
+            *[F.lit(None).cast(types[c]).alias(c) for c in columns],
+            *lgeom,
+        )
+        un_right = right.join(out.select(right_key).distinct(), right_key, "left_anti").select(
+            F.lit(None).cast(types[left_key]).alias(left_key),
+            F.col(right_key),
+            *nulls,
+            *columns,
+            *lgeom,
+        )
+        out = out.unionByName(un_left).unionByName(un_right)
+    return out
 
 
 def area_interpolate(

@@ -349,3 +349,34 @@ def test_polygon_overlay_pieces_concave_and_holes(spark):
             left, right.withColumnRenamed("right_id", "left_id"),
             left_key="left_id", right_key="left_id",
         )
+
+
+def test_polygon_overlay_pieces_union_full(spark):
+    """how='union_full' on the general overlay: unmatched polygons of BOTH
+    layers survive with null keys and their original geometry (reference
+    HOWS=['intersection','union'] parity for overlay_polygon)."""
+    import pandas as pd
+
+    mk = lambda key, vals: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(
+            {
+                key: [v[0] for v in vals],
+                "geometry": [wkb.encode_box(*v[1]) for v in vals],
+            }
+        )
+    )
+    left = mk("left_id", [(0, (0.0, 0.0, 2.0, 2.0)), (1, (10.0, 10.0, 12.0, 12.0))])
+    right = mk("right_id", [(0, (1.0, 1.0, 3.0, 3.0)), (1, (20.0, 20.0, 22.0, 22.0))])
+    out = OV.polygon_overlay_pieces(left, right, how="union_full", emit_wkb=True).collect()
+    by = {(r["left_id"], r["right_id"]): r for r in out}
+    assert set(by) == {(0, 0), (1, None), (None, 1)}
+    assert by[(0, 0)]["piece_area"] == pytest.approx(1.0)
+    # unmatched rows carry original geometry, null areas
+    un_l = by[(1, None)]
+    assert un_l["piece_area"] is None
+    mp = wkb.decode_multipolygon(bytes(un_l["geometry"]))
+    assert G.multipolygon_area(mp) == pytest.approx(4.0)
+    un_r = by[(None, 1)]
+    assert G.multipolygon_area(wkb.decode_multipolygon(bytes(un_r["geometry"]))) == pytest.approx(4.0)
+    with pytest.raises(ValueError, match="how must be"):
+        OV.polygon_overlay_pieces(left, right, how="bogus")
