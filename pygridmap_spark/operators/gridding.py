@@ -516,16 +516,9 @@ def _finalize(
     )
     if emit_wkb:
         # cell geometry is derivable; only materialize WKB when asked
-        from pyspark.sql.types import BinaryType
-        from pyspark.sql.functions import pandas_udf
+        from pygridmap_spark.util import box_wkb_udf
 
-        @pandas_udf(BinaryType())
-        def _box(x: pd.Series, y: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
-            return pd.Series(
-                [wkb.encode_box(a, b, c, d) for a, b, c, d in zip(x, y, x1, y1)]
-            )
-
-        df = df.withColumn("geometry", _box("__x__", "__y__", "xmax", "ymax"))
+        df = df.withColumn("geometry", box_wkb_udf()("__x__", "__y__", "xmax", "ymax"))
     # xypos anchors the REPORTED (__x__, __y__) coordinate inside the cell
     # (reference base.py:347-370 get_pos_location); xmax/ymax and geometry
     # stay the true cell bounds

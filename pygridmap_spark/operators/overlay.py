@@ -46,18 +46,10 @@ RULES = ("sum", "max", "min", "list", None)
 
 
 def _box_wkb_udf():
-    """pandas UDF encoding rect corners as WKB polygons (cell geometry)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BinaryType
+    """Shared rect-corners -> WKB encoder (see util.box_wkb_udf)."""
+    from pygridmap_spark.util import box_wkb_udf
 
-    @pandas_udf(BinaryType())
-    def _box(x: pd.Series, y: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
-        return pd.Series(
-            [wkb.encode_box(a, b, c, d) for a, b, c, d in zip(x, y, x1, y1)],
-            dtype=object,
-        )
-
-    return _box
+    return box_wkb_udf()
 
 
 def _check_emit_wkb(emit_wkb: bool, rule) -> None:

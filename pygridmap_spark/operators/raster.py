@@ -204,19 +204,29 @@ def zonal_stats(
             resolution = 1.0
         cells = with_cell_coords(cells, height, x0, y0, resolution)
     elif resolution is None:
-        from pyspark.sql import Window
+        import numpy as np
 
-        xs = cells.select(F.col("x").cast("double").alias("x")).distinct()
-        gap = xs.select(
-            (F.col("x") - F.lag("x").over(Window.orderBy("x"))).alias("d")
-        ).filter(F.col("d") > 0)
-        row = gap.agg(F.min("d").alias("d")).collect()[0]
-        if row["d"] is None:
+        # distinct x values are width-sized (10^5 at continental rasters):
+        # collect and diff driver-side — no global window, no Spark
+        # single-partition warning. CAVEAT: the min positive gap equals the
+        # true pixel pitch only when at least one pair of ADJACENT columns
+        # is present; a regularly decimated raster (only even columns)
+        # infers a multiple of the pitch — pass resolution= explicitly for
+        # subsampled/masked data.
+        xs = np.sort(
+            np.array(
+                [r[0] for r in cells.select(F.col("x").cast("double")).distinct().collect()],
+                dtype=np.float64,
+            )
+        )
+        gaps = np.diff(xs)
+        gaps = gaps[gaps > 0]
+        if not len(gaps):
             raise ValueError(
                 "cannot infer raster resolution (a single distinct x); "
                 "pass resolution= explicitly"
             )
-        resolution = float(row["d"])
+        resolution = float(gaps.min())
     centers = cells.withColumns(
         {
             "_cx": F.col("x") + F.lit(resolution / 2.0),

@@ -447,14 +447,19 @@ def cosine_topk_ivf_indexed(
     per-query refinement is the same broadcast probe equi-join as
     :func:`cosine_topk_ivf` — identical output for identical centroids
     (pinned in tests)."""
+    index = spark.read.parquet(path)
     qp = _probe_frame(queries, centroids, nprobe, query_id, vec_col)
     if qp is None:
         qid_type = dict(queries.dtypes)[query_id]
+        # corpus id type from the index itself — hardcoding long would give
+        # the empty frame a different schema than the non-empty path for
+        # string-id corpora
+        cid_type = dict(index.dtypes)[corpus_id]
         return spark.createDataFrame(
-            [], f"{query_id} {qid_type}, {corpus_id} long, cosine double, rank int"
+            [], f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double, rank int"
         )
     probed = sorted({r["ivf_list"] for r in qp.select("ivf_list").distinct().collect()})
-    c = spark.read.parquet(path).filter(F.col("ivf_list").isin(probed))
+    c = index.filter(F.col("ivf_list").isin(probed))
     return _score_probed(c, qp, k, corpus_id, query_id)
 
 

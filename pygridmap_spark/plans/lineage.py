@@ -173,7 +173,13 @@ def checkpoint_table(
     metrics = _partition_metrics(written, partition_cols)
     props["pygridmap.lineage"] = json.dumps(metrics)
     props["pygridmap.complete"] = "true"
-    sets = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    # '' -> SQL-escaped single quotes: string partition values (and hence
+    # the lineage JSON) may contain them; an unescaped quote would fail the
+    # ALTER AFTER the table write, leaving complete unset forever
+    sets = ", ".join(
+        "'{}'='{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+        for k, v in props.items()
+    )
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({sets})")
     return written
 

@@ -81,7 +81,15 @@ def stateful_url_dedup(
       time != arrival time) get a dedup window anchored to CRAWL time, so
       a backfill replayed at 100x speed dedups exactly as the live run
       would have. Requires a watermark on ``event_time_col`` — pass
-      ``watermark=` here or set ``withWatermark`` upstream."""
+      ``watermark=`` here or set ``withWatermark`` upstream.
+
+    Checkpoint compatibility: round 3 changed the state schema from
+    ``emitted boolean`` to ``last_event_ms long`` (the event clock needs
+    the last-seen event time). A streaming query restarted from a
+    checkpoint written by the old build fails with a state-schema
+    incompatibility — start a fresh checkpoint (the dedup window restarts;
+    downstream batch exact-dedup catches the overlap, same contract as a
+    TTL expiry)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -102,16 +110,27 @@ def stateful_url_dedup(
         seen = state.exists
         (last_ms,) = state.get if seen else (0,)
         chunks = [pdf for pdf in pdfs if len(pdf)]
+        merged = None
         if chunks:
             merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            batch_max_ms = int(merged[event_time_col].max().value // 1_000_000)
-            last_ms = max(last_ms, batch_max_ms)
+            if event_ttl:
+                # event-time extraction ONLY on the event clock: it demands
+                # a timestamp-typed column, and the other modes must not
+                # inherit that requirement (warc_ts as epoch-long/string
+                # sorts fine but has no .value)
+                ts_max = pd.to_datetime(merged[event_time_col]).dropna().max()
+                if ts_max is not pd.NaT:
+                    last_ms = max(last_ms, int(ts_max.value // 1_000_000))
         state.update((last_ms,))
         if ttl_ms is not None:
             if event_ttl:
                 # evict when the WATERMARK passes last event time + TTL —
-                # replay-safe: the window follows crawl time, not arrival
-                state.setTimeoutTimestamp(last_ms + ttl_ms)
+                # replay-safe: the window follows crawl time, not arrival.
+                # Guarded: a key whose every row is NaT has no event time
+                # yet (last_ms 0 would be a 1970 timeout, rejected by Spark
+                # as before-the-watermark)
+                if last_ms > 0:
+                    state.setTimeoutTimestamp(last_ms + ttl_ms)
             else:
                 state.setTimeoutDuration(ttl_ms)  # sliding wall-clock
         if seen or not chunks:
