@@ -789,3 +789,127 @@ def union_geometry(
         [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)]
         for x0, y0, x1, y1 in rects
     ]
+
+
+def dissolve_multipolygon(mp: MultiPolygon) -> MultiPolygon:
+    """Best-effort seam removal for a multipolygon whose polygons PARTITION
+    a region (the triangle-fragment output of :func:`intersect_polygons`
+    on concave clips): interior edges appear exactly twice with opposite
+    directions — and with bit-identical coordinates, because the two
+    triangles sharing a chord compute every subject-edge intersection from
+    negated cross products (t' = (-s_p)/(-s_p + s_q) == s_p/(s_p - s_q)
+    exactly in IEEE) — so they cancel; the surviving directed edges stitch
+    back into boundary rings by leftmost-turn planar face traversal.
+
+    Safety contract: the dissolved result must carry EXACTLY the input's
+    signed area; any mismatch (degenerate touching, repeated vertices the
+    traversal mis-routes) returns the ORIGINAL fragments unchanged — the
+    dissolve is cosmetic, never a correctness risk."""
+    import math as _math
+
+    if len(mp) <= 1:
+        return mp
+    # 1. collect directed edges; cancel exact-opposite pairs
+    edges: dict = {}
+    for poly in mp:
+        for ring in poly:
+            pts = np.asarray(ring, dtype=np.float64)
+            if len(pts) > 1 and pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
+                pts = pts[:-1]
+            n = len(pts)
+            for i in range(n):
+                a = (float(pts[i, 0]), float(pts[i, 1]))
+                b = (float(pts[(i + 1) % n, 0]), float(pts[(i + 1) % n, 1]))
+                if a == b:
+                    continue
+                if edges.pop((b, a), None) is not None:
+                    continue  # cancels an opposite interior edge
+                edges[(a, b)] = True
+    if not edges:
+        return mp
+    # 2. stitch cycles: at each vertex choose the leftmost-turn outgoing
+    # edge relative to the arrival direction (planar face traversal)
+    out_by_start: dict = {}
+    for (a, b) in edges:
+        out_by_start.setdefault(a, []).append(b)
+
+    def take_next(prev, cur):
+        outs = out_by_start.get(cur)
+        if not outs:
+            return None
+        if len(outs) == 1:
+            nxt = outs[0]
+        else:
+            base = _math.atan2(prev[1] - cur[1], prev[0] - cur[0])
+            best, best_ang = None, None
+            for cand in outs:
+                ang = (_math.atan2(cand[1] - cur[1], cand[0] - cur[0]) - base) % (2 * _math.pi)
+                # smallest CCW rotation from the reversed arrival edge =
+                # tightest left turn (keeps the region on the left)
+                if ang > 1e-15 and (best_ang is None or ang < best_ang):
+                    best, best_ang = cand, ang
+            nxt = best if best is not None else outs[0]
+        outs.remove(nxt)
+        if not outs:
+            del out_by_start[cur]
+        return nxt
+
+    rings = []
+    while out_by_start:
+        start = next(iter(out_by_start))
+        cur = out_by_start[start][0]
+        out_by_start[start].remove(cur)
+        if not out_by_start[start]:
+            del out_by_start[start]
+        ring = [start, cur]
+        prev = start
+        guard = len(edges) + 2
+        while cur != start and guard:
+            nxt = take_next(prev, cur)
+            if nxt is None:
+                return mp  # open chain: degenerate input, keep fragments
+            prev, cur = cur, nxt
+            ring.append(cur)
+            guard -= 1
+        if cur != start:
+            return mp
+        pts = np.asarray(ring[:-1], dtype=np.float64)
+        # drop collinear seam vertices (exact zero cross only — never move
+        # the boundary)
+        n = len(pts)
+        if n >= 3:
+            prev_i = np.roll(np.arange(n), 1)
+            next_i = np.roll(np.arange(n), -1)
+            cr = (pts[:, 0] - pts[prev_i, 0]) * (pts[next_i, 1] - pts[:, 1]) - (
+                pts[:, 1] - pts[prev_i, 1]
+            ) * (pts[next_i, 0] - pts[:, 0])
+            keep = cr != 0.0
+            if keep.sum() >= 3:
+                pts = pts[keep]
+        if len(pts) >= 3:
+            rings.append(pts)
+    if not rings:
+        return mp
+    # 3. group rings into polygons: CCW outers, CW holes assigned to the
+    # smallest containing outer
+    outers = [(r, ring_signed_area(np.vstack([r, r[:1]]))) for r in rings if ring_signed_area(np.vstack([r, r[:1]])) > 0]
+    holes = [r for r in rings if ring_signed_area(np.vstack([r, r[:1]])) < 0]
+    polys = [[r] for r, _ in sorted(outers, key=lambda t: t[1])]
+    areas = [a for _, a in sorted(outers, key=lambda t: t[1])]
+    for h in holes:
+        placed = False
+        hx, hy = np.asarray([h[0, 0]]), np.asarray([h[0, 1]])
+        for i, poly in enumerate(polys):  # smallest-first: tightest container wins
+            if points_in_ring(hx, hy, poly[0])[0]:
+                poly.append(h)
+                placed = True
+                break
+        if not placed:
+            return mp
+    del areas
+    # 4. the safety contract
+    if abs(multipolygon_area(polys) - multipolygon_area(mp)) > 1e-9 * max(
+        abs(multipolygon_area(mp)), 1e-300
+    ):
+        return mp
+    return polys

@@ -715,6 +715,7 @@ def polygon_overlay_pieces(
     cell: float | None = None,
     emit_wkb: bool = False,
     how: str = "intersection",
+    dissolve: bool = False,
 ) -> DataFrame:
     """General polygon x polygon overlay — intersection pieces of two
     ARBITRARY WKB polygon layers (reference overlay_polygon,
@@ -723,7 +724,11 @@ def polygon_overlay_pieces(
     ``how='union_full'`` appends the gpd.overlay-union unmatched rows:
     left polygons with no overlap (null right key/attrs) and right
     polygons with no overlap (null left key), each carrying its ORIGINAL
-    geometry when ``emit_wkb``.
+    geometry when ``emit_wkb``. ``dissolve=True`` (with emit_wkb) removes
+    the triangulation seams from concave-clip piece geometry via exact
+    edge cancellation (core.geometry.dissolve_multipolygon — best-effort,
+    falls back to fragments on any area mismatch; identical areas and
+    membership either way).
 
     Fully distributed plan (same shape as grid_overlay_polygons_distributed):
 
@@ -836,6 +841,8 @@ def polygon_overlay_pieces(
                 )
                 areas[i] = G.multipolygon_area(pieces)
                 if emit_wkb and pieces:
+                    if dissolve:
+                        pieces = G.dissolve_multipolygon(pieces)
                     geoms_out[i] = wkb.encode_multipolygon(pieces)
             out = pd.DataFrame({left_key: lk, right_key: rk})
             out["piece_area"] = areas

@@ -195,3 +195,47 @@ def test_union_geometry_blocks():
     # the geometry round-trips through WKB
     buf = wkb.encode_multipolygon(inner)
     assert G.multipolygon_area(wkb.decode_multipolygon(buf)) == pytest.approx(ai, rel=1e-12)
+
+
+def test_dissolve_multipolygon():
+    """Seam removal: triangle fragments of a concave clip dissolve back to
+    one clean polygon; areas and membership are ALWAYS preserved (fallback
+    contract)."""
+    import numpy as np
+
+    from pygridmap_spark.core import geometry as G
+
+    sq = lambda x0, y0, s: [np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]])]  # noqa: E731
+    L = [np.array([[0.0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]])]
+    frags = G.intersect_polygons(sq(0, 0, 2), L)
+    assert len(frags) > 1  # concave clip produced seams
+    d = G.dissolve_multipolygon(frags)
+    assert len(d) == 1 and len(d[0]) == 1 and len(d[0][0]) == 6  # clean L ring
+    assert G.multipolygon_area(d) == pytest.approx(3.0, rel=1e-12)
+    # irregular pair: area + membership identical, fewer or equal parts
+    rng = np.random.default_rng(5)
+    n = 9
+    sp = 2 * np.pi / n
+    mk = lambda cx, cy, seed_r: np.c_[  # noqa: E731
+        np.cos(np.arange(n) * sp + rng.uniform(-0.2, 0.2, n) * sp) * seed_r + cx,
+        np.sin(np.arange(n) * sp + rng.uniform(-0.2, 0.2, n) * sp) * seed_r + cy,
+    ]
+    a = mk(1.5, 1.5, rng.uniform(0.6, 1.5, n))
+    b = mk(2.0, 2.0, rng.uniform(0.6, 1.5, n))
+    frags = G.intersect_multipolygons([[a]], [[b]])
+    d = G.dissolve_multipolygon(frags)
+    assert len(d) <= len(frags)
+    assert G.multipolygon_area(d) == pytest.approx(G.multipolygon_area(frags), rel=1e-12)
+    px = rng.uniform(0, 4, 400)
+    py = rng.uniform(0, 4, 400)
+    assert (
+        G.points_in_multipolygon(px, py, d) == G.points_in_multipolygon(px, py, frags)
+    ).all()
+    # holey subject: even-odd area preserved through the dissolve
+    holey = [
+        np.array([[0.0, 0], [4, 0], [4, 4], [0, 4]]),
+        np.array([[0.2, 0.2], [0.2, 0.8], [0.8, 0.8], [0.8, 0.2]]),
+    ]
+    frags = G.intersect_polygons(holey, L)
+    d = G.dissolve_multipolygon(frags)
+    assert G.multipolygon_area(d) == pytest.approx(3.0 - 0.36, rel=1e-12)

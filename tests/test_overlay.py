@@ -380,3 +380,27 @@ def test_polygon_overlay_pieces_union_full(spark):
     assert G.multipolygon_area(wkb.decode_multipolygon(bytes(un_r["geometry"]))) == pytest.approx(4.0)
     with pytest.raises(ValueError, match="how must be"):
         OV.polygon_overlay_pieces(left, right, how="bogus")
+
+
+def test_polygon_overlay_pieces_dissolve(spark):
+    """dissolve=True removes triangulation seams from concave-clip piece
+    WKB: same area, fewer polygons (the L test dissolves to one ring)."""
+    import pandas as pd
+
+    L = [np.array([[0.0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]])]
+    left = spark.createDataFrame(
+        pd.DataFrame({"left_id": [0], "geometry": [wkb.encode_box(0.0, 0.0, 2.0, 2.0)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"right_id": [0], "geometry": [wkb.encode_multipolygon([L])]})
+    )
+    frag = OV.polygon_overlay_pieces(left, right, emit_wkb=True).collect()[0]
+    diss = OV.polygon_overlay_pieces(left, right, emit_wkb=True, dissolve=True).collect()[0]
+    mp_f = wkb.decode_multipolygon(bytes(frag["geometry"]))
+    mp_d = wkb.decode_multipolygon(bytes(diss["geometry"]))
+    ring = mp_d[0][0]
+    # WKB stores rings closed: 6 distinct vertices + the closing duplicate
+    assert len(mp_f) > 1 and len(mp_d) == 1 and len(ring) == 7
+    assert (ring[0] == ring[-1]).all()
+    assert frag["piece_area"] == pytest.approx(diss["piece_area"], rel=1e-12)
+    assert G.multipolygon_area(mp_d) == pytest.approx(diss["piece_area"], rel=1e-12)
