@@ -38,6 +38,7 @@ from pygridmap_spark.operators import similarity as SIM
 from pygridmap_spark.operators import textstats as TS
 from pygridmap_spark.operators import tiler as TL
 from pygridmap_spark.sources import polygons as PG
+from pygridmap_spark.streaming import pipeline as SP
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -616,6 +617,31 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (native session_window, gap 30 min) — the
+    streaming-capable crawl/user sessionizer run in batch mode. Oracle:
+    classic lag/cumsum session reconstruction in SQL (a session breaks
+    when the gap to the previous event EXCEEDS 30 min — Spark merges
+    touching windows, so diff == gap still merges)."""
+    ev = _t(spark, sf_dir, "events")
+    out = SP.sessionize(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        gap="30 minutes",
+        extra_aggs=[
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value")
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("long").alias("session_start_epoch"),
+        F.unix_timestamp("session_end").cast("long").alias("session_end_epoch"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Oracle (round 3): per-doc signatures
     from the independent fixture twin (fixtures/gen_oracle_fixtures.py),
@@ -832,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_windowed": _q_events_windowed,
+        "events_sessionized": _q_events_sessionized,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -1253,6 +1280,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionized": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM gaps
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch,
+                   COUNT(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
         "overlay_rule_max": """
             WITH base AS (

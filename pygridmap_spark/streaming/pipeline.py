@@ -46,6 +46,52 @@ def windowed_tile_counts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    extra_aggs: list | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via ``F.session_window`` — the crawl/user
+    sessionization stage of a web-scale event pipeline (burst detection,
+    per-host crawl sessions, user activity spans). Two consecutive events of
+    the same ``key`` belong to one session iff their gap is at most ``gap``
+    (touching windows merge: diff == gap still merges; only diff > gap
+    starts a new session).
+
+    Batch AND streaming: ``session_window`` is a native Catalyst operator
+    (Spark >= 3.2), so the same expression serves both; pass ``watermark``
+    for streaming append-mode output. At 100-TB scale this is one shuffle
+    keyed on (key, merged-window) with partial aggregation — no window
+    function over the full event history, no per-key sort on the driver.
+
+    Output: ``key, session_start, session_end, n_events`` (+ any
+    ``extra_aggs``). ``session_end`` is the LAST EVENT time (max ts), not
+    the gap-padded window end — replayable from plain SQL (lag/cumsum) for
+    the oracle twin.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(ts_col).alias("session_end"),
+    ]
+    if extra_aggs:
+        aggs += list(extra_aggs)
+    out = df.groupBy(F.col(key), F.session_window(ts_col, gap)).agg(*aggs)
+    extra_names = [c for c in out.columns if c not in (key, "session_window", "n_events", "session_end")]
+    return out.select(
+        key,
+        F.col("session_window.start").alias("session_start"),
+        "session_end",
+        "n_events",
+        *extra_names,
+    )
+
+
 def read_pages_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-source stream over a pages directory (parquet)."""
     return spark.readStream.schema(schema).parquet(path)

@@ -43,6 +43,89 @@ def test_streaming_windowed_tile_counts_matches_batch(spark, tmp_path):
     assert len(g) >= 0.5 * len(b)
 
 
+def test_sessionize_batch_matches_sql_reconstruction(spark):
+    """session_window gap semantics == lag/cumsum reconstruction: touching
+    windows merge (diff == gap merges), only diff > gap breaks; ties on ts
+    merge."""
+    rows = [
+        # user 1: gaps 10 min merge; a gap of exactly 30 min ALSO merges
+        # (touching windows); 30:01 breaks
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 00:20:00", 3.0),
+        (1, "2024-01-01 00:50:00", 4.0),
+        (1, "2024-01-01 01:20:01", 5.0),
+        # user 2: tied timestamps merge; 29:59 gap merges (just under gap)
+        (2, "2024-01-01 05:00:00", 1.0),
+        (2, "2024-01-01 05:00:00", 1.0),
+        (2, "2024-01-01 05:29:59", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = SP.sessionize(
+        df, key="user_id", ts_col="ts", gap="30 minutes",
+        extra_aggs=[F.sum("value").alias("sum_value")],
+    )
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 4, 10.0),
+        (1, "2024-01-01 01:20:01", "2024-01-01 01:20:01", 1, 5.0),
+        (2, "2024-01-01 05:00:00", "2024-01-01 05:29:59", 3, 3.0),
+    }
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """The SAME sessionize expression runs as a Structured-Streaming query
+    (append mode + watermark); every emitted session must match the batch
+    result exactly, and sessions well behind the watermark must close."""
+    src = str(tmp_path / "events_src")
+    # burst-shaped: per user, 5-event bursts 10 min apart with 2 h between
+    # bursts -> clear sessions, and all but the last burst per user closes
+    # behind the final watermark
+    ev = (
+        spark.range(500)
+        .select(
+            (F.col("id") % 7).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200)
+                + F.floor(F.floor(F.col("id") / 7) / 5) * 7200
+                + (F.floor(F.col("id") / 7) % 5) * 600
+            ).alias("ts"),
+            (F.col("id") % 13).cast("double").alias("value"),
+        )
+    )
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sessions = SP.sessionize(
+        stream, key="user_id", ts_col="ts", gap="30 minutes",
+        watermark="1 minute",
+        extra_aggs=[F.sum("value").alias("sum_value")],
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sessions_stream").collect()}
+    batch = {
+        tuple(r)
+        for r in SP.sessionize(
+            spark.read.parquet(src), key="user_id", ts_col="ts", gap="30 minutes",
+            extra_aggs=[F.sum("value").alias("sum_value")],
+        ).collect()
+    }
+    assert got <= batch
+    assert len(got) >= 0.5 * len(batch)
+
+
 def test_token_count_edge_cases(spark):
     df = spark.createDataFrame(
         [("",), ("   ",), ("one",), ("two words",), ("a  b\tc\nd",)], "text string"
