@@ -38,6 +38,7 @@ from pygridmap_spark.operators import similarity as SIM
 from pygridmap_spark.operators import textstats as TS
 from pygridmap_spark.operators import tiler as TL
 from pygridmap_spark.sources import polygons as PG
+from pygridmap_spark.operators import curation as CU
 from pygridmap_spark.streaming import pipeline as SP
 
 
@@ -642,6 +643,47 @@ def _q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination stats (Gopher-style n-gram overlap, n=3
+    on these short synthetic docs): benchmark = every 17th document, so
+    benchmark members score contamination 1.0 and the rest measure true
+    cross-document shingle collisions. Oracle: the whole shingle/overlap
+    computation re-derived with DuckDB list lambdas."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    out = CU.contamination_stats(docs, bench, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features over a corpus with injected line
+    repeats (every 11th doc gets its text duplicated as a second line).
+    Oracle: line split / bigram counting re-derived in DuckDB SQL."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 11 == 0, F.col("text")).otherwise(
+                F.concat(F.lit("unique tail "), F.col("doc_id"))
+            ),
+        ).alias("text"),
+    )
+    out = CU.repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Oracle (round 3): per-doc signatures
     from the independent fixture twin (fixtures/gen_oracle_fixtures.py),
@@ -859,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "events_windowed": _q_events_windowed,
         "events_sessionized": _q_events_sessionized,
+        "contamination_stats": _q_contamination,
+        "repetition_stats": _q_repetition_stats,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -1301,6 +1345,87 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "contamination_stats": f"""
+            WITH norm AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, len(t)-2),
+                                     i -> concat(t[i],' ',t[i+1],' ',t[i+2]))) AS s
+                FROM norm
+            ),
+            bench AS (
+                SELECT DISTINCT g AS shingle
+                FROM sh, unnest(s) AS u(g) WHERE doc_id % 17 = 0
+            ),
+            exploded AS (SELECT doc_id, g FROM sh, unnest(s) AS u(g)),
+            counts AS (
+                SELECT e.doc_id,
+                       count(*) AS n_shingles,
+                       sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+                FROM exploded e LEFT JOIN bench b ON e.g = b.shingle
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(c.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(c.n_matched, 0) AS BIGINT) AS n_matched,
+                   round(CASE WHEN coalesce(c.n_shingles, 0) > 0
+                         THEN CAST(c.n_matched AS DOUBLE) / c.n_shingles END, 6) AS contamination
+            FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+        """,
+        "repetition_stats": f"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       concat(text, chr(10),
+                              CASE WHEN doc_id % 11 = 0 THEN text
+                                   ELSE concat('unique tail ', doc_id) END) AS text
+                FROM documents
+            ),
+            ls AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                   x -> x != '') AS lines
+                FROM corpus
+            ),
+            lc AS (
+                SELECT doc_id, l, count(*) AS cnt, length(l) AS chars
+                FROM ls, unnest(lines) AS u(l) GROUP BY doc_id, l
+            ),
+            pl AS (
+                SELECT doc_id, sum(cnt) AS n_lines,
+                       1.0 - count(*) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
+                       sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)
+                       / CAST(sum(cnt * chars) AS DOUBLE) AS dup_line_char_frac
+                FROM lc GROUP BY doc_id
+            ),
+            norm AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM corpus
+            ),
+            bi AS (
+                SELECT doc_id, list_transform(generate_series(1, len(t)-1),
+                               i -> concat(t[i],' ',t[i+1])) AS s
+                FROM norm
+            ),
+            bc AS (
+                SELECT doc_id, g, count(*) AS cnt
+                FROM bi, unnest(s) AS u(g) GROUP BY doc_id, g
+            ),
+            pb AS (
+                SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
+                FROM bc GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(coalesce(pl.n_lines, 0) AS BIGINT) AS n_lines,
+                   round(pl.dup_line_frac, 6) AS dup_line_frac,
+                   round(pl.dup_line_char_frac, 6) AS dup_line_char_frac,
+                   round(CASE WHEN pb.n_bigrams IS NOT NULL
+                         THEN least(pb.top_cnt * 2.0 / (pb.n_bigrams + 1), 1.0) END, 6)
+                       AS top_bigram_frac
+            FROM corpus c
+            LEFT JOIN pl ON c.doc_id = pl.doc_id
+            LEFT JOIN pb ON c.doc_id = pb.doc_id
         """,
         "overlay_rule_max": """
             WITH base AS (

@@ -1,0 +1,205 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination (n-gram overlap against an evaluation set) and
+Gopher/C4-style repetition statistics.
+
+Not a reference feature (eurostat/pygridmap is geospatial-only); these are
+the web-scale curation stages the engine's north star names — built on the
+same normalized-text/shingle primitives as the dedup family
+(functions/text.py), fully Catalyst-expressible, DuckDB-oracle-checkable.
+
+Scale shapes (100 TB corpus, 1000 executors):
+
+- decontamination: the benchmark side is megabytes (eval suites), so its
+  distinct shingle set is BROADCAST; the corpus-side explode never
+  shuffles shingles — one partial-aggregated exchange of per-doc count
+  rows is the only wide edge.
+- repetition stats: explode -> two-level hash aggregation (partial
+  map-side combine on (doc, item) then (doc)); the joins between the
+  per-doc frames are all keyed on the id column whose partitioning the
+  aggregations just established, so AQE plans them without extra
+  exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import text as TX
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of the document's
+    DISTINCT word n-grams that occur anywhere in the benchmark set
+    (Gopher-style 13-gram decontamination; lower n = stricter).
+
+    Returns ``(id_col, n_shingles, n_matched, contamination)`` — one row
+    per corpus document; documents with fewer than ``n`` tokens have
+    ``n_shingles = 0`` and NULL contamination (nothing to test).
+
+    Plan: benchmark shingles -> distinct -> broadcast; corpus explode ->
+    broadcast LEFT join marker -> single partial-aggregated groupBy(id).
+    """
+    bench = (
+        benchmark.select(
+            F.explode(TX.word_shingles(F.col(bench_text_col), n)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    doc_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.word_shingles(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    counts = (
+        doc_sh.join(F.broadcast(bench), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit__"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    # docs too short to shingle never reach the explode; restore them
+    base = corpus.select(id_col)
+    return (
+        base.join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+            F.when(
+                F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                F.col("n_matched").cast("double") / F.col("n_shingles"),
+            ).alias("contamination"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    max_contamination: float = 0.05,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents whose benchmark n-gram contamination exceeds
+    ``max_contamination``. Unshingle-able (too-short) documents are KEPT
+    (contamination unmeasurable, not positive)."""
+    stats = contamination_stats(
+        corpus, benchmark, n=n, id_col=id_col,
+        text_col=text_col, bench_text_col=bench_text_col,
+    )
+    keep = stats.filter(
+        F.col("contamination").isNull()
+        | (F.col("contamination") <= max_contamination)
+    ).select(id_col)
+    return corpus.join(keep, id_col, "inner")
+
+
+def _lines(text_col):
+    """Non-empty trimmed lines of a document as array<string>."""
+    return F.filter(
+        F.transform(F.split(text_col, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition features:
+
+    - ``n_lines`` — non-empty trimmed lines;
+    - ``dup_line_frac`` — fraction of lines that are repeats of an earlier
+      line (1 - distinct/total);
+    - ``dup_line_char_frac`` — fraction of line characters inside lines
+      occurring more than once;
+    - ``top_bigram_frac`` — tokens covered by the most frequent word
+      bigram over total tokens (count * 2 / n_tokens).
+
+    NULL (not 0, not NaN) when the denominator is empty. One explode +
+    two hash aggregations per feature family; all id-keyed joins reuse the
+    aggregation partitioning.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        _lines(t).alias("__lines__"),
+        TX.word_shingles(t, 2).alias("__bi__"),
+    )
+
+    line_counts = (
+        base.select(id_col, F.explode("__lines__").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("chars", F.length("line"))
+    )
+    per_doc_lines = line_counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt")).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("chars")).otherwise(0))
+            / F.sum(F.col("cnt") * F.col("chars"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    bi_counts = (
+        base.select(id_col, F.size("__bi__").alias("__nbi__"), F.explode("__bi__").alias("bi"))
+        .groupBy(id_col, "bi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc_bi = bi_counts.groupBy(id_col).agg(
+        F.max("cnt").alias("top_bigram_cnt"),
+        F.sum("cnt").alias("n_bigrams"),
+    )
+
+    ids = base.select(id_col, F.size("__lines__").alias("__nl__"), F.size("__bi__").alias("__nb__"))
+    out = (
+        ids.join(per_doc_lines, id_col, "left")
+        .join(per_doc_bi, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.col("dup_line_frac"),
+            F.col("dup_line_char_frac"),
+            # bigram token coverage: count*2 tokens of (n_bigrams + 1)
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.least(
+                    F.col("top_bigram_cnt") * 2.0 / (F.col("n_bigrams") + 1),
+                    F.lit(1.0),
+                ),
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out
+
+
+def repetition_filter(
+    df: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents exceeding the Gopher-style repetition thresholds;
+    documents whose features are NULL (no lines / no bigrams) are kept."""
+    stats = repetition_stats(df, id_col=id_col, text_col=text_col)
+    keep = stats.filter(
+        (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= max_dup_line_frac)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac)
+    ).select(id_col)
+    return df.join(keep, id_col, "inner")

@@ -1,0 +1,76 @@
+"""Corpus-curation operators: benchmark decontamination and Gopher-style
+repetition stats (plus plan-shape assertions: the benchmark side must be
+broadcast, never shuffled)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.operators import curation as CU
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated content about spark engines and catalyst plans"),
+            (3, "hi"),  # too short for 3-grams
+            (4, "repeat me\nrepeat me\nrepeat me\nunique line"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_stats(spark, docs):
+    bench = spark.createDataFrame([(1, "quick brown fox runs")], "q long, text string")
+    got = {r.doc_id: tuple(r)[1:] for r in CU.contamination_stats(docs, bench, n=3).collect()}
+    # doc 1 has 7 shingles, one of which ("quick brown fox") is in the bench
+    assert got[1] == (7, 1, pytest.approx(1 / 7))
+    assert got[2][1] == 0 and got[2][2] == 0.0
+    assert got[3] == (0, 0, None)  # unshingle-able: NULL, not 0/NaN
+
+
+def test_decontaminate_drops_overlapping_keeps_short(spark, docs):
+    bench = spark.createDataFrame([(1, "quick brown fox runs")], "q long, text string")
+    kept = sorted(
+        r.doc_id for r in CU.decontaminate(docs, bench, max_contamination=0.1, n=3).collect()
+    )
+    assert kept == [2, 3, 4]  # doc 1 dropped (1/7 > 0.1); short doc 3 kept
+
+
+def test_repetition_stats(spark, docs):
+    got = {r.doc_id: tuple(r)[1:] for r in CU.repetition_stats(docs).collect()}
+    # doc 4: 4 non-empty lines, 2 distinct -> dup_line_frac 0.5;
+    # dup chars = 3 * len("repeat me") = 27 of 27 + len("unique line") = 38
+    n4 = got[4]
+    assert n4[0] == 4
+    assert n4[1] == pytest.approx(0.5)
+    assert n4[2] == pytest.approx(27 / 38)
+    # bigrams of doc 4 normalized: 8 tokens -> 7 bigrams, top "repeat me" x3
+    assert n4[3] == pytest.approx(3 * 2 / 8)
+    # no-repetition docs: frac 0, top-bigram 2/n_tokens
+    assert got[1][1] == 0.0 and got[1][3] == pytest.approx(2 / 9)
+    # single-token doc: no bigrams -> NULL
+    assert got[3][3] is None
+
+
+def test_repetition_filter(spark, docs):
+    kept = sorted(
+        r.doc_id
+        for r in CU.repetition_filter(
+            docs, max_dup_line_frac=0.4, max_top_bigram_frac=0.5
+        ).collect()
+    )
+    assert kept == [1, 2, 3]  # doc 4: dup_line_frac 0.5 > 0.4
+
+
+def test_contamination_benchmark_is_broadcast(spark, docs):
+    bench = spark.createDataFrame([(1, "quick brown fox runs")], "q long, text string")
+    plan = CU.contamination_stats(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontaminate_empty_benchmark_keeps_all(spark, docs):
+    bench = spark.createDataFrame([], "q long, text string")
+    kept = sorted(r.doc_id for r in CU.decontaminate(docs, bench, n=3).collect())
+    assert kept == [1, 2, 3, 4]
