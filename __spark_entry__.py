@@ -39,6 +39,7 @@ from pygridmap_spark.operators import textstats as TS
 from pygridmap_spark.operators import tiler as TL
 from pygridmap_spark.sources import polygons as PG
 from pygridmap_spark.operators import curation as CU
+from pygridmap_spark.operators import domains as DMN
 from pygridmap_spark.streaming import pipeline as SP
 
 
@@ -684,6 +685,38 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain rollup over URLs synthesized from doc_id
+    (deterministic in both engines: site{id%97}.{tld[id%4]}, www. on every
+    5th). Spark side uses parse_url + the public-suffix when-chain; the
+    oracle re-derives host/domain with regexps (the 4 synthesized TLDs
+    cover both the multi-label 'co.uk' and single-label branches)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("de")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("site"), F.col("doc_id") % 97, F.lit("."), tld,
+            F.lit("/cat"), F.col("doc_id") % 7, F.lit("/"), F.col("doc_id"),
+        ),
+    )
+    out = DMN.domain_rollup(
+        docs, extra_aggs=[F.sum("n_chars").cast("long").alias("sum_chars")]
+    )
+    return out.select(
+        "registered_domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+        F.round("avg_path_depth", 6).alias("avg_path_depth"),
+        "sum_chars",
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Oracle (round 3): per-doc signatures
     from the independent fixture twin (fixtures/gen_oracle_fixtures.py),
@@ -903,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_events_sessionized,
         "contamination_stats": _q_contamination,
         "repetition_stats": _q_repetition_stats,
+        "domain_rollup": _q_domain_rollup,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -1426,6 +1460,42 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c
             LEFT JOIN pl ON c.doc_id = pl.doc_id
             LEFT JOIN pb ON c.doc_id = pb.doc_id
+        """,
+        "domain_rollup": """
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       concat('https://',
+                              CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END,
+                              'site', CAST(doc_id % 97 AS VARCHAR), '.',
+                              (['com','co.uk','org','de'])[(doc_id % 4) + 1],
+                              '/cat', CAST(doc_id % 7 AS VARCHAR), '/',
+                              CAST(doc_id AS VARCHAR)) AS url
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, n_chars,
+                       lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                       len(list_filter(
+                           string_split(regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/'),
+                           x -> x != '')) AS path_depth
+                FROM u
+            ),
+            r AS (
+                SELECT *,
+                       CASE WHEN host IN ('co.uk','com','org','de') THEN NULL
+                            WHEN host SIMILAR TO '.*\.co\.uk'
+                                 THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+                            WHEN host SIMILAR TO '.*\.(com|org|de)'
+                                 THEN regexp_extract(host, '([^.]+\.(com|org|de))$', 1)
+                            END AS registered_domain
+                FROM f
+            )
+            SELECT registered_domain,
+                   count(*) AS n_docs,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   round(avg(path_depth), 6) AS avg_path_depth,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM r GROUP BY registered_domain
         """,
         "overlay_rule_max": """
             WITH base AS (
