@@ -43,6 +43,12 @@ HEADLINE = [
     "lang_id_counts",
     "quality_scores",
     "events_windowed",
+    # round-3 late additions (new keys — r1/r2 comparisons use the
+    # common-query subset)
+    "events_sessionized",
+    "contamination_stats",
+    "repetition_stats",
+    "domain_rollup",
 ]
 
 

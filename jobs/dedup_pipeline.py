@@ -7,7 +7,9 @@ The canonical web-corpus cleaning sequence (the reason the engine ships
 dedup as first-class operators):
 
   1. quality gate   — drop empty / too-short / low-quality docs (pure
-                      Catalyst text scoring, no shuffle),
+                      Catalyst text scoring, no shuffle); opt-in
+                      repetition gate (--max-dup-line-frac) and benchmark
+                      decontamination (--benchmark) compose here,
   2. exact dedup    — one fingerprint shuffle, keep min-id per fingerprint,
   3. near-dup pairs — MinHash signatures (Arrow kernel) -> LSH banding
                       (ids-only shuffle) -> exact Jaccard verify,
@@ -51,11 +53,28 @@ def main() -> None:
         "--max-bucket", type=int, default=100_000,
         help="drop LSH buckets wider than this (boilerplate guard); 0 disables",
     )
+    ap.add_argument(
+        "--max-dup-line-frac", type=float, default=0.0,
+        help="if > 0, drop docs whose duplicate-line fraction exceeds this "
+             "(Gopher-style repetition gate)",
+    )
+    ap.add_argument(
+        "--max-top-bigram-frac", type=float, default=1.0,
+        help="with --max-dup-line-frac: top-bigram coverage ceiling",
+    )
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="benchmark parquet (text column); if set, docs with n-gram "
+             "contamination > --max-contamination are dropped",
+    )
+    ap.add_argument("--max-contamination", type=float, default=0.05)
+    ap.add_argument("--contamination-ngram", type=int, default=13)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from pygridmap_spark.functions import text as TX
+    from pygridmap_spark.operators import curation as CU
     from pygridmap_spark.operators import dedup as DD
     from pygridmap_spark.plans import lineage
     from pygridmap_spark.session import get_spark
@@ -68,13 +87,31 @@ def main() -> None:
     # silently serve the old checkpoint
     params = (
         f"jaccard={args.jaccard},num_hashes={args.num_hashes},bands={args.bands},"
-        f"min_tokens={args.min_tokens},max_bucket={args.max_bucket}"
+        f"min_tokens={args.min_tokens},max_bucket={args.max_bucket},"
+        f"rep={args.max_dup_line_frac}/{args.max_top_bigram_frac},"
+        f"decontam={args.benchmark}:{args.max_contamination}@{args.contamination_ngram}"
     )
 
     # 1. quality gate — pure Catalyst, filter pushes into the scan
     gated = docs.filter(
         F.col(txt).isNotNull() & (TX.token_count(F.col(txt)) >= args.min_tokens)
     )
+    # 1b. repetition gate (opt-in) — Gopher-style within-doc repetition
+    if args.max_dup_line_frac > 0:
+        gated = CU.repetition_filter(
+            gated,
+            max_dup_line_frac=args.max_dup_line_frac,
+            max_top_bigram_frac=args.max_top_bigram_frac,
+            id_col=idc, text_col=txt,
+        )
+    # 1c. benchmark decontamination (opt-in) — broadcast n-gram overlap
+    if args.benchmark:
+        gated = CU.decontaminate(
+            gated, spark.read.parquet(args.benchmark),
+            max_contamination=args.max_contamination,
+            n=args.contamination_ngram, id_col=idc, text_col=txt,
+            bench_text_col=txt,
+        )
     gated = lineage.checkpoint(
         gated, os.path.join(args.output, "s1_gated"), stage="quality_gate",
         inputs=[args.input, params],
