@@ -650,7 +650,12 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark members score contamination 1.0 and the rest measure true
     cross-document shingle collisions. Oracle: the whole shingle/overlap
     computation re-derived with DuckDB list lambdas."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # small local parquet = one split; spread the shingle explode over
+    # the engine (at lake scale the scan itself has thousands of splits)
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     out = CU.contamination_stats(docs, bench, n=3)
     return out.select(
@@ -675,6 +680,7 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     out = CU.repetition_stats(docs)
     return out.select(
         "doc_id",

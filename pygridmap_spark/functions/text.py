@@ -124,12 +124,23 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-gram (word) shingles of the normalized text as array<string>;
-    empty array when fewer than n tokens."""
+    empty array when fewer than n tokens.
+
+    The token array is threaded through an outer ``transform`` as a lambda
+    VARIABLE, never referenced free inside the per-element lambda: higher-
+    order functions evaluate interpreted (no subexpression elimination),
+    so a free ``tokens(normalized(text))`` in the element lambda would
+    re-run the regexp+split chain once per shingle — measured ~10x slower
+    on short web documents."""
     toks = tokens(normalized(text))
-    count = F.size(toks) - F.lit(n - 1)
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
+
+    def _shingles_of(tk: Column) -> Column:
+        count = F.size(tk) - F.lit(n - 1)
+        return F.transform(
             F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
         )
+
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.flatten(F.transform(F.array(toks), _shingles_of))
     )

@@ -75,8 +75,17 @@ def cosine_arrow(a: Column, b: Column) -> Column:
 
 
 def unit(a: Column) -> Column:
-    """L2-normalize (returns array<double>); zero vector passes through."""
-    n = norm(a)
-    return F.when(n == 0, F.transform(a, lambda x: x.cast("double"))).otherwise(
-        F.transform(a, lambda x: x.cast("double") / n)
+    """L2-normalize (returns array<double>); zero vector passes through.
+
+    The norm is threaded in as a zip_with argument (``array_repeat``
+    evaluates it once per row): a free ``norm(a)`` inside the per-element
+    lambda would re-run the O(d) aggregate per element — O(d^2)/row
+    (higher-order functions evaluate interpreted, no subexpression
+    elimination)."""
+    return F.zip_with(
+        a,
+        F.array_repeat(norm(a), F.size(a)),
+        lambda x, nn: F.when(nn == 0, x.cast("double")).otherwise(
+            x.cast("double") / nn
+        ),
     )

