@@ -40,6 +40,8 @@ from pygridmap_spark.operators import tiler as TL
 from pygridmap_spark.sources import polygons as PG
 from pygridmap_spark.operators import curation as CU
 from pygridmap_spark.operators import domains as DMN
+from pygridmap_spark.operators import packing as PKG
+from pygridmap_spark.operators import sampling as SMP
 from pygridmap_spark.streaming import pipeline as SP
 
 
@@ -723,6 +725,35 @@ def _q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (the data-mixing primitive):
+    keep iff md5-hash bucket < the stratum's fraction — reproducible
+    across runs/partitionings/engines; the oracle re-derives the identical
+    md5 arithmetic in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = SMP.stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        strata_col="source", key_col="doc_id",
+        seed="mix-v1", default_fraction=0.1,
+    )
+    return out.select("doc_id", "source")
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-split sequence packing bookkeeping (per-shard
+    window cumsum; shard = doc_id % 8, capacity 2048 tokens, n_chars as
+    the token proxy). Oracle: the same cumsum arithmetic as a SQL window."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"), "n_chars"
+    )
+    out = PKG.pack_sequences(
+        docs, max_tokens=2048, token_col="n_chars",
+        order_col="doc_id", shard_col="shard",
+    )
+    return out.select("doc_id", "shard", "seq_id", "seq_offset", "n_seqs")
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Oracle (round 3): per-doc signatures
     from the independent fixture twin (fixtures/gen_oracle_fixtures.py),
@@ -943,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_stats": _q_contamination,
         "repetition_stats": _q_repetition_stats,
         "domain_rollup": _q_domain_rollup,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -1502,6 +1535,38 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(path_depth), 6) AS avg_path_depth,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM r GROUP BY registered_domain
+        """,
+        "stratified_sample": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       CAST(concat('0x', substr(md5(concat('mix-v1', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                       / 4294967296.0 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, source FROM b
+            WHERE bucket < CASE source
+                               WHEN 'src0' THEN 1.0
+                               WHEN 'src1' THEN 0.5
+                               WHEN 'src2' THEN 0.25
+                               ELSE 0.1 END
+        """,
+        "pack_sequences": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 8 AS shard, n_chars FROM documents
+            ),
+            c AS (
+                SELECT doc_id, shard, n_chars,
+                       coalesce(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM d
+            )
+            SELECT doc_id, shard,
+                   CAST(floor(cum / 2048) AS BIGINT) AS seq_id,
+                   CAST(cum % 2048 AS BIGINT) AS seq_offset,
+                   CAST(CASE WHEN n_chars <= 0 THEN 0
+                        ELSE floor((cum + n_chars - 1) / 2048) - floor(cum / 2048) + 1
+                        END AS BIGINT) AS n_seqs
+            FROM c
         """,
         "overlay_rule_max": """
             WITH base AS (

@@ -49,6 +49,8 @@ HEADLINE = [
     "contamination_stats",
     "repetition_stats",
     "domain_rollup",
+    "stratified_sample",
+    "pack_sequences",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Deterministic sampling (data mixing) and sequence-packing operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.operators import packing as PK
+from pygridmap_spark.operators import sampling as SA
+
+
+def _docs(spark, n=10000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("wiki"), F.lit("cc"), F.lit("books")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+    )
+
+
+def test_deterministic_sample_rate_and_reproducibility(spark):
+    docs = _docs(spark)
+    n = SA.deterministic_sample(docs, 0.25).count()
+    assert abs(n / 10000 - 0.25) < 0.02  # md5 buckets are uniform enough
+    # identical sample regardless of partitioning (df.sample is NOT)
+    ids_a = {r.doc_id for r in SA.deterministic_sample(docs, 0.25).collect()}
+    ids_b = {r.doc_id for r in SA.deterministic_sample(docs.repartition(13), 0.25).collect()}
+    assert ids_a == ids_b
+    # different seed -> different (independent) sample
+    ids_c = {r.doc_id for r in SA.deterministic_sample(docs, 0.25, seed="other").collect()}
+    assert ids_a != ids_c
+
+
+def test_deterministic_sample_bounds(spark):
+    docs = _docs(spark, 100)
+    assert SA.deterministic_sample(docs, 0.0).count() == 0
+    assert SA.deterministic_sample(docs, 1.0).count() == 100
+    with pytest.raises(ValueError):
+        SA.deterministic_sample(docs, 1.5)
+
+
+def test_stratified_sample(spark):
+    docs = _docs(spark)
+    got = {
+        r["source"]: r["count"]
+        for r in SA.stratified_sample(
+            docs, {"wiki": 1.0, "cc": 0.1}, strata_col="source"
+        )
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert got["wiki"] == 3334  # fraction 1.0 keeps every row
+    assert abs(got["cc"] / 3333 - 0.1) < 0.03
+    assert "books" not in got  # default_fraction=0.0 drops unlisted strata
+
+
+def test_pack_sequences(spark):
+    rows = [(i, 0, t) for i, t in enumerate([300, 300, 300, 300, 2048, 100, 0, 500])]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_tokens long")
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset, r.n_seqs)
+        for r in PK.pack_sequences(df, 1024, shard_col="shard").collect()
+    }
+    assert got[0] == (0, 0, 1)
+    assert got[3] == (0, 900, 2)  # straddles the 1024 boundary
+    assert got[4] == (1, 176, 3)  # 2048 tokens span three sequences
+    assert got[6] == (3, 276, 0)  # empty doc: position recorded, 0 seqs
+    assert got[7] == (3, 276, 1)
+
+
+def test_pack_sequences_sharded_determinism(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("shard"),
+        (F.col("id") % 97 + 1).alias("n_tokens"),
+    )
+    a = sorted(map(tuple, PK.pack_sequences(df, 512, shard_col="shard").collect()))
+    b = sorted(
+        map(tuple, PK.pack_sequences(df.repartition(7), 512, shard_col="shard").collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        PK.pack_sequences(df, 0, shard_col="shard")
