@@ -41,6 +41,12 @@ def pack_sequences(
     Documents with 0 tokens get ``n_seqs = 0`` at the boundary position.
     Deterministic given (shard_col, order_col) — re-running on any
     partitioning yields identical packing.
+
+    The floor arithmetic goes through double division: exact while a
+    shard's cumulative token count stays below 2^53 (~9e15 tokens —
+    petabytes of text PER SHARD; shard finer if you ever approach it).
+    ``shard_col=None`` uses a global single-partition window — fine for
+    driver-scale inputs, not for a lake table.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
