@@ -1500,7 +1500,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pl ON c.doc_id = pl.doc_id
             LEFT JOIN pb ON c.doc_id = pb.doc_id
         """,
-        "domain_rollup": """
+        "domain_rollup": r"""
             WITH u AS (
                 SELECT doc_id, n_chars,
                        concat('https://',

@@ -64,8 +64,12 @@ def main() -> None:
     )
     ap.add_argument(
         "--benchmark", default=None,
-        help="benchmark parquet (text column); if set, docs with n-gram "
+        help="benchmark parquet; if set, docs with n-gram "
              "contamination > --max-contamination are dropped",
+    )
+    ap.add_argument(
+        "--benchmark-text-col", default="text",
+        help="text column name in the benchmark parquet",
     )
     ap.add_argument("--max-contamination", type=float, default=0.05)
     ap.add_argument("--contamination-ngram", type=int, default=13)
@@ -89,7 +93,8 @@ def main() -> None:
         f"jaccard={args.jaccard},num_hashes={args.num_hashes},bands={args.bands},"
         f"min_tokens={args.min_tokens},max_bucket={args.max_bucket},"
         f"rep={args.max_dup_line_frac}/{args.max_top_bigram_frac},"
-        f"decontam={args.benchmark}:{args.max_contamination}@{args.contamination_ngram}"
+        f"decontam={args.benchmark}/{args.benchmark_text_col}:"
+        f"{args.max_contamination}@{args.contamination_ngram}"
     )
 
     # 1. quality gate — pure Catalyst, filter pushes into the scan
@@ -110,7 +115,7 @@ def main() -> None:
             gated, spark.read.parquet(args.benchmark),
             max_contamination=args.max_contamination,
             n=args.contamination_ngram, id_col=idc, text_col=txt,
-            bench_text_col=txt,
+            bench_text_col=args.benchmark_text_col,
         )
     gated = lineage.checkpoint(
         gated, os.path.join(args.output, "s1_gated"), stage="quality_gate",

@@ -170,7 +170,7 @@ def repetition_stats(
     )
 
     bi_counts = (
-        base.select(id_col, F.size("__bi__").alias("__nbi__"), F.explode("__bi__").alias("bi"))
+        base.select(id_col, F.explode("__bi__").alias("bi"))
         .groupBy(id_col, "bi")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -12,9 +12,7 @@ Scale: the cumulative sum runs PER SHARD (``partitionBy(shard)`` window).
 A global order over 100 TB would be a total sort; sharding bounds each
 window to one partition's data and is how training pipelines shard
 anyway (sequences never cross file/shard boundaries). Sequence ids are
-(shard, seq_in_shard) pairs; ``global_seq`` additionally offsets by the
-shard's base so ids are dense within a shard but only unique, not
-consecutive, across shards.
+(shard, seq_id) pairs — dense within a shard, disjoint across shards.
 """
 
 from __future__ import annotations
