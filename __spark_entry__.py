@@ -765,9 +765,12 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
-    return DD.minhash_lsh_pairs(
-        docs.unionByName(mutated), jaccard_threshold=0.5
+    # single-split local scan would serialize the Arrow signature kernel
+    # onto one core (lake-scale scans have thousands of splits)
+    corpus = docs.unionByName(mutated).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return DD.minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
 
 
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,7 +781,10 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    out = DD.simhash_near_duplicates(docs.unionByName(dupes), max_hamming=3)
+    corpus = docs.unionByName(dupes).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = DD.simhash_near_duplicates(corpus, max_hamming=3)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
