@@ -71,6 +71,12 @@ def sessionize(
     ``extra_aggs``). ``session_end`` is the LAST EVENT time (max ts), not
     the gap-padded window end — replayable from plain SQL (lag/cumsum) for
     the oracle twin.
+
+    Skew: a bot key whose events never pause longer than ``gap`` forms ONE
+    session — a single reducer group. Counts/sums partial-aggregate, so
+    the group's row volume is bounded by its pre-agg partials, but a
+    pathological key set is better rate-limited or pre-filtered upstream
+    (``plans.skew`` composes for the aggregation exchange itself).
     """
     df = events
     if watermark is not None:
