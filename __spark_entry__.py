@@ -754,6 +754,27 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "seq_id", "seq_offset", "n_seqs")
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal (MassiveText line dedup):
+    every even doc gets an injected 'SHARED HEADER' first line, which
+    crosses the min_docs threshold and is stripped everywhere; output is
+    md5 of the rebuilt text + the per-doc removal count. Oracle: the same
+    frequency/filter/reassembly with DuckDB list lambdas."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("SHARED HEADER\n"), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = CU.line_dedup(docs, min_docs=10)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Oracle (round 3): per-doc signatures
     from the independent fixture twin (fixtures/gen_oracle_fixtures.py),
@@ -982,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": _q_domain_rollup,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "line_dedup": _q_line_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -1573,6 +1595,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor((cum + n_chars - 1) / 2048) - floor(cum / 2048) + 1
                         END AS BIGINT) AS n_seqs
             FROM c
+        """,
+        "line_dedup": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN concat('SHARED HEADER', chr(10), text)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            exploded AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM corpus
+            ),
+            freq AS (
+                SELECT line FROM exploded
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+            ),
+            boiler AS (SELECT coalesce(list(line), []) AS bl FROM freq)
+            SELECT c.doc_id,
+                   md5(array_to_string(
+                       list_filter(string_split(c.text, chr(10)),
+                                   x -> NOT list_contains(b.bl, x)),
+                       chr(10))) AS clean_md5,
+                   CAST(len(list_filter(string_split(c.text, chr(10)),
+                            x -> list_contains(b.bl, x))) AS BIGINT)
+                       AS n_lines_removed
+            FROM corpus c CROSS JOIN boiler b
         """,
         "overlay_rule_max": """
             WITH base AS (

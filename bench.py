@@ -51,6 +51,7 @@ HEADLINE = [
     "domain_rollup",
     "stratified_sample",
     "pack_sequences",
+    "line_dedup",
 ]
 
 

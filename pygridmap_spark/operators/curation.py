@@ -203,6 +203,67 @@ def repetition_stats(
     return out
 
 
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate line removal (the MassiveText line-dedup
+    stage): a line occurring in at least ``min_docs`` DISTINCT documents
+    is removed from every document; remaining lines are rejoined in their
+    original order. Returns the input columns with ``text_col`` rewritten
+    plus ``n_lines_removed``. Documents reduced to nothing keep an empty
+    string (drop downstream via the quality gate, which re-runs anyway).
+
+    Plan: posexplode -> line-frequency hash agg (countDistinct id,
+    partial-aggregated) -> frequency join back -> per-doc ordered
+    reassembly (collect_list of (pos, line) structs, array_sort — sorts
+    WITHIN the row, no global sort). Lines match EXACTLY (no trim/case
+    folding): boilerplate repeats byte-identically; anything fuzzier
+    belongs to the near-dup family. At lake scale key the frequency agg
+    by ``xxhash64(line)`` instead of the line string to keep the exchange
+    narrow (kept as the string here for engine-twin checkability).
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    freq = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__ndocs__"))
+        .filter(F.col("__ndocs__") >= min_docs)
+        .withColumn("__boiler__", F.lit(1))
+    )
+    marked = lines.join(freq.select("line", "__boiler__"), "line", "left")
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__boiler__").isNull(),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("__clean__"),
+        F.sum(F.when(F.col("__boiler__") == 1, 1).otherwise(0)).alias("n_lines_removed"),
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others)
+        .join(rebuilt, id_col, "left")
+        .select(
+            *others,
+            F.coalesce(F.col("__clean__"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines_removed"), F.lit(0)).alias("n_lines_removed"),
+        )
+    )
+
+
 def repetition_filter(
     df: DataFrame,
     max_dup_line_frac: float = 0.30,

@@ -87,3 +87,22 @@ def test_decontaminate_empty_benchmark_keeps_all(spark, docs):
     bench = spark.createDataFrame([], "q long, text string")
     kept = sorted(r.doc_id for r in CU.decontaminate(docs, bench, n=3).collect())
     assert kept == [1, 2, 3, 4]
+
+
+def test_line_dedup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nCOOKIE BANNER2"),
+            (2, "COOKIE BANNER\nreal content two"),
+            (3, "COOKIE BANNER\nmore text\nCOOKIE BANNER"),
+            (4, "standalone doc"),
+            (5, "COOKIE BANNER"),  # doc reduced to nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_lines_removed) for r in CU.line_dedup(docs, min_docs=3).collect()}
+    assert got[1] == ("real content one\nCOOKIE BANNER2", 1)  # <3-doc line kept
+    assert got[2] == ("real content two", 1)
+    assert got[3] == ("more text", 2)  # both occurrences removed, counted
+    assert got[4] == ("standalone doc", 0)
+    assert got[5] == ("", 1)  # emptied doc kept as '' (not dropped)
