@@ -73,6 +73,11 @@ def main() -> None:
     )
     ap.add_argument("--max-contamination", type=float, default=0.05)
     ap.add_argument("--contamination-ngram", type=int, default=13)
+    ap.add_argument(
+        "--line-dedup-min-docs", type=int, default=0,
+        help="if > 0, strip lines occurring in at least this many distinct "
+             "docs (MassiveText boilerplate-line removal) before dedup",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -94,13 +99,20 @@ def main() -> None:
         f"min_tokens={args.min_tokens},max_bucket={args.max_bucket},"
         f"rep={args.max_dup_line_frac}/{args.max_top_bigram_frac},"
         f"decontam={args.benchmark}/{args.benchmark_text_col}:"
-        f"{args.max_contamination}@{args.contamination_ngram}"
+        f"{args.max_contamination}@{args.contamination_ngram},"
+        f"linededup={args.line_dedup_min_docs}"
     )
 
     # 1. quality gate — pure Catalyst, filter pushes into the scan
     gated = docs.filter(
         F.col(txt).isNotNull() & (TX.token_count(F.col(txt)) >= args.min_tokens)
     )
+    # 1a. boilerplate line removal (opt-in) — rewrites text BEFORE the
+    # repetition/contamination gates so they see the cleaned documents
+    if args.line_dedup_min_docs > 0:
+        gated = CU.line_dedup(
+            gated, min_docs=args.line_dedup_min_docs, id_col=idc, text_col=txt
+        ).drop("n_lines_removed")
     # 1b. repetition gate (opt-in) — Gopher-style within-doc repetition
     if args.max_dup_line_frac > 0:
         gated = CU.repetition_filter(
