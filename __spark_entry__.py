@@ -754,6 +754,19 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "seq_id", "seq_offset", "n_seqs")
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window 256, overlap 64, n_chars
+    as the token proxy) — zero-shuffle projection + explode. Oracle: the
+    same chunk-count/start arithmetic via generate_series."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = PKG.chunk_documents(docs, window=256, overlap=64, token_col="n_chars")
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_start", "chunk_end",
+    )
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate line removal (MassiveText line dedup):
     every even doc gets an injected 'SHARED HEADER' first line, which
@@ -1004,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
+        "chunk_documents": _q_chunk_documents,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -1622,6 +1636,18 @@ def oracle_sql() -> dict[str, str]:
                             x -> list_contains(b.bl, x))) AS BIGINT)
                        AS n_lines_removed
             FROM corpus c CROSS JOIN boiler b
+        """,
+        "chunk_documents": """
+            SELECT doc_id,
+                   u.i AS chunk_idx,
+                   u.i * 192 AS chunk_start,
+                   least(u.i * 192 + 256, n_chars) AS chunk_end
+            FROM documents,
+                 unnest(generate_series(0,
+                     CAST(CASE WHEN n_chars <= 0 THEN -1
+                          ELSE ceil(greatest(n_chars - 256, 0) / 192.0)
+                          END AS BIGINT))) AS u(i)
+            WHERE n_chars > 0
         """,
         "overlay_rule_max": """
             WITH base AS (

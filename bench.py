@@ -52,6 +52,7 @@ HEADLINE = [
     "stratified_sample",
     "pack_sequences",
     "line_dedup",
+    "chunk_documents",
 ]
 
 

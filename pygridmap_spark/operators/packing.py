@@ -21,6 +21,47 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int,
+    overlap: int = 0,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into windows of
+    ``window`` tokens advancing by ``window - overlap`` (sliding-window
+    pretraining chunks). Emits one row per chunk:
+    ``(input columns, chunk_idx, chunk_start, chunk_end)`` with
+    ``chunk_end = min(start + window, len)`` — the final chunk is short,
+    never empty. Zero-token documents emit no chunks.
+
+    Pure projection + ``explode`` of a per-row ``sequence`` — NO shuffle
+    at any scale; chunk counts are data-parallel row arithmetic.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if not 0 <= overlap < window:
+        raise ValueError(f"overlap must be in [0, window), got {overlap}")
+    stride = window - overlap
+    t = F.col(token_col)
+    # chunks whose start < len and (start == 0 or start advances coverage):
+    # n = 1 + ceil(max(len - window, 0) / stride)   for len > 0
+    n_chunks = F.when(t <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(F.greatest(t - window, F.lit(0)) / F.lit(stride)).cast("long")
+    )
+    out = df.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))),
+    )
+    start = F.col("chunk_idx") * stride
+    return out.filter(n_chunks > 0).withColumns(
+        {
+            "chunk_start": start.cast("long"),
+            "chunk_end": F.least(start + window, t).cast("long"),
+        }
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -81,3 +81,22 @@ def test_pack_sequences_sharded_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         PK.pack_sequences(df, 0, shard_col="shard")
+
+
+def test_chunk_documents(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 11), (4, 25), (5, 0)], "doc_id long, n_tokens long"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_end)
+        for r in PK.chunk_documents(df, window=10, overlap=2).collect()
+    }
+    assert got[(1, 0)] == (0, 5)  # short doc: one truncated chunk
+    assert got[(2, 0)] == (0, 10)  # exact fit: one chunk
+    assert got[(3, 0)] == (0, 10) and got[(3, 1)] == (8, 11)
+    assert got[(4, 2)] == (16, 25)
+    assert not any(d == 5 for d, _ in got)  # empty doc emits nothing
+    assert len(got) == 7
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PK.chunk_documents(df, window=10, overlap=10)
