@@ -1623,7 +1623,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM corpus
             ),
             freq AS (
-                SELECT line FROM exploded
+                SELECT line FROM exploded WHERE line != ''
                 GROUP BY line HAVING count(DISTINCT doc_id) >= 10
             ),
             boiler AS (SELECT coalesce(list(line), []) AS bl FROM freq)

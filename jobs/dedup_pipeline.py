@@ -103,16 +103,16 @@ def main() -> None:
         f"linededup={args.line_dedup_min_docs}"
     )
 
-    # 1. quality gate — pure Catalyst, filter pushes into the scan
-    gated = docs.filter(
-        F.col(txt).isNotNull() & (TX.token_count(F.col(txt)) >= args.min_tokens)
-    )
-    # 1a. boilerplate line removal (opt-in) — rewrites text BEFORE the
-    # repetition/contamination gates so they see the cleaned documents
+    # 1. quality gate — null filter, then (opt-in) boilerplate line
+    # removal, THEN the token gate: the gate must judge the CLEANED text,
+    # or docs reduced to nothing by line removal would survive to the
+    # final corpus
+    gated = docs.filter(F.col(txt).isNotNull())
     if args.line_dedup_min_docs > 0:
         gated = CU.line_dedup(
             gated, min_docs=args.line_dedup_min_docs, id_col=idc, text_col=txt
         ).drop("n_lines_removed")
+    gated = gated.filter(TX.token_count(F.col(txt)) >= args.min_tokens)
     # 1b. repetition gate (opt-in) — Gopher-style within-doc repetition
     if args.max_dup_line_frac > 0:
         gated = CU.repetition_filter(

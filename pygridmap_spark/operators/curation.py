@@ -229,7 +229,11 @@ def line_dedup(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
     )
     freq = (
-        lines.groupBy("line")
+        # blank lines are structure (paragraph breaks), never boilerplate —
+        # without this exclusion any real corpus trips the threshold on ''
+        # and every paragraph break in every doc is collapsed
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
         .agg(F.countDistinct(id_col).alias("__ndocs__"))
         .filter(F.col("__ndocs__") >= min_docs)
         .withColumn("__boiler__", F.lit(1))
@@ -254,11 +258,15 @@ def line_dedup(
     )
     others = [c for c in df.columns if c != text_col]
     return (
-        df.select(*others)
+        df.select(*others, F.col(text_col).isNull().alias("__txt_null__"))
         .join(rebuilt, id_col, "left")
         .select(
             *others,
-            F.coalesce(F.col("__clean__"), F.lit("")).alias(text_col),
+            # NULL text stays NULL (missing != empty); only genuinely
+            # rebuilt docs get the rewritten string
+            F.when(F.col("__txt_null__"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("__clean__"), F.lit("")))
+            .alias(text_col),
             F.coalesce(F.col("n_lines_removed"), F.lit(0)).alias("n_lines_removed"),
         )
     )

@@ -46,15 +46,19 @@ def chunk_documents(
     t = F.col(token_col)
     # chunks whose start < len and (start == 0 or start advances coverage):
     # n = 1 + ceil(max(len - window, 0) / stride)   for len > 0
-    n_chunks = F.when(t <= 0, F.lit(0)).otherwise(
-        F.lit(1) + F.ceil(F.greatest(t - window, F.lit(0)) / F.lit(stride)).cast("long")
-    )
-    out = df.withColumn(
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(t - window, F.lit(0)) / F.lit(stride)
+    ).cast("long")
+    # filter BEFORE the explode: zero/NULL-token rows would otherwise
+    # materialize phantom exploded rows (sequence(0, -1) = [0, -1] — Spark
+    # infers step -1 — and NULL tokens would slip through greatest/least's
+    # NULL-skipping into a fabricated [0, window) chunk)
+    out = df.filter(t.isNotNull() & (t > 0)).withColumn(
         "chunk_idx",
         F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))),
     )
     start = F.col("chunk_idx") * stride
-    return out.filter(n_chunks > 0).withColumns(
+    return out.withColumns(
         {
             "chunk_start": start.cast("long"),
             "chunk_end": F.least(start + window, t).cast("long"),

@@ -49,6 +49,9 @@ def merge_sketch_rollups(
     over fixed-size binaries — the raw data is never re-read."""
     return (
         df.groupBy(*group_cols)
-        .agg(F.hll_union_agg(sketch_col).alias(sketch_col))
+        # allowDifferentLgConfigK: rollups written in different periods may
+        # have used different lgk (the function exposes it per call); the
+        # union downgrades to the coarser precision instead of throwing
+        .agg(F.hll_union_agg(sketch_col, F.lit(True)).alias(sketch_col))
         .withColumn("approx_distinct", F.hll_sketch_estimate(sketch_col))
     )

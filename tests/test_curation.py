@@ -106,3 +106,20 @@ def test_line_dedup(spark):
     assert got[3] == ("more text", 2)  # both occurrences removed, counted
     assert got[4] == ("standalone doc", 0)
     assert got[5] == ("", 1)  # emptied doc kept as '' (not dropped)
+
+
+def test_line_dedup_preserves_blank_lines_and_null_text(spark):
+    """Blank lines are paragraph structure, never boilerplate (they occur
+    'in every doc' trivially); NULL text stays NULL, not ''."""
+    docs = spark.createDataFrame(
+        [
+            (1, "BOILER\n\npara one"),
+            (2, "BOILER\n\npara two"),
+            (3, "BOILER\n\npara three"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_lines_removed) for r in CU.line_dedup(docs, min_docs=3).collect()}
+    assert got[1] == ("\npara one", 1)  # blank line SURVIVES, BOILER removed
+    assert got[4] == (None, 0)  # missing text != empty text

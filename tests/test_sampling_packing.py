@@ -97,6 +97,11 @@ def test_chunk_documents(spark):
     assert got[(4, 2)] == (16, 25)
     assert not any(d == 5 for d, _ in got)  # empty doc emits nothing
     assert len(got) == 7
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         PK.chunk_documents(df, window=10, overlap=10)
+
+
+def test_chunk_documents_null_tokens_emit_nothing(spark):
+    df = spark.createDataFrame([(1, 50), (2, None)], "doc_id long, n_tokens long")
+    rows = PK.chunk_documents(df, window=10).collect()
+    assert {r.doc_id for r in rows} == {1}  # NULL-token row: no phantom chunk

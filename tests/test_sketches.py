@@ -41,3 +41,15 @@ def test_sketch_merge_identity(spark):
         for r in SK.merge_sketch_rollups(per_shard, ["g"]).collect()
     }
     assert merged == whole
+
+
+def test_sketch_merge_tolerates_mixed_lgk(spark):
+    """Rollups stored in different periods with different lgk must merge
+    (union downgrades precision) instead of throwing."""
+    df = _events(spark)
+    a = SK.distinct_sketch_rollup(df.filter(F.col("shard") == 0), ["g"], "v", lgk=12)
+    b = SK.distinct_sketch_rollup(df.filter(F.col("shard") != 0), ["g"], "v", lgk=14)
+    merged = SK.merge_sketch_rollups(a.unionByName(b), ["g"]).collect()
+    assert len(merged) == 7
+    for r in merged:
+        assert abs(r.approx_distinct - 5000) / 5000 < 0.05
