@@ -767,6 +767,15 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary (tf + document frequency, deterministic
+    tf-desc/term tie-break). Oracle: the same explode/agg/top-k in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TS.term_frequencies(docs, top_k=200).select(
+        "term", F.col("tf").cast("long").alias("tf"), F.col("df").cast("long").alias("df")
+    )
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate line removal (MassiveText line dedup):
     every even doc gets an injected 'SHARED HEADER' first line, which
@@ -1018,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
         "chunk_documents": _q_chunk_documents,
+        "term_frequencies": _q_term_frequencies,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -1648,6 +1658,17 @@ def oracle_sql() -> dict[str, str]:
                           ELSE ceil(greatest(n_chars - 256, 0) / 192.0)
                           END AS BIGINT))) AS u(i)
             WHERE n_chars > 0
+        """,
+        "term_frequencies": f"""
+            WITH toks AS (
+                SELECT doc_id, t AS term
+                FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+                     unnest(ts) AS u(t)
+                WHERE t != ''
+            )
+            SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY term
+            ORDER BY tf DESC, term LIMIT 200
         """,
         "overlay_rule_max": """
             WITH base AS (

@@ -53,6 +53,7 @@ HEADLINE = [
     "pack_sequences",
     "line_dedup",
     "chunk_documents",
+    "term_frequencies",
 ]
 
 

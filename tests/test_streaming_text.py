@@ -316,3 +316,16 @@ def test_stateful_url_dedup_event_time_ttl(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="ttl_clock"):
         SP.stateful_url_dedup(stream, ttl_minutes=60, ttl_clock="bogus")
+
+
+def test_term_frequencies(spark):
+    from pygridmap_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple!")],
+        "doc_id long, text string",
+    )
+    got = {r.term: (r.tf, r.df) for r in TS.term_frequencies(docs).collect()}
+    assert got == {"apple": (3, 2), "banana": (2, 2), "cherry": (1, 1)}
+    top1 = TS.term_frequencies(docs, top_k=1).collect()
+    assert [(r.term, r.tf) for r in top1] == [("apple", 3)]
