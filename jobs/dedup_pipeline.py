@@ -15,7 +15,12 @@ dedup as first-class operators):
                       (ids-only shuffle) -> exact Jaccard verify,
   4. dup groups     — pointer-jumping connected components over the pair
                       graph (O(log diameter) rounds),
-  5. keep-one       — anti-join the non-canonical members out.
+  5. keep-one       — anti-join the non-canonical members out,
+  6. mix + pack     — opt-in deterministic stratified sample
+                      (--sample-fractions) and sequence-packing
+                      coordinates (--pack-max-tokens): the
+                      training-ready tail, checkpointed as
+                      s5_training_ready.
 
 Every stage checkpoints to parquet with a per-partition row-count/hash
 manifest (plans.lineage); a restart with the same --output skips completed
@@ -78,6 +83,19 @@ def main() -> None:
         help="if > 0, strip lines occurring in at least this many distinct "
              "docs (MassiveText boilerplate-line removal) before dedup",
     )
+    ap.add_argument(
+        "--sample-fractions", default=None,
+        help="comma list stratum=fraction (e.g. 'src0=1.0,src1=0.1') for a "
+             "deterministic post-dedup mixing sample; strata not listed "
+             "are dropped",
+    )
+    ap.add_argument("--sample-strata-col", default="source")
+    ap.add_argument("--sample-seed", default="mix-v1")
+    ap.add_argument(
+        "--pack-max-tokens", type=int, default=0,
+        help="if > 0, append sequence-packing coordinates (seq_id/offset/"
+             "span; shard = hash of id into 64) to the survivor output",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -100,7 +118,9 @@ def main() -> None:
         f"rep={args.max_dup_line_frac}/{args.max_top_bigram_frac},"
         f"decontam={args.benchmark}/{args.benchmark_text_col}:"
         f"{args.max_contamination}@{args.contamination_ngram},"
-        f"linededup={args.line_dedup_min_docs}"
+        f"linededup={args.line_dedup_min_docs},"
+        f"mix={args.sample_fractions}@{args.sample_seed},"
+        f"pack={args.pack_max_tokens}"
     )
 
     # 1. quality gate — null filter, then (opt-in) boilerplate line
@@ -166,6 +186,35 @@ def main() -> None:
         survivors, os.path.join(args.output, "s4_survivors"), stage="keep_one",
         inputs=[os.path.join(args.output, "s3_pairs"), params],
     )
+
+    # 6. (opt-in) deterministic mixing sample + sequence packing: the
+    # "raw crawl -> training-ready" tail of the pipeline
+    if args.sample_fractions:
+        from pygridmap_spark.operators import sampling as SMP
+
+        fracs = dict(
+            (k, float(v))
+            for k, v in (kv.split("=") for kv in args.sample_fractions.split(","))
+        )
+        survivors = SMP.stratified_sample(
+            survivors, fracs, strata_col=args.sample_strata_col,
+            key_col=idc, seed=args.sample_seed,
+        )
+    if args.pack_max_tokens > 0:
+        from pygridmap_spark.functions import text as TX2
+        from pygridmap_spark.operators import packing as PKG
+
+        survivors = PKG.pack_sequences(
+            survivors.withColumn("n_tokens", TX2.token_count(F.col(txt)))
+            .withColumn("shard", F.pmod(F.xxhash64(F.col(idc)), F.lit(64))),
+            args.pack_max_tokens, shard_col="shard",
+        )
+    if args.sample_fractions or args.pack_max_tokens > 0:
+        survivors = lineage.checkpoint(
+            survivors, os.path.join(args.output, "s5_training_ready"),
+            stage="mix_pack",
+            inputs=[os.path.join(args.output, "s4_survivors"), params],
+        )
 
     n_in, n_gated, n_exact, n_out = (
         docs.count(), gated.count(), exact.count(), survivors.count()
