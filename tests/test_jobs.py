@@ -1,0 +1,90 @@
+"""End-to-end job coverage: dedup_pipeline with every opt-in stage on,
+run twice against the same --output to pin the lineage resume contract
+(second run must serve checkpoints, not recompute)."""
+
+import json
+import os
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def pipeline_env(spark, tmp_path):
+    """documents + benchmark parquet at tiny scale."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    bench = str(tmp_path / "bench.parquet")
+    spark.read.parquet(src).filter("doc_id % 29 = 0").select("doc_id", "text").write.parquet(bench)
+    return src, bench, str(tmp_path / "work")
+
+
+def _run(argv):
+    sys.path.insert(0, "/root/repo/jobs")
+    import importlib
+
+    import dedup_pipeline
+
+    importlib.reload(dedup_pipeline)
+    old = sys.argv
+    sys.argv = ["dedup_pipeline.py"] + argv
+    try:
+        dedup_pipeline.main()
+    finally:
+        sys.argv = old
+
+
+def test_dedup_pipeline_all_stages_and_resume(pipeline_env, capsys, spark, monkeypatch):
+    # the job ends with spark.stop(); getOrCreate hands it the shared test
+    # session, so neutralize stop for the duration of the run
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    src, bench, out = pipeline_env
+    argv = [
+        "--input", src, "--output", out,
+        "--line-dedup-min-docs", "5",
+        "--max-dup-line-frac", "0.9",
+        "--benchmark", bench, "--contamination-ngram", "3",
+        "--sample-fractions", "src0=1.0,src1=1.0,src2=1.0,src3=0.5",
+        "--pack-max-tokens", "1024",
+    ]
+    _run(argv)
+    line1 = [l for l in capsys.readouterr().out.splitlines() if l.startswith("dedup_pipeline:")][-1]
+
+    # every stage checkpoint has a manifest; the training-ready tail exists
+    stages = ["s1_gated", "s2_exact", "s3_pairs", "s4_survivors", "s5_training_ready"]
+    mtimes = {}
+    for st in stages:
+        mf = os.path.join(out, st, "_lineage.json")
+        assert os.path.exists(mf), st
+        mtimes[st] = os.path.getmtime(mf)
+        json.load(open(mf))  # valid json
+
+    # packed output carries the packing coordinates
+    import duckdb
+
+    cols = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out}/s5_training_ready/*.parquet') LIMIT 1"
+    ).columns
+    for c in ("seq_id", "seq_offset", "n_seqs", "shard"):
+        assert c in cols
+
+    # second run: identical params -> every checkpoint reused (manifest
+    # untouched) and identical counts reported
+    _run(argv)
+    line2 = [l for l in capsys.readouterr().out.splitlines() if l.startswith("dedup_pipeline:")][-1]
+    assert line1 == line2
+    for st in stages:
+        assert os.path.getmtime(os.path.join(out, st, "_lineage.json")) == mtimes[st], (
+            f"{st} was rewritten on resume"
+        )
+
+
+def test_dedup_pipeline_param_change_recomputes(pipeline_env, spark, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    src, bench, out = pipeline_env
+    base = ["--input", src, "--output", out]
+    _run(base)
+    m1 = os.path.getmtime(os.path.join(out, "s1_gated", "_lineage.json"))
+    # changed parameter -> stage identity differs -> recompute, not reuse
+    _run(base + ["--min-tokens", "7"])
+    m2 = os.path.getmtime(os.path.join(out, "s1_gated", "_lineage.json"))
+    assert m2 > m1
