@@ -207,7 +207,7 @@ def main() -> None:
         survivors = PKG.pack_sequences(
             survivors.withColumn("n_tokens", TX2.token_count(F.col(txt)))
             .withColumn("shard", F.pmod(F.xxhash64(F.col(idc)), F.lit(64))),
-            args.pack_max_tokens, shard_col="shard",
+            args.pack_max_tokens, order_col=idc, shard_col="shard",
         )
     if args.sample_fractions or args.pack_max_tokens > 0:
         survivors = lineage.checkpoint(

@@ -7,15 +7,24 @@ pure Catalyst expressions (`parse_url` is a JVM built-in — no Python in
 the hot path), each with a deterministic regexp twin expressible in DuckDB
 for oracle checks.
 
-``registered_domain`` implements a public-suffix-style reduction over a
-FIXED, documented suffix list (the real PSL is ~9k rules; carrying it is a
-data-file decision, not an engine one — the column expression is the same
-either way: longest matching suffix + one label).
+Two registered-domain implementations:
+
+- ``registered_domain`` — a when-chain Column expression over a FIXED
+  small literal suffix list. Fixture-scale ONLY: plan size is linear in
+  the list, so it must NOT be extended toward the real PSL (~9k rules —
+  9k chained regexp_extracts would explode the plan).
+- ``with_registered_domain`` — the scale path: the suffix rules are a
+  broadcast DIMENSION TABLE (``suffix_rules`` stand-in or ``load_psl``
+  for the real publicsuffix.org file). Each of the host's last-k-label
+  candidate suffixes is resolved by a broadcast left join, so plan size
+  is O(max_labels) regardless of rule count, and there is no shuffle.
+  Implements the full PSL algorithm: longest match wins, ``*.`` wildcard
+  rules, ``!`` exception rules, optional implicit default rule ``*``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # longest-match-first; each entry is a suffix whose "registered domain" is
@@ -45,7 +54,12 @@ def registered_domain(
 ) -> Column:
     """Public-suffix-style registered domain: the longest matching suffix
     from ``suffixes`` plus one label (``a.b.site.co.uk`` -> ``site.co.uk``);
-    NULL when the host matches no suffix or IS a bare suffix."""
+    NULL when the host matches no suffix or IS a bare suffix.
+
+    FIXTURE-SCALE ONLY — plan size is linear in ``suffixes`` (one
+    regexp_extract per entry); do NOT extend toward the real PSL. Use
+    :func:`with_registered_domain` (broadcast-join dimension table,
+    O(max_labels) plan) for anything beyond a handful of rules."""
     ordered = sorted(suffixes, key=len, reverse=True)
     expr = F.lit(None).cast("string")
     for s in reversed(ordered):
@@ -57,14 +71,136 @@ def registered_domain(
     return F.when(host_col.isin(*suffixes), F.lit(None).cast("string")).otherwise(expr)
 
 
-def with_url_features(df, url: str = "url"):
-    """Append ``host``, ``registered_domain``, ``path_depth`` — one narrow
-    projection, whole-stage codegen."""
-    h = host(F.col(url))
-    return df.withColumns(
-        {
-            "host": h,
-            "registered_domain": registered_domain(h),
-            "path_depth": path_depth(F.col(url)),
-        }
+def suffix_rules(
+    spark: SparkSession, suffixes: tuple[str, ...] = DEFAULT_SUFFIXES
+) -> DataFrame:
+    """Suffix rules as a dimension table ``(pattern, has_rule, has_exc)``
+    — the default stand-in for :func:`with_registered_domain`. ``pattern``
+    may use the PSL's ``*.`` wildcard form; ``has_exc`` marks ``!``
+    exception rules (none in the stand-in)."""
+    return spark.createDataFrame(
+        [(s, True, False) for s in suffixes],
+        "pattern string, has_rule boolean, has_exc boolean",
+    )
+
+
+def load_psl(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a publicsuffix.org-format file (one rule per line, ``//``
+    comments, ``*.`` wildcards, ``!`` exceptions) into the rules dimension
+    table :func:`with_registered_domain` consumes. Distributed text read
+    (works on any Hadoop FS scheme); the result is dimension-sized (~9k
+    rows) and meant to be broadcast."""
+    raw = spark.read.text(path).select(F.trim("value").alias("line"))
+    return (
+        raw.filter((F.col("line") != "") & ~F.col("line").startswith("//"))
+        .select(
+            F.regexp_replace("line", "^!", "").alias("pattern"),
+            F.col("line").startswith("!").alias("is_exc"),
+        )
+        .groupBy("pattern")
+        .agg(
+            F.max(~F.col("is_exc")).alias("has_rule"),
+            F.max("is_exc").alias("has_exc"),
+        )
+    )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    rules: DataFrame | None = None,
+    out_col: str = "registered_domain",
+    max_labels: int = 5,
+    default_rule: bool = False,
+) -> DataFrame:
+    """Append the PSL registered domain of ``host_col`` by broadcast-joining
+    a suffix rules dimension table (:func:`suffix_rules` stand-in by
+    default; :func:`load_psl` for the real list).
+
+    Full PSL algorithm: among matching rules the longest wins, a ``*.``
+    wildcard rule matches any label in its ``*`` slot, and a ``!``
+    exception rule prevails outright (its public suffix is the rule minus
+    its leading label). ``default_rule=True`` adds the PSL's implicit
+    ``*`` rule (unknown TLDs still registrable at depth 2); the default
+    False keeps the stand-in's NULL-for-unknown-suffix contract.
+
+    Plan shape: for k = 1..max_labels the host's last-k-label candidate
+    (and its ``*.``-prefixed wildcard probe) is resolved by ONE broadcast
+    left join each — 2*max_labels-1 broadcast hash joins, NO shuffle, and
+    plan size independent of the rule-table size (a 9k-rule PSL and the
+    14-rule stand-in plan identically). Hosts deeper than ``max_labels``
+    labels match through their deepest candidates (real PSL rules max out
+    at 5 labels)."""
+    spark = df.sparkSession
+    if rules is None:
+        rules = suffix_rules(spark)
+    tmp = ["__lbl__", "__nl__"]
+    labels = F.split(F.col(host_col), "\\.")
+    out = df.withColumn("__lbl__", labels).withColumn("__nl__", F.size("__lbl__"))
+    nl = F.col("__nl__")
+
+    def _last_k(k: int) -> Column:  # last-k-label suffix of the host
+        return F.when(
+            nl >= k, F.array_join(F.slice("__lbl__", nl - k + 1, F.lit(k)), ".")
+        )
+
+    exc_levels: list[Column] = []
+    match_levels: list[Column] = []
+    for k in range(1, max_labels + 1):
+        r = rules.select(
+            F.col("pattern").alias(f"__p{k}__"),
+            F.col("has_rule").alias(f"__r{k}__"),
+            F.col("has_exc").alias(f"__e{k}__"),
+        )
+        out = out.withColumn(f"__c{k}__", _last_k(k)).join(
+            F.broadcast(r), F.col(f"__c{k}__") == F.col(f"__p{k}__"), "left"
+        )
+        tmp += [f"__c{k}__", f"__p{k}__", f"__r{k}__", f"__e{k}__"]
+        match_levels.append(F.when(F.col(f"__r{k}__"), F.lit(k)))
+        exc_levels.append(F.when(F.col(f"__e{k}__"), F.lit(k)))
+        if k >= 2:
+            # wildcard probe: '*.' + last-(k-1) labels matches '*.x' rules
+            w = rules.filter("has_rule").select(
+                F.col("pattern").alias(f"__wp{k}__"),
+                F.lit(True).alias(f"__wr{k}__"),
+            )
+            out = out.withColumn(
+                f"__w{k}__", F.when(nl >= k, F.concat(F.lit("*."), _last_k(k - 1)))
+            ).join(F.broadcast(w), F.col(f"__w{k}__") == F.col(f"__wp{k}__"), "left")
+            tmp += [f"__w{k}__", f"__wp{k}__", f"__wr{k}__"]
+            match_levels.append(F.when(F.col(f"__wr{k}__"), F.lit(k)))
+    if default_rule:
+        match_levels.append(F.lit(1))
+    # greatest skips NULLs -> the longest matching rule level (or NULL)
+    match_n = (
+        F.greatest(*match_levels) if len(match_levels) > 1 else match_levels[0]
+    )
+    exc_n = F.greatest(*exc_levels) if len(exc_levels) > 1 else exc_levels[0]
+    # exception prevails: its public suffix drops the rule's leading label
+    ps_n = F.when(exc_n.isNotNull(), exc_n - 1).otherwise(match_n)
+    reg = F.when(
+        ps_n.isNotNull() & (nl > ps_n),
+        F.array_join(F.slice("__lbl__", nl - ps_n, ps_n + 1), "."),
+    )
+    return out.withColumn(out_col, reg).drop(*tmp)
+
+
+def with_url_features(
+    df,
+    url: str = "url",
+    rules: DataFrame | None = None,
+    max_labels: int = 5,
+    default_rule: bool = False,
+):
+    """Append ``host``, ``path_depth``, ``registered_domain``: one narrow
+    whole-stage-codegen projection plus the broadcast-join PSL reduction
+    of :func:`with_registered_domain` (no shuffle; rule table defaults to
+    the :func:`suffix_rules` stand-in — pass ``rules=load_psl(...)`` for
+    the real list)."""
+    feats = df.withColumns(
+        {"host": host(F.col(url)), "path_depth": path_depth(F.col(url))}
+    )
+    return with_registered_domain(
+        feats, host_col="host", rules=rules,
+        max_labels=max_labels, default_rule=default_rule,
     )

@@ -208,6 +208,7 @@ def line_dedup(
     min_docs: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_lines: bool = True,
 ) -> DataFrame:
     """Cross-document boilerplate line removal (the MassiveText line-dedup
     stage): a line occurring in at least ``min_docs`` DISTINCT documents
@@ -221,24 +222,35 @@ def line_dedup(
     reassembly (collect_list of (pos, line) structs, array_sort — sorts
     WITHIN the row, no global sort). Lines match EXACTLY (no trim/case
     folding): boilerplate repeats byte-identically; anything fuzzier
-    belongs to the near-dup family. At lake scale key the frequency agg
-    by ``xxhash64(line)`` instead of the line string to keep the exchange
-    narrow (kept as the string here for engine-twin checkability).
+    belongs to the near-dup family.
+
+    ``hash_lines=True`` (default) keys the frequency aggregation AND the
+    mark-back join by ``xxhash64(line)`` — the frequency exchange carries
+    8-byte keys instead of the corpus's distinct line TEXT, which at lake
+    scale is the difference between a narrow and a corpus-sized shuffle.
+    A 64-bit collision could over-remove one innocent line corpus-wide
+    (P ~ n_distinct^2 / 2^64 — negligible next to the heuristic itself);
+    ``hash_lines=False`` keys by the exact string.
     """
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
     )
+    if hash_lines:
+        lines = lines.withColumn("__lk__", F.xxhash64(F.col("line")))
+        key = "__lk__"
+    else:
+        key = "line"
     freq = (
         # blank lines are structure (paragraph breaks), never boilerplate —
         # without this exclusion any real corpus trips the threshold on ''
         # and every paragraph break in every doc is collapsed
         lines.filter(F.col("line") != "")
-        .groupBy("line")
+        .groupBy(key)
         .agg(F.countDistinct(id_col).alias("__ndocs__"))
         .filter(F.col("__ndocs__") >= min_docs)
         .withColumn("__boiler__", F.lit(1))
     )
-    marked = lines.join(freq.select("line", "__boiler__"), "line", "left")
+    marked = lines.join(freq.select(key, "__boiler__"), key, "left")
     rebuilt = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -214,6 +214,11 @@ def minhash_lsh_pairs(
     not need to know the knob exists to be safe. Pass ``None`` to opt out
     explicitly (exact recall on pathological inputs).
 
+    NOTE: this is an ACTION, not a lazy transformation — the bucket-cap
+    counting pass (when ``max_bucket`` is set) and the final
+    ``localCheckpoint`` run jobs at call time; the returned DataFrame is
+    already materialized.
+
     Scale: the band-join exchange carries ONLY (band, bucket, doc_id) — at
     100 TB the dominant shuffle is the ×bands replication, so the shingle
     arrays must not ride it. Shingle sets are joined back by doc id (twice,
@@ -225,10 +230,27 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
         )
-    rows_per_band = num_hashes // bands
     # materialize signatures once: the banding self-join and the two
     # verify joins would otherwise recompute the shingle+hash pipeline
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    try:
+        return _minhash_lsh_pairs_body(
+            sigs, id_col, num_hashes, bands, jaccard_threshold, max_bucket
+        )
+    finally:
+        # release the signature cache even when the job fails mid-way
+        sigs.unpersist()
+
+
+def _minhash_lsh_pairs_body(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -271,16 +293,14 @@ def minhash_lsh_pairs(
     # shingles are already distinct sets (collect_set)
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
-    out = (
+    return (
         pairs.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
-        # materialize before releasing the signature cache (otherwise a
-        # later action would recompute sigs uncached)
+        # materialize before releasing the signature cache (the caller's
+        # finally unpersists; a later action would recompute sigs uncached)
         .localCheckpoint(eager=True)
     )
-    sigs.unpersist()
-    return out
 
 
 def ngram_jaccard_pairs(
@@ -399,18 +419,37 @@ def simhash_near_duplicates(
     chunk -> equi-join per chunk, verify with bit_count(xor). ``blocks``
     defaults to max_hamming+1 — the minimum that makes the recall exact.
     ``max_bucket`` defaults to 100 000 (see minhash_lsh_pairs — same
-    boilerplate blow-up guard, same logged opt-out via ``None``)."""
+    boilerplate blow-up guard, same logged opt-out via ``None``).
+
+    NOTE: an ACTION, not a lazy transformation — the bucket-cap counting
+    pass and the final ``localCheckpoint`` run jobs at call time."""
     if blocks is None:
         blocks = min(max_hamming + 1, 32)
     if blocks < max_hamming + 1:
         raise ValueError(
             f"blocks={blocks} cannot guarantee recall at max_hamming={max_hamming}"
         )
-    width = 64 // blocks
     # persisted: the chunked frame feeds the wide-bucket count (when capped)
     # plus BOTH sides of the self-join — without the cache the Arrow simhash
     # kernel would re-run per consumer
     sh = simhash(df, id_col, text_col).persist()
+    try:
+        return _simhash_near_duplicates_body(
+            sh, id_col, max_hamming, blocks, max_bucket
+        )
+    finally:
+        # release the signature cache even when the job fails mid-way
+        sh.unpersist()
+
+
+def _simhash_near_duplicates_body(
+    sh: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    blocks: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    width = 64 // blocks
     chunk_exprs = []
     for i in range(blocks):
         w = width if i < blocks - 1 else 64 - width * (blocks - 1)
@@ -437,7 +476,7 @@ def simhash_near_duplicates(
     b = chunked.select(
         "chunk_idx", "chunk", F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb")
     )
-    out = (
+    return (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
@@ -448,8 +487,6 @@ def simhash_near_duplicates(
         # pattern — a later action would otherwise recompute sh uncached)
         .localCheckpoint(eager=True)
     )
-    sh.unpersist()
-    return out
 
 
 def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20) -> DataFrame:

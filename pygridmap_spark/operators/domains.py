@@ -21,12 +21,14 @@ def domain_rollup(
     df: DataFrame,
     url_col: str = "url",
     extra_aggs: list | None = None,
+    rules: DataFrame | None = None,
 ) -> DataFrame:
     """Per-registered-domain rollup: document count, distinct-host count,
     mean path depth (+ caller ``extra_aggs``). Rows whose URL yields no
     registered domain (bare suffix, IP, unparsable) group under NULL —
-    kept, not dropped, so totals reconcile."""
-    feats = U.with_url_features(df, url=url_col)
+    kept, not dropped, so totals reconcile. ``rules`` is the PSL dimension
+    table (``urls.load_psl``); defaults to the suffix stand-in."""
+    feats = U.with_url_features(df, url=url_col, rules=rules)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("host").alias("n_hosts"),

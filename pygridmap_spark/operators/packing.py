@@ -17,8 +17,12 @@ anyway (sequences never cross file/shard boundaries). Sequence ids are
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def chunk_documents(
@@ -88,12 +92,21 @@ def pack_sequences(
     The floor arithmetic goes through double division: exact while a
     shard's cumulative token count stays below 2^53 (~9e15 tokens —
     petabytes of text PER SHARD; shard finer if you ever approach it).
-    ``shard_col=None`` uses a global single-partition window — fine for
-    driver-scale inputs, not for a lake table.
+    ``shard_col=None`` uses a global single-partition window (a warning is
+    logged) — fine for driver-scale inputs, not for a lake table; shard by
+    e.g. ``F.pmod(F.xxhash64(id), F.lit(64))`` as jobs/dedup_pipeline.py
+    does.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     if shard_col is None:
+        log.warning(
+            "pack_sequences: shard_col=None plans a GLOBAL single-partition "
+            "window (one reducer sorts everything) — fine at driver scale, "
+            "a scale-killer on a lake table; pass shard_col (e.g. "
+            "pmod(xxhash64(%s), 64))",
+            order_col,
+        )
         w = Window.orderBy(order_col)
     else:
         w = Window.partitionBy(shard_col).orderBy(order_col)

@@ -26,8 +26,19 @@ from pyspark.sql import functions as F
 
 def hash_bucket(key: Column, seed: str = "") -> Column:
     """Deterministic uniform [0, 1) bucket from a key column: the first 8
-    hex digits of md5(seed || ':' || key) scaled by 2^-32."""
-    h = F.md5(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
+    hex digits of md5(seed || ':' || key) scaled by 2^-32.
+
+    NULL keys hash via a NUL-framed sentinel (concat would otherwise yield
+    NULL, and NULL < fraction is never true — a fraction=1.0 'keep all'
+    stratum would silently drop NULL-keyed rows). All NULL keys share one
+    bucket: included or excluded together, as a group."""
+    h = F.md5(
+        F.concat(
+            F.lit(seed),
+            F.lit(":"),
+            F.coalesce(key.cast("string"), F.lit("\x00null\x00")),
+        )
+    )
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
 
 

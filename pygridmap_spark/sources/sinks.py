@@ -93,13 +93,19 @@ def write_tiles(
     # O(#xt dirs x #yt dirs) driver-side LIST calls — 10^4-10^6 on an
     # object store with a global fine tiling — so the columnar agg is used
     # unconditionally, for the coarsen branch and the plain one alike.
-    b = (
-        read_tiles(spark, output_folder, format)
-        .agg(F.min("xt"), F.max("xt"), F.min("yt"), F.max("yt"))
-        .collect()[0]
-    )
-    xts = [v for v in (b[0], b[1]) if v is not None]
-    yts = [v for v in (b[2], b[3]) if v is not None]
+    try:
+        b = (
+            read_tiles(spark, output_folder, format)
+            .agg(F.min("xt"), F.max("xt"), F.min("yt"), F.max("yt"))
+            .collect()[0]
+        )
+        xts = [v for v in (b[0], b[1]) if v is not None]
+        yts = [v for v in (b[2], b[3]) if v is not None]
+    except Exception:
+        # an EMPTY input writes no partition dirs, and the read-back then
+        # fails schema inference (UNABLE_TO_INFER_SCHEMA) — mirror the old
+        # listing path's contract: null bounds, info.json still written
+        xts, yts = [], []
     info = {
         "dims": [],
         "crs": crs,

@@ -123,3 +123,24 @@ def test_line_dedup_preserves_blank_lines_and_null_text(spark):
     got = {r.doc_id: (r.text, r.n_lines_removed) for r in CU.line_dedup(docs, min_docs=3).collect()}
     assert got[1] == ("\npara one", 1)  # blank line SURVIVES, BOILER removed
     assert got[4] == (None, 0)  # missing text != empty text
+
+
+def test_line_dedup_hashed_equals_string_keyed(spark):
+    """hash_lines=True (the lake-scale 8-byte-key exchange) must produce
+    byte-identical output to the string-keyed path."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"SHARED HEADER\nbody {i}\n\nSHARED FOOTER" if i % 2 else f"only {i}")
+            for i in range(1, 21)
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, CU.line_dedup(docs, min_docs=5, hash_lines=True).collect()))
+    b = sorted(map(tuple, CU.line_dedup(docs, min_docs=5, hash_lines=False).collect()))
+    assert a == b
+    # and the hashed frequency agg really is keyed by the 8-byte hash
+    plan = (
+        CU.line_dedup(docs, min_docs=5, hash_lines=True)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "__lk__" in plan

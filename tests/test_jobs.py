@@ -88,3 +88,23 @@ def test_dedup_pipeline_param_change_recomputes(pipeline_env, spark, monkeypatch
     _run(base + ["--min-tokens", "7"])
     m2 = os.path.getmtime(os.path.join(out, "s1_gated", "_lineage.json"))
     assert m2 > m1
+
+
+def test_dedup_pipeline_pack_with_custom_id_col(pipeline_env, spark, tmp_path, monkeypatch):
+    """--pack-max-tokens with a non-default --id-col (review finding: the
+    pack window used to order by the literal 'doc_id' and raise)."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    src, _, _ = pipeline_env
+    renamed = str(tmp_path / "renamed.parquet")
+    spark.read.parquet(src).withColumnRenamed("doc_id", "page_id").write.parquet(renamed)
+    out = str(tmp_path / "work_idcol")
+    _run([
+        "--input", renamed, "--output", out,
+        "--id-col", "page_id", "--pack-max-tokens", "1024",
+    ])
+    import duckdb
+
+    cols = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out}/s5_training_ready/*.parquet') LIMIT 1"
+    ).columns
+    assert {"page_id", "seq_id", "seq_offset", "n_seqs"} <= set(cols)

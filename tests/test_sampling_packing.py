@@ -105,3 +105,31 @@ def test_chunk_documents_null_tokens_emit_nothing(spark):
     df = spark.createDataFrame([(1, 50), (2, None)], "doc_id long, n_tokens long")
     rows = PK.chunk_documents(df, window=10).collect()
     assert {r.doc_id for r in rows} == {1}  # NULL-token row: no phantom chunk
+
+
+def test_null_keys_survive_full_fraction(spark):
+    # a fraction=1.0 "keep all" stratum must keep NULL-keyed rows too
+    # (review finding: NULL key -> NULL bucket -> silently dropped)
+    df = spark.createDataFrame(
+        [(None, "wiki"), ("a", "wiki"), (None, "cc")], "k string, source string"
+    )
+    assert SA.deterministic_sample(df, 1.0, key_col="k").count() == 3
+    kept = SA.stratified_sample(
+        df, {"wiki": 1.0}, strata_col="source", key_col="k"
+    ).collect()
+    assert sorted(((r.k or "", r.source) for r in kept)) == [("", "wiki"), ("a", "wiki")]
+
+
+def test_pack_sequences_warns_on_global_window(spark, caplog):
+    import logging
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n_tokens long")
+    with caplog.at_level(logging.WARNING, logger="pygridmap_spark.operators.packing"):
+        PK.pack_sequences(df, 1024).collect()
+    assert any("single-partition" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="pygridmap_spark.operators.packing"):
+        PK.pack_sequences(
+            df.withColumn("shard", F.lit(0)), 1024, shard_col="shard"
+        ).collect()
+    assert not caplog.records

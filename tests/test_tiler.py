@@ -146,3 +146,17 @@ def test_write_tiles_coarsened_supertiles(spark, tmp_path):
     # super key consistent with shifted tile ids
     chk = back.filter(SF.shiftright("xt", 3) != SF.col("xt_super")).count()
     assert chk == 0
+
+
+def test_write_tiles_empty_input_null_bounds(spark, tmp_path):
+    """An EMPTY frame writes no partition dirs; the bounds read-back must
+    fall back to null bounds instead of failing schema inference."""
+    from pygridmap_spark.sources import sinks
+
+    df = spark.createDataFrame([], "xt long, yt long, v double")
+    out = str(tmp_path / "empty_tiles")
+    info = sinks.write_tiles(df, out, resolution=1.0, tile_size_cell=10)
+    assert info["tilingBounds"] == {
+        "yMin": None, "yMax": None, "xMax": None, "xMin": None
+    }
+    assert sinks.read_info(out)["resolutionGeo"] == 1.0

@@ -44,3 +44,97 @@ def test_domain_rollup(spark):
     assert got["example.com"] == (2, 2, 2.0)
     # NULL-domain rows are kept so totals reconcile
     assert sum(v[0] for v in got.values()) == 6
+
+
+def test_with_registered_domain_matches_when_chain(spark):
+    # join-based PSL path == the literal when-chain on the stand-in rules
+    df, feats = _feats(spark)
+    chain = df.select(
+        "doc_id", U.registered_domain(U.host(F.col("url"))).alias("rd")
+    )
+    joined = U.with_registered_domain(
+        df.select("doc_id", U.host(F.col("url")).alias("host"))
+    ).select("doc_id", F.col("registered_domain").alias("rd"))
+    assert sorted(map(tuple, chain.collect())) == sorted(map(tuple, joined.collect()))
+
+
+def test_psl_wildcard_exception_and_default_rule(spark):
+    # full PSL algorithm: '*.ck' wildcard, '!www.ck' exception, default '*'
+    rules = spark.createDataFrame(
+        [("com", True, False), ("*.ck", True, False), ("www.ck", False, True)],
+        "pattern string, has_rule boolean, has_exc boolean",
+    )
+    hosts = spark.createDataFrame(
+        [
+            (1, "a.example.com"),      # plain rule
+            (2, "foo.bar.ck"),         # wildcard: ps = bar.ck -> foo.bar.ck
+            (3, "www.ck"),             # exception: ps = ck -> www.ck
+            (4, "sub.www.ck"),         # exception still prevails -> www.ck
+            (5, "bar.ck"),             # host IS a wildcard public suffix
+            (6, "unknown.xyz"),        # no rule
+        ],
+        "doc_id long, host string",
+    )
+    got = {
+        r.doc_id: r.registered_domain
+        for r in U.with_registered_domain(hosts, rules=rules).collect()
+    }
+    assert got == {
+        1: "example.com", 2: "foo.bar.ck", 3: "www.ck",
+        4: "www.ck", 5: None, 6: None,
+    }
+    # default_rule=True: the PSL's implicit '*' makes unknown TLDs registrable
+    got_dr = {
+        r.doc_id: r.registered_domain
+        for r in U.with_registered_domain(
+            hosts, rules=rules, default_rule=True
+        ).collect()
+    }
+    assert got_dr[6] == "unknown.xyz"
+
+
+def test_psl_plan_size_flat_in_rule_count(spark):
+    # the scale contract: a 1000-rule table must not grow the plan (the
+    # when-chain would be 1000 regexp_extracts; the join path is O(max_labels))
+    big = spark.createDataFrame(
+        [(f"tld{i}", True, False) for i in range(1000)] + [("co.uk", True, False)],
+        "pattern string, has_rule boolean, has_exc boolean",
+    )
+    hosts = spark.createDataFrame(
+        [(1, "a.site.co.uk"), (2, "b.tld500")], "doc_id long, host string"
+    )
+    small_plan = U.with_registered_domain(
+        hosts, rules=U.suffix_rules(spark)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    big_plan = U.with_registered_domain(
+        hosts, rules=big
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert len(big_plan) < 2 * len(small_plan)  # flat, not 70x
+    got = {
+        r.doc_id: r.registered_domain
+        for r in U.with_registered_domain(hosts, rules=big).collect()
+    }
+    assert got == {1: "site.co.uk", 2: "b.tld500"}
+
+
+def test_load_psl(spark, tmp_path):
+    psl = tmp_path / "psl.dat"
+    psl.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "  co.uk  \n"
+        "*.ck\n"
+        "!www.ck\n"
+        "\n"
+        "// comment\n"
+    )
+    rows = {
+        r.pattern: (r.has_rule, r.has_exc)
+        for r in U.load_psl(spark, str(psl)).collect()
+    }
+    assert rows == {
+        "com": (True, False),
+        "co.uk": (True, False),
+        "*.ck": (True, False),
+        "www.ck": (False, True),
+    }
