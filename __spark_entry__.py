@@ -40,6 +40,7 @@ from pygridmap_spark.operators import tiler as TL
 from pygridmap_spark.sources import polygons as PG
 from pygridmap_spark.operators import curation as CU
 from pygridmap_spark.operators import domains as DMN
+from pygridmap_spark.functions import reproject as RPJ
 from pygridmap_spark.operators import packing as PKG
 from pygridmap_spark.operators import sampling as SMP
 from pygridmap_spark.streaming import pipeline as SP
@@ -725,6 +726,32 @@ def _q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 -> EPSG:3035 (LAEA Europe) forward + round-trip inverse as
+    pure column trig (functions/reproject.py; Snyder ellipsoidal formulas).
+    Coordinates synthesized in the projection's domain of use from doc_id
+    (exact int64 arithmetic in both engines); the oracle re-states the same
+    closed-form math in DuckDB SQL. Forward rounded to 0.1 m, round-trip to
+    1e-6 deg (the series truncation, ~2e-9 deg, is formula-identical on
+    both sides and cancels)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lon = F.lit(-25.0) + (F.col("doc_id") * F.lit(2654435761) % F.lit(70000)) / F.lit(1000.0)
+    lat = F.lit(30.0) + (F.col("doc_id") * F.lit(2246822519) % F.lit(42000)) / F.lit(1000.0)
+    df = docs.withColumns({"lon": lon, "lat": lat})
+    x, y = RPJ.laea_forward(F.col("lon"), F.col("lat"))
+    df = df.withColumns({"x_laea": x, "y_laea": y})
+    ilon, ilat = RPJ.laea_inverse(F.col("x_laea"), F.col("y_laea"))
+    return df.select(
+        "doc_id",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.round("x_laea", 1).alias("x_laea"),
+        F.round("y_laea", 1).alias("y_laea"),
+        F.round(ilon, 6).alias("lon_rt"),
+        F.round(ilat, 6).alias("lat_rt"),
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (the data-mixing primitive):
     keep iff md5-hash bucket < the stratum's fraction — reproducible
@@ -1023,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_stats": _q_contamination,
         "repetition_stats": _q_repetition_stats,
         "domain_rollup": _q_domain_rollup,
+        "reproject_laea": _q_reproject_laea,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
@@ -1587,6 +1615,75 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(path_depth), 6) AS avg_path_depth,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM r GROUP BY registered_domain
+        """,
+        "reproject_laea": f"""
+            WITH pts AS (
+                SELECT doc_id,
+                       -25.0 + (doc_id * 2654435761 % 70000) / 1000.0 AS lon,
+                       30.0 + (doc_id * 2246822519 % 42000) / 1000.0 AS lat
+                FROM documents
+            ),
+            tr AS (
+                SELECT doc_id, lon, lat,
+                       radians(lon) - {RPJ._LON0!r} AS lam,
+                       sin(radians(lat)) AS sp
+                FROM pts
+            ),
+            qv AS (
+                SELECT *, {1.0 - RPJ._E2!r} * (sp / (1.0 - {RPJ._E2!r} * sp * sp)
+                          - {1.0 / (2.0 * RPJ._E)!r}
+                            * ln((1.0 - {RPJ._E!r} * sp) / (1.0 + {RPJ._E!r} * sp))) AS q
+                FROM tr
+            ),
+            bt AS (
+                SELECT *, asin(least(greatest(q / {RPJ._QP!r}, -1.0), 1.0)) AS beta
+                FROM qv
+            ),
+            fw AS (
+                SELECT doc_id, lon, lat,
+                       {RPJ._FE!r} + {RPJ._RQ!r}
+                           * sqrt(2.0 / (1.0 + {RPJ._SB1!r} * sin(beta)
+                                             + {RPJ._CB1!r} * cos(beta) * cos(lam)))
+                           * {RPJ._D!r} * cos(beta) * sin(lam) AS x,
+                       {RPJ._FN!r} + ({RPJ._RQ!r}
+                           * sqrt(2.0 / (1.0 + {RPJ._SB1!r} * sin(beta)
+                                             + {RPJ._CB1!r} * cos(beta) * cos(lam)))
+                           / {RPJ._D!r})
+                           * ({RPJ._CB1!r} * sin(beta)
+                              - {RPJ._SB1!r} * cos(beta) * cos(lam)) AS y
+                FROM bt
+            ),
+            iv AS (
+                SELECT *, (x - {RPJ._FE!r}) / {RPJ._D!r} AS xp,
+                          (y - {RPJ._FN!r}) * {RPJ._D!r} AS yp
+                FROM fw
+            ),
+            iv2 AS (SELECT *, sqrt(xp * xp + yp * yp) AS rho FROM iv),
+            iv3 AS (
+                SELECT *, 2.0 * asin(least(greatest(rho / {2.0 * RPJ._RQ!r}, -1.0), 1.0)) AS ce
+                FROM iv2
+            ),
+            iv4 AS (
+                SELECT *,
+                       CASE WHEN rho = 0 THEN {RPJ._BETA1!r}
+                            ELSE asin(least(greatest(cos(ce) * {RPJ._SB1!r}
+                                 + yp * sin(ce) * {RPJ._CB1!r} / rho, -1.0), 1.0))
+                       END AS beta2,
+                       CASE WHEN rho = 0 THEN 0.0
+                            ELSE atan2(xp * sin(ce),
+                                       rho * {RPJ._CB1!r} * cos(ce)
+                                       - yp * {RPJ._SB1!r} * sin(ce))
+                       END AS lam2
+                FROM iv3
+            )
+            SELECT doc_id,
+                   round(lon, 6) AS lon, round(lat, 6) AS lat,
+                   round(x, 1) AS x_laea, round(y, 1) AS y_laea,
+                   round(degrees(lam2 + {RPJ._LON0!r}), 6) AS lon_rt,
+                   round(degrees(beta2 + {RPJ._A2!r} * sin(2.0 * beta2)
+                         + {RPJ._A4!r} * sin(4.0 * beta2)
+                         + {RPJ._A6!r} * sin(6.0 * beta2)), 6) AS lat_rt
+            FROM iv4
         """,
         "stratified_sample": """
             WITH b AS (

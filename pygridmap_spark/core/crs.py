@@ -92,7 +92,8 @@ def ensure_same_crs(*crs_values: str | int | None, context: str = "overlay") -> 
     if len(declared) > 1:
         raise ValueError(
             f"CRS mismatch in {context}: {sorted(declared)} — reproject one "
-            "layer first (the engine does not silently mix projections)"
+            "layer first with functions.reproject.reproject(df, to=...) "
+            "(the engine does not silently mix projections)"
         )
     return next(iter(declared), None)
 
