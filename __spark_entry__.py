@@ -726,6 +726,59 @@ def _q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overlay_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolved overlay output (reference parity: gpd.dissolve over
+    overlay pieces, base.py:504-516): every offset cell's 4 clip pieces
+    dissolve STRICTLY (no fallback) back to the original 5000x5000 rect —
+    1 polygon, 4 corners, seam vertices gone. The oracle re-derives each
+    reconstructed rect arithmetically; the hash-match proves the dissolve
+    returns the exact original geometry, not just the right area."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as WKB
+
+    base = PG.grid_layer(spark, (0.0, 0.0, 100_000.0, 100_000.0), (5_000.0, 5_000.0))
+    offset = PG.grid_layer(
+        spark, (2_500.0, 2_500.0, 97_500.0, 97_500.0), (5_000.0, 5_000.0)
+    ).drop("val")
+    pieces = OV.grid_overlay_rects(offset, base, [], rule=None, emit_wkb=True)
+    dis = OV.dissolve_pieces(pieces, group_col="cell_id", strict=True)
+
+    def _decode(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = {
+                "cell_id": batch["cell_id"], "n_pieces": batch["n_pieces"],
+                "n_polys": [], "n_vertices": [],
+                "xmin": [], "ymin": [], "xmax": [], "ymax": [],
+                "area": batch["area"],
+            }
+            for buf in batch["geometry"]:
+                mp = WKB.decode_multipolygon(bytes(buf))
+                ring = mp[0][0]
+                closed = (ring[0] == ring[-1]).all()
+                rows["n_polys"].append(len(mp))
+                rows["n_vertices"].append(len(ring) - (1 if closed else 0))
+                rows["xmin"].append(ring[:, 0].min())
+                rows["ymin"].append(ring[:, 1].min())
+                rows["xmax"].append(ring[:, 0].max())
+                rows["ymax"].append(ring[:, 1].max())
+            yield pd.DataFrame(rows)
+
+    out = dis.mapInPandas(
+        _decode,
+        "cell_id long, n_pieces long, n_polys int, n_vertices int, "
+        "xmin double, ymin double, xmax double, ymax double, area double",
+    )
+    return out.select(
+        "cell_id", "n_pieces", "n_polys", "n_vertices",
+        F.round("xmin", 6).alias("xmin"), F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"), F.round("ymax", 6).alias("ymax"),
+        F.round("area", 6).alias("area"),
+    )
+
+
 def _q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG:4326 -> EPSG:3035 (LAEA Europe) forward + round-trip inverse as
     pure column trig (functions/reproject.py; Snyder ellipsoidal formulas).
@@ -1050,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_stats": _q_contamination,
         "repetition_stats": _q_repetition_stats,
         "domain_rollup": _q_domain_rollup,
+        "overlay_dissolve_wkb": _q_overlay_dissolve,
         "reproject_laea": _q_reproject_laea,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -1615,6 +1669,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(path_depth), 6) AS avg_path_depth,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM r GROUP BY registered_domain
+        """,
+        "overlay_dissolve_wkb": """
+            WITH g AS (
+                SELECT ix, iy FROM range(19) t1(ix), range(19) t2(iy)
+            )
+            SELECT CAST(ix + iy * 19 AS BIGINT) AS cell_id,
+                   CAST(4 AS BIGINT) AS n_pieces,
+                   CAST(1 AS INT) AS n_polys,
+                   CAST(4 AS INT) AS n_vertices,
+                   round(2500.0 + ix * 5000.0, 6) AS xmin,
+                   round(2500.0 + iy * 5000.0, 6) AS ymin,
+                   round(7500.0 + ix * 5000.0, 6) AS xmax,
+                   round(7500.0 + iy * 5000.0, 6) AS ymax,
+                   round(25000000.0, 6) AS area
+            FROM g
         """,
         "reproject_laea": f"""
             WITH pts AS (

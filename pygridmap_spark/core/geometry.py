@@ -772,15 +772,92 @@ def union_blocks(
         ]
 
 
+def rect_of_polygon(poly) -> tuple | None:
+    """``(xmin, ymin, xmax, ymax)`` when ``poly`` is a single axis-aligned
+    rectangle ring (4 distinct corners, no holes), else None."""
+    if len(poly) != 1:
+        return None
+    pts = _ring_open(np.asarray(poly[0], dtype=np.float64).reshape(-1, 2))
+    if len(pts) != 4:
+        return None
+    xs, ys = np.unique(pts[:, 0]), np.unique(pts[:, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    want = {(xs[0], ys[0]), (xs[1], ys[0]), (xs[1], ys[1]), (xs[0], ys[1])}
+    if {(p[0], p[1]) for p in pts} != want:
+        return None
+    return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+
+
+def union_rects_exact(rects: list) -> MultiPolygon:
+    """EXACT unary union of axis-aligned rectangles as a dissolved outline
+    multipolygon (CCW outers + CW holes). Grid decomposition: the rects'
+    distinct x/y edges slice the plane into cells, covered cells share
+    full bit-identical edges by construction, so the shared-edge dissolve
+    cancels every interior seam — no tolerance anywhere."""
+    if not rects:
+        return []
+    rr = [r for r in rects if r[2] > r[0] and r[3] > r[1]]
+    if not rr:
+        return []
+    xs = np.unique(np.array([v for r in rr for v in (r[0], r[2])], dtype=np.float64))
+    ys = np.unique(np.array([v for r in rr for v in (r[1], r[3])], dtype=np.float64))
+    covered = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+    for x0, y0, x1, y1 in rr:
+        i0, i1 = np.searchsorted(xs, x0), np.searchsorted(xs, x1)
+        j0, j1 = np.searchsorted(ys, y0), np.searchsorted(ys, y1)
+        covered[i0:i1, j0:j1] = True
+    cells = [
+        [
+            np.array(
+                [[xs[i], ys[j]], [xs[i + 1], ys[j]], [xs[i + 1], ys[j + 1]], [xs[i], ys[j + 1]]],
+                dtype=np.float64,
+            )
+        ]
+        for i, j in zip(*np.nonzero(covered))
+    ]
+    if not cells:
+        return []
+    out = dissolve_multipolygon(cells, strict=True)
+    # exactness invariant: dissolved area == covered-cell area, exactly the
+    # union area because the cells partition the union
+    return out
+
+
 def union_geometry(
-    geoms: list, tol: float = 1e-4, cover: str = "inner", max_blocks: int = 2_000_000
+    geoms: list,
+    tol: float = 1e-4,
+    cover: str = "inner",
+    max_blocks: int = 2_000_000,
+    exact: bool = False,
 ) -> MultiPolygon:
-    """Unary-union GEOMETRY as a multipolygon of quadtree blocks.
+    """Unary-union GEOMETRY.
+
+    Default (``exact=False``): a multipolygon of quadtree blocks.
     ``cover='inner'`` is contained in the exact union (area within
     tol x bbox_area below it); ``'outer'`` contains it (same bound above).
     Block decomposition, not a dissolved outline — the exact area /
     membership forms (:func:`union_area`, :func:`points_in_union`) remain
-    the precision tools; this is the mappable/paintable form."""
+    the precision tools; this is the mappable/paintable form.
+
+    ``exact=True``: EXACT dissolved outline for rect-decomposable inputs —
+    every polygon of every input multipolygon must be an axis-aligned
+    rectangle (grid cells, tiles, quadtree blocks, the rect-overlay piece
+    family); raises ValueError otherwise. No tolerance, no blocks: grid
+    decomposition + shared-edge cancellation (:func:`union_rects_exact`)."""
+    if exact:
+        rects = []
+        for mp in geoms:
+            for poly in mp:
+                r = rect_of_polygon(poly)
+                if r is None:
+                    raise ValueError(
+                        "union_geometry(exact=True) needs axis-aligned rect "
+                        "polygons; use the quadtree block form (exact=False) "
+                        "for general shapes"
+                    )
+                rects.append(r)
+        return union_rects_exact(rects)
     if cover not in ("inner", "outer"):
         raise ValueError(f"cover must be 'inner' or 'outer', got {cover!r}")
     inside, boundary = union_blocks(geoms, tol, max_blocks)
@@ -791,31 +868,60 @@ def union_geometry(
     ]
 
 
-def dissolve_multipolygon(mp: MultiPolygon) -> MultiPolygon:
-    """Best-effort seam removal for a multipolygon whose polygons PARTITION
-    a region (the triangle-fragment output of :func:`intersect_polygons`
-    on concave clips): interior edges appear exactly twice with opposite
-    directions — and with bit-identical coordinates, because the two
-    triangles sharing a chord compute every subject-edge intersection from
-    negated cross products (t' = (-s_p)/(-s_p + s_q) == s_p/(s_p - s_q)
-    exactly in IEEE) — so they cancel; the surviving directed edges stitch
-    back into boundary rings by leftmost-turn planar face traversal.
+def dissolve_multipolygon(mp: MultiPolygon, strict: bool = False) -> MultiPolygon:
+    """Seam removal for a multipolygon whose polygons PARTITION a region
+    (the triangle-fragment output of :func:`intersect_polygons` on concave
+    clips, rect-overlay pieces, grid-cell covers): interior edges appear
+    exactly twice with opposite directions — and with bit-identical
+    coordinates, because the two triangles sharing a chord compute every
+    subject-edge intersection from negated cross products
+    (t' = (-s_p)/(-s_p + s_q) == s_p/(s_p - s_q) exactly in IEEE) — so they
+    cancel; the surviving directed edges stitch back into boundary rings by
+    leftmost-turn planar face traversal.
 
     Safety contract: the dissolved result must carry EXACTLY the input's
-    signed area; any mismatch (degenerate touching, repeated vertices the
-    traversal mis-routes) returns the ORIGINAL fragments unchanged — the
-    dissolve is cosmetic, never a correctness risk."""
-    import math as _math
-
+    signed area; on any mismatch (degenerate touching, repeated vertices
+    the traversal mis-routes) the default returns the ORIGINAL fragments
+    unchanged — cosmetic, never a correctness risk. ``strict=True`` raises
+    instead of falling back: the pinned no-fallback guarantee for the
+    boolean kernel's own piece outputs (S-H rect clips, triangle
+    fragments, grid cells — where edge cancellation is exact by
+    construction)."""
     if len(mp) <= 1:
         return mp
-    # 1. collect directed edges; cancel exact-opposite pairs
+    out = _dissolve_or_none(mp)
+    if out is None:
+        if strict:
+            raise ValueError(
+                "dissolve_multipolygon(strict=True): edge traversal failed "
+                "or dissolved area diverged — input is not an exact "
+                "partition with bit-identical shared edges"
+            )
+        return mp
+    return out
+
+
+def _dissolve_or_none(mp: MultiPolygon):
+    """Dissolve body; None on any path the public wrapper treats as
+    fallback."""
+    import math as _math
+
+    # 1. collect directed edges; cancel exact-opposite pairs. Rings are
+    # first oriented canonically (shell CCW, holes CW — interior always on
+    # the LEFT of every directed edge): the kernel's fragments carry holes
+    # in whatever orientation the subject had (even-odd is orientation-
+    # agnostic), and a CCW hole boundary would survive the cancellation as
+    # a spurious "outer" ring and fail the area contract.
     edges: dict = {}
     for poly in mp:
-        for ring in poly:
+        for ri, ring in enumerate(poly):
             pts = np.asarray(ring, dtype=np.float64)
             if len(pts) > 1 and pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
                 pts = pts[:-1]
+            if len(pts) >= 3:
+                sa = ring_signed_area(np.vstack([pts, pts[:1]]))
+                if (ri == 0) != (sa > 0) and sa != 0.0:
+                    pts = pts[::-1]
             n = len(pts)
             for i in range(n):
                 a = (float(pts[i, 0]), float(pts[i, 1]))
@@ -826,7 +932,7 @@ def dissolve_multipolygon(mp: MultiPolygon) -> MultiPolygon:
                     continue  # cancels an opposite interior edge
                 edges[(a, b)] = True
     if not edges:
-        return mp
+        return None
     # 2. stitch cycles: at each vertex choose the leftmost-turn outgoing
     # edge relative to the arrival direction (planar face traversal)
     out_by_start: dict = {}
@@ -867,12 +973,12 @@ def dissolve_multipolygon(mp: MultiPolygon) -> MultiPolygon:
         while cur != start and guard:
             nxt = take_next(prev, cur)
             if nxt is None:
-                return mp  # open chain: degenerate input, keep fragments
+                return None  # open chain: degenerate input
             prev, cur = cur, nxt
             ring.append(cur)
             guard -= 1
         if cur != start:
-            return mp
+            return None
         pts = np.asarray(ring[:-1], dtype=np.float64)
         # drop collinear seam vertices (exact zero cross only — never move
         # the boundary)
@@ -889,7 +995,7 @@ def dissolve_multipolygon(mp: MultiPolygon) -> MultiPolygon:
         if len(pts) >= 3:
             rings.append(pts)
     if not rings:
-        return mp
+        return None
     # 3. group rings into polygons: CCW outers, CW holes assigned to the
     # smallest containing outer
     outers = [(r, ring_signed_area(np.vstack([r, r[:1]]))) for r in rings if ring_signed_area(np.vstack([r, r[:1]])) > 0]
@@ -905,11 +1011,11 @@ def dissolve_multipolygon(mp: MultiPolygon) -> MultiPolygon:
                 placed = True
                 break
         if not placed:
-            return mp
+            return None
     del areas
     # 4. the safety contract
     if abs(multipolygon_area(polys) - multipolygon_area(mp)) > 1e-9 * max(
         abs(multipolygon_area(mp)), 1e-300
     ):
-        return mp
+        return None
     return polys

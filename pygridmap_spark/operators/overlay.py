@@ -910,3 +910,50 @@ def area_interpolate(
     return grid_overlay_polygons(
         spark, target_cells, source_polygons, columns, **kwargs
     )
+
+
+def dissolve_pieces(
+    pieces: DataFrame,
+    group_col: str = "poly_id",
+    geometry_col: str = "geometry",
+    strict: bool = False,
+) -> DataFrame:
+    """Dissolve overlay piece geometries per group into one seam-free
+    multipolygon — the distributed form of the reference's
+    ``gpd.dissolve`` over overlay output (overlay.py:296-309 carries the
+    union-dissolved piece geometry). Returns one row per group:
+    ``(group_col, geometry, n_pieces, area)``.
+
+    Exactness: the engine's own piece outputs (S-H rect clips, triangle
+    fragments) share bit-identical interior edges, so the shared-edge
+    cancellation in :func:`core.geometry.dissolve_multipolygon` removes
+    every seam with zero tolerance; ``strict=True`` raises on any group
+    where that guarantee does not hold (instead of keeping the fragments).
+
+    Scale: one shuffle keyed by ``group_col`` (each group's pieces are a
+    single source polygon's fragments — bounded by the polygon's cover
+    cells, the same bound the overlay itself already relies on); the
+    dissolve itself is an Arrow-grouped numpy pass."""
+    from pygridmap_spark.core import geometry as _G
+    from pygridmap_spark.core import wkb as _WKB
+
+    key_type = dict(pieces.dtypes)[group_col]
+
+    def _dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        mp: list = []
+        for buf in pdf[geometry_col]:
+            mp.extend(_WKB.decode_multipolygon(bytes(buf)))
+        out = _G.dissolve_multipolygon(mp, strict=strict)
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                geometry_col: [_WKB.encode_multipolygon(out)],
+                "n_pieces": [len(pdf)],
+                "area": [_G.multipolygon_area(out)],
+            }
+        )
+
+    return pieces.select(group_col, geometry_col).groupBy(group_col).applyInPandas(
+        _dissolve,
+        f"{group_col} {key_type}, {geometry_col} binary, n_pieces long, area double",
+    )

@@ -239,3 +239,76 @@ def test_dissolve_multipolygon():
     frags = G.intersect_polygons(holey, L)
     d = G.dissolve_multipolygon(frags)
     assert G.multipolygon_area(d) == pytest.approx(3.0 - 0.36, rel=1e-12)
+
+
+def test_dissolve_strict_no_fallback_on_kernel_outputs():
+    """The pinned no-fallback guarantee: every piece set the boolean kernel
+    itself produces (S-H rect clips of convex/concave subjects, triangle
+    fragments, holey subjects) dissolves STRICTLY — a silent fallback
+    would raise here."""
+    import numpy as np
+
+    def sq(x0, y0, s):
+        return [np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], dtype=float)]
+
+    L = [np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], dtype=float)]
+    concave = [np.array([[0, 0], [3, 0], [3, 3], [2, 1.5], [0, 3]], dtype=float)]
+    holey = [sq(0, 0, 2)[0], sq(0.5, 0.5, 1)[0]]
+    cases = [
+        G.intersect_polygons(sq(0, 0, 2), L),
+        G.intersect_polygons(holey, L),
+        G.intersect_polygons(sq(0.5, 0.5, 2), concave),
+        G.intersect_multipolygons([sq(0, 0, 2), sq(3, 0, 2)], [L]),
+    ]
+    # plus the rect-piece family: a polygon cut along grid lines
+    grid_pieces = []
+    for cx in range(3):
+        for cy in range(3):
+            c = G.clip_polygon_to_rect(concave[0:1], cx, cy, cx + 1, cy + 1)
+            if c:
+                grid_pieces.append(c)
+    cases.append(grid_pieces)
+    for i, frags in enumerate(cases):
+        assert len(frags) > 1, i  # the dissolve has real work to do
+        d = G.dissolve_multipolygon(frags, strict=True)  # raises on fallback
+        assert abs(G.multipolygon_area(d) - G.multipolygon_area(frags)) < 1e-9, i
+        assert len(d) < len(frags) or sum(len(p[0]) for p in d) < sum(
+            len(p[0]) for p in frags
+        ), i  # seams actually removed
+
+
+def test_union_geometry_exact_rects():
+    import numpy as np
+
+    def rect_mp(x0, y0, x1, y1):
+        return [[np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)]]
+
+    # overlapping pair -> one L/plus-shaped outline, exact area
+    u = G.union_geometry([rect_mp(0, 0, 2, 2), rect_mp(1, 1, 3, 3)], exact=True)
+    assert len(u) == 1 and len(u[0]) == 1
+    assert abs(G.multipolygon_area(u) - 7.0) < 1e-12  # 4 + 4 - 1
+    assert len(u[0][0]) == 8  # the dissolved outline, not block fragments
+    # disconnected pair -> two polygons
+    u2 = G.union_geometry([rect_mp(0, 0, 1, 1), rect_mp(5, 5, 6, 6)], exact=True)
+    assert len(u2) == 2 and abs(G.multipolygon_area(u2) - 2.0) < 1e-12
+    # frame of 4 rects around an empty centre -> outer ring + hole
+    frame = [
+        rect_mp(0, 0, 3, 1), rect_mp(0, 2, 3, 3),
+        rect_mp(0, 1, 1, 2), rect_mp(2, 1, 3, 2),
+    ]
+    u3 = G.union_geometry(frame, exact=True)
+    assert len(u3) == 1 and len(u3[0]) == 2  # outer + hole
+    assert abs(G.multipolygon_area(u3) - 8.0) < 1e-12
+    # non-dyadic coordinates stay exact (the quadtree form cannot do this)
+    u4 = G.union_geometry(
+        [rect_mp(0.1, 0.1, 0.7, 0.5), rect_mp(0.3, 0.2, 0.9, 0.8)], exact=True
+    )
+    want = 0.6 * 0.4 + 0.6 * 0.6 - 0.4 * 0.3
+    assert abs(G.multipolygon_area(u4) - want) < 1e-12
+    # non-rect input refuses
+    tri = [[[np.array([[0, 0], [1, 0], [0.5, 1]], dtype=float)]]]
+    try:
+        G.union_geometry(tri, exact=True)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

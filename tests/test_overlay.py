@@ -404,3 +404,37 @@ def test_polygon_overlay_pieces_dissolve(spark):
     assert (ring[0] == ring[-1]).all()
     assert frag["piece_area"] == pytest.approx(diss["piece_area"], rel=1e-12)
     assert G.multipolygon_area(mp_d) == pytest.approx(diss["piece_area"], rel=1e-12)
+
+
+def test_dissolve_pieces_operator(spark):
+    """Distributed per-group dissolve: rect overlay pieces reconstruct
+    each source polygon exactly (strict mode — a silent fallback fails),
+    and a concave multi-group input dissolves per group."""
+    import pandas as pd
+
+    from pygridmap_spark.sources import polygons as PGx
+
+    base = PGx.grid_layer(spark, (0.0, 0.0, 20_000.0, 20_000.0), (5_000.0, 5_000.0))
+    offset = PGx.grid_layer(
+        spark, (2_500.0, 2_500.0, 17_500.0, 17_500.0), (5_000.0, 5_000.0)
+    ).drop("val")
+    pieces = OV.grid_overlay_rects(offset, base, [], rule=None, emit_wkb=True)
+    out = {r.cell_id: r for r in OV.dissolve_pieces(pieces, "cell_id", strict=True).collect()}
+    assert len(out) == 9
+    for cid, r in out.items():
+        mp = wkb.decode_multipolygon(bytes(r.geometry))
+        assert r.n_pieces == 4 and len(mp) == 1 and len(mp[0]) == 1
+        ring = mp[0][0]
+        closed = (ring[0] == ring[-1]).all()
+        assert len(ring) - (1 if closed else 0) == 4  # seam vertices gone
+        assert r.area == pytest.approx(25_000_000.0, rel=1e-12)
+    # two concave-fragment groups in one frame
+    L = [np.array([[0.0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]])]
+    frags = G.intersect_polygons([np.array([[0.0, 0], [2, 0], [2, 2], [0, 2]])], L)
+    rows = [(g, wkb.encode_multipolygon([p])) for g in (1, 2) for p in frags]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["gid", "geometry"]))
+    got = {r.gid: r for r in OV.dissolve_pieces(df, "gid", strict=True).collect()}
+    for g in (1, 2):
+        assert got[g].n_pieces == len(frags)
+        assert got[g].area == pytest.approx(G.multipolygon_area(frags), rel=1e-12)
+        assert len(wkb.decode_multipolygon(bytes(got[g].geometry))) == 1
