@@ -72,6 +72,14 @@ def sessionize(
     the gap-padded window end — replayable from plain SQL (lag/cumsum) for
     the oracle twin.
 
+    Late events (streaming, measured on Spark 4 and pinned by test): an
+    event behind the watermark still MERGES into its key's session while
+    that session's state is in the store (eviction lags the watermark by
+    one micro-batch), and is DROPPED once the session was evicted — it
+    neither re-opens nor re-emits a closed session. So append-mode output
+    is final, and the emitted set equals the batch twin over the
+    surviving (non-dropped) events minus still-open sessions.
+
     Skew: a bot key whose events never pause longer than ``gap`` forms ONE
     session — a single reducer group. Counts/sums partial-aggregate, so
     the group's row volume is bounded by its pre-agg partials, but a

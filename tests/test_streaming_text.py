@@ -329,3 +329,91 @@ def test_term_frequencies(spark):
     assert got == {"apple": (3, 2), "banana": (2, 2), "cherry": (1, 1)}
     top1 = TS.term_frequencies(docs, top_k=1).collect()
     assert [(r.term, r.tf) for r in top1] == [("apple", 3)]
+
+
+def test_sessionize_streaming_late_events_against_watermark(spark, tmp_path):
+    """Multi-batch replay with late + out-of-order events (the append-mode
+    emission timing that matters at scale): an event later than its
+    session but INSIDE the watermark merges into the open session before
+    it closes; an event behind the watermark is dropped and must neither
+    reopen nor distort the already-emitted session. The emitted set must
+    equal the batch twin over the in-watermark events, minus still-open
+    sessions."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructField, StructType, StringType, TimestampType
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    T = lambda s: pd.Timestamp(f"2026-01-01 {s}")  # noqa: E731
+    files = [
+        # f1: open sessions for U and V; watermark after f1 = 10:10-20m
+        [("U", T("10:00")), ("U", T("10:10")), ("V", T("10:00"))],
+        # f2: U 10:05 is LATE but inside the watermark (09:50) -> must
+        # merge into U's open session; W advances the clock (wm -> 11:10)
+        [("U", T("10:05")), ("W", T("11:30"))],
+        # f3: runs at wm 11:10 -> U and V sessions close and emit at the
+        # end of this batch; X advances the clock (wm -> 12:40)
+        [("W", T("11:40")), ("X", T("13:00"))],
+        # f4: V 10:20 arrives AFTER V's session was evicted -> dropped
+        # (must neither re-open nor re-emit V); Y pushes the final
+        # watermark to 13:40 so W and X close; Y itself stays open
+        # (window end 14:30 > 13:40), never emitted
+        [("V", T("10:20")), ("Y", T("14:00"))],
+    ]
+    for i, rows in enumerate(files):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = StructType([StructField("user_id", StringType()), StructField("ts", TimestampType())])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    sessions = SP.sessionize(
+        stream, key="user_id", ts_col="ts", gap="30 minutes", watermark="20 minutes"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    want = {
+        # late 10:05 merged -> 3 events, bounds unchanged
+        ("U", "2026-01-01 10:00:00", "2026-01-01 10:10:00", 3),
+        # too-late 10:20 dropped -> single-event session, NOT (10:00,10:20,2)
+        ("V", "2026-01-01 10:00:00", "2026-01-01 10:00:00", 1),
+        ("W", "2026-01-01 11:30:00", "2026-01-01 11:40:00", 2),
+        ("X", "2026-01-01 13:00:00", "2026-01-01 13:00:00", 1),
+        # Y: still open behind the final watermark -> never emitted
+    }
+    assert got == want
+    # batch twin over the in-watermark events (all minus the dropped late
+    # row), restricted to closed sessions == the streaming emission
+    in_watermark = [
+        (u, t.to_pydatetime()) for f in files for (u, t) in f if (u, t) != ("V", T("10:20"))
+    ]
+    batch = SP.sessionize(
+        spark.createDataFrame(in_watermark, schema),
+        key="user_id", ts_col="ts", gap="30 minutes",
+    )
+    batch_closed = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in batch.collect()
+        if r.user_id != "Y"
+    }
+    assert got == batch_closed
