@@ -151,35 +151,54 @@ def minhash_signatures(
         for batch in batches:
             if not len(batch):
                 continue
-            tok_hash: dict[str, int] = {}  # per-batch distinct-token cache
-            ids, shingle_sets = [], []
+            # tokenize the whole batch, then crc32 only the batch's DISTINCT
+            # tokens (pd.factorize; web text repeats tokens heavily) — the
+            # round-3 per-token Python dict loop was the interpreter-bound
+            # part of this kernel
+            tok_lists, ids = [], []
             for doc_id, text in zip(batch[id_col], batch[text_col].astype(str)):
                 toks = norm_re.sub(" ", text.lower()).split()
-                n_sh = len(toks) - shingle_n + 1
-                if n_sh < 1:
+                if len(toks) - shingle_n + 1 < 1:
                     continue
-                th = np.empty(len(toks), dtype=np.uint64)
-                for i, t in enumerate(toks):
-                    h = tok_hash.get(t)
-                    if h is None:
-                        h = zlib.crc32(t.encode("utf-8"))
-                        tok_hash[t] = h
-                    th[i] = h
+                tok_lists.append(toks)
+                ids.append(doc_id)
+            if not ids:
+                continue
+            tok_lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(ids))
+            codes, uniques = pd.factorize(
+                pd.Series([t for tl in tok_lists for t in tl]), sort=False
+            )
+            uniq_h = np.fromiter(
+                (zlib.crc32(u.encode("utf-8")) for u in uniques),
+                dtype=np.uint64, count=len(uniques),
+            )
+            th_flat = uniq_h[codes]  # (total_tokens,) uint64
+            starts_tok = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(tok_lens[:-1], out=starts_tok[1:])
+            shingle_sets = []
+            for s0, ln in zip(starts_tok, tok_lens):
+                th = th_flat[s0 : s0 + ln]
+                n_sh = ln - shingle_n + 1
                 acc = th[:n_sh] * pos_mult[0]
                 for j in range(1, shingle_n):
                     acc = acc ^ (th[j : j + n_sh] * pos_mult[j])
-                ids.append(doc_id)
                 shingle_sets.append(np.unique(_splitmix64(acc)))
-            if not ids:
-                continue
             lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=len(ids))
             flat = np.concatenate(shingle_sets)  # uint64
-            vals = _splitmix64(flat[None, :] ^ seeds)  # (k, n_shingles)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
+            # k-hash mins computed in SEED SLABS: the full (k, n_shingles)
+            # splitmix pipeline allocates ~6 temporaries of k*n*8 bytes —
+            # hundreds of MB per batch at k=64, pure memory-bandwidth burn.
+            # 8 seeds at a time keeps every temporary ~cache-sized; values
+            # are bit-identical (same arithmetic per seed row).
+            mins = np.empty((num_hashes, len(lens)), dtype=np.uint64)
+            for k0 in range(0, num_hashes, 8):
+                vals = _splitmix64(flat[None, :] ^ seeds[k0 : k0 + 8])
+                mins[k0 : k0 + 8] = np.minimum.reduceat(vals, starts, axis=1)
             # int64 view: signature values may be negative, which is fine —
             # banding compares equality, never order
-            mins = np.minimum.reduceat(vals, starts, axis=1).astype(np.int64)
+            mins = mins.astype(np.int64)
             yield pd.DataFrame(
                 {
                     id_col: ids,
