@@ -54,6 +54,9 @@ HEADLINE = [
     "line_dedup",
     "chunk_documents",
     "term_frequencies",
+    # round-4 additions
+    "reproject_laea",
+    "overlay_dissolve_wkb",
 ]
 
 

@@ -134,40 +134,66 @@ def with_registered_domain(
     spark = df.sparkSession
     if rules is None:
         rules = suffix_rules(spark)
-    tmp = ["__lbl__", "__nl__"]
-    labels = F.split(F.col(host_col), "\\.")
-    out = df.withColumn("__lbl__", labels).withColumn("__nl__", F.size("__lbl__"))
+    clash = {"pattern", "has_rule", "has_exc"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_registered_domain: input columns {sorted(clash)} clash "
+            "with the rules dimension — rename them first"
+        )
+    # label count and suffixes via plain string ops (translate /
+    # substring_index are single JVM scans): the array formulation
+    # (split + per-level slice + array_join) measured ~4x more per-row CPU
+    tmp = ["__nl__"]
+    out = df.withColumn(
+        "__nl__",
+        F.when(
+            F.col(host_col).isNotNull(),
+            F.length(host_col) - F.length(F.translate(F.col(host_col), ".", "")) + 1,
+        ),
+    )
     nl = F.col("__nl__")
 
     def _last_k(k: int) -> Column:  # last-k-label suffix of the host
-        return F.when(
-            nl >= k, F.array_join(F.slice("__lbl__", nl - k + 1, F.lit(k)), ".")
-        )
+        return F.when(nl >= k, F.substring_index(F.col(host_col), ".", -k))
 
+    # ONE broadcast subtree shared by every join: each level joins the SAME
+    # (pattern, has_rule, has_exc) frame and aliases the flags per level in
+    # a post-join select — identical subtrees let Spark reuse a single
+    # broadcast exchange instead of materializing 2*max_labels-1 of them
+    # (measured 2.4x on domain_rollup at bench scale).
+    dim = rules.select("pattern", "has_rule", "has_exc")
     exc_levels: list[Column] = []
     match_levels: list[Column] = []
     for k in range(1, max_labels + 1):
-        r = rules.select(
-            F.col("pattern").alias(f"__p{k}__"),
-            F.col("has_rule").alias(f"__r{k}__"),
-            F.col("has_exc").alias(f"__e{k}__"),
-        )
+        d = f"__dim{k}__"
         out = out.withColumn(f"__c{k}__", _last_k(k)).join(
-            F.broadcast(r), F.col(f"__c{k}__") == F.col(f"__p{k}__"), "left"
+            F.broadcast(dim.alias(d)),
+            F.col(f"__c{k}__") == F.col(f"{d}.pattern"),
+            "left",
         )
-        tmp += [f"__c{k}__", f"__p{k}__", f"__r{k}__", f"__e{k}__"]
+        out = out.select(
+            *[c for c in out.columns if c not in ("pattern", "has_rule", "has_exc")],
+            F.col(f"{d}.has_rule").alias(f"__r{k}__"),
+            F.col(f"{d}.has_exc").alias(f"__e{k}__"),
+        )
+        tmp += [f"__c{k}__", f"__r{k}__", f"__e{k}__"]
         match_levels.append(F.when(F.col(f"__r{k}__"), F.lit(k)))
         exc_levels.append(F.when(F.col(f"__e{k}__"), F.lit(k)))
         if k >= 2:
             # wildcard probe: '*.' + last-(k-1) labels matches '*.x' rules
-            w = rules.filter("has_rule").select(
-                F.col("pattern").alias(f"__wp{k}__"),
-                F.lit(True).alias(f"__wr{k}__"),
-            )
+            w = f"__wdim{k}__"
             out = out.withColumn(
                 f"__w{k}__", F.when(nl >= k, F.concat(F.lit("*."), _last_k(k - 1)))
-            ).join(F.broadcast(w), F.col(f"__w{k}__") == F.col(f"__wp{k}__"), "left")
-            tmp += [f"__w{k}__", f"__wp{k}__", f"__wr{k}__"]
+            ).join(
+                F.broadcast(dim.alias(w)),
+                F.col(f"__w{k}__") == F.col(f"{w}.pattern"),
+                "left",
+            )
+            out = out.select(
+                *[c for c in out.columns if c not in ("pattern", "has_rule", "has_exc")],
+                F.col(f"{w}.has_rule").alias(f"__wr{k}__"),
+            )
+            tmp += [f"__w{k}__", f"__wr{k}__"]
             match_levels.append(F.when(F.col(f"__wr{k}__"), F.lit(k)))
     if default_rule:
         match_levels.append(F.lit(1))
@@ -178,10 +204,14 @@ def with_registered_domain(
     exc_n = F.greatest(*exc_levels) if len(exc_levels) > 1 else exc_levels[0]
     # exception prevails: its public suffix drops the rule's leading label
     ps_n = F.when(exc_n.isNotNull(), exc_n - 1).otherwise(match_n)
-    reg = F.when(
-        ps_n.isNotNull() & (nl > ps_n),
-        F.array_join(F.slice("__lbl__", nl - ps_n, ps_n + 1), "."),
-    )
+    # last (ps_n + 1) labels; ps_n is bounded by max_labels, so a flat
+    # when-chain of literal-count substring_index branches suffices
+    reg = F.lit(None).cast("string")
+    for n in range(0, max_labels + 1):
+        reg = F.when(
+            (ps_n == n) & (nl > n),
+            F.substring_index(F.col(host_col), ".", -(n + 1)),
+        ).otherwise(reg)
     return out.withColumn(out_col, reg).drop(*tmp)
 
 

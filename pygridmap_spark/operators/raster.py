@@ -208,16 +208,23 @@ def zonal_stats(
 
         # distinct x values are width-sized (10^5 at continental rasters):
         # collect and diff driver-side — no global window, no Spark
-        # single-partition warning. CAVEAT: the min positive gap equals the
-        # true pixel pitch only when at least one pair of ADJACENT columns
-        # is present; a regularly decimated raster (only even columns)
-        # infers a multiple of the pitch — pass resolution= explicitly for
-        # subsampled/masked data.
-        xs = np.sort(
-            np.array(
-                [r[0] for r in cells.select(F.col("x").cast("double")).distinct().collect()],
-                dtype=np.float64,
+        # single-partition warning. Guarded: above 2M distinct columns the
+        # collect would balloon the driver, so inference refuses and asks
+        # for an explicit resolution instead. CAVEAT: the min positive gap
+        # equals the true pixel pitch only when at least one pair of
+        # ADJACENT columns is present; a regularly decimated raster (only
+        # even columns) infers a multiple of the pitch — pass resolution=
+        # explicitly for subsampled/masked data.
+        distinct_x = cells.select(F.col("x").cast("double")).distinct()
+        n_cols = distinct_x.count()
+        if n_cols > 2_000_000:
+            raise ValueError(
+                f"zonal_stats: {n_cols} distinct x values is beyond "
+                "driver-side resolution inference — pass resolution= "
+                "explicitly"
             )
+        xs = np.sort(
+            np.array([r[0] for r in distinct_x.collect()], dtype=np.float64)
         )
         gaps = np.diff(xs)
         gaps = gaps[gaps > 0]
