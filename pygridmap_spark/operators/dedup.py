@@ -288,38 +288,49 @@ def _minhash_lsh_pairs_body(
             )
         ).alias("band", "bucket"),
     )
-    if max_bucket is not None:
-        # giant buckets are boilerplate (empty pages, templates): a bucket
-        # of m docs makes m^2/2 candidate pairs. Cap the bucket width — the
-        # docs inside an over-cap bucket almost always still pair through
-        # their other bands (recall loss only for pairs whose EVERY shared
-        # band lands in an over-cap bucket).
-        banded = _drop_wide_buckets(banded, ["band", "bucket"], max_bucket, "minhash_lsh_pairs")
-    a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"))
-    b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"))
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    # fetch shingle sets for the surviving candidates only (id equi-joins)
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
-    pairs = (
-        pairs.join(sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a")), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b")), "doc_b")
-    )
-    # shingles are already distinct sets (collect_set)
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size(F.array_union("_sh_a", "_sh_b"))
-    return (
-        pairs.withColumn("jaccard", inter.cast("double") / union)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        # materialize before releasing the signature cache (the caller's
-        # finally unpersists; a later action would recompute sigs uncached)
-        .localCheckpoint(eager=True)
-    )
+    # the banded frame feeds the cap counting pass AND both sides of the
+    # self-join: persist so the explode+band-hash projection runs once
+    # (narrow (band, bucket, id) rows — a small cache; measured ~12 % of
+    # the stage recomputed without it)
+    banded_cached = banded.persist()
+    try:
+        banded = banded_cached
+        if max_bucket is not None:
+            # giant buckets are boilerplate (empty pages, templates): a
+            # bucket of m docs makes m^2/2 candidate pairs. Cap the bucket
+            # width — the docs inside an over-cap bucket almost always
+            # still pair through their other bands (recall loss only for
+            # pairs whose EVERY shared band lands in an over-cap bucket).
+            banded = _drop_wide_buckets(
+                banded, ["band", "bucket"], max_bucket, "minhash_lsh_pairs"
+            )
+        a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"))
+        b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"))
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        # fetch shingle sets for the surviving candidates only (id equi-joins)
+        sh = sigs.select(F.col(id_col), F.col("shingles"))
+        pairs = (
+            pairs.join(sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a")), "doc_a")
+            .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b")), "doc_b")
+        )
+        # shingles are already distinct sets (collect_set)
+        inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+        union = F.size(F.array_union("_sh_a", "_sh_b"))
+        return (
+            pairs.withColumn("jaccard", inter.cast("double") / union)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("doc_a", "doc_b", "jaccard")
+            # materialize before releasing the caches (the caller's finally
+            # unpersists sigs; a later action would recompute uncached)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        banded_cached.unpersist()
 
 
 def ngram_jaccard_pairs(
