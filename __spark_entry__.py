@@ -585,13 +585,25 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact (threshold low enough to
-    produce rows on the synthetic embeddings)."""
+    """Embedding-cosine near-dup pairs, exact. Random embeddings contain
+    no near-dups (the round-3 oracle matched on 0 rows — trivially), so
+    every 10th vector gets a PLANTED perturbed twin (element i scaled by
+    1 + 0.001*i — identical double arithmetic in both engines): the
+    oracle now verifies actual pair recovery, not an empty set."""
     from pygridmap_spark.functions import vectors as V
 
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (F.lit(1.0) + F.lit(0.001) * i)
+        ).alias("embedding"),
+    )
+    allv = emb.unionByName(twins)
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cosine", V.cosine(F.col("_va"), F.col("_vb")))
@@ -777,6 +789,37 @@ def _q_overlay_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("xmax", 6).alias("xmax"), F.round("ymax", 6).alias("ymax"),
         F.round("area", 6).alias("area"),
     )
+
+
+def _q_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PSL algorithm through the broadcast-join dimension path
+    (functions/urls.py with_registered_domain): plain rules, multi-label
+    suffix, '*.ck' wildcard, '!www.ck' exception, bare public suffix,
+    unknown TLD. The oracle re-derives the EXPECTED registered domain
+    per case arithmetically — independent of the join algorithm."""
+    from pygridmap_spark.functions import urls as U
+
+    rules = spark.createDataFrame(
+        [
+            ("com", True, False), ("co.uk", True, False),
+            ("*.ck", True, False), ("www.ck", False, True),
+        ],
+        "pattern string, has_rule boolean, has_exc boolean",
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    kind = F.col("doc_id") % 7
+    m = (F.col("doc_id") % 50).cast("string")
+    host = (
+        F.when(kind == 0, F.concat(F.lit("site"), m, F.lit(".com")))
+        .when(kind == 1, F.concat(F.lit("a.site"), m, F.lit(".co.uk")))
+        .when(kind == 2, F.concat(F.lit("shop"), m, F.lit(".foo"), m, F.lit(".ck")))
+        .when(kind == 3, F.lit("www.ck"))
+        .when(kind == 4, F.concat(F.lit("sub"), m, F.lit(".www.ck")))
+        .when(kind == 5, F.lit("co.uk"))
+        .otherwise(F.concat(F.lit("host"), m, F.lit(".unknowntld")))
+    )
+    out = U.with_registered_domain(docs.withColumn("host", host), rules=rules)
+    return out.select("doc_id", "host", "registered_domain")
 
 
 def _q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "domain_rollup": _q_domain_rollup,
         "overlay_dissolve_wkb": _q_overlay_dissolve,
+        "registered_domain_psl": _q_registered_domain_psl,
         "reproject_laea": _q_reproject_laea,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -1520,10 +1564,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
         "embedding_near_dup": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+            ),
+            twins AS (
+                SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(generate_series(1, len(embedding)),
+                                      i -> embedding[i] * (1.0 + 0.001 * (i - 1))) AS embedding
+                FROM base WHERE vec_id % 10 = 0
+            ),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.93
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.93
         """,
         "events_windowed": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart_epoch,
@@ -1669,6 +1723,32 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(path_depth), 6) AS avg_path_depth,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM r GROUP BY registered_domain
+        """,
+        "registered_domain_psl": """
+            WITH h AS (
+                SELECT doc_id, doc_id % 7 AS kind,
+                       CAST(doc_id % 50 AS VARCHAR) AS m
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE kind
+                       WHEN 0 THEN 'site' || m || '.com'
+                       WHEN 1 THEN 'a.site' || m || '.co.uk'
+                       WHEN 2 THEN 'shop' || m || '.foo' || m || '.ck'
+                       WHEN 3 THEN 'www.ck'
+                       WHEN 4 THEN 'sub' || m || '.www.ck'
+                       WHEN 5 THEN 'co.uk'
+                       ELSE 'host' || m || '.unknowntld'
+                   END AS host,
+                   CASE kind
+                       WHEN 0 THEN 'site' || m || '.com'
+                       WHEN 1 THEN 'site' || m || '.co.uk'
+                       WHEN 2 THEN 'shop' || m || '.foo' || m || '.ck'
+                       WHEN 3 THEN 'www.ck'
+                       WHEN 4 THEN 'www.ck'
+                       ELSE NULL
+                   END AS registered_domain
+            FROM h
         """,
         "overlay_dissolve_wkb": """
             WITH g AS (
