@@ -89,18 +89,21 @@ def _matmul_shortlist_scan(
             scores = C @ Qt  # (n_batch, n_queries)
             ids = batch[corpus_id].to_numpy()
             n = scores.shape[0]
-            out_q, out_c, out_s = [], [], []
-            for j, qid in enumerate(q_ids):
-                col = scores[:, j]
-                if n > shortlist:
-                    kth = np.partition(col, n - shortlist)[n - shortlist]
-                    keep = np.flatnonzero(col >= kth)  # ties included
-                else:
-                    keep = np.arange(n)
-                out_q.extend([qid] * len(keep))
-                out_c.extend(ids[keep])
-                out_s.extend(col[keep])
-            yield pd.DataFrame({q_col: out_q, corpus_id: out_c, "cosine": out_s})
+            qarr = np.asarray(q_ids)
+            if n > shortlist:
+                # per-query kth threshold in ONE partition pass (axis=0),
+                # ties at the boundary kept — no Python loop over queries
+                kth = np.partition(scores, n - shortlist, axis=0)[n - shortlist]
+                qidx, cidx = np.nonzero((scores >= kth[None, :]).T)
+            else:
+                qidx, cidx = np.divmod(np.arange(n * len(q_ids)), n)
+            yield pd.DataFrame(
+                {
+                    q_col: qarr[qidx],
+                    corpus_id: ids[cidx],
+                    "cosine": scores[cidx, qidx],
+                }
+            )
 
     q_col = schema.split(" ", 1)[0]
     return corpus.select(corpus_id, value_col).mapInPandas(_score, schema)
