@@ -791,6 +791,31 @@ def _q_overlay_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count rollup + shard-merge identity, oracle-gated:
+    below the sketch's coupon-list threshold DataSketches HLL estimates
+    are EXACT (pinned by the fixture's per-source cardinalities), so the
+    estimate — and the per-shard-sketches-unioned-then-estimated path —
+    must both hash-match plain count(DISTINCT). Proves the mergeable-
+    sketch algebra end-to-end, not just approximately."""
+    from pygridmap_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "shard", F.col("doc_id") % 4
+    )
+    whole = SK.distinct_sketch_rollup(docs, ["source"], "doc_id").select(
+        "source", F.col("approx_distinct").cast("long").alias("n_distinct")
+    )
+    merged = SK.merge_sketch_rollups(
+        SK.distinct_sketch_rollup(docs, ["source", "shard"], "doc_id"), ["source"]
+    ).select(
+        "source", F.col("approx_distinct").cast("long").alias("n_distinct_merged")
+    )
+    return whole.join(merged, "source").select(
+        "source", "n_distinct", "n_distinct_merged"
+    )
+
+
 def _q_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full PSL algorithm through the broadcast-join dimension path
     (functions/urls.py with_registered_domain): plain rules, multi-label
@@ -1148,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": _q_domain_rollup,
         "overlay_dissolve_wkb": _q_overlay_dissolve,
         "registered_domain_psl": _q_registered_domain_psl,
+        "hll_distinct_rollup": _q_hll_distinct_rollup,
         "reproject_laea": _q_reproject_laea,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -1723,6 +1749,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(path_depth), 6) AS avg_path_depth,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM r GROUP BY registered_domain
+        """,
+        "hll_distinct_rollup": """
+            SELECT source,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   count(DISTINCT doc_id) AS n_distinct_merged
+            FROM documents GROUP BY source
         """,
         "registered_domain_psl": """
             WITH h AS (
