@@ -49,11 +49,20 @@ PIPELINE_ARGS = [
 
 def make_corpus(spark, n_docs: int, path: str) -> None:
     """Deterministic corpus with planted dup structure, generated
-    distributed (one projection over spark.range — no driver data)."""
+    distributed (one projection over spark.range — no driver data).
+
+    NOTE: the rehearsal harness is a LOCAL benchmark driver by design
+    (manifest mtimes, os.path, SIGKILL of a subprocess) — the pipeline it
+    drives goes through core/fsio and runs anywhere, but point --corpus /
+    --work at a local filesystem."""
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
+        # cached corpus must match the REQUESTED size, or the report's
+        # docs/sec would silently describe a different input
+        if spark.read.parquet(path).count() == n_docs:
+            return
+        shutil.rmtree(path)
     fam = F.shiftright(F.col("id"), 4)
     member = F.col("id") % 16
     in_family = member < 4
@@ -61,15 +70,32 @@ def make_corpus(spark, n_docs: int, path: str) -> None:
     is_empty = (member == 5) & (fam % 2 == 0)
     base = F.when(in_family | is_exact, fam * 16).otherwise(F.col("id"))
 
-    def word(i):
-        # family members 1-3 mutate token positions 7 and 23
-        mutated = in_family & (member > 0) & ((i == 7) | (i == 23))
-        idx = F.when(mutated, F.xxhash64(F.col("id"), F.lit(9), i)).otherwise(
-            F.xxhash64(base, i)
-        )
-        return F.concat(F.lit("w"), F.pmod(idx, F.lit(4000)))
-
-    body = F.concat_ws(" ", F.transform(F.sequence(F.lit(0), F.lit(39)), word))
+    # free subexpressions (base / mutation flag) are threaded in via
+    # zip_with + array_repeat so they evaluate ONCE per row, not per
+    # element (CLAUDE.md: HOFs run interpreted with no subexpression
+    # elimination)
+    can_mutate = in_family & (member > 0)
+    ctx = F.array_repeat(
+        F.struct(base.alias("b"), can_mutate.alias("m"), F.col("id").alias("d")),
+        40,
+    )
+    body = F.concat_ws(
+        " ",
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(39)),
+            ctx,
+            lambda i, c: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.when(
+                        c.getField("m") & ((i == 7) | (i == 23)),
+                        F.xxhash64(c.getField("d"), F.lit(9), i),
+                    ).otherwise(F.xxhash64(c.getField("b"), i)),
+                    F.lit(4000),
+                ),
+            ),
+        ),
+    )
     body = F.when(is_empty, F.lit("")).otherwise(body)
     text = F.concat(
         body,

@@ -209,6 +209,12 @@ def reproject(
 
     then re-declares the layer CRS metadata. ``from_crs`` defaults to the
     layer's declared CRS. No shuffle; a projection the optimizer inlines."""
+    if (x_col is None) != (y_col is None):
+        raise ValueError(
+            "reproject: pass both x_col and y_col (or neither for "
+            "auto-detect) — transforming one coordinate axis alone would "
+            "silently mix projections"
+        )
     src = from_crs if from_crs is not None else CRS.crs_of(df, geometry_col)
     pair = _resolve(src, to)
     if pair is None:  # same CRS: just (re)declare
@@ -255,8 +261,11 @@ def _reproject_wkb(df: DataFrame, geometry_col: str, np_fn) -> DataFrame:
                 out.append(WKB.encode_point(float(x[0]), float(y[0])))
             else:
                 polys = [[_tx_ring(r, np_fn) for r in rings] for rings in parts]
-                # preserve the original POLYGON vs MULTIPOLYGON type tag
-                if raw[1] == WKB.WKB_POLYGON and len(polys) == 1:
+                # preserve the original POLYGON vs MULTIPOLYGON type tag —
+                # via the header parser (endianness/EWKB-flag aware), not a
+                # raw byte peek
+                gtype, _, _ = WKB._parse_header(memoryview(raw), 0)
+                if gtype == WKB.WKB_POLYGON and len(polys) == 1:
                     out.append(WKB.encode_polygon(polys[0]))
                 else:
                     out.append(WKB.encode_multipolygon(polys))

@@ -134,12 +134,21 @@ def with_registered_domain(
     spark = df.sparkSession
     if rules is None:
         rules = suffix_rules(spark)
-    clash = {"pattern", "has_rule", "has_exc"} & set(df.columns)
+    reserved = {"pattern", "has_rule", "has_exc", "__nl__"}
+    for k in range(1, max_labels + 1):
+        reserved |= {f"__c{k}__", f"__r{k}__", f"__e{k}__", f"__w{k}__", f"__wr{k}__"}
+    clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
             f"with_registered_domain: input columns {sorted(clash)} clash "
-            "with the rules dimension — rename them first"
+            "with the rules dimension / internal temp names — rename first"
         )
+    # defensively collapse duplicate patterns (load_psl aggregates, but a
+    # hand-built table with a repeated pattern would otherwise MULTIPLY
+    # fact rows through every left join)
+    rules = rules.groupBy("pattern").agg(
+        F.max("has_rule").alias("has_rule"), F.max("has_exc").alias("has_exc")
+    )
     # label count and suffixes via plain string ops (translate /
     # substring_index are single JVM scans): the array formulation
     # (split + per-level slice + array_join) measured ~4x more per-row CPU

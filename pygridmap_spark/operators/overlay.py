@@ -941,14 +941,18 @@ def dissolve_pieces(
 
     def _dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
         mp: list = []
+        n_pieces = 0
         for buf in pdf[geometry_col]:
+            if buf is None:
+                continue  # NULL geometry: contributes nothing to the union
             mp.extend(_WKB.decode_multipolygon(bytes(buf)))
+            n_pieces += 1
         out = _G.dissolve_multipolygon(mp, strict=strict)
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
                 geometry_col: [_WKB.encode_multipolygon(out)],
-                "n_pieces": [len(pdf)],
+                "n_pieces": [n_pieces],
                 "area": [_G.multipolygon_area(out)],
             }
         )

@@ -216,16 +216,15 @@ def zonal_stats(
         # even columns) infers a multiple of the pitch — pass resolution=
         # explicitly for subsampled/masked data.
         distinct_x = cells.select(F.col("x").cast("double")).distinct()
-        n_cols = distinct_x.count()
-        if n_cols > 2_000_000:
+        # guard + fetch in ONE job: over-fetch by one row past the cap
+        rows = distinct_x.limit(2_000_001).collect()
+        if len(rows) > 2_000_000:
             raise ValueError(
-                f"zonal_stats: {n_cols} distinct x values is beyond "
+                "zonal_stats: more than 2M distinct x values is beyond "
                 "driver-side resolution inference — pass resolution= "
                 "explicitly"
             )
-        xs = np.sort(
-            np.array([r[0] for r in distinct_x.collect()], dtype=np.float64)
-        )
+        xs = np.sort(np.array([r[0] for r in rows], dtype=np.float64))
         gaps = np.diff(xs)
         gaps = gaps[gaps > 0]
         if not len(gaps):

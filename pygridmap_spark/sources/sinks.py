@@ -93,6 +93,8 @@ def write_tiles(
     # O(#xt dirs x #yt dirs) driver-side LIST calls — 10^4-10^6 on an
     # object store with a global fine tiling — so the columnar agg is used
     # unconditionally, for the coarsen branch and the plain one alike.
+    from pyspark.errors import AnalysisException
+
     try:
         b = (
             read_tiles(spark, output_folder, format)
@@ -101,10 +103,12 @@ def write_tiles(
         )
         xts = [v for v in (b[0], b[1]) if v is not None]
         yts = [v for v in (b[2], b[3]) if v is not None]
-    except Exception:
+    except AnalysisException:
         # an EMPTY input writes no partition dirs, and the read-back then
         # fails schema inference (UNABLE_TO_INFER_SCHEMA) — mirror the old
-        # listing path's contract: null bounds, info.json still written
+        # listing path's contract: null bounds, info.json still written.
+        # Only the analysis error is absorbed; runtime I/O failures on a
+        # populated tree still propagate.
         xts, yts = [], []
     info = {
         "dims": [],

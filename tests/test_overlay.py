@@ -438,3 +438,16 @@ def test_dissolve_pieces_operator(spark):
         assert got[g].n_pieces == len(frags)
         assert got[g].area == pytest.approx(G.multipolygon_area(frags), rel=1e-12)
         assert len(wkb.decode_multipolygon(bytes(got[g].geometry))) == 1
+
+
+def test_dissolve_pieces_null_geometry(spark):
+    import pandas as pd
+
+    rows = [
+        (1, wkb.encode_box(0.0, 0.0, 1.0, 1.0)),
+        (1, wkb.encode_box(1.0, 0.0, 2.0, 1.0)),
+        (1, None),  # NULL contributes nothing (and must not crash)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["gid", "geometry"]))
+    got = OV.dissolve_pieces(df, "gid", strict=True).collect()[0]
+    assert got.n_pieces == 2 and got.area == pytest.approx(2.0)

@@ -168,3 +168,11 @@ def test_reprojected_overlay_parity(spark):
     )
     want = sorted(r.pid for r in SJ.polygon_pip_join(spark, pts, fixture).collect())
     assert got == want and len(want) > 0
+
+
+def test_reproject_rejects_single_axis(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "lon double, lat double")
+    with pytest.raises(ValueError, match="both x_col and y_col"):
+        RP.reproject(df, to=3035, from_crs=4326, y_col="lat")
+    with pytest.raises(ValueError, match="both x_col and y_col"):
+        RP.reproject(df, to=3035, from_crs=4326, x_col="lon")

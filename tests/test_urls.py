@@ -138,3 +138,22 @@ def test_load_psl(spark, tmp_path):
         "*.ck": (True, False),
         "www.ck": (False, True),
     }
+
+
+def test_duplicate_rules_do_not_multiply_rows(spark):
+    # a hand-built table with a repeated pattern must not duplicate facts
+    rules = spark.createDataFrame(
+        [("com", True, False), ("com", True, False)],
+        "pattern string, has_rule boolean, has_exc boolean",
+    )
+    hosts = spark.createDataFrame([(1, "a.example.com")], "doc_id long, host string")
+    out = U.with_registered_domain(hosts, rules=rules).collect()
+    assert len(out) == 1 and out[0].registered_domain == "example.com"
+
+
+def test_temp_name_clash_raises(spark):
+    hosts = spark.createDataFrame([(1, "a.com", 3)], "doc_id long, host string, __nl__ int")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="clash"):
+        U.with_registered_domain(hosts)
