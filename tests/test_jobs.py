@@ -108,3 +108,35 @@ def test_dedup_pipeline_pack_with_custom_id_col(pipeline_env, spark, tmp_path, m
         f"SELECT * FROM read_parquet('{out}/s5_training_ready/*.parquet') LIMIT 1"
     ).columns
     assert {"page_id", "seq_id", "seq_offset", "n_seqs"} <= set(cols)
+
+
+def test_package_pyfiles_zip_imports(tmp_path):
+    """The --py-files artifact must be importable standalone (what an
+    executor does with it) and deterministic."""
+    import hashlib
+    import subprocess
+    import sys as _sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import package_pyfiles as PP
+
+    z1 = str(tmp_path / "a.zip")
+    z2 = str(tmp_path / "b.zip")
+    n1 = PP.build(z1)
+    n2 = PP.build(z2)
+    assert n1 == n2 > 20
+    h = lambda p: hashlib.sha256(open(p, "rb").read()).hexdigest()  # noqa: E731
+    assert h(z1) == h(z2)  # reproducible artifact
+    # import the package from the zip alone in a clean interpreter
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import pygridmap_spark.functions.urls as U; "
+        "import pygridmap_spark.operators.dedup; "
+        "print(len(U.DEFAULT_SUFFIXES))" % z1
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True,
+        env={"PATH": os.environ.get("PATH", "")},
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "14"
