@@ -21,6 +21,25 @@ we reproduce *what* it computes with Spark-first plans.
 
 __version__ = "0.1.0"
 
-from pygridmap_spark import core, functions, operators, plans, sources
+from pygridmap_spark import (
+    core,
+    functions,
+    operators,
+    plans,
+    session,
+    sources,
+    streaming,
+    util,
+)
 
-__all__ = ["core", "functions", "operators", "plans", "sources", "__version__"]
+__all__ = [
+    "core",
+    "functions",
+    "operators",
+    "plans",
+    "session",
+    "sources",
+    "streaming",
+    "util",
+    "__version__",
+]

@@ -851,10 +851,19 @@ def union_geometry(
             for poly in mp:
                 r = rect_of_polygon(poly)
                 if r is None:
+                    # a DEGENERATE axis-aligned ring (zero width or height:
+                    # all xs or all ys equal) is an empty contribution —
+                    # skip it, matching union_rects_exact's own filter of
+                    # degenerate rect tuples, instead of raising.
+                    pts = _ring_open(
+                        np.asarray(poly[0], dtype=np.float64).reshape(-1, 2)
+                    )
+                    if len(np.unique(pts[:, 0])) == 1 or len(np.unique(pts[:, 1])) == 1:
+                        continue
                     raise ValueError(
                         "union_geometry(exact=True) needs axis-aligned rect "
-                        "polygons; use the quadtree block form (exact=False) "
-                        "for general shapes"
+                        "polygons; use union_exact() for general overlapping "
+                        "shapes or the quadtree block form (exact=False)"
                     )
                 rects.append(r)
         return union_rects_exact(rects)

@@ -3,6 +3,14 @@
 Everything here is built from ``pyspark.sql.functions`` — no Python UDFs.
 """
 
-from pygridmap_spark.functions import cellindex, geolocate, text, tiling, urls, vectors
+from pygridmap_spark.functions import (
+    cellindex,
+    geolocate,
+    reproject,
+    text,
+    tiling,
+    urls,
+    vectors,
+)
 
-__all__ = ["cellindex", "geolocate", "text", "tiling", "urls", "vectors"]
+__all__ = ["cellindex", "geolocate", "reproject", "text", "tiling", "urls", "vectors"]

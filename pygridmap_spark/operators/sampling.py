@@ -31,7 +31,11 @@ def hash_bucket(key: Column, seed: str = "") -> Column:
     NULL keys hash via a NUL-framed sentinel (concat would otherwise yield
     NULL, and NULL < fraction is never true — a fraction=1.0 'keep all'
     stratum would silently drop NULL-keyed rows). All NULL keys share one
-    bucket: included or excluded together, as a group."""
+    bucket: included or excluded together, as a group.
+
+    Reserved value: the sentinel string ``'\\x00null\\x00'`` (NUL-framed,
+    unrepresentable in URLs/hostnames/doc ids) is reserved — a genuine
+    string key of exactly that value would share the NULL group's bucket."""
     h = F.md5(
         F.concat(
             F.lit(seed),

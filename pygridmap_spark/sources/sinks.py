@@ -103,12 +103,17 @@ def write_tiles(
         )
         xts = [v for v in (b[0], b[1]) if v is not None]
         yts = [v for v in (b[2], b[3]) if v is not None]
-    except AnalysisException:
+    except AnalysisException as e:
         # an EMPTY input writes no partition dirs, and the read-back then
         # fails schema inference (UNABLE_TO_INFER_SCHEMA) — mirror the old
         # listing path's contract: null bounds, info.json still written.
-        # Only the analysis error is absorbed; runtime I/O failures on a
-        # populated tree still propagate.
+        # Only THAT analysis error is absorbed; any other AnalysisException
+        # on a populated tree (e.g. conflicting schemas under
+        # mode='append') must propagate, not be papered over with null
+        # bounds.
+        cls = e.getCondition() if hasattr(e, "getCondition") else None
+        if cls != "UNABLE_TO_INFER_SCHEMA" and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
         xts, yts = [], []
     info = {
         "dims": [],
