@@ -124,30 +124,51 @@ def with_registered_domain(
     ``*`` rule (unknown TLDs still registrable at depth 2); the default
     False keeps the stand-in's NULL-for-unknown-suffix contract.
 
-    Plan shape: for k = 1..max_labels the host's last-k-label candidate
-    (and its ``*.``-prefixed wildcard probe) is resolved by ONE broadcast
-    left join each — 2*max_labels-1 broadcast hash joins, NO shuffle, and
-    plan size independent of the rule-table size (a 9k-rule PSL and the
-    14-rule stand-in plan identically). Hosts deeper than ``max_labels``
-    labels match through their deepest candidates (real PSL rules max out
-    at 5 labels)."""
+    Plan shape: each ``*.x`` wildcard rule is folded into its parent ``x``
+    row as a ``has_wild_child`` flag during the (dimension-sized) rule
+    prep, so the level-(k-1) exact join ALSO answers the level-k wildcard
+    probe: for k = 1..max_labels the host's last-k-label candidate is
+    resolved by ONE broadcast left join — max_labels broadcast hash joins
+    total (was 2*max_labels-1 with separate wildcard probes; under AQE
+    every broadcast is a blocking query stage, so the fold halves a
+    per-query fixed fee), NO shuffle, and plan size independent of the
+    rule-table size (a 9k-rule PSL and the 14-rule stand-in plan
+    identically). Hosts deeper than ``max_labels`` labels match through
+    their deepest candidates (real PSL rules max out at 5 labels)."""
     spark = df.sparkSession
     if rules is None:
         rules = suffix_rules(spark)
-    reserved = {"pattern", "has_rule", "has_exc", "__nl__"}
+    reserved = {"pattern", "has_rule", "has_exc", "has_wild_child", "__nl__"}
     for k in range(1, max_labels + 1):
-        reserved |= {f"__c{k}__", f"__r{k}__", f"__e{k}__", f"__w{k}__", f"__wr{k}__"}
+        reserved |= {f"__c{k}__", f"__r{k}__", f"__e{k}__", f"__h{k}__"}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
             f"with_registered_domain: input columns {sorted(clash)} clash "
             "with the rules dimension / internal temp names — rename first"
         )
-    # defensively collapse duplicate patterns (load_psl aggregates, but a
-    # hand-built table with a repeated pattern would otherwise MULTIPLY
-    # fact rows through every left join)
-    rules = rules.groupBy("pattern").agg(
-        F.max("has_rule").alias("has_rule"), F.max("has_exc").alias("has_exc")
+    # fold '*.x' wildcard rules into their parent 'x' row (has_wild_child),
+    # then defensively collapse duplicate patterns (load_psl aggregates,
+    # but a hand-built table with a repeated pattern would otherwise
+    # MULTIPLY fact rows through every left join). Wildcard exceptions
+    # ('!*.x') do not occur in the PSL and are ignored, matching the
+    # previous probe-join behavior.
+    is_wild = F.col("pattern").startswith("*.")
+    rules = (
+        rules.select(
+            F.when(is_wild, F.expr("substring(pattern, 3)"))
+            .otherwise(F.col("pattern"))
+            .alias("pattern"),
+            (F.col("has_rule") & ~is_wild).alias("has_rule"),
+            (F.col("has_exc") & ~is_wild).alias("has_exc"),
+            (F.col("has_rule") & is_wild).alias("has_wild_child"),
+        )
+        .groupBy("pattern")
+        .agg(
+            F.max("has_rule").alias("has_rule"),
+            F.max("has_exc").alias("has_exc"),
+            F.max("has_wild_child").alias("has_wild_child"),
+        )
     )
     # label count and suffixes via plain string ops (translate /
     # substring_index are single JVM scans): the array formulation
@@ -166,11 +187,14 @@ def with_registered_domain(
         return F.when(nl >= k, F.substring_index(F.col(host_col), ".", -k))
 
     # ONE broadcast subtree shared by every join: each level joins the SAME
-    # (pattern, has_rule, has_exc) frame and aliases the flags per level in
-    # a post-join select — identical subtrees let Spark reuse a single
-    # broadcast exchange instead of materializing 2*max_labels-1 of them
-    # (measured 2.4x on domain_rollup at bench scale).
-    dim = rules.select("pattern", "has_rule", "has_exc")
+    # (pattern, has_rule, has_exc, has_wild_child) frame and aliases the
+    # flags per level in a post-join select — identical subtrees let Spark
+    # reuse a single broadcast exchange instead of materializing max_labels
+    # of them (measured 2.4x on domain_rollup at bench scale). The folded
+    # has_wild_child flag means the level-k join answers BOTH the level-k
+    # exact probe and the level-(k+1) wildcard probe.
+    dim = rules.select("pattern", "has_rule", "has_exc", "has_wild_child")
+    dim_cols = ("pattern", "has_rule", "has_exc", "has_wild_child")
     exc_levels: list[Column] = []
     match_levels: list[Column] = []
     for k in range(1, max_labels + 1):
@@ -180,30 +204,24 @@ def with_registered_domain(
             F.col(f"__c{k}__") == F.col(f"{d}.pattern"),
             "left",
         )
-        out = out.select(
-            *[c for c in out.columns if c not in ("pattern", "has_rule", "has_exc")],
+        keep = [c for c in out.columns if c not in dim_cols]
+        lvl = [
             F.col(f"{d}.has_rule").alias(f"__r{k}__"),
             F.col(f"{d}.has_exc").alias(f"__e{k}__"),
-        )
+        ]
         tmp += [f"__c{k}__", f"__r{k}__", f"__e{k}__"]
+        if k < max_labels:
+            lvl.append(F.col(f"{d}.has_wild_child").alias(f"__h{k}__"))
+            tmp.append(f"__h{k}__")
+        out = out.select(*keep, *lvl)
         match_levels.append(F.when(F.col(f"__r{k}__"), F.lit(k)))
         exc_levels.append(F.when(F.col(f"__e{k}__"), F.lit(k)))
-        if k >= 2:
-            # wildcard probe: '*.' + last-(k-1) labels matches '*.x' rules
-            w = f"__wdim{k}__"
-            out = out.withColumn(
-                f"__w{k}__", F.when(nl >= k, F.concat(F.lit("*."), _last_k(k - 1)))
-            ).join(
-                F.broadcast(dim.alias(w)),
-                F.col(f"__w{k}__") == F.col(f"{w}.pattern"),
-                "left",
+        if k < max_labels:
+            # '*.x' folded into x: a level-k row with has_wild_child set
+            # matches any host one label deeper — effective rule level k+1
+            match_levels.append(
+                F.when(F.col(f"__h{k}__") & (nl >= k + 1), F.lit(k + 1))
             )
-            out = out.select(
-                *[c for c in out.columns if c not in ("pattern", "has_rule", "has_exc")],
-                F.col(f"{w}.has_rule").alias(f"__wr{k}__"),
-            )
-            tmp += [f"__w{k}__", f"__wr{k}__"]
-            match_levels.append(F.when(F.col(f"__wr{k}__"), F.lit(k)))
     if default_rule:
         match_levels.append(F.lit(1))
     # greatest skips NULLs -> the longest matching rule level (or NULL)

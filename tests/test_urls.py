@@ -117,6 +117,22 @@ def test_psl_plan_size_flat_in_rule_count(spark):
     assert got == {1: "site.co.uk", 2: "b.tld500"}
 
 
+def test_psl_broadcast_join_count_is_max_labels(spark):
+    # the r5 wildcard fold: '*.x' rules ride the parent 'x' row as a
+    # has_wild_child flag, so the plan carries exactly max_labels broadcast
+    # hash joins (was 2*max_labels-1 with separate wildcard probe joins —
+    # under AQE each broadcast is a blocking query stage, a per-query fee)
+    hosts = spark.createDataFrame([(1, "a.site.co.uk")], "doc_id long, host string")
+    for ml in (3, 5):
+        plan = (
+            U.with_registered_domain(hosts, max_labels=ml)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("BroadcastHashJoin") == ml, plan
+
+
 def test_load_psl(spark, tmp_path):
     psl = tmp_path / "psl.dat"
     psl.write_text(
