@@ -873,6 +873,32 @@ def _q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_reproject_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 -> EPSG:3857 (Web Mercator) forward + exact spherical
+    round-trip as pure column trig (functions/reproject.py; EPSG method
+    1024 closed form — the natural companion to the engine's quadkey/tile
+    machinery). Coordinates synthesized over the full domain of use from
+    doc_id (exact int64 arithmetic both engines); the oracle re-states the
+    same ln/sin closed form in DuckDB. Forward rounded to 1e-4 m (last-ulp
+    libm spread at 2e7 m is ~1e-8), round-trip to 1e-9 deg."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lon = F.lit(-179.9) + (F.col("doc_id") * F.lit(2654435761) % F.lit(359800)) / F.lit(1000.0)
+    lat = F.lit(-85.0) + (F.col("doc_id") * F.lit(2246822519) % F.lit(170000)) / F.lit(1000.0)
+    df = docs.withColumns({"lon": lon, "lat": lat})
+    x, y = RPJ.webmercator_forward(F.col("lon"), F.col("lat"))
+    df = df.withColumns({"x_merc": x, "y_merc": y})
+    ilon, ilat = RPJ.webmercator_inverse(F.col("x_merc"), F.col("y_merc"))
+    return df.select(
+        "doc_id",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.round("x_merc", 4).alias("x_merc"),
+        F.round("y_merc", 4).alias("y_merc"),
+        F.round(ilon, 9).alias("lon_rt"),
+        F.round(ilat, 9).alias("lat_rt"),
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (the data-mixing primitive):
     keep iff md5-hash bucket < the stratum's fraction — reproducible
@@ -1175,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domain_psl": _q_registered_domain_psl,
         "hll_distinct_rollup": _q_hll_distinct_rollup,
         "reproject_laea": _q_reproject_laea,
+        "reproject_webmercator": _q_reproject_webmercator,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
@@ -1865,6 +1892,29 @@ def oracle_sql() -> dict[str, str]:
                          + {RPJ._A4!r} * sin(4.0 * beta2)
                          + {RPJ._A6!r} * sin(6.0 * beta2)), 6) AS lat_rt
             FROM iv4
+        """,
+        "reproject_webmercator": f"""
+            WITH pts AS (
+                SELECT doc_id,
+                       -179.9 + (doc_id * 2654435761 % 359800) / 1000.0 AS lon,
+                       -85.0 + (doc_id * 2246822519 % 170000) / 1000.0 AS lat
+                FROM documents
+            ),
+            fw AS (
+                SELECT doc_id, lon, lat,
+                       {RPJ._A!r} * radians(lon) AS x,
+                       {RPJ._A * 0.5!r}
+                           * ln((1.0 + sin(radians(lat)))
+                                / (1.0 - sin(radians(lat)))) AS y
+                FROM pts
+            )
+            SELECT doc_id,
+                   round(lon, 6) AS lon, round(lat, 6) AS lat,
+                   round(x, 4) AS x_merc, round(y, 4) AS y_merc,
+                   round(degrees(x / {RPJ._A!r}), 9) AS lon_rt,
+                   round(degrees(atan((exp(y / {RPJ._A!r})
+                         - exp(-(y / {RPJ._A!r}))) / 2.0)), 9) AS lat_rt
+            FROM fw
         """,
         "stratified_sample": """
             WITH b AS (

@@ -57,6 +57,8 @@ HEADLINE = [
     # round-4 additions
     "reproject_laea",
     "overlay_dissolve_wkb",
+    # round-5 additions
+    "reproject_webmercator",
 ]
 
 

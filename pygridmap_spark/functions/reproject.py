@@ -1,5 +1,7 @@
 """CRS reprojection: EPSG:4326 (lon/lat, GRS80/WGS84) <-> EPSG:3035
-(ETRS89-extended / LAEA Europe) as pure column expressions.
+(ETRS89-extended / LAEA Europe) <-> EPSG:3857 (Web/Pseudo-Mercator) as
+pure column expressions — any pair among the three (projected<->projected
+chains through the 4326 hub as one fused expression).
 
 Reference parity: the reference silently reprojects a mismatched layer
 (/root/reference/pygridmap/base.py:220 ``gdf2.to_crs(gdf1.crs)``) via
@@ -165,9 +167,84 @@ def laea_inverse_np(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarra
     return np.degrees(lam + _LON0), np.degrees(phi)
 
 
+_MERC = "EPSG:3857"
+# Web Mercator max latitude: the projection square's edge, atan(sinh(pi))
+WEBMERCATOR_MAX_LAT = math.degrees(math.atan(math.sinh(math.pi)))  # 85.0511287798066
+
+
+def webmercator_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """EPSG:4326 degrees -> EPSG:3857 (WGS84 Web/Pseudo-Mercator) meters.
+
+    Spherical closed form (EPSG method 1024: the WGS84 semi-major axis as
+    sphere radius): x = a*lam, y = a*atanh(sin(phi)) — pure Catalyst trig,
+    whole-stage codegen. Latitudes beyond ±WEBMERCATOR_MAX_LAT (85.0511°,
+    the projection's domain of use) map to finite y outside the standard
+    square rather than raising — filter first if the tile grid needs the
+    square."""
+    phi = F.radians(lat)
+    sp = F.sin(phi)
+    x = F.lit(_A) * F.radians(lon)
+    # atanh(s) == 0.5*ln((1+s)/(1-s)); ln form keeps the DuckDB twin literal
+    y = F.lit(_A * 0.5) * F.log((F.lit(1.0) + sp) / (F.lit(1.0) - sp))
+    return x, y
+
+
+def webmercator_inverse(x: Column, y: Column) -> tuple[Column, Column]:
+    """EPSG:3857 meters -> EPSG:4326 degrees (lon, lat) column expressions:
+    lon = x/a, lat = atan(sinh(y/a)) — exact spherical inverse."""
+    lon = F.degrees(x / F.lit(_A))
+    lat = F.degrees(F.atan(F.sinh(y / F.lit(_A))))
+    return lon, lat
+
+
+def webmercator_forward_np(
+    lon: np.ndarray, lat: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """numpy twin of :func:`webmercator_forward` for WKB vertex arrays."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    sp = np.sin(np.radians(np.asarray(lat, dtype=np.float64)))
+    with np.errstate(divide="ignore"):
+        y = _A * 0.5 * np.log((1.0 + sp) / (1.0 - sp))
+    return _A * lam, y
+
+
+def webmercator_inverse_np(
+    x: np.ndarray, y: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """numpy twin of :func:`webmercator_inverse`; returns (lon, lat) degrees."""
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / _A)
+    lat = np.degrees(np.arctan(np.sinh(np.asarray(y, dtype=np.float64) / _A)))
+    return lon, lat
+
+
+def _compose(f1, f2):
+    """(x,y) -> f2(f1(x,y)) — chains transforms through the shared hub CRS.
+    Column version relies on whole-stage codegen's common-subexpression
+    elimination for the duplicated inner stage; numpy version is two
+    vectorized passes."""
+
+    def chained(x, y):
+        ix, iy = f1(x, y)
+        return f2(ix, iy)
+
+    return chained
+
+
 _TRANSFORMS = {
     (_WGS84, _LAEA): (laea_forward, laea_forward_np),
     (_LAEA, _WGS84): (laea_inverse, laea_inverse_np),
+    (_WGS84, _MERC): (webmercator_forward, webmercator_forward_np),
+    (_MERC, _WGS84): (webmercator_inverse, webmercator_inverse_np),
+    # projected<->projected via the 4326 hub (one fused expression tree /
+    # two numpy passes; no intermediate DataFrame)
+    (_LAEA, _MERC): (
+        _compose(laea_inverse, webmercator_forward),
+        _compose(laea_inverse_np, webmercator_forward_np),
+    ),
+    (_MERC, _LAEA): (
+        _compose(webmercator_inverse, laea_forward),
+        _compose(webmercator_inverse_np, laea_forward_np),
+    ),
 }
 
 

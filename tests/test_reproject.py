@@ -98,7 +98,7 @@ def test_reproject_points_and_metadata(spark):
         RP.reproject(bare, to=3035)
     # unsupported pair raises with the supported list
     with pytest.raises(ValueError, match="no transform"):
-        RP.reproject(bare, to=3857, from_crs=4326, x_col="lon", y_col="lat")
+        RP.reproject(bare, to=32632, from_crs=4326, x_col="lon", y_col="lat")
 
 
 def test_reproject_wkb_geometry_matches_column_math(spark):
@@ -168,6 +168,87 @@ def test_reprojected_overlay_parity(spark):
     )
     want = sorted(r.pid for r in SJ.polygon_pip_join(spark, pts, fixture).collect())
     assert got == want and len(want) > 0
+
+
+def test_webmercator_known_values():
+    """Published anchor values for EPSG:3857: the origin, the antimeridian
+    (x = pi*a = 20037508.342789244), and the projection square's corner
+    (lat 85.0511287798066 -> y == x_max)."""
+    x, y = RP.webmercator_forward_np(np.array([0.0]), np.array([0.0]))
+    assert x[0] == 0.0 and abs(y[0]) < 1e-9
+    x, y = RP.webmercator_forward_np(np.array([180.0]), np.array([0.0]))
+    assert abs(x[0] - 20037508.342789244) < 1e-6
+    x, y = RP.webmercator_forward_np(
+        np.array([0.0]), np.array([RP.WEBMERCATOR_MAX_LAT])
+    )
+    assert abs(y[0] - 20037508.342789244) < 1e-6
+    # spot value (independently computed): 10E 52N
+    x, y = RP.webmercator_forward_np(np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 1113194.9079327357) < 1e-6
+    assert abs(y[0] - 6800125.454397307) < 1e-4
+
+
+def test_webmercator_roundtrip_property_grid():
+    """|inverse(forward(p)) - p| < 1e-9 deg across the full domain of use
+    (the spherical inverse is exact up to float rounding)."""
+    lon = np.linspace(-179.9, 179.9, 101)
+    lat = np.linspace(-RP.WEBMERCATOR_MAX_LAT, RP.WEBMERCATOR_MAX_LAT, 87)
+    LON, LAT = np.meshgrid(lon, lat)
+    x, y = RP.webmercator_forward_np(LON.ravel(), LAT.ravel())
+    lon2, lat2 = RP.webmercator_inverse_np(x, y)
+    assert np.max(np.abs(lon2 - LON.ravel())) < 1e-9
+    assert np.max(np.abs(lat2 - LAT.ravel())) < 1e-9
+
+
+def test_webmercator_column_math_equals_numpy(spark):
+    pts = [(i, -170.0 + i * 3.3, -80.0 + i * 1.6) for i in range(100)]
+    df = spark.createDataFrame(pts, "i long, lon double, lat double")
+    fx, fy = RP.webmercator_forward(F.col("lon"), F.col("lat"))
+    got = df.select("i", fx.alias("x"), fy.alias("y")).collect()
+    lons = np.array([p[1] for p in pts])
+    lats = np.array([p[2] for p in pts])
+    ex, ey = RP.webmercator_forward_np(lons, lats)
+    for r in got:
+        assert abs(r.x - ex[r.i]) < 1e-6 and abs(r.y - ey[r.i]) < 1e-6
+    ix, iy = RP.webmercator_inverse(F.col("x"), F.col("y"))
+    back = (
+        df.select("i", fx.alias("x"), fy.alias("y"))
+        .select("i", ix.alias("lon"), iy.alias("lat"))
+        .collect()
+    )
+    for r in back:
+        assert abs(r.lon - lons[r.i]) < 1e-9 and abs(r.lat - lats[r.i]) < 1e-9
+
+
+def test_projected_to_projected_composition(spark):
+    """EPSG:3035 -> EPSG:3857 (and back) chains through the 4326 hub as one
+    fused transform; must equal the two-step route exactly."""
+    lon = np.linspace(-20.0, 40.0, 31)
+    lat = np.linspace(32.0, 70.0, 31)
+    lx, ly = RP.laea_forward_np(lon, lat)
+    # fused
+    mx, my = RP._TRANSFORMS[("EPSG:3035", "EPSG:3857")][1](lx, ly)
+    # two-step
+    hl, hp = RP.laea_inverse_np(lx, ly)
+    ex, ey = RP.webmercator_forward_np(hl, hp)
+    assert np.array_equal(mx, ex) and np.array_equal(my, ey)
+    # and back to LAEA within projection round-trip tolerance (~1e-6 deg
+    # of authalic series -> sub-meter in projected space)
+    bx, by = RP._TRANSFORMS[("EPSG:3857", "EPSG:3035")][1](mx, my)
+    assert np.max(np.abs(bx - lx)) < 0.5 and np.max(np.abs(by - ly)) < 0.5
+    # DataFrame route end-to-end with CRS metadata
+    df = CRS.with_crs(
+        spark.createDataFrame(
+            [(i, float(lx[i]), float(ly[i])) for i in range(len(lon))],
+            "i long, x double, y double",
+        ),
+        3035,
+    )
+    out = RP.reproject(df, to=3857, x_col="x", y_col="y")
+    assert CRS.crs_of(out) == "EPSG:3857"
+    got = {r.i: (r.x, r.y) for r in out.collect()}
+    for i in range(len(lon)):
+        assert abs(got[i][0] - mx[i]) < 1e-6 and abs(got[i][1] - my[i]) < 1e-6
 
 
 def test_reproject_rejects_single_axis(spark):
