@@ -6,7 +6,8 @@ Submit (cluster):
     spark-submit --py-files pygridmap_spark.zip jobs/pages_pipeline.py \
         --input  <pages parquet/iceberg path> \
         --output <work dir> \
-        [--regions <rect-region parquet>] [--zoom 7] [--resolution 0.01]
+        [--regions <rect-region parquet>] [--psl <public_suffix_list.dat>] \
+        [--zoom 7] [--resolution 0.01]
 
 Every stage checkpoints to parquet with a per-partition row-count/hash
 manifest (plans.lineage); a restart with the same --output skips completed
@@ -32,6 +33,12 @@ def main() -> None:
     ap.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
     ap.add_argument("--synthetic", type=int, help="generate N synthetic pages instead")
     ap.add_argument("--regions", help="rect-region parquet (poly_id, rxmin, rymin, rxmax, rymax)")
+    ap.add_argument(
+        "--psl",
+        help="publicsuffix.org rules file for URL/domain features "
+        "(functions.urls.load_psl — the production path; omit for the "
+        "14-rule stand-in)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--zoom", type=int, default=7)
     ap.add_argument("--resolution", type=float, default=0.01)
@@ -43,6 +50,7 @@ def main() -> None:
     from pygridmap_spark.functions import cellindex as CI
     from pygridmap_spark.functions import geolocate as GEO
     from pygridmap_spark.functions import tiling as TF
+    from pygridmap_spark.functions import urls as U
     from pygridmap_spark.operators import spatialjoin as SJ
     from pygridmap_spark.plans import lineage
     from pygridmap_spark.session import get_spark
@@ -58,9 +66,13 @@ def main() -> None:
     else:
         ap.error("one of --input / --synthetic is required")
 
-    # stage 1: geolocate + encode (checkpointed, resumable)
+    # stage 1: URL/domain features + geolocate + encode (checkpointed,
+    # resumable). Domain features ride the PSL as ONE broadcast dimension
+    # (--psl loads the real ~9k-rule list; same plan shape either way).
+    rules = U.load_psl(spark, args.psl) if args.psl else None
+    feats = U.with_url_features(pages, rules=rules)
     enc = TF.with_tile_assignment(
-        CI.with_cell_index(GEO.with_geolocation(pages), args.zoom),
+        CI.with_cell_index(GEO.with_geolocation(feats), args.zoom),
         resolution=args.resolution,
         tile_size_cell=args.tile_size_cell,
         x="lon",

@@ -136,8 +136,17 @@ def with_registered_domain(
     identically). Hosts deeper than ``max_labels`` labels match through
     their deepest candidates (real PSL rules max out at 5 labels)."""
     spark = df.sparkSession
+    prefolded = None
     if rules is None:
-        rules = suffix_rules(spark)
+        # stand-in fast path: DEFAULT_SUFFIXES is a compile-time constant —
+        # distinct, wildcard-free — so the folded dim is a literal local
+        # relation and the fold/dedup aggregation (an extra blocking AQE
+        # stage per query at fixture scale) is skipped outright
+        prefolded = spark.createDataFrame(
+            [(s, True, False, False) for s in DEFAULT_SUFFIXES],
+            "pattern string, has_rule boolean, has_exc boolean, "
+            "has_wild_child boolean",
+        )
     reserved = {"pattern", "has_rule", "has_exc", "has_wild_child", "__nl__"}
     for k in range(1, max_labels + 1):
         reserved |= {f"__c{k}__", f"__r{k}__", f"__e{k}__", f"__h{k}__"}
@@ -154,7 +163,7 @@ def with_registered_domain(
     # ('!*.x') do not occur in the PSL and are ignored, matching the
     # previous probe-join behavior.
     is_wild = F.col("pattern").startswith("*.")
-    rules = (
+    rules = prefolded if prefolded is not None else (
         rules.select(
             F.when(is_wild, F.expr("substring(pattern, 3)"))
             .otherwise(F.col("pattern"))

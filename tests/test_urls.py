@@ -156,6 +156,76 @@ def test_load_psl(spark, tmp_path):
     }
 
 
+def _synthetic_psl(path, n_rules=9000):
+    """Deterministic publicsuffix.org-format fixture at the real list's
+    scale (~9k rules): single-label TLDs, two-label country suffixes,
+    '*.' wildcards and '!' exceptions in realistic proportion."""
+    lines = ["// ===BEGIN SYNTHETIC DOMAINS===", "com", "org", "net", "co.uk"]
+    for i in range(n_rules - len(lines) + 1):
+        if i % 50 == 48:
+            lines.append(f"*.wild{i}")
+        elif i % 50 == 49:
+            lines.append(f"!except.wild{i - 1}")
+        elif i % 3 == 0:
+            lines.append(f"tld{i}")
+        else:
+            lines.append(f"co{i % 7}.tld{i}")
+    path.write_text("\n".join(lines) + "\n")
+    return len(lines)
+
+
+def test_load_psl_realistic_scale_end_to_end(spark, tmp_path):
+    """The default-documented production path: load_psl on a ~9k-rule file
+    -> with_registered_domain -> domain_rollup. Plan stays flat vs the
+    14-rule stand-in (same O(max_labels) join chain) and wall time is the
+    same order (the rules ride ONE broadcast; rule count must not leak
+    into per-row cost)."""
+    import time
+
+    psl = tmp_path / "psl_9k.dat"
+    n = _synthetic_psl(psl)
+    assert n >= 9000
+    rules = U.load_psl(spark, str(psl))
+    assert rules.count() >= 9000
+    hosts = spark.createDataFrame(
+        [(i, f"h{i}.site{i % 101}.{'co.uk' if i % 3 else 'tld9'}") for i in range(2000)]
+        + [(9001, "a.b.wild48"), (9002, "except.wild48"), (9003, "x.except.wild48")],
+        "doc_id long, host string",
+    )
+    out = U.with_registered_domain(hosts, rules=rules)
+    # semantic probes through the full file: wildcard, exception
+    got = {
+        r.doc_id: r.registered_domain
+        for r in out.filter(F.col("doc_id") > 9000).collect()
+    }
+    assert got[9001] == "a.b.wild48"      # '*.wild48': ps = b.wild48
+    assert got[9002] == "except.wild48"   # host IS the exception domain
+    assert got[9003] == "except.wild48"   # '!except.wild48' prevails
+    # plan flatness vs the stand-in (join chain is O(max_labels), and the
+    # 9k-rule dim is dimension prep, not plan text)
+    small_plan = (
+        U.with_registered_domain(hosts, rules=U.suffix_rules(spark))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    big_plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(big_plan) < 2 * len(small_plan)
+    assert big_plan.count("Join") == small_plan.count("Join")
+    # wall parity: interleaved best-of-3 each way (CPU-steal shared VM)
+    def best(rules_df):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            U.with_registered_domain(hosts, rules=rules_df).count()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t_small, t_big = [], []
+    for _ in range(3):
+        t_small.append(best(U.suffix_rules(spark)))
+        t_big.append(best(rules))
+    assert min(t_big) < 5 * min(t_small) + 0.5, (t_small, t_big)
+
+
 def test_duplicate_rules_do_not_multiply_rows(spark):
     # a hand-built table with a repeated pattern must not duplicate facts
     rules = spark.createDataFrame(
