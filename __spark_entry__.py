@@ -816,6 +816,73 @@ def _q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-shape EXACT unary union (r5; reference parity with GEOS
+    unary_union, base.py:504-516, for NON-rect inputs): per group, two
+    overlapping congruent diamonds (45-degree edges) offset along x —
+    r and d dyadic so every arrangement crossing is exactly representable.
+    The union outline is the closed-form 8-vertex concave octagon with
+    area 2*(2r^2) - (2r-d)^2/2; the oracle re-derives every column
+    arithmetically, so the hash-match pins the arrangement partition AND
+    the strict dissolve topology (1 polygon, 8 corners, exact bbox), not
+    just the area."""
+    import numpy as np
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as WKB
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+
+    def _gen(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = {"cell_id": [], "geometry": []}
+            for did in batch["doc_id"]:
+                r = 1024.0 + 256.0 * (did % 3)
+                d = 256.0 * (1 + did % 4)
+                for cx in (0.0, d):
+                    ring = np.array(
+                        [[cx - r, 0.0], [cx, -r], [cx + r, 0.0], [cx, r]]
+                    )
+                    rows["cell_id"].append(did)
+                    rows["geometry"].append(WKB.encode_polygon([ring]))
+            yield pd.DataFrame(rows)
+
+    diamonds = docs.mapInPandas(_gen, "cell_id long, geometry binary")
+    uni = OV.union_exact_geoms(diamonds, group_col="cell_id")
+
+    def _decode(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = {
+                "cell_id": batch["cell_id"], "n_geoms": batch["n_geoms"],
+                "n_polys": batch["n_polys"], "n_vertices": [],
+                "xmin": [], "xmax": [], "area": batch["area"],
+            }
+            for buf in batch["geometry"]:
+                mp = WKB.decode_multipolygon(bytes(buf))
+                ring = mp[0][0]
+                closed = (ring[0] == ring[-1]).all()
+                rows["n_vertices"].append(len(ring) - (1 if closed else 0))
+                rows["xmin"].append(ring[:, 0].min())
+                rows["xmax"].append(ring[:, 0].max())
+            yield pd.DataFrame(rows)
+
+    out = uni.mapInPandas(
+        _decode,
+        "cell_id long, n_geoms long, n_polys long, n_vertices long, "
+        "xmin double, xmax double, area double",
+    )
+    return out.select(
+        "cell_id", "n_geoms", "n_polys", "n_vertices",
+        F.round("xmin", 6).alias("xmin"),
+        F.round("xmax", 6).alias("xmax"),
+        F.round("area", 6).alias("area"),
+    )
+
+
 def _q_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full PSL algorithm through the broadcast-join dimension path
     (functions/urls.py with_registered_domain): plain rules, multi-label
@@ -1198,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "domain_rollup": _q_domain_rollup,
         "overlay_dissolve_wkb": _q_overlay_dissolve,
+        "union_exact_wkb": _q_union_exact,
         "registered_domain_psl": _q_registered_domain_psl,
         "hll_distinct_rollup": _q_hll_distinct_rollup,
         "reproject_laea": _q_reproject_laea,
@@ -1782,6 +1850,22 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_distinct,
                    count(DISTINCT doc_id) AS n_distinct_merged
             FROM documents GROUP BY source
+        """,
+        "union_exact_wkb": """
+            WITH g AS (
+                SELECT doc_id AS cell_id,
+                       1024.0 + 256.0 * (doc_id % 3) AS r,
+                       256.0 * (1 + doc_id % 4) AS d
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT cell_id,
+                   2 AS n_geoms,
+                   1 AS n_polys,
+                   8 AS n_vertices,
+                   round(-r, 6) AS xmin,
+                   round(d + r, 6) AS xmax,
+                   round(2.0 * (2.0 * r * r) - (2.0 * r - d) * (2.0 * r - d) / 2.0, 6) AS area
+            FROM g
         """,
         "registered_domain_psl": """
             WITH h AS (

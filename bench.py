@@ -59,6 +59,7 @@ HEADLINE = [
     "overlay_dissolve_wkb",
     # round-5 additions
     "reproject_webmercator",
+    "union_exact_wkb",
 ]
 
 

@@ -824,6 +824,219 @@ def union_rects_exact(rects: list) -> MultiPolygon:
     return out
 
 
+def _edge_y(x0: float, y0: float, x1: float, y1: float, x: float) -> float:
+    """y of the segment (x0,y0)-(x1,y1) at abscissa x. Exact at endpoints;
+    interior values are THE canonical interpolation for that (edge, x) —
+    every caller must route through here so the same corner coordinate is
+    bit-identical wherever it is recomputed (the dissolve's edge
+    cancellation depends on it)."""
+    if x == x0:
+        return y0
+    if x == x1:
+        return y1
+    return y0 + (y1 - y0) * ((x - x0) / (x1 - x0))
+
+
+def _collect_edges(geoms: list) -> list:
+    """Every ring edge of every polygon of every multipolygon, as
+    (x0, y0, x1, y1) tuples (zero-length dropped; holes included — the
+    coverage sampling is what distinguishes them)."""
+    edges = []
+    for mp in geoms:
+        for poly in mp:
+            for ring in poly:
+                pts = _ring_open(np.asarray(ring, dtype=np.float64))
+                n = len(pts)
+                for i in range(n):
+                    x0, y0 = float(pts[i, 0]), float(pts[i, 1])
+                    j = (i + 1) % n
+                    x1, y1 = float(pts[j, 0]), float(pts[j, 1])
+                    if x0 == x1 and y0 == y1:
+                        continue
+                    edges.append((x0, y0, x1, y1))
+    return edges
+
+
+def _split_edges_at_intersections(edges: list) -> list:
+    """Split every edge at (a) proper crossings with other edges — both
+    edges split at the SAME computed point, so the crossing abscissa is a
+    shared slab boundary — and (b) other edges' endpoints lying exactly on
+    its line within its span (T-junctions and collinear overlaps, split at
+    the neighbour's exact endpoint coordinates). O(E^2) pair scan with a
+    vectorized bbox prefilter — sized for the per-group kernel (overlay
+    pieces, polygon families of hundreds of edges), not a global pass."""
+    n = len(edges)
+    if n <= 1:
+        return list(edges)
+    E = np.asarray(edges, dtype=np.float64)
+    X0, Y0, X1, Y1 = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    bx0, bx1 = np.minimum(X0, X1), np.maximum(X0, X1)
+    by0, by1 = np.minimum(Y0, Y1), np.maximum(Y0, Y1)
+    DX, DY = X1 - X0, Y1 - Y0
+    splits: list = [set() for _ in range(n)]
+
+    def on_span(i: int, qx: float, qy: float) -> bool:
+        # q known on edge i's line; strictly interior along the dominant axis
+        if abs(DX[i]) >= abs(DY[i]):
+            lo, hi = (X0[i], X1[i]) if X0[i] < X1[i] else (X1[i], X0[i])
+            return lo < qx < hi
+        lo, hi = (Y0[i], Y1[i]) if Y0[i] < Y1[i] else (Y1[i], Y0[i])
+        return lo < qy < hi
+
+    for i in range(n - 1):
+        js = np.arange(i + 1, n)
+        cand = js[
+            (bx1[js] >= bx0[i]) & (bx0[js] <= bx1[i])
+            & (by1[js] >= by0[i]) & (by0[js] <= by1[i])
+        ]
+        if not len(cand):
+            continue
+        # cross(d_i, q - p_i) for the candidates' endpoints
+        s1 = DX[i] * (Y0[cand] - Y0[i]) - DY[i] * (X0[cand] - X0[i])
+        s2 = DX[i] * (Y1[cand] - Y0[i]) - DY[i] * (X1[cand] - X0[i])
+        s3 = DX[cand] * (Y0[i] - Y0[cand]) - DY[cand] * (X0[i] - X0[cand])
+        s4 = DX[cand] * (Y1[i] - Y0[cand]) - DY[cand] * (X1[i] - X0[cand])
+        proper = (s1 * s2 < 0.0) & (s3 * s4 < 0.0)
+        for k in np.nonzero(proper)[0]:
+            j = int(cand[k])
+            denom = DX[i] * DY[j] - DY[i] * DX[j]
+            t = ((X0[j] - X0[i]) * DY[j] - (Y0[j] - Y0[i]) * DX[j]) / denom
+            p = (float(X0[i] + t * DX[i]), float(Y0[i] + t * DY[i]))
+            splits[i].add(p)
+            splits[j].add(p)
+        for k in np.nonzero(s1 == 0.0)[0]:
+            j = int(cand[k])
+            if on_span(i, X0[j], Y0[j]):
+                splits[i].add((float(X0[j]), float(Y0[j])))
+        for k in np.nonzero(s2 == 0.0)[0]:
+            j = int(cand[k])
+            if on_span(i, X1[j], Y1[j]):
+                splits[i].add((float(X1[j]), float(Y1[j])))
+        for k in np.nonzero(s3 == 0.0)[0]:
+            j = int(cand[k])
+            if on_span(j, X0[i], Y0[i]):
+                splits[j].add((float(X0[i]), float(Y0[i])))
+        for k in np.nonzero(s4 == 0.0)[0]:
+            j = int(cand[k])
+            if on_span(j, X1[i], Y1[i]):
+                splits[j].add((float(X1[i]), float(Y1[i])))
+    out = []
+    for i, (x0, y0, x1, y1) in enumerate(edges):
+        if not splits[i]:
+            out.append((x0, y0, x1, y1))
+            continue
+        horiz = abs(DX[i]) >= abs(DY[i])
+        key = (lambda p: p[0]) if horiz else (lambda p: p[1])
+        pts = [(x0, y0)] + sorted(splits[i], key=key, reverse=key((x0, y0)) > key((x1, y1))) + [(x1, y1)]
+        for a, b in zip(pts, pts[1:]):
+            if a != b:
+                out.append((a[0], a[1], b[0], b[1]))
+    return out
+
+
+def union_trapezoids(geoms: list) -> MultiPolygon:
+    """EXACT partition of the unary union of arbitrary (possibly
+    overlapping, concave, holed) multipolygons into vertical-slab
+    trapezoids. Classic arrangement decomposition: split every edge at
+    every crossing/T-junction, slice the plane into slabs at every
+    resulting x, stack each slab's segments by height, and keep the
+    inter-segment bands whose midpoint lies in the union
+    (:func:`points_in_union` — one batched even-odd test, holes handled).
+
+    Trapezoid corners at a slab boundary are bit-identical from both sides
+    (shared :func:`_edge_y` evaluations), and each trapezoid's vertical
+    sides are subdivided at EVERY corner height recorded at that abscissa,
+    so shared edges cancel exactly under :func:`dissolve_multipolygon`
+    strict mode — no tolerance anywhere."""
+    edges = _split_edges_at_intersections(_collect_edges(geoms))
+    nonvert = [e for e in edges if e[0] != e[2]]
+    if not nonvert:
+        return []
+    xs = np.unique(
+        np.array([v for e in edges for v in (e[0], e[2])], dtype=np.float64)
+    )
+    # left-to-right orientation for slab processing
+    lr = [
+        (e[0], e[1], e[2], e[3]) if e[0] < e[2] else (e[2], e[3], e[0], e[1])
+        for e in nonvert
+    ]
+    ex0 = np.array([e[0] for e in lr])
+    ex1 = np.array([e[2] for e in lr])
+    cand_pts: list = []  # (slab_idx, lower_idx, upper_idx) aligned with mx/my
+    slab_edges: list = []  # per slab: ordered [(ya, yb), ...]
+    mxs: list = []
+    mys: list = []
+    for si in range(len(xs) - 1):
+        xa, xb = float(xs[si]), float(xs[si + 1])
+        idx = np.nonzero((ex0 <= xa) & (ex1 >= xb))[0]
+        rows = []
+        for i in idx:
+            x0, y0, x1, y1 = lr[int(i)]
+            ya = _edge_y(x0, y0, x1, y1, xa)
+            yb = _edge_y(x0, y0, x1, y1, xb)
+            rows.append((ya, yb))
+        rows.sort(key=lambda r: (r[0] + r[1], r[0]))
+        slab_edges.append(rows)
+        xm = (xa + xb) / 2.0
+        for k in range(len(rows) - 1):
+            ya_l, yb_l = rows[k]
+            ya_u, yb_u = rows[k + 1]
+            if ya_l == ya_u and yb_l == yb_u:
+                continue
+            mxs.append(xm)
+            mys.append(((ya_l + yb_l) + (ya_u + yb_u)) / 4.0)
+            cand_pts.append((si, k, k + 1))
+    if not cand_pts:
+        return []
+    covered = points_in_union(np.asarray(mxs), np.asarray(mys), geoms)
+    # collect vertical-boundary corner heights per abscissa (both sides)
+    breaks: dict = {}
+    kept = []
+    for c, cov in zip(cand_pts, covered):
+        if not cov:
+            continue
+        si, kl, ku = c
+        xa, xb = float(xs[si]), float(xs[si + 1])
+        ya_l, yb_l = slab_edges[si][kl]
+        ya_u, yb_u = slab_edges[si][ku]
+        kept.append((xa, xb, ya_l, yb_l, ya_u, yb_u))
+        breaks.setdefault(xa, set()).update((ya_l, ya_u))
+        breaks.setdefault(xb, set()).update((yb_l, yb_u))
+    out: MultiPolygon = []
+    for xa, xb, ya_l, yb_l, ya_u, yb_u in kept:
+        right = sorted(b for b in breaks[xb] if yb_l < b < yb_u)
+        left = sorted((b for b in breaks[xa] if ya_l < b < ya_u), reverse=True)
+        ring = (
+            [[xa, ya_l], [xb, yb_l]]
+            + [[xb, b] for b in right]
+            + [[xb, yb_u], [xa, ya_u]]
+            + [[xa, b] for b in left]
+        )
+        out.append([np.array(ring, dtype=np.float64)])
+    return out
+
+
+def union_exact(geoms: list) -> MultiPolygon:
+    """EXACT unary union of arbitrary multipolygons as a dissolved outline
+    (CCW outers + CW holes) — the reference-parity general form
+    (/root/reference/pygridmap/base.py:504-516 returns the exact union
+    polygon via GEOS unary_union; this is the from-scratch equivalent:
+    :func:`union_trapezoids` arrangement partition + STRICT shared-edge
+    dissolve, no tolerance, no fallback).
+
+    Rect-decomposable inputs should prefer :func:`union_rects_exact`
+    (grid decomposition — O(n log n)-ish and immune to slanted-edge float
+    residue); this general path pays an O(E^2) crossing scan and is sized
+    for per-group kernels (overlay piece families, dimension layers), not
+    for millions of edges in one call."""
+    if not geoms:
+        return []
+    traps = union_trapezoids(geoms)
+    if not traps:
+        return []
+    return dissolve_multipolygon(traps, strict=True, assume_oriented=True)
+
+
 def union_geometry(
     geoms: list,
     tol: float = 1e-4,
@@ -840,11 +1053,12 @@ def union_geometry(
     membership forms (:func:`union_area`, :func:`points_in_union`) remain
     the precision tools; this is the mappable/paintable form.
 
-    ``exact=True``: EXACT dissolved outline for rect-decomposable inputs —
-    every polygon of every input multipolygon must be an axis-aligned
-    rectangle (grid cells, tiles, quadtree blocks, the rect-overlay piece
-    family); raises ValueError otherwise. No tolerance, no blocks: grid
-    decomposition + shared-edge cancellation (:func:`union_rects_exact`)."""
+    ``exact=True``: EXACT dissolved outline, no tolerance, no blocks.
+    Rect-decomposable inputs (grid cells, tiles, quadtree blocks, the
+    rect-overlay piece family) take the grid-decomposition fast path
+    (:func:`union_rects_exact`); anything else — overlapping concave
+    polygons, holes, slanted edges — routes through the general
+    arrangement partition (:func:`union_exact`)."""
     if exact:
         rects = []
         for mp in geoms:
@@ -854,17 +1068,14 @@ def union_geometry(
                     # a DEGENERATE axis-aligned ring (zero width or height:
                     # all xs or all ys equal) is an empty contribution —
                     # skip it, matching union_rects_exact's own filter of
-                    # degenerate rect tuples, instead of raising.
+                    # degenerate rect tuples.
                     pts = _ring_open(
                         np.asarray(poly[0], dtype=np.float64).reshape(-1, 2)
                     )
                     if len(np.unique(pts[:, 0])) == 1 or len(np.unique(pts[:, 1])) == 1:
                         continue
-                    raise ValueError(
-                        "union_geometry(exact=True) needs axis-aligned rect "
-                        "polygons; use union_exact() for general overlapping "
-                        "shapes or the quadtree block form (exact=False)"
-                    )
+                    # not rect-decomposable: the general exact path
+                    return union_exact(geoms)
                 rects.append(r)
         return union_rects_exact(rects)
     if cover not in ("inner", "outer"):
@@ -877,7 +1088,9 @@ def union_geometry(
     ]
 
 
-def dissolve_multipolygon(mp: MultiPolygon, strict: bool = False) -> MultiPolygon:
+def dissolve_multipolygon(
+    mp: MultiPolygon, strict: bool = False, assume_oriented: bool = False
+) -> MultiPolygon:
     """Seam removal for a multipolygon whose polygons PARTITION a region
     (the triangle-fragment output of :func:`intersect_polygons` on concave
     clips, rect-overlay pieces, grid-cell covers): interior edges appear
@@ -899,10 +1112,18 @@ def dissolve_multipolygon(mp: MultiPolygon, strict: bool = False) -> MultiPolygo
     edges shorter than the angle computation's float resolution (denormal
     -width slivers, hypothesis-probed) can mis-order the leftmost-turn
     choice — such inputs raise in strict mode and fall back safely
-    otherwise."""
+    otherwise.
+
+    ``assume_oriented=True`` skips the canonical re-orientation pass: for
+    inputs whose rings are CONSTRUCTED in canonical order (shell CCW,
+    holes CW — e.g. :func:`union_trapezoids` output) the shoelace SIGN of
+    an ulp-wide sliver is rounding noise (true area ~1e-16, shoelace
+    residue ~1e-15 at coordinate scale), and re-orienting off that noisy
+    sign would flip a correctly-oriented ring and break edge
+    cancellation."""
     if len(mp) <= 1:
         return mp
-    out = _dissolve_or_none(mp)
+    out = _dissolve_or_none(mp, assume_oriented=assume_oriented)
     if out is None:
         if strict:
             raise ValueError(
@@ -914,7 +1135,7 @@ def dissolve_multipolygon(mp: MultiPolygon, strict: bool = False) -> MultiPolygo
     return out
 
 
-def _dissolve_or_none(mp: MultiPolygon):
+def _dissolve_or_none(mp: MultiPolygon, assume_oriented: bool = False):
     """Dissolve body; None on any path the public wrapper treats as
     fallback."""
     import math as _math
@@ -931,7 +1152,7 @@ def _dissolve_or_none(mp: MultiPolygon):
             pts = np.asarray(ring, dtype=np.float64)
             if len(pts) > 1 and pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
                 pts = pts[:-1]
-            if len(pts) >= 3:
+            if len(pts) >= 3 and not assume_oriented:
                 sa = ring_signed_area(np.vstack([pts, pts[:1]]))
                 if (ri == 0) != (sa > 0) and sa != 0.0:
                     pts = pts[::-1]

@@ -305,10 +305,58 @@ def test_union_geometry_exact_rects():
     )
     want = 0.6 * 0.4 + 0.6 * 0.6 - 0.4 * 0.3
     assert abs(G.multipolygon_area(u4) - want) < 1e-12
-    # non-rect input refuses
+    # non-rect input routes through the general arrangement path (r5)
     tri = [[[np.array([[0, 0], [1, 0], [0.5, 1]], dtype=float)]]]
-    try:
-        G.union_geometry(tri, exact=True)
-        raise AssertionError("expected ValueError")
-    except ValueError:
-        pass
+    u5 = G.union_geometry(tri, exact=True)
+    assert abs(G.multipolygon_area(u5) - 0.5) < 1e-12
+
+
+def test_union_exact_general_shapes():
+    """The last reference-semantics gap (base.py:504-516 unary_union via
+    GEOS): exact dissolved union GEOMETRY for arbitrary overlapping
+    concave/holed inputs — arrangement trapezoids + strict dissolve."""
+
+    def mp(*rings):
+        return [[np.array(r, dtype=float) for r in rings]]
+
+    # overlapping triangles: inclusion-exclusion exact area
+    t1 = mp([(0, 0), (4, 0), (2, 3)])
+    t2 = mp([(2, 0), (6, 0), (4, 3)])
+    u = G.union_exact([t1, t2])
+    assert abs(G.multipolygon_area(u) - 10.5) < 1e-12  # 6 + 6 - 1.5
+    assert len(u) == 1
+    # concave L + overlapping rect == quadtree union_area at tight tol
+    L = mp([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)])
+    r = mp([(2, 0.5), (4, 0.5), (4, 2), (2, 2)])
+    u2 = G.union_exact([L, r])
+    assert abs(G.multipolygon_area(u2) - 7.5) < 1e-12
+    # holed square + plug floating inside the hole: topology preserved
+    holed = [[
+        np.array([(0, 0), (10, 0), (10, 10), (0, 10)], dtype=float),
+        np.array([(3, 3), (7, 3), (7, 7), (3, 7)], dtype=float),
+    ]]
+    plug = mp([(4, 4), (6, 4), (6, 6), (4, 6)])
+    u3 = G.union_exact([holed, plug])
+    assert abs(G.multipolygon_area(u3) - 88.0) < 1e-12
+    assert sorted(len(p) for p in u3) == [1, 2]  # plug + (outer, hole)
+    # hole fully plugged: hole ring disappears
+    big_plug = mp([(2.5, 2.5), (7.5, 2.5), (7.5, 7.5), (2.5, 7.5)])
+    u3b = G.union_exact([holed, big_plug])
+    assert abs(G.multipolygon_area(u3b) - 100.0) < 1e-12
+    assert len(u3b) == 1 and len(u3b[0]) == 1
+    # disjoint stays disjoint; duplicates collapse
+    u4 = G.union_exact([t1, mp([(50, 50), (51, 50), (50.5, 51)])])
+    assert len(u4) == 2 and abs(G.multipolygon_area(u4) - 6.5) < 1e-12
+    u5 = G.union_exact([t1, t1, t1])
+    assert abs(G.multipolygon_area(u5) - 6.0) < 1e-12
+    # shared-boundary adjacency (no overlap): seam dissolves away
+    a = mp([(0, 0), (2, 0), (2, 2), (0, 2)])
+    b = mp([(2, 0), (4, 0), (4, 2), (2, 2)])
+    u6 = G.union_exact([a, b])
+    assert len(u6) == 1 and abs(G.multipolygon_area(u6) - 8.0) < 1e-12
+    assert len(u6[0][0]) == 4  # clean rect outline, seam vertices gone
+    # membership parity with points_in_union on a probe grid
+    gx, gy = np.meshgrid(np.linspace(-0.5, 6.5, 29), np.linspace(-0.5, 3.5, 17))
+    want = G.points_in_union(gx.ravel(), gy.ravel(), [t1, t2])
+    got = G.points_in_multipolygon(gx.ravel(), gy.ravel(), u)
+    assert np.array_equal(want, got)

@@ -451,3 +451,37 @@ def test_dissolve_pieces_null_geometry(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["gid", "geometry"]))
     got = OV.dissolve_pieces(df, "gid", strict=True).collect()[0]
     assert got.n_pieces == 2 and got.area == pytest.approx(2.0)
+
+
+def test_union_exact_geoms_general_shapes(spark):
+    """Per-group general exact union: overlapping triangles (non-rect, the
+    case dissolve_pieces cannot take) union to closed-form areas; holed
+    inputs keep their uncovered hole."""
+    import numpy as np
+
+    from pygridmap_spark.core import wkb as WKB
+
+    t1 = WKB.encode_polygon([[(0.0, 0.0), (4.0, 0.0), (2.0, 3.0)]])
+    t2 = WKB.encode_polygon([[(2.0, 0.0), (6.0, 0.0), (4.0, 3.0)]])
+    holed = WKB.encode_polygon(
+        [
+            [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+            [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)],
+        ]
+    )
+    plug = WKB.encode_polygon([[(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)]])
+    df = spark.createDataFrame(
+        [(1, t1), (1, t2), (2, holed), (2, plug)], "gid long, geometry binary"
+    )
+    got = {
+        r.gid: r for r in OV.union_exact_geoms(df, group_col="gid").collect()
+    }
+    assert got[1].n_geoms == 2 and got[1].n_polys == 1
+    assert got[1].area == pytest.approx(10.5, abs=1e-9)  # 6 + 6 - 1.5
+    assert got[2].n_geoms == 2 and got[2].n_polys == 2  # plug floats in hole
+    assert got[2].area == pytest.approx(88.0, abs=1e-9)  # 100 - 16 + 4
+    # round-trip: output WKB decodes to the exact union (hole preserved)
+    from pygridmap_spark.core import geometry as G
+
+    mp = WKB.decode_multipolygon(bytes(got[2].geometry))
+    assert sorted(len(p) for p in mp) == [1, 2]

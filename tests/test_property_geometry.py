@@ -401,3 +401,43 @@ def test_laea_roundtrip_property(lon, lat):
     if abs(lon - 10.0) < 5.0 and lat < 71.0:
         _, y_n = RP.laea_forward_np(np.array([lon]), np.array([lat + 0.5]))
         assert y_n[0] > y[0]
+
+
+@given(st.lists(simple_star_polygons(), min_size=2, max_size=4))
+@settings(max_examples=40, deadline=None)
+def test_union_exact_general_area_and_membership(rings):
+    """The r5 general exact union (arrangement trapezoids + STRICT
+    dissolve): zero fallbacks allowed (strict raises = test failure), area
+    inside the quadtree union_area envelope, membership parity with
+    points_in_union on random probes."""
+    geoms = [[[r]] for r in rings]
+    u = G.union_exact(geoms)
+    area = G.multipolygon_area(u)
+    want = G.union_area(geoms, tol=1e-3)
+    xs = np.concatenate([r[:, 0] for r in rings])
+    ys = np.concatenate([r[:, 1] for r in rings])
+    bbox_area = (xs.max() - xs.min()) * (ys.max() - ys.min())
+    assert abs(area - want) <= 1e-3 * bbox_area / 2 + 1e-6 * max(area, 1.0)
+    rng = np.random.default_rng(11)
+    px = rng.uniform(xs.min() - 5, xs.max() + 5, 150)
+    py = rng.uniform(ys.min() - 5, ys.max() + 5, 150)
+    got = G.points_in_multipolygon(px, py, u)
+    ref = G.points_in_union(px, py, geoms)
+    assert np.array_equal(got, ref)
+
+
+@given(simple_star_polygons(), st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_union_exact_self_overlap_idempotent(ring, seed):
+    """union_exact of a polygon with shifted copies of itself: area is
+    monotone in the shift family and equals the single-polygon area when
+    the shift is zero."""
+    rng = np.random.default_rng(seed)
+    single = abs(G.ring_signed_area(np.vstack([ring, ring[:1]])))
+    u0 = G.union_exact([[[ring]], [[ring.copy()]]])
+    assert abs(G.multipolygon_area(u0) - single) <= 1e-9 * max(single, 1.0)
+    shift = np.array([rng.uniform(-5, 5), rng.uniform(-5, 5)])
+    u1 = G.union_exact([[[ring]], [[ring + shift]]])
+    a1 = G.multipolygon_area(u1)
+    assert a1 >= single - 1e-9 * max(single, 1.0)
+    assert a1 <= 2 * single + 1e-9 * max(single, 1.0)
