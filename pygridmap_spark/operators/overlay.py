@@ -640,14 +640,22 @@ def grid_overlay_polygons_distributed(
         _clip,
         f"cell_id long, {poly_key} {key_type}, poly_area double, piece_area double{geom_field}",
     )
-    attrs = polygons.select(poly_key, *columns)
-    pieces = (
-        pieces.join(attrs, poly_key)
-        .withColumn(
-            "area_pct",
-            F.when(F.col("poly_area") > 0, F.col("piece_area") / F.col("poly_area")),
-        )
-        .select("cell_id", poly_key, "piece_area", "area_pct", *columns, *geom_cols)
+    # attribute merge-back ONLY when attributes were asked for: with no
+    # columns the join adds nothing (every piece key came from the polygon
+    # layer), and — decisively for skew — a no-op join on poly_key would
+    # sit directly above the WKB join-back on the SAME key, and AQE's
+    # OptimizeSkewedJoin refuses to split a skewed partition whose output
+    # co-partitioning a parent join reuses: a mega-polygon's hot key would
+    # stay one task. Skipping it keeps the WKB join splittable.
+    pieces = pieces.withColumn(
+        "area_pct",
+        F.when(F.col("poly_area") > 0, F.col("piece_area") / F.col("poly_area")),
+    )
+    if columns:
+        attrs = polygons.select(poly_key, *columns)
+        pieces = pieces.join(attrs, poly_key)
+    pieces = pieces.select(
+        "cell_id", poly_key, "piece_area", "area_pct", *columns, *geom_cols
     )
     if rule is None:
         if how == "union_full":

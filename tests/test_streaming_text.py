@@ -417,3 +417,68 @@ def test_sessionize_streaming_late_events_against_watermark(spark, tmp_path):
         if r.user_id != "Y"
     }
     assert got == batch_closed
+
+
+def test_sessionize_streaming_state_stays_bounded_at_volume(spark, tmp_path):
+    """Many-batch volume run pinning that watermark eviction keeps the
+    session state store BOUNDED: 24 micro-batches x 500 events over 50
+    keys, each batch 2h later in event time (gap 30m, watermark 20m), so
+    every batch's sessions close as the next arrives. numRowsTotal must
+    plateau at ~open sessions (eviction lags one micro-batch), never grow
+    with cumulative events — the 100-TB contract for an unbounded stream."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructField, StructType, StringType, TimestampType
+
+    n_batches, n_keys, per_batch = 24, 50, 500
+    src = str(tmp_path / "vol_src")
+    os.makedirs(src)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for b in range(n_batches):
+        t0 = base + pd.Timedelta(hours=2 * b)
+        keys = [f"u{i % n_keys}" for i in range(per_batch)]
+        # events spread over 10 minutes (single session per key per batch)
+        ts = [t0 + pd.Timedelta(seconds=(i * 7) % 600) for i in range(per_batch)]
+        tbl = pa.table(
+            {
+                "user_id": pa.array(keys, pa.string()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        p = os.path.join(src, f"b{b:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + b * 10, 1_700_000_000 + b * 10))
+
+    schema = StructType(
+        [StructField("user_id", StringType()), StructField("ts", TimestampType())]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    sessions = SP.sessionize(
+        stream, key="user_id", ts_col="ts", gap="30 minutes", watermark="20 minutes"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("vol_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "vol_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators") and p["numInputRows"] > 0
+    ]
+    assert len(state_rows) >= n_batches - 1
+    # bounded: open sessions (<= n_keys) + one batch of eviction lag —
+    # never the cumulative 12 000 events / ~1 150 closed sessions
+    assert max(state_rows) <= 3 * n_keys, state_rows
+    # and the plateau really is a plateau, not a ramp: the last batches
+    # hold the same bound as the early ones
+    assert max(state_rows[-5:]) <= 3 * n_keys
+    # emission completeness: all but the final (still-open) generation
+    n_emitted = spark.sql("SELECT count(*) n FROM vol_sessions").collect()[0]["n"]
+    assert n_emitted == (n_batches - 1) * n_keys
