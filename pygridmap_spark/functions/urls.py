@@ -110,7 +110,7 @@ def with_registered_domain(
     host_col: str = "host",
     rules: DataFrame | None = None,
     out_col: str = "registered_domain",
-    max_labels: int = 5,
+    max_labels: int | None = None,
     default_rule: bool = False,
 ) -> DataFrame:
     """Append the PSL registered domain of ``host_col`` by broadcast-joining
@@ -134,7 +134,14 @@ def with_registered_domain(
     per-query fixed fee), NO shuffle, and plan size independent of the
     rule-table size (a 9k-rule PSL and the 14-rule stand-in plan
     identically). Hosts deeper than ``max_labels`` labels match through
-    their deepest candidates (real PSL rules max out at 5 labels)."""
+    their deepest candidates (real PSL rules max out at 5 labels).
+
+    ``max_labels=None`` (default) derives the needed probe depth from the
+    rules themselves — the deepest pattern's label count (+1 where it has
+    a wildcard child), capped at 8: the 14-rule stand-in needs only 2
+    broadcast joins, the real PSL 5, and the plan never pays for depth no
+    rule can reach. Deriving from a user rules table costs one tiny
+    driver-side agg on the (dimension-sized by contract) rule prep."""
     spark = df.sparkSession
     prefolded = None
     if rules is None:
@@ -146,15 +153,6 @@ def with_registered_domain(
             [(s, True, False, False) for s in DEFAULT_SUFFIXES],
             "pattern string, has_rule boolean, has_exc boolean, "
             "has_wild_child boolean",
-        )
-    reserved = {"pattern", "has_rule", "has_exc", "has_wild_child", "__nl__"}
-    for k in range(1, max_labels + 1):
-        reserved |= {f"__c{k}__", f"__r{k}__", f"__e{k}__", f"__h{k}__"}
-    clash = reserved & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"with_registered_domain: input columns {sorted(clash)} clash "
-            "with the rules dimension / internal temp names — rename first"
         )
     # fold '*.x' wildcard rules into their parent 'x' row (has_wild_child),
     # then defensively collapse duplicate patterns (load_psl aggregates,
@@ -179,6 +177,24 @@ def with_registered_domain(
             F.max("has_wild_child").alias("has_wild_child"),
         )
     )
+    if max_labels is None:
+        if prefolded is not None:
+            max_labels = max(s.count(".") + 1 for s in DEFAULT_SUFFIXES)
+        else:
+            depth = F.length("pattern") - F.length(
+                F.translate(F.col("pattern"), ".", "")
+            ) + 1 + F.when(F.col("has_wild_child"), 1).otherwise(0)
+            row = rules.agg(F.max(depth)).collect()[0]
+            max_labels = min(int(row[0] or 1), 8)
+    reserved = {"pattern", "has_rule", "has_exc", "has_wild_child", "__nl__"}
+    for k in range(1, max_labels + 1):
+        reserved |= {f"__c{k}__", f"__r{k}__", f"__e{k}__", f"__h{k}__"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_registered_domain: input columns {sorted(clash)} clash "
+            "with the rules dimension / internal temp names — rename first"
+        )
     # label count and suffixes via plain string ops (translate /
     # substring_index are single JVM scans): the array formulation
     # (split + per-level slice + array_join) measured ~4x more per-row CPU
@@ -255,7 +271,7 @@ def with_url_features(
     df,
     url: str = "url",
     rules: DataFrame | None = None,
-    max_labels: int = 5,
+    max_labels: int | None = None,
     default_rule: bool = False,
 ):
     """Append ``host``, ``path_depth``, ``registered_domain``: one narrow

@@ -133,6 +133,34 @@ def test_psl_broadcast_join_count_is_max_labels(spark):
         assert plan.count("BroadcastHashJoin") == ml, plan
 
 
+def test_psl_auto_depth_from_rules(spark):
+    # max_labels=None derives probe depth from the rules: the stand-in's
+    # deepest suffix is 'co.uk' (2 labels) -> 2 joins; a wildcard '*.ck'
+    # folds to parent 'ck' + wild child -> depth 2; a 4-label exception
+    # forces 4
+    hosts = spark.createDataFrame(
+        [(1, "a.site.co.uk"), (2, "x.y.foo.bar.ck")], "doc_id long, host string"
+    )
+    auto_plan = (
+        U.with_registered_domain(hosts)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert auto_plan.count("BroadcastHashJoin") == 2, auto_plan
+    rules = spark.createDataFrame(
+        [("com", True, False), ("*.ck", True, False), ("a.b.c.d", False, True)],
+        "pattern string, has_rule boolean, has_exc boolean",
+    )
+    plan = (
+        U.with_registered_domain(hosts, rules=rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    # semantics at auto depth match the explicit-depth result
+    a = U.with_registered_domain(hosts, rules=rules).collect()
+    b = U.with_registered_domain(hosts, rules=rules, max_labels=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_load_psl(spark, tmp_path):
     psl = tmp_path / "psl.dat"
     psl.write_text(
