@@ -883,6 +883,52 @@ def _q_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_union_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-LAYER distributed exact union (r5): 200 disjoint groups of
+    two overlapping diamonds, one global layer, tiled per 2048 units by
+    operators.overlay.union_exact_distributed (cover-tile explosion,
+    map-side clip, per-tile arrangement kernel). Groups sit 8 tiles apart
+    so they never share a tile; per group the oracle re-derives BOTH the
+    closed-form union area (2*(2r^2) - (2r-d)^2/2) and the count of tiles
+    the union touches (diamond-rect Manhattan-distance test in SQL) —
+    hash-matching the tile decomposition itself, not just the total."""
+    import numpy as np
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as WKB
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+
+    def _gen(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = {"poly_id": [], "geometry": []}
+            for did in batch["doc_id"]:
+                r = 1024.0 + 256.0 * (did % 3)
+                d = 256.0 * (1 + did % 4)
+                cx0 = did * 16384.0 + 4100.0
+                cy = 4100.0
+                for j, cx in enumerate((cx0, cx0 + d)):
+                    ring = np.array(
+                        [[cx - r, cy], [cx, cy - r], [cx + r, cy], [cx, cy + r]]
+                    )
+                    rows["poly_id"].append(int(did) * 2 + j)
+                    rows["geometry"].append(WKB.encode_polygon([ring]))
+            yield pd.DataFrame(rows)
+
+    diamonds = docs.mapInPandas(_gen, "poly_id long, geometry binary")
+    tiles = OV.union_exact_distributed(diamonds, cell=2048.0)
+    return (
+        tiles.groupBy((F.col("tile_x") / 8).cast("long").alias("gid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.round(F.sum("area"), 6).alias("area"),
+        )
+        .select("gid", "n_tiles", "area")
+    )
+
+
 def _q_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full PSL algorithm through the broadcast-join dimension path
     (functions/urls.py with_registered_domain): plain rules, multi-label
@@ -1266,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": _q_domain_rollup,
         "overlay_dissolve_wkb": _q_overlay_dissolve,
         "union_exact_wkb": _q_union_exact,
+        "union_exact_distributed": _q_union_exact_distributed,
         "registered_domain_psl": _q_registered_domain_psl,
         "hll_distinct_rollup": _q_hll_distinct_rollup,
         "reproject_laea": _q_reproject_laea,
@@ -1866,6 +1913,37 @@ def oracle_sql() -> dict[str, str]:
                    round(d + r, 6) AS xmax,
                    round(2.0 * (2.0 * r * r) - (2.0 * r - d) * (2.0 * r - d) / 2.0, 6) AS area
             FROM g
+        """,
+        "union_exact_distributed": """
+            WITH g AS (
+                SELECT doc_id AS gid,
+                       1024.0 + 256.0 * (doc_id % 3) AS r,
+                       256.0 * (1 + doc_id % 4) AS d,
+                       doc_id * 16384.0 + 4100.0 AS cx,
+                       4100.0 AS cy
+                FROM documents WHERE doc_id < 200
+            ),
+            tiles AS (
+                SELECT g.*, (gid * 8 + tx.x) AS tile_x, ty.y AS tile_y,
+                       (gid * 8 + tx.x) * 2048.0 AS tx0,
+                       ty.y * 2048.0 AS ty0
+                FROM g, generate_series(1, 3) tx(x), generate_series(1, 2) ty(y)
+            ),
+            covered AS (
+                SELECT gid, tile_x, tile_y, r, d
+                FROM tiles
+                WHERE (greatest(tx0 - cx, cx - (tx0 + 2048.0), 0.0)
+                       + greatest(ty0 - cy, cy - (ty0 + 2048.0), 0.0)) < r
+                   OR (greatest(tx0 - (cx + d), (cx + d) - (tx0 + 2048.0), 0.0)
+                       + greatest(ty0 - cy, cy - (ty0 + 2048.0), 0.0)) < r
+            )
+            SELECT gid,
+                   count(*) AS n_tiles,
+                   round(2.0 * (2.0 * max(r) * max(r))
+                         - (2.0 * max(r) - max(d)) * (2.0 * max(r) - max(d)) / 2.0,
+                         6) AS area
+            FROM covered
+            GROUP BY gid
         """,
         "registered_domain_psl": """
             WITH h AS (

@@ -60,6 +60,7 @@ HEADLINE = [
     # round-5 additions
     "reproject_webmercator",
     "union_exact_wkb",
+    "union_exact_distributed",
 ]
 
 

@@ -485,3 +485,74 @@ def test_union_exact_geoms_general_shapes(spark):
 
     mp = WKB.decode_multipolygon(bytes(got[2].geometry))
     assert sorted(len(p) for p in mp) == [1, 2]
+
+
+def test_union_exact_distributed_matches_local_kernel(spark):
+    """Whole-layer distributed exact union: per-tile areas sum EXACTLY to
+    the local-kernel union area (tiles partition the plane), membership
+    matches, and a polygon spanning many tiles ships only its clipped
+    pieces through the tile exchange."""
+    import numpy as np
+
+    from pygridmap_spark.core import geometry as G
+    from pygridmap_spark.core import wkb as WKB
+
+    rng = np.random.default_rng(17)
+    rows, local = [], []
+    for pid in range(60):
+        n = 7
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(50.0, 400.0, n)
+        cx, cy = rng.uniform(0, 3000.0, 2)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        rows.append((pid, WKB.encode_polygon([ring])))
+        local.append([[ring]])
+    # one mega rect spanning many tiles
+    mega = np.array([[-500.0, -500.0], [3500.0, -500.0], [3500.0, 200.0], [-500.0, 200.0]])
+    rows.append((999, WKB.encode_polygon([mega])))
+    local.append([[mega]])
+    df = spark.createDataFrame(rows, "poly_id long, geometry binary")
+    out = OV.union_exact_distributed(df, cell=1000.0).collect()
+    got_area = sum(r.area for r in out)
+    want_area = G.multipolygon_area(G.union_exact(local))
+    assert got_area == pytest.approx(want_area, rel=1e-9)
+    # membership parity on probes: union of all tile pieces == local union
+    pieces = []
+    for r in out:
+        pieces.extend(WKB.decode_multipolygon(bytes(r.geometry)))
+    px = rng.uniform(-600, 3600, 300)
+    py = rng.uniform(-600, 3600, 300)
+    want = G.points_in_union(px, py, local)
+    got = G.points_in_multipolygon(px, py, pieces)
+    # points on tile-boundary seams could differ; none of the 300 random
+    # probes lies on an exact tile line
+    assert np.array_equal(want, got)
+    # every tile row's geometry stays inside its tile
+    for r in out:
+        mp = WKB.decode_multipolygon(bytes(r.geometry))
+        x0, y0 = r.tile_x * 1000.0, r.tile_y * 1000.0
+        bx = G.multipolygon_bbox(mp)
+        assert bx[0] >= x0 - 1e-9 and bx[2] <= x0 + 1000.0 + 1e-9
+        assert bx[1] >= y0 - 1e-9 and bx[3] <= y0 + 1000.0 + 1e-9
+
+
+def test_union_exact_distributed_rect_fixture_exact(spark):
+    """Dyadic rect fixture: distributed per-tile union area equals the
+    closed-form union area EXACTLY (no tolerance)."""
+    from pygridmap_spark.core import wkb as WKB
+
+    def rect(pid, x0, y0, x1, y1):
+        return (pid, WKB.encode_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]))
+
+    # two overlapping rects + one duplicate + one disjoint, spanning tiles
+    rows = [
+        rect(1, 0.0, 0.0, 1536.0, 1024.0),
+        rect(2, 1024.0, 512.0, 2560.0, 1536.0),
+        rect(3, 0.0, 0.0, 1536.0, 1024.0),
+        rect(4, 4096.0, 4096.0, 4608.0, 4352.0),
+    ]
+    df = spark.createDataFrame(rows, "poly_id long, geometry binary")
+    out = OV.union_exact_distributed(df, cell=1024.0)
+    got = out.agg(F.sum("area")).collect()[0][0]
+    want = 1536.0 * 1024.0 + 1536.0 * 1024.0 - 512.0 * 512.0 + 512.0 * 256.0
+    assert got == want  # dyadic: bit-exact
