@@ -216,27 +216,35 @@ def main() -> None:
             "aqe_skew": skew,
         }
 
-        # ---- stage 2: strict per-polygon dissolve --------------------
-        t1 = time.time()
-        dis = OV.dissolve_pieces(pieces_df, group_col="poly_id", strict=True)
-        dis_path = os.path.join(work, "dissolved")
-        dis.write.mode("overwrite").parquet(dis_path)
-        t_dissolve = time.time() - t1
-        dd = spark.read.parquet(dis_path)
-        n_groups = dd.count()
-        # exactness: every fully-inside polygon dissolves back to its own
-        # area; total dissolved area == total planted area
-        tot = dd.agg(F.sum("area")).collect()[0][0]
-        mega_row = dd.filter(F.col("poly_id") == args.polys).collect()[0]
+        # ---- stage 2: strict per-polygon dissolve (flat vs 2-level) --
         want_mega = (args.mega_cells * CELL) ** 2
-        report["dissolve"] = {
-            "wall_sec": round(t_dissolve, 1),
-            "groups": n_groups,
-            "groups_per_sec": round(n_groups / t_dissolve),
-            "total_area": tot,
-            "mega_n_pieces": int(mega_row["n_pieces"]),
-            "mega_area_exact": bool(abs(mega_row["area"] - want_mega) < 1e-6),
-        }
+        blk = (
+            (F.col("cell_id") % GRID_N / 32).cast("long") * 1000
+            + (F.col("cell_id") / GRID_N / 32).cast("long")
+        )
+        for mode, presplit in (("flat", None), ("hierarchical", "block")):
+            src = pieces_df.withColumn("block", blk) if presplit else pieces_df
+            t1 = time.time()
+            dis = OV.dissolve_pieces(
+                src, group_col="poly_id", strict=True, presplit_col=presplit
+            )
+            dis_path = os.path.join(work, f"dissolved_{mode}")
+            dis.write.mode("overwrite").parquet(dis_path)
+            t_dissolve = time.time() - t1
+            dd = spark.read.parquet(dis_path)
+            n_groups = dd.count()
+            # exactness: every fully-inside polygon dissolves back to its
+            # own area; total dissolved area == total planted area
+            tot = dd.agg(F.sum("area")).collect()[0][0]
+            mega_row = dd.filter(F.col("poly_id") == args.polys).collect()[0]
+            report[f"dissolve_{mode}"] = {
+                "wall_sec": round(t_dissolve, 1),
+                "groups": n_groups,
+                "groups_per_sec": round(n_groups / t_dissolve),
+                "total_area": tot,
+                "mega_n_pieces": int(mega_row["n_pieces"]),
+                "mega_area_exact": bool(abs(mega_row["area"] - want_mega) < 1e-6),
+            }
 
         # ---- shuffle totals (whole app; dominated by the two stages) --
         try:

@@ -1089,7 +1089,10 @@ def union_geometry(
 
 
 def dissolve_multipolygon(
-    mp: MultiPolygon, strict: bool = False, assume_oriented: bool = False
+    mp: MultiPolygon,
+    strict: bool = False,
+    assume_oriented: bool = False,
+    drop_collinear: bool = True,
 ) -> MultiPolygon:
     """Seam removal for a multipolygon whose polygons PARTITION a region
     (the triangle-fragment output of :func:`intersect_polygons` on concave
@@ -1120,10 +1123,21 @@ def dissolve_multipolygon(
     an ulp-wide sliver is rounding noise (true area ~1e-16, shoelace
     residue ~1e-15 at coordinate scale), and re-orienting off that noisy
     sign would flip a correctly-oriented ring and break edge
-    cancellation."""
+    cancellation.
+
+    ``drop_collinear=False`` keeps collinear seam vertices in the output
+    rings: the dissolved outline then carries its boundary edges at the
+    ORIGINAL piece granularity, so a SECOND dissolve over outlines from
+    adjacent partial groups still cancels shared edges bit-exactly — the
+    contract behind the hierarchical (two-level) distributed dissolve.
+    With the default True, boundary edges merge into long runs whose
+    endpoints depend on the group's interior, and outlines from different
+    groupings stop being edge-compatible."""
     if len(mp) <= 1:
         return mp
-    out = _dissolve_or_none(mp, assume_oriented=assume_oriented)
+    out = _dissolve_or_none(
+        mp, assume_oriented=assume_oriented, drop_collinear=drop_collinear
+    )
     if out is None:
         if strict:
             raise ValueError(
@@ -1135,7 +1149,9 @@ def dissolve_multipolygon(
     return out
 
 
-def _dissolve_or_none(mp: MultiPolygon, assume_oriented: bool = False):
+def _dissolve_or_none(
+    mp: MultiPolygon, assume_oriented: bool = False, drop_collinear: bool = True
+):
     """Dissolve body; None on any path the public wrapper treats as
     fallback."""
     import math as _math
@@ -1215,9 +1231,10 @@ def _dissolve_or_none(mp: MultiPolygon, assume_oriented: bool = False):
             return None
         pts = np.asarray(ring[:-1], dtype=np.float64)
         # drop collinear seam vertices (exact zero cross only — never move
-        # the boundary)
+        # the boundary); skipped when the caller needs piece-granularity
+        # boundary edges for a second-level dissolve
         n = len(pts)
-        if n >= 3:
+        if n >= 3 and drop_collinear:
             prev_i = np.roll(np.arange(n), 1)
             next_i = np.roll(np.arange(n), -1)
             cr = (pts[:, 0] - pts[prev_i, 0]) * (pts[next_i, 1] - pts[:, 1]) - (

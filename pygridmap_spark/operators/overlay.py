@@ -925,6 +925,7 @@ def dissolve_pieces(
     group_col: str = "poly_id",
     geometry_col: str = "geometry",
     strict: bool = False,
+    presplit_col: str | None = None,
 ) -> DataFrame:
     """Dissolve overlay piece geometries per group into one seam-free
     multipolygon — the distributed form of the reference's
@@ -941,33 +942,61 @@ def dissolve_pieces(
     Scale: one shuffle keyed by ``group_col`` (each group's pieces are a
     single source polygon's fragments — bounded by the polygon's cover
     cells, the same bound the overlay itself already relies on); the
-    dissolve itself is an Arrow-grouped numpy pass."""
+    dissolve itself is an Arrow-grouped numpy pass.
+
+    ``presplit_col``: hierarchical two-level dissolve for HOT groups (a
+    continent-sized polygon whose cover-cell pieces would otherwise be one
+    applyInPandas task). Pass any spatially-coherent sub-key (e.g. a
+    coarse block id from the piece's cell coordinates): level 1 dissolves
+    each ``(group, block)`` in parallel KEEPING collinear seam vertices —
+    so block outlines carry their boundary edges at original piece
+    granularity and still cancel bit-exactly — and level 2 strict-merges
+    the block outlines per group. Identical final geometry (same edge
+    multiset), the hot group's work spread over its blocks."""
     from pygridmap_spark.core import geometry as _G
     from pygridmap_spark.core import wkb as _WKB
 
     key_type = dict(pieces.dtypes)[group_col]
+    schema = f"{group_col} {key_type}, {geometry_col} binary, n_pieces long, area double"
 
-    def _dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
-        mp: list = []
-        n_pieces = 0
-        for buf in pdf[geometry_col]:
-            if buf is None:
-                continue  # NULL geometry: contributes nothing to the union
-            mp.extend(_WKB.decode_multipolygon(bytes(buf)))
-            n_pieces += 1
-        out = _G.dissolve_multipolygon(mp, strict=strict)
-        return pd.DataFrame(
-            {
-                group_col: [pdf[group_col].iloc[0]],
-                geometry_col: [_WKB.encode_multipolygon(out)],
-                "n_pieces": [n_pieces],
-                "area": [_G.multipolygon_area(out)],
-            }
+    def _make_dissolve(drop_collinear: bool, count_col: str | None):
+        def _dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
+            mp: list = []
+            n_pieces = 0
+            for i, buf in enumerate(pdf[geometry_col]):
+                if buf is None:
+                    continue  # NULL geometry: contributes nothing
+                mp.extend(_WKB.decode_multipolygon(bytes(buf)))
+                n_pieces += int(pdf[count_col].iloc[i]) if count_col else 1
+            out = _G.dissolve_multipolygon(
+                mp, strict=strict, drop_collinear=drop_collinear
+            )
+            return pd.DataFrame(
+                {
+                    group_col: [pdf[group_col].iloc[0]],
+                    geometry_col: [_WKB.encode_multipolygon(out)],
+                    "n_pieces": [n_pieces],
+                    "area": [_G.multipolygon_area(out)],
+                }
+            )
+
+        return _dissolve
+
+    if presplit_col is None:
+        return pieces.select(group_col, geometry_col).groupBy(group_col).applyInPandas(
+            _make_dissolve(True, None), schema
         )
-
-    return pieces.select(group_col, geometry_col).groupBy(group_col).applyInPandas(
-        _dissolve,
-        f"{group_col} {key_type}, {geometry_col} binary, n_pieces long, area double",
+    # level 1: per (group, block), collinear vertices KEPT so block
+    # outlines stay edge-compatible across blocks
+    lvl1 = (
+        pieces.select(group_col, presplit_col, geometry_col)
+        .groupBy(group_col, presplit_col)
+        .applyInPandas(_make_dissolve(False, None), schema)
+    )
+    # level 2: strict-merge block outlines per group (original piece
+    # counts carried through)
+    return lvl1.groupBy(group_col).applyInPandas(
+        _make_dissolve(True, "n_pieces"), schema
     )
 
 

@@ -556,3 +556,54 @@ def test_union_exact_distributed_rect_fixture_exact(spark):
     got = out.agg(F.sum("area")).collect()[0][0]
     want = 1536.0 * 1024.0 + 1536.0 * 1024.0 - 512.0 * 512.0 + 512.0 * 256.0
     assert got == want  # dyadic: bit-exact
+
+
+def test_dissolve_pieces_hierarchical_matches_flat(spark):
+    """Two-level dissolve (presplit_col) == flat dissolve: same area
+    (exact), same topology, same vertex set — the hot-group tail spread
+    over blocks without changing the result."""
+    import numpy as np
+
+    from pygridmap_spark.core import geometry as G
+    from pygridmap_spark.core import wkb as WKB
+
+    # one hot polygon: a 40x40-cell rect + a diamond, overlaid on a grid
+    grid = PG.grid_layer(spark, bbox=(0.0, 0.0, 50_000.0, 50_000.0), cell=(1000.0, 1000.0))
+    mega = WKB.encode_polygon(
+        [[(3_500.0, 3_500.0), (43_500.0, 3_500.0), (43_500.0, 43_500.0), (3_500.0, 43_500.0)]]
+    )
+    diamond = WKB.encode_polygon(
+        [[(10_000.0, 25_000.0), (25_000.0, 10_000.0), (40_000.0, 25_000.0), (25_000.0, 40_000.0)]]
+    )
+    polys = spark.createDataFrame(
+        [(1, mega), (2, diamond)], "poly_id long, geometry binary"
+    )
+    pieces = OV.grid_overlay_polygons_distributed(
+        grid, polys, [], rule=None, emit_wkb=True
+    )
+    # coarse 8x8-cell blocks from the piece's cell id (grid is 50 wide)
+    pieces = pieces.withColumn(
+        "block",
+        (F.col("cell_id") % 50 / 8).cast("long") * 100
+        + (F.col("cell_id") / 50 / 8).cast("long"),
+    )
+    flat = {r.poly_id: r for r in OV.dissolve_pieces(pieces, strict=True).collect()}
+    hier = {
+        r.poly_id: r
+        for r in OV.dissolve_pieces(pieces, strict=True, presplit_col="block").collect()
+    }
+    assert set(flat) == set(hier) == {1, 2}
+    for pid in flat:
+        f, h = flat[pid], hier[pid]
+        assert f.n_pieces == h.n_pieces
+        assert f.area == h.area  # bit-exact: same cancelled edge multiset
+        fm = WKB.decode_multipolygon(bytes(f.geometry))
+        hm = WKB.decode_multipolygon(bytes(h.geometry))
+        assert len(fm) == len(hm)
+        # compare vertex SETS (ring starting points — and hence which
+        # closing vertex is duplicated — are traversal-order artifacts)
+        fv = {tuple(v) for p in fm for r in p for v in r}
+        hv = {tuple(v) for p in hm for r in p for v in r}
+        assert fv == hv
+    # the mega rect dissolves to exactly its own outline either way
+    assert flat[1].area == 40_000.0 * 40_000.0
