@@ -923,7 +923,12 @@ def _q_union_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles.groupBy((F.col("tile_x") / 8).cast("long").alias("gid"))
         .agg(
             F.count(F.lit(1)).alias("n_tiles"),
-            F.round(F.sum("area"), 6).alias("area"),
+            # exact decimal accumulation (CLAUDE.md rule): a double sum's
+            # 6th decimal would be partition-order-dependent for
+            # non-dyadic per-tile areas
+            F.round(
+                F.sum(F.col("area").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("area"),
         )
         .select("gid", "n_tiles", "area")
     )
@@ -992,8 +997,11 @@ def _q_reproject_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     1024 closed form — the natural companion to the engine's quadkey/tile
     machinery). Coordinates synthesized over the full domain of use from
     doc_id (exact int64 arithmetic both engines); the oracle re-states the
-    same ln/sin closed form in DuckDB. Forward rounded to 1e-4 m (last-ulp
-    libm spread at 2e7 m is ~1e-8), round-trip to 1e-9 deg."""
+    same ln/sin closed form in DuckDB. Forward rounded to 0.1 m — the
+    cross-engine libm spread at 2e7 m is ~1e-8 m, but a 1e-4 rounding
+    boundary leaves only ~3x margin on the closest fixture value (review
+    finding); 0.1 m keeps the laea oracle's 6-orders headroom. Round-trip
+    to 1e-9 deg (spread ~1e-12)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     lon = F.lit(-179.9) + (F.col("doc_id") * F.lit(2654435761) % F.lit(359800)) / F.lit(1000.0)
     lat = F.lit(-85.0) + (F.col("doc_id") * F.lit(2246822519) % F.lit(170000)) / F.lit(1000.0)
@@ -1005,8 +1013,8 @@ def _q_reproject_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("lon", 6).alias("lon"),
         F.round("lat", 6).alias("lat"),
-        F.round("x_merc", 4).alias("x_merc"),
-        F.round("y_merc", 4).alias("y_merc"),
+        F.round("x_merc", 1).alias("x_merc"),
+        F.round("y_merc", 1).alias("y_merc"),
         F.round(ilon, 9).alias("lon_rt"),
         F.round(ilat, 9).alias("lat_rt"),
     )
@@ -2072,7 +2080,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    round(lon, 6) AS lon, round(lat, 6) AS lat,
-                   round(x, 4) AS x_merc, round(y, 4) AS y_merc,
+                   round(x, 1) AS x_merc, round(y, 1) AS y_merc,
                    round(degrees(x / {RPJ._A!r}), 9) AS lon_rt,
                    round(degrees(atan((exp(y / {RPJ._A!r})
                          - exp(-(y / {RPJ._A!r}))) / 2.0)), 9) AS lat_rt

@@ -140,15 +140,10 @@ def _skew_evidence(spark) -> dict:
     return out
 
 
-def _shuffle_mb(stages, t0_ms, t1_ms) -> dict:
-    w = r = 0.0
-    for s in stages:
-        sub = s.get("firstTaskLaunchedTime") or s.get("submissionTime")
-        if not sub:
-            continue
-        # REST timestamps are ISO strings; fall back to inclusion by id
-        w += s.get("shuffleWriteBytes", 0) / 1e6
-        r += s.get("shuffleReadBytes", 0) / 1e6
+def _shuffle_mb(stages) -> dict:
+    """Whole-app shuffle totals (all completed stages)."""
+    w = sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6
+    r = sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6
     return {"write_mb": round(w, 1), "read_mb": round(r, 1)}
 
 
@@ -248,7 +243,7 @@ def main() -> None:
 
         # ---- shuffle totals (whole app; dominated by the two stages) --
         try:
-            report["shuffle_totals"] = _shuffle_mb(_rest_stages(spark), 0, 0)
+            report["shuffle_totals"] = _shuffle_mb(_rest_stages(spark))
         except Exception as e:  # UI off / parse issue: report, don't fail
             report["shuffle_totals"] = {"error": str(e)}
         print(json.dumps(report))

@@ -83,7 +83,13 @@ def main() -> None:
         os.path.join(args.output, "stage_encoded"),
         stage="encoded",
         partition_cols=["xt"],
-        inputs=[args.input or f"synthetic:{args.synthetic}"],
+        # the features tag invalidates pre-r5 checkpoints: a resumed run
+        # must not serve a stage_encoded parquet that lacks the URL/domain
+        # feature columns (lineage matches stage/inputs, not schema)
+        inputs=[
+            args.input or f"synthetic:{args.synthetic}",
+            f"features:urls-v1:psl={args.psl or 'standin'}",
+        ],
     )
 
     # stage 2: PIP region assignment

@@ -1063,6 +1063,8 @@ def union_geometry(
         rects = []
         for mp in geoms:
             for poly in mp:
+                if not poly or not len(poly[0]):
+                    continue  # empty polygon: contributes nothing
                 r = rect_of_polygon(poly)
                 if r is None:
                     # a DEGENERATE axis-aligned ring (zero width or height:
@@ -1146,6 +1148,35 @@ def dissolve_multipolygon(
                 "partition with bit-identical shared edges"
             )
         return mp
+    return out
+
+
+def remove_collinear_vertices(mp: MultiPolygon) -> MultiPolygon:
+    """Drop exactly-collinear (zero cross product) interior vertices from
+    every ring — the same exact-only simplification the dissolve traversal
+    applies to its output rings, exposed for outlines that skipped the
+    traversal (e.g. a single-ring level-1 block outline from
+    ``dissolve_multipolygon(drop_collinear=False)`` that the level-2
+    dissolve early-returned unchanged). Never moves the boundary."""
+    out: MultiPolygon = []
+    for poly in mp:
+        rings = []
+        for ring in poly:
+            pts = np.asarray(ring, dtype=np.float64)
+            if len(pts) > 1 and pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
+                pts = pts[:-1]
+            n = len(pts)
+            if n >= 3:
+                prev_i = np.roll(np.arange(n), 1)
+                next_i = np.roll(np.arange(n), -1)
+                cr = (pts[:, 0] - pts[prev_i, 0]) * (pts[next_i, 1] - pts[:, 1]) - (
+                    pts[:, 1] - pts[prev_i, 1]
+                ) * (pts[next_i, 0] - pts[:, 0])
+                keep = cr != 0.0
+                if keep.sum() >= 3:
+                    pts = pts[keep]
+            rings.append(pts)
+        out.append(rings)
     return out
 
 

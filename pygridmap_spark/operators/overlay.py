@@ -565,24 +565,11 @@ def grid_overlay_polygons_distributed(
     # join, so the exchange carries each geometry once (hash-partitioned by
     # key) and the per-pair duplication happens inside the clip stage,
     # never re-shuffled. Same re-plumb shape as the minhash LSH band fix.
-    eps = 1e-12
-    cover_df = meta.withColumn(
-        "_gix",
-        F.explode(
-            F.sequence(
-                F.floor((F.col("__bxmin__") - gx0) / gw).cast("long"),
-                F.floor((F.col("__bxmax__") - eps - gx0) / gw).cast("long"),
-            )
-        ),
-    ).withColumn(
-        "_giy",
-        F.explode(
-            F.sequence(
-                F.floor((F.col("__bymin__") - gy0) / gh).cast("long"),
-                F.floor((F.col("__bymax__") - eps - gy0) / gh).cast("long"),
-            )
-        ),
-    ).select(poly_key, "poly_area", "_gix", "_giy")
+    cover_df = _explode_cover(
+        meta, gx0, gy0, gw, gh,
+        "__bxmin__", "__bymin__", "__bxmax__", "__bymax__",
+        keep=[poly_key, "poly_area"],
+    )
 
     left = cells.select(
         "cell_id",
@@ -602,7 +589,7 @@ def grid_overlay_polygons_distributed(
 
     # 3. exact clip on candidate pairs (decode cache keyed by poly id)
     def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict = {}
+        decode = _decode_cache()
         for batch in batches:
             if not len(batch):
                 continue
@@ -615,12 +602,7 @@ def grid_overlay_polygons_distributed(
             areas = np.empty(len(batch))
             geoms_out = [None] * len(batch) if emit_wkb else None
             for i in range(len(batch)):
-                pid = pids[i]
-                mp = cache.get(pid)
-                if mp is None:
-                    mp = wkb.decode_multipolygon(bytes(bufs.iloc[i]))
-                    if len(cache) < 4096:
-                        cache[pid] = mp
+                mp = decode(pids[i], bufs.iloc[i])
                 if emit_wkb:
                     mpc = G.multipolygon_clip(mp, ax[i], ay[i], axm[i], aym[i])
                     areas[i] = G.multipolygon_area(mpc)
@@ -670,6 +652,67 @@ def grid_overlay_polygons_distributed(
     if how == "intersection":
         return _drop_unmatched(out, columns, area, rule)
     return out.drop("__n_pieces__")
+
+
+def _decode_cache(limit: int = 4096):
+    """Per-batch-iterator WKB decode cache keyed by polygon id — one
+    decode per polygon per Python worker, bounded. Shared by every
+    candidate-pair clip loop (distributed overlay, pair overlay,
+    distributed union)."""
+    from pygridmap_spark.core import wkb as _WKB
+
+    cache: dict = {}
+
+    def get(pid, buf):
+        mp = cache.get(pid)
+        if mp is None:
+            mp = _WKB.decode_multipolygon(bytes(buf))
+            if len(cache) < limit:
+                cache[pid] = mp
+        return mp
+
+    return get
+
+
+def _explode_cover(
+    df: DataFrame,
+    x0: float,
+    y0: float,
+    w: float,
+    h: float,
+    xmin: str,
+    ymin: str,
+    xmax: str,
+    ymax: str,
+    keep: Sequence[str],
+    out_x: str = "_gix",
+    out_y: str = "_giy",
+) -> DataFrame:
+    """bbox -> covered-cell key explosion (ids + keys only; geometry never
+    rides the replication). The eps keeps a bbox edge exactly on a cell
+    line from claiming the next cell."""
+    eps = 1e-12
+    step1 = df.select(
+        *keep,
+        F.explode(
+            F.sequence(
+                F.floor((F.col(xmin) - F.lit(x0)) / F.lit(w)).cast("long"),
+                F.floor((F.col(xmax) - F.lit(eps) - F.lit(x0)) / F.lit(w)).cast("long"),
+            )
+        ).alias(out_x),
+        F.col(ymin).alias("__cy0__"),
+        F.col(ymax).alias("__cy1__"),
+    )
+    return step1.select(
+        *keep,
+        out_x,
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__cy0__") - F.lit(y0)) / F.lit(h)).cast("long"),
+                F.floor((F.col("__cy1__") - F.lit(eps) - F.lit(y0)) / F.lit(h)).cast("long"),
+            )
+        ).alias(out_y),
+    )
 
 
 def _poly_meta(polygons: DataFrame, poly_key: str, geometry_col: str, out_prefix: str) -> DataFrame:
@@ -820,19 +863,11 @@ def polygon_overlay_pieces(
     )
 
     def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lcache: dict = {}
-        rcache: dict = {}
+        lcache = _decode_cache()
+        rcache = _decode_cache()
         # ear-clipping a concave polygon is O(n^2): memoized per polygon,
         # never re-paid per candidate pair
         wcache: dict = {}
-
-        def get(cache, key, buf):
-            mp = cache.get(key)
-            if mp is None:
-                mp = wkb.decode_multipolygon(bytes(buf))
-                if len(cache) < 4096:
-                    cache[key] = mp
-            return mp
 
         for batch in batches:
             if not len(batch):
@@ -842,8 +877,8 @@ def polygon_overlay_pieces(
             areas = np.empty(len(batch))
             geoms_out = [None] * len(batch) if emit_wkb else None
             for i in range(len(batch)):
-                a = get(lcache, lk[i], batch["_lwkb"].iloc[i])
-                b = get(rcache, rk[i], batch["_rwkb"].iloc[i])
+                a = lcache(lk[i], batch["_lwkb"].iloc[i])
+                b = rcache(rk[i], batch["_rwkb"].iloc[i])
                 pieces = G.intersect_multipolygons(
                     a, b, windows_cache=wcache, a_key=("L", lk[i]), b_key=("R", rk[i])
                 )
@@ -971,6 +1006,12 @@ def dissolve_pieces(
             out = _G.dissolve_multipolygon(
                 mp, strict=strict, drop_collinear=drop_collinear
             )
+            if count_col and drop_collinear:
+                # level 2: a single-block group early-returns from the
+                # dissolve untraversed, still carrying level 1's kept
+                # collinear seam vertices — clean them so presplit output
+                # is identical to flat-mode output for EVERY group
+                out = _G.remove_collinear_vertices(out)
             return pd.DataFrame(
                 {
                     group_col: [pdf[group_col].iloc[0]],
@@ -1089,33 +1130,17 @@ def union_exact_distributed(
     from pygridmap_spark.core import wkb as _WKB
 
     meta = _poly_meta(polygons, poly_key, geometry_col, "__u_")
-    eps = 1e-12
-    cover = meta.select(
-        poly_key,
-        F.explode(
-            F.sequence(
-                F.floor((F.col("__u_xmin") - F.lit(x0)) / F.lit(cell)).cast("long"),
-                F.floor((F.col("__u_xmax") - F.lit(eps) - F.lit(x0)) / F.lit(cell)).cast("long"),
-            )
-        ).alias("tile_x"),
-        F.col("__u_ymin").alias("__ymin__"),
-        F.col("__u_ymax").alias("__ymax__"),
-    ).select(
-        poly_key,
-        "tile_x",
-        F.explode(
-            F.sequence(
-                F.floor((F.col("__ymin__") - F.lit(y0)) / F.lit(cell)).cast("long"),
-                F.floor((F.col("__ymax__") - F.lit(eps) - F.lit(y0)) / F.lit(cell)).cast("long"),
-            )
-        ).alias("tile_y"),
+    cover = _explode_cover(
+        meta, x0, y0, cell, cell,
+        "__u_xmin", "__u_ymin", "__u_xmax", "__u_ymax",
+        keep=[poly_key], out_x="tile_x", out_y="tile_y",
     )
     pairs = cover.join(
         polygons.select(poly_key, F.col(geometry_col).alias("__wkb__")), poly_key
     )
 
     def _clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict = {}
+        decode = _decode_cache()
         for batch in batches:
             if not len(batch):
                 continue
@@ -1125,11 +1150,7 @@ def union_exact_distributed(
             bufs = batch["__wkb__"]
             out_rows = {"tile_x": [], "tile_y": [], "piece": []}
             for i in range(len(batch)):
-                mp = cache.get(pids[i])
-                if mp is None:
-                    mp = _WKB.decode_multipolygon(bytes(bufs.iloc[i]))
-                    if len(cache) < 4096:
-                        cache[pids[i]] = mp
+                mp = decode(pids[i], bufs.iloc[i])
                 tx, ty = int(txs[i]), int(tys[i])
                 piece = _G.multipolygon_clip(
                     mp,

@@ -607,3 +607,28 @@ def test_dissolve_pieces_hierarchical_matches_flat(spark):
         assert fv == hv
     # the mega rect dissolves to exactly its own outline either way
     assert flat[1].area == 40_000.0 * 40_000.0
+
+
+def test_dissolve_pieces_hierarchical_single_block_group(spark):
+    """A group whose pieces all land in ONE presplit block must still come
+    out identical to flat mode (the level-2 dissolve early-returns for a
+    single input, so the collinear cleanup must run explicitly)."""
+    from pygridmap_spark.core import wkb as WKB
+
+    grid = PG.grid_layer(spark, bbox=(0.0, 0.0, 10_000.0, 10_000.0), cell=(1000.0, 1000.0))
+    small = WKB.encode_polygon(
+        [[(1_200.0, 1_200.0), (3_800.0, 1_200.0), (3_800.0, 3_800.0), (1_200.0, 3_800.0)]]
+    )
+    polys = spark.createDataFrame([(1, small)], "poly_id long, geometry binary")
+    pieces = OV.grid_overlay_polygons_distributed(
+        grid, polys, [], rule=None, emit_wkb=True
+    ).withColumn("block", F.lit(0))
+    flat = OV.dissolve_pieces(pieces, strict=True).collect()[0]
+    hier = OV.dissolve_pieces(pieces, strict=True, presplit_col="block").collect()[0]
+    assert flat.area == hier.area
+    fm = WKB.decode_multipolygon(bytes(flat.geometry))
+    hm = WKB.decode_multipolygon(bytes(hier.geometry))
+    # the dissolved small rect is a clean 4-corner outline in BOTH modes
+    assert len(fm) == len(hm) == 1
+    assert len(fm[0][0]) == len(hm[0][0]), (len(fm[0][0]), len(hm[0][0]))
+    assert {tuple(v) for v in fm[0][0]} == {tuple(v) for v in hm[0][0]}
