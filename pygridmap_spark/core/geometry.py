@@ -26,9 +26,23 @@ MultiPolygon = list  # list[Polygon]
 
 
 def ring_signed_area(ring: Ring) -> float:
-    """Shoelace signed area; positive for counter-clockwise rings."""
+    """Shoelace signed area; positive for counter-clockwise rings.
+
+    The shifted arrays are built by slice assignment, not ``np.roll`` —
+    same element values in the same np.sum order (bit-identical results),
+    but np.roll's axis-normalization overhead dominated profiles with
+    millions of tiny rings (the arrangement kernel's trapezoids)."""
     x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    n = len(x)
+    if n < 3:
+        return 0.0
+    xn = np.empty_like(x)
+    yn = np.empty_like(y)
+    xn[:-1] = x[1:]
+    xn[-1] = x[0]
+    yn[:-1] = y[1:]
+    yn[-1] = y[0]
+    return 0.5 * float(np.sum(x * yn - xn * y))
 
 
 def polygon_area(polygon: Polygon) -> float:
@@ -80,7 +94,7 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: Ring) -> np.ndarray:
     """
     # treat the ring as cyclic whether or not the closing vertex is
     # repeated (WKB in the wild is not always explicitly closed; the
-    # shoelace uses np.roll, so PIP must agree)
+    # shoelace wraps the same way, so PIP must agree)
     if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
         ring = np.vstack([ring, ring[:1]])
     x0, y0 = ring[:-1, 0], ring[:-1, 1]  # edge starts
@@ -943,77 +957,120 @@ def union_trapezoids(geoms: list) -> MultiPolygon:
     inter-segment bands whose midpoint lies in the union
     (:func:`points_in_union` — one batched even-odd test, holes handled).
 
-    Trapezoid corners at a slab boundary are bit-identical from both sides
-    (shared :func:`_edge_y` evaluations), and each trapezoid's vertical
-    sides are subdivided at EVERY corner height recorded at that abscissa,
-    so shared edges cancel exactly under :func:`dissolve_multipolygon`
-    strict mode — no tolerance anywhere."""
+    Trapezoid corners at a slab boundary are bit-identical from both
+    sides (every slab evaluates every edge through ONE canonical
+    vectorized expression), and each trapezoid's vertical sides are
+    subdivided at EVERY corner height recorded at that abscissa, so
+    shared edges cancel exactly under :func:`dissolve_multipolygon`
+    strict mode — no tolerance anywhere. Fully vectorized: event-based
+    slab assignment (no O(E x S) scan), one global (slab, height)
+    lexsort, numpy ring assembly."""
+    return _union_trapezoids_impl(geoms)[0]
+
+
+def _union_trapezoids_impl(geoms: list) -> tuple[MultiPolygon, float]:
+    """(trapezoids, closed-form total area) — the area is the exact
+    trapezoid formula summed vectorized (subdivision points are
+    area-neutral), which :func:`union_exact` feeds to the dissolve
+    contract instead of an O(traps) shoelace recompute."""
     edges = _split_edges_at_intersections(_collect_edges(geoms))
     nonvert = [e for e in edges if e[0] != e[2]]
     if not nonvert:
-        return []
+        return [], 0.0
     xs = np.unique(
         np.array([v for e in edges for v in (e[0], e[2])], dtype=np.float64)
     )
     # left-to-right orientation for slab processing
-    lr = [
-        (e[0], e[1], e[2], e[3]) if e[0] < e[2] else (e[2], e[3], e[0], e[1])
-        for e in nonvert
-    ]
-    ex0 = np.array([e[0] for e in lr])
-    ex1 = np.array([e[2] for e in lr])
-    cand_pts: list = []  # (slab_idx, lower_idx, upper_idx) aligned with mx/my
-    slab_edges: list = []  # per slab: ordered [(ya, yb), ...]
-    mxs: list = []
-    mys: list = []
-    for si in range(len(xs) - 1):
-        xa, xb = float(xs[si]), float(xs[si + 1])
-        idx = np.nonzero((ex0 <= xa) & (ex1 >= xb))[0]
-        rows = []
-        for i in idx:
-            x0, y0, x1, y1 = lr[int(i)]
-            ya = _edge_y(x0, y0, x1, y1, xa)
-            yb = _edge_y(x0, y0, x1, y1, xb)
-            rows.append((ya, yb))
-        rows.sort(key=lambda r: (r[0] + r[1], r[0]))
-        slab_edges.append(rows)
-        xm = (xa + xb) / 2.0
-        for k in range(len(rows) - 1):
-            ya_l, yb_l = rows[k]
-            ya_u, yb_u = rows[k + 1]
-            if ya_l == ya_u and yb_l == yb_u:
-                continue
-            mxs.append(xm)
-            mys.append(((ya_l + yb_l) + (ya_u + yb_u)) / 4.0)
-            cand_pts.append((si, k, k + 1))
-    if not cand_pts:
-        return []
-    covered = points_in_union(np.asarray(mxs), np.asarray(mys), geoms)
-    # collect vertical-boundary corner heights per abscissa (both sides)
-    breaks: dict = {}
-    kept = []
-    for c, cov in zip(cand_pts, covered):
-        if not cov:
-            continue
-        si, kl, ku = c
-        xa, xb = float(xs[si]), float(xs[si + 1])
-        ya_l, yb_l = slab_edges[si][kl]
-        ya_u, yb_u = slab_edges[si][ku]
-        kept.append((xa, xb, ya_l, yb_l, ya_u, yb_u))
-        breaks.setdefault(xa, set()).update((ya_l, ya_u))
-        breaks.setdefault(xb, set()).update((yb_l, yb_u))
+    E = np.asarray(nonvert, dtype=np.float64)
+    flip = E[:, 0] > E[:, 2]
+    X0 = np.where(flip, E[:, 2], E[:, 0])
+    Y0 = np.where(flip, E[:, 3], E[:, 1])
+    X1 = np.where(flip, E[:, 0], E[:, 2])
+    Y1 = np.where(flip, E[:, 1], E[:, 3])
+    # event-based (edge, slab) pair generation: endpoints are members of
+    # xs, so each edge spans slabs [i0, i1) exactly
+    i0 = np.searchsorted(xs, X0)
+    i1 = np.searchsorted(xs, X1)
+    counts = i1 - i0
+    P = int(counts.sum())
+    if P == 0:
+        return [], 0.0
+    eids = np.repeat(np.arange(len(X0)), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    sids = np.arange(P) - np.repeat(offs, counts) + np.repeat(i0, counts)
+    xa_arr = xs[sids]
+    xb_arr = xs[sids + 1]
+    x0v, y0v, x1v, y1v = X0[eids], Y0[eids], X1[eids], Y1[eids]
+    # THE canonical per-(edge, x) evaluation — same expression for every
+    # slab, so a shared corner is bit-identical from both sides (the
+    # vector twin of _edge_y: exact at endpoints, one interpolation form)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = (xa_arr - x0v) / (x1v - x0v)
+        tb = (xb_arr - x0v) / (x1v - x0v)
+    ya = np.where(xa_arr == x0v, y0v, np.where(xa_arr == x1v, y1v, y0v + (y1v - y0v) * ta))
+    yb = np.where(xb_arr == x0v, y0v, np.where(xb_arr == x1v, y1v, y0v + (y1v - y0v) * tb))
+    # stack each slab by height: one global stable sort on
+    # (slab, ya+yb, ya) — the scalar path's rows.sort key, slab-major
+    order = np.lexsort((ya, ya + yb, sids))
+    sya, syb, ssid = ya[order], yb[order], sids[order]
+    # candidate bands = adjacent pairs within a slab, degenerate dropped
+    nbr = ssid[:-1] == ssid[1:]
+    la, ua = sya[:-1][nbr], sya[1:][nbr]
+    lb_, ub = syb[:-1][nbr], syb[1:][nbr]
+    csid = ssid[:-1][nbr]
+    live = ~((la == ua) & (lb_ == ub))
+    la, ua, lb_, ub, csid = la[live], ua[live], lb_[live], ub[live], csid[live]
+    if not len(la):
+        return [], 0.0
+    mx = (xs[csid] + xs[csid + 1]) / 2.0
+    my = ((la + lb_) + (ua + ub)) / 4.0
+    cov = points_in_union(mx, my, geoms)
+    la, ua, lb_, ub, csid = la[cov], ua[cov], lb_[cov], ub[cov], csid[cov]
+    K = len(la)
+    if K == 0:
+        return [], 0.0
+    kxa, kxb = xs[csid], xs[csid + 1]
+    area = float(np.sum((kxb - kxa) * ((ua - la) + (ub - lb_))) * 0.5)
+    # vertical-boundary corner heights per abscissa, from BOTH sides:
+    # sort all (x, y) corners once, dedup per x group
+    bx = np.concatenate([kxa, kxa, kxb, kxb])
+    by = np.concatenate([la, ua, lb_, ub])
+    o2 = np.lexsort((by, bx))
+    bx, by = bx[o2], by[o2]
+    ux, starts = np.unique(bx, return_index=True)
+    stops = np.append(starts[1:], len(bx))
+    sbreaks = {}
+    for j in range(len(ux)):
+        ys_g = by[starts[j]:stops[j]]
+        ys_g = ys_g[np.concatenate([[True], ys_g[1:] != ys_g[:-1]])]
+        sbreaks[float(ux[j])] = ys_g
     out: MultiPolygon = []
-    for xa, xb, ya_l, yb_l, ya_u, yb_u in kept:
-        right = sorted(b for b in breaks[xb] if yb_l < b < yb_u)
-        left = sorted((b for b in breaks[xa] if ya_l < b < ya_u), reverse=True)
-        ring = (
-            [[xa, ya_l], [xb, yb_l]]
-            + [[xb, b] for b in right]
-            + [[xb, yb_u], [xa, ya_u]]
-            + [[xa, b] for b in left]
-        )
-        out.append([np.array(ring, dtype=np.float64)])
-    return out
+    kxal, kxbl = kxa.tolist(), kxb.tolist()
+    lal, ual, lbl, ubl = la.tolist(), ua.tolist(), lb_.tolist(), ub.tolist()
+    for i in range(K):
+        xa, xb = kxal[i], kxbl[i]
+        ya_l, ya_u, yb_l, yb_u = lal[i], ual[i], lbl[i], ubl[i]
+        rb = sbreaks[xb]
+        lb2 = sbreaks[xa]
+        r0 = rb.searchsorted(yb_l, "right")
+        r1 = rb.searchsorted(yb_u, "left")
+        l0 = lb2.searchsorted(ya_l, "right")
+        l1 = lb2.searchsorted(ya_u, "left")
+        nr = max(int(r1 - r0), 0)
+        nl = max(int(l1 - l0), 0)
+        ring = np.empty((4 + nr + nl, 2), dtype=np.float64)
+        ring[0, 0] = xa; ring[0, 1] = ya_l
+        ring[1, 0] = xb; ring[1, 1] = yb_l
+        if nr:
+            ring[2:2 + nr, 0] = xb
+            ring[2:2 + nr, 1] = rb[r0:r1]
+        ring[2 + nr, 0] = xb; ring[2 + nr, 1] = yb_u
+        ring[3 + nr, 0] = xa; ring[3 + nr, 1] = ya_u
+        if nl:
+            ring[4 + nr:, 0] = xa
+            ring[4 + nr:, 1] = lb2[l0:l1][::-1]
+        out.append([ring])
+    return out, area
 
 
 def union_exact(geoms: list) -> MultiPolygon:
@@ -1031,10 +1088,12 @@ def union_exact(geoms: list) -> MultiPolygon:
     for millions of edges in one call."""
     if not geoms:
         return []
-    traps = union_trapezoids(geoms)
+    traps, area = _union_trapezoids_impl(geoms)
     if not traps:
         return []
-    return dissolve_multipolygon(traps, strict=True, assume_oriented=True)
+    return dissolve_multipolygon(
+        traps, strict=True, assume_oriented=True, input_area=area
+    )
 
 
 def union_geometry(
@@ -1095,6 +1154,7 @@ def dissolve_multipolygon(
     strict: bool = False,
     assume_oriented: bool = False,
     drop_collinear: bool = True,
+    input_area: float | None = None,
 ) -> MultiPolygon:
     """Seam removal for a multipolygon whose polygons PARTITION a region
     (the triangle-fragment output of :func:`intersect_polygons` on concave
@@ -1138,7 +1198,10 @@ def dissolve_multipolygon(
     if len(mp) <= 1:
         return mp
     out = _dissolve_or_none(
-        mp, assume_oriented=assume_oriented, drop_collinear=drop_collinear
+        mp,
+        assume_oriented=assume_oriented,
+        drop_collinear=drop_collinear,
+        input_area=input_area,
     )
     if out is None:
         if strict:
@@ -1181,7 +1244,10 @@ def remove_collinear_vertices(mp: MultiPolygon) -> MultiPolygon:
 
 
 def _dissolve_or_none(
-    mp: MultiPolygon, assume_oriented: bool = False, drop_collinear: bool = True
+    mp: MultiPolygon,
+    assume_oriented: bool = False,
+    drop_collinear: bool = True,
+    input_area: float | None = None,
 ):
     """Dissolve body; None on any path the public wrapper treats as
     fallback."""
@@ -1295,9 +1361,11 @@ def _dissolve_or_none(
         if not placed:
             return None
     del areas
-    # 4. the safety contract
-    if abs(multipolygon_area(polys) - multipolygon_area(mp)) > 1e-9 * max(
-        abs(multipolygon_area(mp)), 1e-300
-    ):
+    # 4. the safety contract (``input_area``: callers that already know
+    # the input's total area — e.g. union_exact's closed-form trapezoid
+    # sum — skip an O(pieces) shoelace recompute that dominates profiles
+    # at millions of tiny fragments)
+    in_area = input_area if input_area is not None else multipolygon_area(mp)
+    if abs(multipolygon_area(polys) - in_area) > 1e-9 * max(abs(in_area), 1e-300):
         return None
     return polys
