@@ -140,35 +140,46 @@ def points_in_multipolygon(px: np.ndarray, py: np.ndarray, mp: MultiPolygon) -> 
 def clip_ring_to_rect(ring: Ring, xmin: float, ymin: float, xmax: float, ymax: float) -> Ring:
     """Clip one ring to a rectangle. Returns the clipped ring ((M, 2),
     possibly empty). Rect is convex so Sutherland–Hodgman is exact for any
-    simple subject ring."""
+    simple subject ring.
+
+    Scalar-arithmetic inner loop (python floats via .tolist()): identical
+    IEEE expressions to the previous numpy-row form — bit-identical
+    output, pinned by an A/B test — but ~3x less per-clip overhead, and
+    this is THE overlay hot kernel (millions of clips per rehearsal)."""
     pts = np.asarray(ring, dtype=np.float64)
     # drop duplicated closing vertex; S-H treats the ring as cyclic
     if len(pts) > 1 and pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
         pts = pts[:-1]
+    cur = pts.tolist()
     for axis, bound, keep_ge in ((0, xmin, True), (0, xmax, False), (1, ymin, True), (1, ymax, False)):
-        if len(pts) == 0:
-            return pts.reshape(0, 2)
-        vals = pts[:, axis]
-        inside = vals >= bound if keep_ge else vals <= bound
-        nxt = np.roll(np.arange(len(pts)), -1)
+        n = len(cur)
+        if n == 0:
+            return np.empty((0, 2), dtype=np.float64)
+        if keep_ge:
+            ins = [p[axis] >= bound for p in cur]
+        else:
+            ins = [p[axis] <= bound for p in cur]
         out = []
-        for i in range(len(pts)):
-            j = nxt[i]
-            if inside[i]:
-                out.append(pts[i])
-                if not inside[j]:
-                    out.append(_axis_intersect(pts[i], pts[j], axis, bound))
-            elif inside[j]:
-                out.append(_axis_intersect(pts[i], pts[j], axis, bound))
-        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
-    return pts
+        for i in range(n):
+            j = i + 1 if i + 1 < n else 0
+            if ins[i]:
+                out.append(cur[i])
+                if not ins[j]:
+                    out.append(_axis_intersect(cur[i], cur[j], axis, bound))
+            elif ins[j]:
+                out.append(_axis_intersect(cur[i], cur[j], axis, bound))
+        cur = out
+    return np.asarray(cur, dtype=np.float64).reshape(-1, 2)
 
 
-def _axis_intersect(p: np.ndarray, q: np.ndarray, axis: int, bound: float) -> np.ndarray:
-    t = (bound - p[axis]) / (q[axis] - p[axis])
-    r = p + t * (q - p)
-    r[axis] = bound  # exact on the clip line
-    return r
+def _axis_intersect(p, q, axis: int, bound: float):
+    """Exact-on-the-clip-line segment/axis intersection; identical IEEE
+    expression to the previous numpy form (t then p + t*(q-p) per axis)."""
+    if axis == 0:
+        t = (bound - p[0]) / (q[0] - p[0])
+        return [bound, p[1] + t * (q[1] - p[1])]
+    t = (bound - p[1]) / (q[1] - p[1])
+    return [p[0] + t * (q[0] - p[0]), bound]
 
 
 def clip_polygon_to_rect(

@@ -360,3 +360,54 @@ def test_union_exact_general_shapes():
     want = G.points_in_union(gx.ravel(), gy.ravel(), [t1, t2])
     got = G.points_in_multipolygon(gx.ravel(), gy.ravel(), u)
     assert np.array_equal(want, got)
+
+
+def test_clip_ring_scalar_path_bit_identical_to_numpy_form():
+    """The r5 scalar-arithmetic S-H rewrite must be BIT-identical to the
+    original numpy-row form (frozen here as the reference twin): the
+    strict dissolve's shared-edge cancellation and the piece-WKB oracles
+    both ride on every clip producing exactly the same bytes."""
+    import numpy as np
+
+    def ref_isect(p, q, axis, bound):
+        t = (bound - p[axis]) / (q[axis] - p[axis])
+        r = p + t * (q - p)
+        r[axis] = bound
+        return r
+
+    def ref_clip(ring, xmin, ymin, xmax, ymax):
+        pts = np.asarray(ring, dtype=np.float64)
+        if len(pts) > 1 and pts[0, 0] == pts[-1, 0] and pts[0, 1] == pts[-1, 1]:
+            pts = pts[:-1]
+        for axis, bound, keep_ge in (
+            (0, xmin, True), (0, xmax, False), (1, ymin, True), (1, ymax, False)
+        ):
+            if len(pts) == 0:
+                return pts.reshape(0, 2)
+            vals = pts[:, axis]
+            inside = vals >= bound if keep_ge else vals <= bound
+            out = []
+            for i in range(len(pts)):
+                j = (i + 1) % len(pts)
+                if inside[i]:
+                    out.append(pts[i])
+                    if not inside[j]:
+                        out.append(ref_isect(pts[i].copy(), pts[j], axis, bound))
+                elif inside[j]:
+                    out.append(ref_isect(pts[i].copy(), pts[j], axis, bound))
+            pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+        return pts
+
+    rng = np.random.default_rng(42)
+    for _ in range(800):
+        n = rng.integers(3, 12)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(1, 50, n)
+        cx, cy = rng.uniform(-20, 20, 2)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        x0, y0 = rng.uniform(-40, 20, 2)
+        w, h = rng.uniform(1, 60), rng.uniform(1, 60)
+        a = ref_clip(ring, x0, y0, x0 + w, y0 + h)
+        b = G.clip_ring_to_rect(ring, x0, y0, x0 + w, y0 + h)
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
