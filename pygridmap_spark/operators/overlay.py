@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pygridmap_spark import util as _util
+
 from pygridmap_spark.core import crs as CRS
 from pygridmap_spark.core import geometry as G
 from pygridmap_spark.core import wkb
@@ -977,7 +979,10 @@ def dissolve_pieces(
     Scale: one shuffle keyed by ``group_col`` (each group's pieces are a
     single source polygon's fragments — bounded by the polygon's cover
     cells, the same bound the overlay itself already relies on); the
-    dissolve itself is an Arrow-grouped numpy pass.
+    dissolve itself is an Arrow-grouped numpy pass. Groups ride a sorted
+    streaming map (``util.grouped_rows_sorted``) rather than
+    ``applyInPandas``, so the fixed per-group Arrow fee is paid per BATCH
+    — at 100k+ groups that fee, not the kernel, dominates the stage.
 
     ``presplit_col``: hierarchical two-level dissolve for HOT groups (a
     continent-sized polygon whose cover-cell pieces would otherwise be one
@@ -995,7 +1000,7 @@ def dissolve_pieces(
     schema = f"{group_col} {key_type}, {geometry_col} binary, n_pieces long, area double"
 
     def _make_dissolve(drop_collinear: bool, count_col: str | None):
-        def _dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _dissolve(pdf: pd.DataFrame) -> dict:
             mp: list = []
             n_pieces = 0
             for i, buf in enumerate(pdf[geometry_col]):
@@ -1012,32 +1017,30 @@ def dissolve_pieces(
                 # collinear seam vertices — clean them so presplit output
                 # is identical to flat-mode output for EVERY group
                 out = _G.remove_collinear_vertices(out)
-            return pd.DataFrame(
-                {
-                    group_col: [pdf[group_col].iloc[0]],
-                    geometry_col: [_WKB.encode_multipolygon(out)],
-                    "n_pieces": [n_pieces],
-                    "area": [_G.multipolygon_area(out)],
-                }
-            )
+            return {
+                group_col: pdf[group_col].iloc[0],
+                geometry_col: _WKB.encode_multipolygon(out),
+                "n_pieces": n_pieces,
+                "area": _G.multipolygon_area(out),
+            }
 
         return _dissolve
 
     if presplit_col is None:
-        return pieces.select(group_col, geometry_col).groupBy(group_col).applyInPandas(
-            _make_dissolve(True, None), schema
+        return _util.grouped_rows_sorted(
+            pieces.select(group_col, geometry_col),
+            [group_col], _make_dissolve(True, None), schema,
         )
     # level 1: per (group, block), collinear vertices KEPT so block
     # outlines stay edge-compatible across blocks
-    lvl1 = (
-        pieces.select(group_col, presplit_col, geometry_col)
-        .groupBy(group_col, presplit_col)
-        .applyInPandas(_make_dissolve(False, None), schema)
+    lvl1 = _util.grouped_rows_sorted(
+        pieces.select(group_col, presplit_col, geometry_col),
+        [group_col, presplit_col], _make_dissolve(False, None), schema,
     )
     # level 2: strict-merge block outlines per group (original piece
     # counts carried through)
-    return lvl1.groupBy(group_col).applyInPandas(
-        _make_dissolve(True, "n_pieces"), schema
+    return _util.grouped_rows_sorted(
+        lvl1, [group_col], _make_dissolve(True, "n_pieces"), schema
     )
 
 
@@ -1067,25 +1070,24 @@ def union_exact_geoms(
 
     key_type = dict(geoms.dtypes)[group_col]
 
-    def _union(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _union(pdf: pd.DataFrame) -> dict:
         gs: list = []
         for buf in pdf[geometry_col]:
             if buf is None:
                 continue
             gs.append(_WKB.decode_multipolygon(bytes(buf)))
         out = _G.union_exact(gs)
-        return pd.DataFrame(
-            {
-                group_col: [pdf[group_col].iloc[0]],
-                geometry_col: [_WKB.encode_multipolygon(out)],
-                "n_geoms": [len(gs)],
-                "n_polys": [len(out)],
-                "area": [_G.multipolygon_area(out)],
-            }
-        )
+        return {
+            group_col: pdf[group_col].iloc[0],
+            geometry_col: _WKB.encode_multipolygon(out),
+            "n_geoms": len(gs),
+            "n_polys": len(out),
+            "area": _G.multipolygon_area(out),
+        }
 
-    return geoms.select(group_col, geometry_col).groupBy(group_col).applyInPandas(
-        _union,
+    return _util.grouped_rows_sorted(
+        geoms.select(group_col, geometry_col),
+        [group_col], _union,
         f"{group_col} {key_type}, {geometry_col} binary, "
         "n_geoms long, n_polys long, area double",
     )
@@ -1165,20 +1167,18 @@ def union_exact_distributed(
 
     pieces = pairs.mapInPandas(_clip, "tile_x long, tile_y long, piece binary")
 
-    def _union(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _union(pdf: pd.DataFrame) -> dict:
         gs = [_WKB.decode_multipolygon(bytes(b)) for b in pdf["piece"]]
         u = _G.union_exact(gs)
-        return pd.DataFrame(
-            {
-                "tile_x": [pdf["tile_x"].iloc[0]],
-                "tile_y": [pdf["tile_y"].iloc[0]],
-                geometry_col: [_WKB.encode_multipolygon(u)],
-                "n_inputs": [len(gs)],
-                "area": [_G.multipolygon_area(u)],
-            }
-        )
+        return {
+            "tile_x": pdf["tile_x"].iloc[0],
+            "tile_y": pdf["tile_y"].iloc[0],
+            geometry_col: _WKB.encode_multipolygon(u),
+            "n_inputs": len(gs),
+            "area": _G.multipolygon_area(u),
+        }
 
-    return pieces.groupBy("tile_x", "tile_y").applyInPandas(
-        _union,
+    return _util.grouped_rows_sorted(
+        pieces, ["tile_x", "tile_y"], _union,
         f"tile_x long, tile_y long, {geometry_col} binary, n_inputs long, area double",
     )

@@ -33,3 +33,64 @@ def box_wkb_udf():
         )
 
     return pandas_udf(_box, returnType=BinaryType(), functionType=200)
+
+
+def grouped_rows_sorted(df: DataFrame, keys: list[str], row_fn, schema: str) -> DataFrame:
+    """Grouped one-row-per-group reduce with per-BATCH (not per-group)
+    Arrow overhead — the scale path for ``groupBy(keys).applyInPandas``
+    when groups are numerous and the reducer emits a single row each.
+
+    ``FlatMapGroupsInPandas`` pays a fixed ~1-4 ms per GROUP (per-group
+    Arrow round-trip + pandas frame construction), which is serial within
+    a task: 100k dissolve groups cost minutes of pure overhead however
+    cheap the kernel. This helper hash-repartitions on ``keys``, sorts
+    within partitions (groups become contiguous), and streams batches
+    through ``mapInPandas``: group boundaries are found with one numpy
+    compare per key, ``row_fn(sub_pdf) -> dict`` is called per group on a
+    zero-copy slice, and ONE output frame is built per input batch.
+
+    Memory contract: identical to ``applyInPandas`` — the carry across a
+    batch boundary holds at most one (the largest) group; outputs buffer
+    one row per group per batch. Null keys group together (pandas NaN/None
+    both treated as the null group, matching Spark's groupBy).
+
+    ``row_fn`` must return a plain dict of scalars covering every field in
+    ``schema`` (including the key columns, read from the slice)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = [f.name for f in _parse_datatype_string(schema).fields]
+
+    def _run(batches):
+        carry = None
+        for batch in batches:
+            if carry is not None and len(carry):
+                batch = pd.concat([carry, batch], ignore_index=True)
+                carry = None
+            n = len(batch)
+            if not n:
+                continue
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in keys:
+                v = batch[k].to_numpy()
+                isna = pd.isna(v)
+                neq = np.asarray(v[1:] != v[:-1], dtype=bool)
+                change[1:] |= neq & ~(isna[1:] & isna[:-1])
+            starts = np.flatnonzero(change)
+            out: dict[str, list] = {f: [] for f in fields}
+            for i in range(len(starts) - 1):
+                row = row_fn(batch.iloc[starts[i] : starts[i + 1]])
+                for f in fields:
+                    out[f].append(row[f])
+            carry = batch.iloc[starts[-1] :]
+            if out[fields[0]]:
+                yield pd.DataFrame(out)
+        if carry is not None and len(carry):
+            row = row_fn(carry)
+            yield pd.DataFrame({f: [row[f]] for f in fields})
+
+    part = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*keys)
+    return part.mapInPandas(_run, schema)
