@@ -143,15 +143,134 @@ def repetition_stats(
     - ``top_bigram_frac`` — tokens covered by the most frequent word
       bigram over total tokens (count * 2 / n_tokens).
 
-    NULL (not 0, not NaN) when the denominator is empty. One explode +
-    two hash aggregations per feature family; all id-keyed joins reuse the
-    aggregation partitioning.
-    """
+    NULL (not 0, not NaN) when the denominator is empty.
+
+    Every feature is PER-DOCUMENT — no cross-row state — so this is one
+    narrow zero-shuffle Arrow pass (``mapInPandas``), not an explode +
+    shuffle: the exploded formulation (kept as
+    :func:`_repetition_stats_exploded`, the pinned Catalyst twin) ships
+    every text line and bigram of the corpus through two exchanges, which
+    at lake scale is a shuffle of the entire corpus' text. The kernel is
+    vectorized (pandas str split/explode + ``pd.factorize`` + bincount —
+    no per-token Python loop, per the minhash kernel lesson) and matches
+    the twin bit-for-bit, including the Spark semantics corner cases:
+    ``trim`` strips ASCII spaces only, tokenization is on the
+    ``[a-z0-9]``-normalized text, and empty denominators yield SQL NULL
+    (nullable Float64 arrays, never NaN)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, n_lines long, dup_line_frac double, "
+        "dup_line_char_frac double, top_bigram_frac double"
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            pdf = pdf.reset_index(drop=True)  # explode() indices must be 0..n-1
+            texts = pdf[text_col].fillna("")
+
+            # ---- line family: split -> strip(' ') -> drop empties
+            ex = texts.str.split("\n").explode()
+            stripped = ex.str.strip(" ")
+            keep = (stripped != "").to_numpy()
+            doc_pos = ex.index.to_numpy()[keep]
+            line_vals = stripped.to_numpy()[keep]
+            n_lines = np.bincount(doc_pos, minlength=n).astype("int64")
+            codes, uniq = pd.factorize(line_vals)
+            if len(codes):
+                lens = pd.Series(line_vals).str.len().to_numpy("int64")
+                key = doc_pos.astype("int64") * len(uniq) + codes
+                uk, cnt = np.unique(key, return_counts=True)
+                gd = uk // len(uniq)
+                gchars = pd.Series(uniq[uk % len(uniq)]).str.len().to_numpy("int64")
+                distinct = np.bincount(gd, minlength=n)
+                tot_chars = np.bincount(doc_pos, weights=lens, minlength=n)
+                dupmask = cnt > 1
+                dup_chars = np.bincount(
+                    gd[dupmask], weights=(cnt * gchars)[dupmask], minlength=n
+                )
+            else:
+                distinct = np.zeros(n, dtype="int64")
+                tot_chars = np.zeros(n)
+                dup_chars = np.zeros(n)
+
+            has_lines = n_lines > 0
+            dup_line_frac = np.where(
+                has_lines, 1.0 - distinct / np.maximum(n_lines, 1), np.nan
+            )
+            dup_line_char_frac = np.where(
+                has_lines, dup_chars / np.maximum(tot_chars, 1.0), np.nan
+            )
+
+            # ---- bigram family over the dedup-normalized token stream
+            norm = (
+                texts.str.lower()
+                .str.replace("[^a-z0-9]+", " ", regex=True)
+                .str.replace(" +", " ", regex=True)
+                .str.strip(" ")
+            )
+            tex = norm.str.split(" ").explode()
+            tpos = tex.index.to_numpy()
+            tvals = tex.to_numpy()
+            same = tpos[1:] == tpos[:-1]
+            big_d = tpos[:-1][same]
+            n_bigrams = np.bincount(big_d, minlength=n).astype("int64")
+            top = np.zeros(n, dtype="int64")
+            if len(big_d):
+                bigrams = pd.Series(tvals[:-1][same]) + " " + pd.Series(tvals[1:][same])
+                codes2, uniq2 = pd.factorize(bigrams.to_numpy())
+                key2 = big_d.astype("int64") * len(uniq2) + codes2
+                uk2, cnt2 = np.unique(key2, return_counts=True)
+                np.maximum.at(top, uk2 // len(uniq2), cnt2)
+            has_bi = n_bigrams > 0
+            top_bigram_frac = np.where(
+                has_bi,
+                np.minimum(top * 2.0 / (n_bigrams + 1), 1.0),
+                np.nan,
+            )
+
+            def _nullable(vals, mask):
+                arr = pd.array(vals, dtype="Float64")
+                arr[~mask] = pd.NA
+                return arr
+
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_lines": n_lines,
+                    "dup_line_frac": _nullable(dup_line_frac, has_lines),
+                    "dup_line_char_frac": _nullable(dup_line_char_frac, has_lines),
+                    "top_bigram_frac": _nullable(top_bigram_frac, has_bi),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_kernel, schema)
+
+
+def _repetition_stats_exploded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Catalyst-native formulation of :func:`repetition_stats` — the
+    pinned equality twin for the Arrow kernel (tests assert bit-identical
+    output). Shape: one explode + two hash aggregations per feature
+    family; all id-keyed joins reuse the aggregation partitioning. Kept
+    because it documents the exact SQL semantics the kernel reproduces;
+    not the production path (it shuffles the corpus' full text)."""
     t = F.col(text_col)
     base = df.select(
         F.col(id_col),
         _lines(t).alias("__lines__"),
-        TX.word_shingles(t, 2).alias("__bi__"),
+        # coalesce: word_shingles(NULL) otherwise yields a phantom ""
+        # bigram (concat_ws over a null slice) -> top_bigram_frac 1.0 for
+        # a textless doc; "" correctly shingles to the empty array
+        TX.word_shingles(F.coalesce(t, F.lit("")), 2).alias("__bi__"),
     )
 
     line_counts = (

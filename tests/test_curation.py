@@ -144,3 +144,37 @@ def test_line_dedup_hashed_equals_string_keyed(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "__lk__" in plan
+
+
+def test_repetition_stats_kernel_matches_exploded_twin(spark):
+    """The zero-shuffle Arrow kernel must be bit-identical to the
+    Catalyst explode+agg twin, including Spark's trim/split corner
+    cases: \\r kept by space-only trim, tabs, repeated lines, empty and
+    NULL text, whitespace-only docs, unicode punctuation."""
+    rows = [
+        (1, "repeat me\nrepeat me\n  repeat me  \nunique"),
+        (2, ""),                      # no lines, no tokens -> all NULL/0
+        (3, None),                    # NULL text
+        (4, "   \n  \n\t\n"),         # "\t" survives space-only trim
+        (5, "a b a b a b a b"),       # heavy bigram repetition
+        (6, "line\r\nline\r\nother"), # \r kept: "line\r" == "line\r"
+        (7, "Café — déjà vu! Café — déjà vu!"),  # non-[a-z0-9] stripped
+        (8, "one"),                   # single token: no bigrams -> NULL
+        (9, "x\n" * 500 + "y"),       # many identical lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = CU.repetition_stats(df).orderBy("doc_id").toPandas()
+    b = CU._repetition_stats_exploded(df).orderBy("doc_id").toPandas()
+    for c in ("n_lines", "dup_line_frac", "dup_line_char_frac", "top_bigram_frac"):
+        assert (a[c].isna() == b[c].isna()).all(), c
+        assert (
+            a[c].fillna(-1).astype(float).to_numpy()
+            == b[c].fillna(-1).astype(float).to_numpy()
+        ).all(), c
+
+
+def test_repetition_stats_plan_has_no_exchange(spark, docs):
+    """The production path is one narrow zero-shuffle Arrow pass."""
+    plan = CU.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
