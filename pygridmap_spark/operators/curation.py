@@ -132,6 +132,7 @@ def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Gopher-style within-document repetition features:
 
@@ -156,15 +157,28 @@ def repetition_stats(
     the twin bit-for-bit, including the Spark semantics corner cases:
     ``trim`` strips ASCII spaces only, tokenization is on the
     ``[a-z0-9]``-normalized text, and empty denominators yield SQL NULL
-    (nullable Float64 arrays, never NaN)."""
+    (nullable Float64 arrays, never NaN).
+
+    ``passthrough=True`` emits EVERY input column plus the four feature
+    columns (instead of just ``id_col`` + features) — the zero-shuffle
+    building block :func:`repetition_filter` uses to avoid re-joining the
+    keep-set back to the corpus by id."""
     import numpy as np
     import pandas as pd
 
-    id_type = dict(df.dtypes)[id_col]
-    schema = (
-        f"{id_col} {id_type}, n_lines long, dup_line_frac double, "
+    from pygridmap_spark import util as _util
+
+    feature_ddl = (
+        "n_lines long, dup_line_frac double, "
         "dup_line_char_frac double, top_bigram_frac double"
     )
+    if passthrough:
+        src = df
+        schema = _util.schema_with(df, *feature_ddl.split(", "))
+    else:
+        id_type = dict(df.dtypes)[id_col]
+        src = df.select(id_col, text_col)
+        schema = f"{id_col} {id_type}, {feature_ddl}"
 
     def _kernel(batches):
         for pdf in batches:
@@ -239,17 +253,20 @@ def repetition_stats(
                 arr[~mask] = pd.NA
                 return arr
 
-            yield pd.DataFrame(
+            feats = pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
                     "n_lines": n_lines,
                     "dup_line_frac": _nullable(dup_line_frac, has_lines),
                     "dup_line_char_frac": _nullable(dup_line_char_frac, has_lines),
                     "top_bigram_frac": _nullable(top_bigram_frac, has_bi),
                 }
             )
+            if passthrough:
+                yield pd.concat([pdf, feats], axis=1)
+            else:
+                yield pd.concat([pdf[[id_col]], feats], axis=1)
 
-    return df.select(id_col, text_col).mapInPandas(_kernel, schema)
+    return src.mapInPandas(_kernel, schema)
 
 
 def _repetition_stats_exploded(
@@ -411,10 +428,15 @@ def repetition_filter(
     text_col: str = "text",
 ) -> DataFrame:
     """Drop documents exceeding the Gopher-style repetition thresholds;
-    documents whose features are NULL (no lines / no bigrams) are kept."""
-    stats = repetition_stats(df, id_col=id_col, text_col=text_col)
-    keep = stats.filter(
+    documents whose features are NULL (no lines / no bigrams) are kept.
+
+    Zero-shuffle: features ride alongside the full row
+    (``repetition_stats(passthrough=True)``), the threshold filter is a
+    native projection, and the feature columns are dropped — no keep-set
+    join back to the corpus by id (which would re-shuffle the corpus the
+    feature pass deliberately avoided shuffling)."""
+    stats = repetition_stats(df, id_col=id_col, text_col=text_col, passthrough=True)
+    return stats.filter(
         (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= max_dup_line_frac)
         & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac)
-    ).select(id_col)
-    return df.join(keep, id_col, "inner")
+    ).drop("n_lines", "dup_line_frac", "dup_line_char_frac", "top_bigram_frac")
