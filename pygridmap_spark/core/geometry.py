@@ -849,19 +849,6 @@ def union_rects_exact(rects: list) -> MultiPolygon:
     return out
 
 
-def _edge_y(x0: float, y0: float, x1: float, y1: float, x: float) -> float:
-    """y of the segment (x0,y0)-(x1,y1) at abscissa x. Exact at endpoints;
-    interior values are THE canonical interpolation for that (edge, x) —
-    every caller must route through here so the same corner coordinate is
-    bit-identical wherever it is recomputed (the dissolve's edge
-    cancellation depends on it)."""
-    if x == x0:
-        return y0
-    if x == x1:
-        return y1
-    return y0 + (y1 - y0) * ((x - x0) / (x1 - x0))
-
-
 def _collect_edges(geoms: list) -> list:
     """Every ring edge of every polygon of every multipolygon, as
     (x0, y0, x1, y1) tuples (zero-length dropped; holes included — the
@@ -1012,9 +999,11 @@ def _union_trapezoids_impl(geoms: list) -> tuple[MultiPolygon, float]:
     xa_arr = xs[sids]
     xb_arr = xs[sids + 1]
     x0v, y0v, x1v, y1v = X0[eids], Y0[eids], X1[eids], Y1[eids]
-    # THE canonical per-(edge, x) evaluation — same expression for every
-    # slab, so a shared corner is bit-identical from both sides (the
-    # vector twin of _edge_y: exact at endpoints, one interpolation form)
+    # THE canonical per-(edge, x) evaluation — exact at endpoints, ONE
+    # interpolation form everywhere. Any recomputation of a corner for the
+    # same (edge, x) must use exactly this expression: the strict
+    # dissolve's shared-edge cancellation has no tolerance to absorb a
+    # bit-level drift between two evaluations of the same corner.
     with np.errstate(divide="ignore", invalid="ignore"):
         ta = (xa_arr - x0v) / (x1v - x0v)
         tb = (xb_arr - x0v) / (x1v - x0v)

@@ -173,6 +173,15 @@ def repetition_stats(
         "dup_line_char_frac double, top_bigram_frac double"
     )
     if passthrough:
+        clash = {"n_lines", "dup_line_frac", "dup_line_char_frac", "top_bigram_frac"} & set(
+            df.columns
+        )
+        if clash:
+            raise ValueError(
+                "repetition_stats(passthrough=True): input already has feature "
+                f"column(s) {sorted(clash)} — rename them first (passthrough "
+                "appends the four feature columns to every input column)"
+            )
         src = df
         schema = _util.schema_with(df, *feature_ddl.split(", "))
     else:

@@ -110,6 +110,68 @@ def test_multi_key_and_decimal_type_schema(spark):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_int64_keys_above_2_53_with_nulls(spark):
+    # Arrow-to-pandas coerces long-with-null to float64, where 2^53 and
+    # 2^53 + 1 are the same number — the encoded (value, flag) pair must
+    # keep them distinct groups and return the EXACT key values.
+    big = 2**53
+    rows = [(big, 10.0), (big, 20.0), (big + 1, 30.0), (None, 1.0), (None, 2.0)]
+    df = spark.createDataFrame(rows, "k long, v double").repartition(2)
+
+    def _fn(pdf: pd.DataFrame) -> dict:
+        return {
+            "k": pdf["k"].iloc[0],
+            "n": len(pdf),
+            "s": float(pdf["v"].sum()),
+        }
+
+    # collect() keeps longs exact (toPandas would round both frames)
+    got = {
+        (r.k, r.n, r.s)
+        for r in util.grouped_rows_sorted(df, ["k"], _fn, "k long, n long, s double").collect()
+    }
+    exp = {
+        (r.k, r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == exp
+    assert {k for k, _, _ in got if k is not None} == {big, big + 1}
+
+
+def test_double_keys_nan_and_null_are_distinct_groups(spark):
+    # Spark's groupBy normalizes NaN (all NaNs = ONE group) but keeps it
+    # DISTINCT from the NULL group; the helper must aggregate them apart.
+    # (The NaN group's EMITTED key arrives as NULL — pandas->Arrow output
+    # conversion maps NaN to null — exactly as an applyInPandas reducer
+    # emitting pdf["k"].iloc[0] does, so equality vs the twin holds.)
+    nan = float("nan")
+    rows = [(nan, 1.0), (nan, 2.0), (None, 10.0), (None, 20.0), (3.5, 100.0)]
+    df = spark.createDataFrame(rows, "k double, v double").repartition(2)
+
+    def _fn(pdf: pd.DataFrame) -> dict:
+        return {
+            "k": pdf["k"].iloc[0],
+            "n": len(pdf),
+            "s": float(pdf["v"].sum()),
+        }
+
+    got = util.grouped_rows_sorted(
+        df, ["k"], _fn, "k double, n long, s double"
+    ).collect()
+    assert len(got) == 3
+    assert {r.s for r in got} == {3.0, 30.0, 100.0}
+
+    def _twin(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = _fn(pdf)
+        return pd.DataFrame({c: [row[c]] for c in ("k", "n", "s")})
+
+    twin = df.groupBy("k").applyInPandas(_twin, "k double, n long, s double").collect()
+    key = lambda r: (r.s, r.n, None if r.k is None else r.k)  # noqa: E731
+    assert sorted(map(key, got), key=str) == sorted(map(key, twin), key=str)
+
+
 def test_empty_input(spark):
     df = spark.createDataFrame([], "k string, v double")
     out = util.grouped_rows_sorted(df, ["k"], _make_reduce_row(), SCHEMA)
