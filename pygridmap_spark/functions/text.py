@@ -41,18 +41,27 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def lang_id(text: Column) -> Column:
-    """Argmax language by stopword hits; 'und' (undetermined) when all 0.
+    """Argmax language by stopword hits; 'und' (undetermined) when all 0
+    and for NULL text.
 
-    Ties break by the fixed language order of LANG_STOPWORDS (en first) —
-    pinned so the SQL oracle can mirror with a CASE chain.
+    Ties break by the fixed language order of LANG_STOPWORDS (en first):
+    ``array_position`` returns the FIRST index holding the max — the same
+    semantics the SQL oracle mirrors with an en-first CASE chain.
+
+    Formulated as array_max/array_position over one score array rather
+    than a greatest + CASE chain: every WHEN branch of a CASE re-references
+    its score expression conditionally, which Catalyst's subexpression
+    elimination skips (conditional branches are only pulled out when the
+    expression also occurs unconditionally), so the chain form recomputes
+    the 5-replace-scan score per language up to twice. Here each score is
+    evaluated exactly once into the array; the argmax is over 5 elements.
     """
     scores = lang_scores(text)
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # build the CASE from the last language backwards so earlier langs win ties
-    for lang in reversed(list(scores)):
-        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
-    return F.when(best <= F.lit(0.0), F.lit("und")).otherwise(expr)
+    arr = F.array(*scores.values())
+    langs = F.array(*[F.lit(lang) for lang in scores])
+    best = F.array_max(arr)
+    pick = F.element_at(langs, F.array_position(arr, best).cast("int"))
+    return F.when(best > F.lit(0.0), pick).otherwise(F.lit("und"))
 
 
 def token_count(text: Column) -> Column:
