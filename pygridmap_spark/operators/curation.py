@@ -348,12 +348,129 @@ def _repetition_stats_exploded(
     return out
 
 
+def _line_dedup_broadcast(
+    df: DataFrame,
+    min_docs: int,
+    id_col: str,
+    text_col: str,
+    broadcast_limit: int,
+) -> DataFrame | None:
+    """Zero-corpus-shuffle line dedup (see :func:`line_dedup`). Returns
+    None when the boilerplate set exceeds ``broadcast_limit`` (caller
+    falls back to the shuffle plan).
+
+    Line keys are ``pandas.util.hash_array`` (SipHash, fixed key —
+    deterministic across executors/sessions), computed inside the kernels
+    so both the frequency pass and the rewrite pass agree without needing
+    a Spark-side hash function reimplemented in numpy.
+    """
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+
+    def _emit_pairs(batches):
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)  # explode() indices must be 0..n-1
+            texts = pdf[text_col]
+            ok = texts.notna()
+            if not ok.any():
+                continue
+            ex = texts[ok].str.split("\n").explode()
+            ex = ex[ex != ""]  # blank lines are structure, never boilerplate
+            if not len(ex):
+                continue
+            h = pd.util.hash_array(ex.to_numpy(dtype=object)).view("int64")
+            out = pd.DataFrame(
+                {"__lk__": h, id_col: pdf[id_col].to_numpy()[ex.index.to_numpy()]}
+            ).drop_duplicates()  # map-side (line, doc) dedup before the exchange
+            yield out
+
+    pair_schema = T.StructType(
+        [T.StructField("__lk__", T.LongType()), T.StructField(id_col, id_type)]
+    )
+    boiler_df = (
+        df.select(id_col, text_col)
+        .mapInPandas(_emit_pairs, pair_schema)
+        .groupBy("__lk__")
+        .agg(F.countDistinct(id_col).alias("__ndocs__"))
+        .filter(F.col("__ndocs__") >= min_docs)
+        .select("__lk__")
+    )
+    boiler_df.persist()
+    try:
+        n_boiler = boiler_df.count()
+        if n_boiler > broadcast_limit:
+            warnings.warn(
+                f"line_dedup: boilerplate set ({n_boiler} lines) exceeds "
+                f"broadcast_limit={broadcast_limit}; falling back to the "
+                "shuffle plan. Raise the limit if the driver has memory."
+            )
+            return None
+        boiler = np.sort(
+            boiler_df.toPandas()["__lk__"].to_numpy(dtype="int64")
+        )
+    finally:
+        boiler_df.unpersist()
+
+    others = [c for c in df.columns if c != text_col]
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != text_col]
+        + [T.StructField(text_col, T.StringType()), T.StructField("n_lines_removed", T.LongType())]
+    )
+    if not len(boiler):
+        return df.select(*others, F.col(text_col), F.lit(0).cast("long").alias("n_lines_removed"))
+
+    bc = spark.sparkContext.broadcast(boiler)
+
+    def _rewrite(batches):
+        barr = bc.value
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
+            texts = pdf[text_col]
+            ok = texts.notna()
+            removed = np.zeros(n, dtype="int64")
+            out_text = pd.Series([None] * n, dtype=object)
+            if ok.any():
+                ex = texts[ok].str.split("\n").explode()
+                vals = ex.to_numpy(dtype=object)
+                doc_pos = ex.index.to_numpy()
+                nonblank = vals != ""
+                hit = np.zeros(len(vals), dtype=bool)
+                if nonblank.any():
+                    h = pd.util.hash_array(vals[nonblank]).view("int64")
+                    idx = np.searchsorted(barr, h)
+                    idx = np.minimum(idx, len(barr) - 1)
+                    hit[nonblank] = barr[idx] == h
+                removed += np.bincount(doc_pos[hit], minlength=n)
+                keep = ~hit
+                # groupby preserves within-group (original line) order
+                rebuilt = (
+                    pd.Series(vals[keep], index=doc_pos[keep])
+                    .groupby(level=0)
+                    .agg("\n".join)
+                )
+                out_text[ok.to_numpy()] = ""  # fully-emptied docs keep ''
+                out_text[rebuilt.index] = rebuilt
+            feats = pd.DataFrame({text_col: out_text, "n_lines_removed": removed})
+            yield pd.concat([pdf[others], feats], axis=1)
+
+    return df.mapInPandas(_rewrite, out_schema)
+
+
 def line_dedup(
     df: DataFrame,
     min_docs: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_lines: bool = True,
+    strategy: str = "broadcast",
+    broadcast_limit: int = 5_000_000,
 ) -> DataFrame:
     """Cross-document boilerplate line removal (the MassiveText line-dedup
     stage): a line occurring in at least ``min_docs`` DISTINCT documents
@@ -361,22 +478,39 @@ def line_dedup(
     original order. Returns the input columns with ``text_col`` rewritten
     plus ``n_lines_removed``. Documents reduced to nothing keep an empty
     string (drop downstream via the quality gate, which re-runs anyway).
+    Lines match EXACTLY (no trim/case folding): boilerplate repeats
+    byte-identically; anything fuzzier belongs to the near-dup family.
 
-    Plan: posexplode -> line-frequency hash agg (countDistinct id,
-    partial-aggregated) -> frequency join back -> per-doc ordered
-    reassembly (collect_list of (pos, line) structs, array_sort — sorts
-    WITHIN the row, no global sort). Lines match EXACTLY (no trim/case
-    folding): boilerplate repeats byte-identically; anything fuzzier
-    belongs to the near-dup family.
+    ``strategy='broadcast'`` (default, the lake-scale shape): pass 1 is an
+    Arrow kernel emitting deduped ``(line_hash, id)`` pairs — the ONLY wide
+    edge, 16 bytes per distinct (line, doc); the boilerplate hash set
+    (lines in >= min_docs docs — megabytes for real corpora, it IS the
+    boilerplate) is collected and broadcast; pass 2 rewrites the text in a
+    zero-shuffle kernel (sorted-array membership via searchsorted). The
+    corpus text never rides an exchange — the same structural win as
+    ``repetition_stats``: the shuffle alternative exchanges the whole
+    corpus twice (the mark-back join and the per-doc reassembly), ~100 TB
+    at lake scale vs ~0 here. NOTE this path runs the frequency job
+    EAGERLY at call time (an action computes the broadcast set); if the
+    boilerplate set exceeds ``broadcast_limit`` hashes it falls back to
+    the shuffle plan with a warning rather than OOM-ing the driver.
 
-    ``hash_lines=True`` (default) keys the frequency aggregation AND the
-    mark-back join by ``xxhash64(line)`` — the frequency exchange carries
-    8-byte keys instead of the corpus's distinct line TEXT, which at lake
-    scale is the difference between a narrow and a corpus-sized shuffle.
-    A 64-bit collision could over-remove one innocent line corpus-wide
-    (P ~ n_distinct^2 / 2^64 — negligible next to the heuristic itself);
-    ``hash_lines=False`` keys by the exact string.
+    ``strategy='shuffle'`` keeps the pure-Catalyst lazy plan (posexplode
+    -> frequency agg -> mark-back join -> per-row array_sort reassembly);
+    it is the pinned byte-identical twin and the fallback.
+
+    ``hash_lines=True`` (shuffle path only) keys the frequency aggregation
+    and mark-back join by ``xxhash64(line)`` instead of the line text.
+    Both hashed paths share the collision caveat: a 64-bit collision could
+    over-remove one innocent line corpus-wide (P ~ n_distinct^2 / 2^64 —
+    negligible next to the heuristic itself).
     """
+    if strategy == "broadcast":
+        out = _line_dedup_broadcast(df, min_docs, id_col, text_col, broadcast_limit)
+        if out is not None:
+            return out
+    elif strategy != "shuffle":
+        raise ValueError(f"unknown line_dedup strategy {strategy!r}")
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
     )

@@ -135,15 +135,62 @@ def test_line_dedup_hashed_equals_string_keyed(spark):
         ],
         "doc_id long, text string",
     )
-    a = sorted(map(tuple, CU.line_dedup(docs, min_docs=5, hash_lines=True).collect()))
-    b = sorted(map(tuple, CU.line_dedup(docs, min_docs=5, hash_lines=False).collect()))
+    a = sorted(
+        map(tuple, CU.line_dedup(docs, min_docs=5, hash_lines=True, strategy="shuffle").collect())
+    )
+    b = sorted(
+        map(tuple, CU.line_dedup(docs, min_docs=5, hash_lines=False, strategy="shuffle").collect())
+    )
     assert a == b
     # and the hashed frequency agg really is keyed by the 8-byte hash
     plan = (
-        CU.line_dedup(docs, min_docs=5, hash_lines=True)
+        CU.line_dedup(docs, min_docs=5, hash_lines=True, strategy="shuffle")
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "__lk__" in plan
+
+
+def test_line_dedup_broadcast_equals_shuffle(spark):
+    """The zero-corpus-shuffle broadcast path (default) must be
+    byte-identical to the pure-Catalyst shuffle twin, and its result plan
+    must carry NO corpus exchange (the text never rides a shuffle)."""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"SHARED HEADER\nbody {i}\n\nSHARED FOOTER"
+                if i % 2
+                else (None if i == 10 else f"only {i}\nSHARED HEADER"),
+            )
+            for i in range(1, 21)
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, CU.line_dedup(docs, min_docs=5, strategy="broadcast").collect()))
+    b = sorted(map(tuple, CU.line_dedup(docs, min_docs=5, strategy="shuffle").collect()))
+    assert a == b
+    plan = (
+        CU.line_dedup(docs, min_docs=5, strategy="broadcast")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Repartition" not in plan
+
+
+def test_line_dedup_broadcast_limit_falls_back(spark):
+    """A boilerplate set above broadcast_limit falls back to the shuffle
+    plan (warning, identical answer) instead of collecting it."""
+    import warnings
+
+    docs = spark.createDataFrame(
+        [(i, "B1\nB2\nbody %d" % i) for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = CU.line_dedup(docs, min_docs=3, broadcast_limit=1)
+        got = {r.doc_id: (r.text, r.n_lines_removed) for r in out.collect()}
+    assert any("broadcast_limit" in str(x.message) for x in w)
+    assert got[1] == ("body 1", 2)
 
 
 def test_repetition_stats_kernel_matches_exploded_twin(spark):
