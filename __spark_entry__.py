@@ -41,6 +41,7 @@ from pygridmap_spark.sources import polygons as PG
 from pygridmap_spark.operators import curation as CU
 from pygridmap_spark.operators import domains as DMN
 from pygridmap_spark.functions import reproject as RPJ
+from pygridmap_spark.functions import s2 as S2C
 from pygridmap_spark.operators import packing as PKG
 from pygridmap_spark.operators import sampling as SMP
 from pygridmap_spark.streaming import pipeline as SP
@@ -1020,6 +1021,47 @@ def _q_reproject_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s2_synth_lonlat(docs: DataFrame) -> DataFrame:
+    """Whole-sphere lon/lat from doc_id (exact int64 arithmetic both
+    engines; lat stops 0.1 deg short of the poles, which the pytest edge
+    cases cover separately)."""
+    lon = F.lit(-180.0) + (F.col("doc_id") * F.lit(2654435761) % F.lit(360000)) / F.lit(1000.0)
+    lat = F.lit(-89.9) + (F.col("doc_id") * F.lit(2246822519) % F.lit(179800)) / F.lit(1000.0)
+    return docs.withColumns({"lon": lon, "lat": lat})
+
+
+def _q_s2_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-scheme spherical cell index at level 12 (functions/s2.py): cube
+    faces + quadratic (s,t) + Hilbert curve, all Catalyst bit/trig
+    expressions in one codegen span. The oracle restates the whole encode
+    in DuckDB — the Hilbert unroll as a 12-step recursive CTE — so face,
+    (i, j), curve position, compact id and the level-6 ancestor are all
+    hash-gated. (Spherical analog of the reference's planar cell
+    assignment, gridtiler.py:101-112.)"""
+    docs = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    out = S2C.with_s2_index(docs, 12)
+    return out.select(
+        "doc_id", "s2_face", "s2_i", "s2_j", "s2_pos", "s2_compact",
+        S2C.compact_parent(F.col("s2_compact"), 12, 6).alias("s2_l6"),
+    )
+
+
+def _q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-equal-area rollup: docs keyed to S2 level-12 cells, aggregated
+    at the level-5 ancestor (pure bit-shift parent algebra) — the
+    skew-resistant groupBy the S2 index exists for. Oracle: the same
+    recursive-CTE encode grouped by ``compact >> 14``."""
+    docs = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id", "n_chars"))
+    out = S2C.with_s2_index(docs, 12)
+    return (
+        out.groupBy(S2C.compact_parent(F.col("s2_compact"), 12, 5).alias("s2_l5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (the data-mixing primitive):
     keep iff md5-hash bucket < the stratum's fraction — reproducible
@@ -1325,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_rollup": _q_hll_distinct_rollup,
         "reproject_laea": _q_reproject_laea,
         "reproject_webmercator": _q_reproject_webmercator,
+        "s2_cell_index": _q_s2_cell_index,
+        "s2_rollup": _q_s2_rollup,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
@@ -1341,6 +1385,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
     }
+
+
+# Shared DuckDB twin of the S2 level-12 encode (functions/s2.py): the same
+# cube-face / quadratic-st / Hilbert formulas, with the per-level Hilbert
+# unroll expressed as a 12-step recursive CTE over pure BIGINT bit ops.
+_S2_ORACLE_CTE = """
+            WITH RECURSIVE pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            xyz AS (
+                SELECT doc_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts
+            ),
+            fuv AS (
+                SELECT doc_id, x, y, z,
+                       CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                                THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                            WHEN abs(y) >= abs(z)
+                                THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                            ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END
+                       END AS face
+                FROM xyz
+            ),
+            uv AS (
+                SELECT doc_id, face,
+                       CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y
+                                 WHEN 2 THEN -x / z WHEN 3 THEN z / x
+                                 WHEN 4 THEN z / y ELSE -y / z END AS u,
+                       CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y
+                                 WHEN 2 THEN -y / z WHEN 3 THEN y / x
+                                 WHEN 4 THEN -x / y ELSE x / z END AS v
+                FROM fuv
+            ),
+            st AS (
+                SELECT doc_id, face,
+                       CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                            ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+                       CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                            ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+                FROM uv
+            ),
+            ij AS (
+                SELECT doc_id, face,
+                       LEAST(GREATEST(CAST(floor(s * 4096.0) AS BIGINT), 0), 4095) AS i,
+                       LEAST(GREATEST(CAST(floor(t * 4096.0) AS BIGINT), 0), 4095) AS j
+                FROM st
+            ),
+            hil AS (
+                SELECT doc_id, face, i, j,
+                       i AS hx, j AS hy, CAST(0 AS BIGINT) AS d, 11 AS k
+                FROM ij
+                UNION ALL
+                SELECT doc_id, face, i, j,
+                       CASE WHEN ((hy >> k) & 1) = 0
+                            THEN CASE WHEN ((hx >> k) & 1) = 1
+                                      THEN ((CAST(1 AS BIGINT) << k) - 1)
+                                           - (hy & ((CAST(1 AS BIGINT) << k) - 1))
+                                      ELSE hy & ((CAST(1 AS BIGINT) << k) - 1) END
+                            ELSE hx & ((CAST(1 AS BIGINT) << k) - 1) END AS hx,
+                       CASE WHEN ((hy >> k) & 1) = 0
+                            THEN CASE WHEN ((hx >> k) & 1) = 1
+                                      THEN ((CAST(1 AS BIGINT) << k) - 1)
+                                           - (hx & ((CAST(1 AS BIGINT) << k) - 1))
+                                      ELSE hx & ((CAST(1 AS BIGINT) << k) - 1) END
+                            ELSE hy & ((CAST(1 AS BIGINT) << k) - 1) END AS hy,
+                       d | (xor(3 * ((hx >> k) & 1), (hy >> k) & 1) << (2 * k)) AS d,
+                       k - 1 AS k
+                FROM hil WHERE k >= 0
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2085,6 +2205,23 @@ def oracle_sql() -> dict[str, str]:
                    round(degrees(atan((exp(y / {RPJ._A!r})
                          - exp(-(y / {RPJ._A!r}))) / 2.0)), 9) AS lat_rt
             FROM fw
+        """,
+        "s2_cell_index": f"""
+            {_S2_ORACLE_CTE}
+            SELECT doc_id, CAST(face AS INTEGER) AS s2_face,
+                   i AS s2_i, j AS s2_j, d AS s2_pos,
+                   ((CAST(face AS BIGINT) << 24) + d) AS s2_compact,
+                   (((CAST(face AS BIGINT) << 24) + d) >> 12) AS s2_l6
+            FROM hil WHERE k = -1
+        """,
+        "s2_rollup": f"""
+            {_S2_ORACLE_CTE}
+            SELECT (((CAST(face AS BIGINT) << 24) + d) >> 14) AS s2_l5,
+                   count(*) AS n_docs,
+                   CAST(sum(dd.n_chars) AS BIGINT) AS chars
+            FROM hil JOIN documents dd USING (doc_id)
+            WHERE k = -1
+            GROUP BY 1
         """,
         "stratified_sample": """
             WITH b AS (

@@ -7,10 +7,20 @@ from pygridmap_spark.functions import (
     cellindex,
     geolocate,
     reproject,
+    s2,
     text,
     tiling,
     urls,
     vectors,
 )
 
-__all__ = ["cellindex", "geolocate", "reproject", "text", "tiling", "urls", "vectors"]
+__all__ = [
+    "cellindex",
+    "geolocate",
+    "reproject",
+    "s2",
+    "text",
+    "tiling",
+    "urls",
+    "vectors",
+]

@@ -1,0 +1,493 @@
+"""S2-scheme spherical cell index — the engine's true sphere-aware cell key.
+
+The north star asks for "H3/S2 cells"; ``cellindex.py`` supplies the planar
+quadtree family (Morton/quadkey/Hilbert over equirectangular lon/lat, the
+spherical analog of the reference's square cells, gridtiler.py:101-112).
+Equirectangular cell AREA shrinks with cos(lat) — unbounded distortion
+toward the poles, which becomes partition skew when the cell id is the
+groupBy/partitionBy key at lake scale. This module adds the S2 scheme:
+
+- cube-face decomposition of the sphere (6 faces, gnomonic projection),
+- the per-face quadratic (s, t) reparameterization (publicly documented in
+  s2geometry's ``s2coords.h``; cell areas vary <= ~2.1x over the WHOLE
+  sphere, vs. unbounded for equirectangular),
+- a Hilbert space-filling curve over each face's (i, j) grid (classic
+  Lam–Shapiro bit formulation, public domain),
+- the S2 64-bit id LAYOUT: ``face:3 | curve position:2*level | 1`` sentinel
+  lsb, so parent/child/range algebra is pure bit arithmetic.
+
+Honesty note: ids follow the S2 *layout* and the S2 *projection*, but no
+s2geometry build ships in this container to cross-check the library's
+Hilbert orientation tables, so ids are NOT claimed bit-interchangeable
+with libs2. Every structural property a pipeline relies on — hierarchical
+prefix containment, parent/child algebra, curve locality, near-equal cell
+area, neighbor topology across cube edges — holds and is pinned by tests
+(tests/test_s2.py).
+
+Implementation: the whole encode is Catalyst column arithmetic (trig +
+bitwise ops inside whole-stage codegen, zero Python). The Hilbert unroll
+is one projection per level; each level's state columns are non-cheap
+aliases referenced multiple times, which is exactly the CollapseProject
+guard (SPARK-36718) that keeps the optimized plan LINEAR in `level`
+(pinned by test) instead of exponentially inlined. A numpy twin
+(`py_s2_index`) backs property tests and the >CATALYST_MAX_LEVEL kernel
+route (`with_s2_index_kernel`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_LEVEL = 30
+# codegen stays comfortable to ~18 unrolled levels (plan is linear but each
+# level is ~15 expressions); beyond that use with_s2_index_kernel.
+CATALYST_MAX_LEVEL = 18
+
+_FACE_BITS = 3
+_POS_BITS = 2 * MAX_LEVEL + 1  # 61: curve bits + sentinel, S2 layout
+
+
+def _check_level(level: int, cap: int = MAX_LEVEL) -> None:
+    if not 0 < level <= cap:
+        raise ValueError(f"level must be in (0, {cap}], got {level}")
+
+
+# --- Catalyst encode --------------------------------------------------------
+
+
+def _face_uv_cols(x: Column, y: Column, z: Column) -> tuple[Column, Column, Column]:
+    """(face, u, v) from a direction vector; largest-|component| face pick,
+    per-face (u, v) axes as documented in s2coords.h."""
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = (
+        F.when((ax >= ay) & (ax >= az), F.when(x >= 0, 0).otherwise(3))
+        .when(ay >= az, F.when(y >= 0, 1).otherwise(4))
+        .otherwise(F.when(z >= 0, 2).otherwise(5))
+    )
+    # CaseWhen short-circuits at runtime, so only the selected face's
+    # division executes (its denominator is the largest-|.| component,
+    # nonzero for any unit vector) — no divide-by-zero under ANSI mode.
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, -x / y)
+        .when(face == 2, -x / z)
+        .when(face == 3, z / x)
+        .when(face == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, z / y)
+        .when(face == 2, -y / z)
+        .when(face == 3, y / x)
+        .when(face == 4, -x / y)
+        .otherwise(x / z)
+    )
+    return face, u, v
+
+
+def _uv_to_st_col(u: Column) -> Column:
+    """Quadratic projection (s2coords.h UVtoST): equalizes cell areas."""
+    return F.when(u >= 0, 0.5 * F.sqrt(1.0 + 3.0 * u)).otherwise(
+        1.0 - 0.5 * F.sqrt(1.0 - 3.0 * u)
+    )
+
+
+def _st_to_uv_col(s: Column) -> Column:
+    return F.when(s >= 0.5, (4.0 * s * s - 1.0) / 3.0).otherwise(
+        (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0
+    )
+
+
+def full_id(face: Column, pos: Column, level: int) -> Column:
+    """S2-layout 64-bit id from (face, level-``level`` curve position).
+
+    ``face<<61 | pos<<(61-2L) | 1<<(60-2L)``; faces 4-5 set the sign bit
+    (stored as signed two's complement, exactly like the JVM S2 ports)."""
+    shift = _POS_BITS - 2 * level
+    return (
+        F.shiftleft(face.cast("long"), _POS_BITS)
+        .bitwiseOR(F.shiftleft(pos, shift))
+        .bitwiseOR(F.lit(1 << (shift - 1)))
+    )
+
+
+def compact_id(face: Column, pos: Column, level: int) -> Column:
+    """Level-implicit compact id ``face*4^level + pos`` — always positive,
+    < 2^63 for level <= 29; the friendlier groupBy/partition key when one
+    fixed level is in play (and the form the DuckDB oracle twin emits)."""
+    return F.shiftleft(face.cast("long"), 2 * level) + pos
+
+
+def with_s2_index(
+    df: DataFrame,
+    level: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    prefix: str = "s2_",
+) -> DataFrame:
+    """Append ``{prefix}face``, ``{prefix}i``, ``{prefix}j``,
+    ``{prefix}pos``, ``{prefix}cell`` (S2-layout id) and
+    ``{prefix}compact`` at ``level`` — all Catalyst, zero Python.
+
+    Plan shape: one narrow projection per Hilbert level (linear in
+    ``level``; see module docstring), all inside WholeStageCodegen.
+    """
+    _check_level(level, CATALYST_MAX_LEVEL)
+    lam = F.radians(F.col(lon))
+    phi = F.radians(F.col(lat))
+    cp = F.cos(phi)
+    df = df.withColumns(
+        {"__s2x__": cp * F.cos(lam), "__s2y__": cp * F.sin(lam), "__s2z__": F.sin(phi)}
+    )
+    face, u, v = _face_uv_cols(F.col("__s2x__"), F.col("__s2y__"), F.col("__s2z__"))
+    df = df.withColumns({"__s2f__": face, "__s2u__": u, "__s2v__": v})
+    n = 1 << level
+    s = _uv_to_st_col(F.col("__s2u__"))
+    t = _uv_to_st_col(F.col("__s2v__"))
+    clamp = lambda c: F.greatest(F.lit(0).cast("long"), F.least(c, F.lit(n - 1).cast("long")))  # noqa: E731
+    df = df.withColumns(
+        {
+            "__s2i__": clamp(F.floor(s * F.lit(float(n)))),
+            "__s2j__": clamp(F.floor(t * F.lit(float(n)))),
+        }
+    )
+    df = _hilbert_pos_cols(df, level, "__s2i__", "__s2j__", "__s2d__")
+    pos = F.col("__s2d__")
+    f = F.col("__s2f__")
+    out = df.withColumns(
+        {
+            f"{prefix}face": f.cast("int"),
+            f"{prefix}i": F.col("__s2i__"),
+            f"{prefix}j": F.col("__s2j__"),
+            f"{prefix}pos": pos,
+            f"{prefix}cell": full_id(f, pos, level),
+            f"{prefix}compact": compact_id(f, pos, level),
+        }
+    )
+    return out.drop(
+        "__s2x__", "__s2y__", "__s2z__", "__s2f__", "__s2u__", "__s2v__",
+        "__s2i__", "__s2j__", "__s2d__",
+    )
+
+
+def _hilbert_pos_cols(
+    df: DataFrame, level: int, icol: str, jcol: str, out: str
+) -> DataFrame:
+    """Unrolled Lam–Shapiro xy2d: one withColumns per level. The three
+    state aliases are non-cheap and multi-referenced by the next level, so
+    CollapseProject leaves one Project per level (linear plan, pinned)."""
+    df = df.withColumns(
+        {
+            "__hx__": F.col(icol).cast("long"),
+            "__hy__": F.col(jcol).cast("long"),
+            out: F.lit(0).cast("long"),
+        }
+    )
+    for k in range(level - 1, -1, -1):
+        hx, hy = F.col("__hx__"), F.col("__hy__")
+        rx = F.shiftright(hx, k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(hy, k).bitwiseAND(F.lit(1))
+        mask = (1 << k) - 1
+        xl = hx.bitwiseAND(F.lit(mask))
+        yl = hy.bitwiseAND(F.lit(mask))
+        flip = (ry == 0) & (rx == 1)
+        xl2 = F.when(flip, F.lit(mask) - xl).otherwise(xl)
+        yl2 = F.when(flip, F.lit(mask) - yl).otherwise(yl)
+        swap = ry == 0
+        df = df.withColumns(
+            {
+                out: F.col(out).bitwiseOR(
+                    F.shiftleft((F.lit(3) * rx).bitwiseXOR(ry), 2 * k)
+                ),
+                "__hx__": F.when(swap, yl2).otherwise(xl2),
+                "__hy__": F.when(swap, xl2).otherwise(yl2),
+            }
+        )
+    return df.drop("__hx__", "__hy__")
+
+
+# --- id algebra (pure Column, any producer) ---------------------------------
+
+
+def cell_lsb(cell: Column) -> Column:
+    """Lowest set bit of an S2-layout id (``id & -id``)."""
+    return cell.bitwiseAND(-cell)
+
+
+def cell_level(cell: Column) -> Column:
+    """Level of an S2-layout id: ``30 - bit_count(lsb - 1) / 2``."""
+    return (F.lit(MAX_LEVEL) - F.bit_count(cell_lsb(cell) - 1) / 2).cast("int")
+
+
+def parent_id(cell: Column, level: int) -> Column:
+    """Ancestor of an S2-layout id at ``level`` (pure bit arithmetic —
+    the prefix-containment algebra that makes rollups a shiftright)."""
+    _check_level(level)
+    new_lsb = 1 << (_POS_BITS - 2 * level - 1)
+    return cell.bitwiseAND(F.lit(-2 * new_lsb)).bitwiseOR(F.lit(new_lsb))
+
+
+def range_min(cell: Column) -> Column:
+    """Smallest leaf id contained in the cell (for prefix range joins)."""
+    return cell - (cell_lsb(cell) - 1)
+
+
+def range_max(cell: Column) -> Column:
+    """Largest leaf id contained in the cell."""
+    return cell + (cell_lsb(cell) - 1)
+
+
+def token(cell: Column) -> Column:
+    """Canonical hex token: 16 lowercase hex digits, trailing zeros
+    stripped (the S2 string form; '' would mean the invalid id 0)."""
+    h = F.lower(F.lpad(F.hex(cell), 16, "0"))
+    return F.regexp_replace(h, "0+$", "")
+
+
+def compact_parent(compact: Column, level: int, parent_level: int) -> Column:
+    """Coarsen a compact id from ``level`` to ``parent_level``: the curve
+    position prefix IS the ancestor (shiftright by 2*delta) and the face
+    bits ride along untouched."""
+    if parent_level > level:
+        raise ValueError("parent_level must be <= level")
+    return F.shiftright(compact, 2 * (level - parent_level))
+
+
+# --- numpy twin + kernel route ---------------------------------------------
+
+
+def _np_hilbert_d(ix: np.ndarray, jy: np.ndarray, level: int) -> np.ndarray:
+    x = ix.astype(np.int64, copy=True)
+    y = jy.astype(np.int64, copy=True)
+    d = np.zeros_like(x)
+    for k in range(level - 1, -1, -1):
+        rx = (x >> k) & 1
+        ry = (y >> k) & 1
+        d |= ((3 * rx) ^ ry) << (2 * k)
+        mask = (np.int64(1) << k) - 1
+        xl = x & mask
+        yl = y & mask
+        flip = (ry == 0) & (rx == 1)
+        xl2 = np.where(flip, mask - xl, xl)
+        yl2 = np.where(flip, mask - yl, yl)
+        swap = ry == 0
+        x = np.where(swap, yl2, xl2)
+        y = np.where(swap, xl2, yl2)
+    return d
+
+
+def _np_hilbert_xy(d: np.ndarray, level: int) -> tuple[np.ndarray, np.ndarray]:
+    d = d.astype(np.int64)
+    x = np.zeros_like(d)
+    y = np.zeros_like(d)
+    for k in range(level):
+        s = np.int64(1) << k
+        rx = 1 & (d >> (2 * k + 1))
+        ry = 1 & ((d >> (2 * k)) ^ rx)
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        x = x + s * rx
+        y = y + s * ry
+    return x, y
+
+
+def _np_face_uv(
+    x: np.ndarray, y: np.ndarray, z: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    fx = (ax >= ay) & (ax >= az)
+    fy = ~fx & (ay >= az)
+    face = np.where(
+        fx, np.where(x >= 0, 0, 3), np.where(fy, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5))
+    ).astype(np.int64)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (ue, ve) in enumerate(
+        [
+            (lambda: y / x, lambda: z / x),
+            (lambda: -x / y, lambda: z / y),
+            (lambda: -x / z, lambda: -y / z),
+            (lambda: z / x, lambda: y / x),
+            (lambda: z / y, lambda: -x / y),
+            (lambda: -y / z, lambda: x / z),
+        ]
+    ):
+        m = face == f
+        if m.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u[m] = ue()[m]
+                v[m] = ve()[m]
+    return face, u, v
+
+
+def _np_uv_to_st(u: np.ndarray) -> np.ndarray:
+    out = np.empty_like(u)
+    pos = u >= 0
+    out[pos] = 0.5 * np.sqrt(1.0 + 3.0 * u[pos])
+    out[~pos] = 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u[~pos])
+    return out
+
+
+def _np_st_to_uv(s: np.ndarray) -> np.ndarray:
+    out = np.empty_like(s)
+    hi = s >= 0.5
+    out[hi] = (4.0 * s[hi] * s[hi] - 1.0) / 3.0
+    out[~hi] = (1.0 - 4.0 * (1.0 - s[~hi]) * (1.0 - s[~hi])) / 3.0
+    return out
+
+
+_FACE_UV_TO_XYZ = (
+    # face -> xyz from (u, v): the inverse of _np_face_uv's per-face axes
+    lambda u, v: (np.ones_like(u), u, v),
+    lambda u, v: (-u, np.ones_like(u), v),
+    lambda u, v: (-u, -v, np.ones_like(u)),
+    lambda u, v: (-np.ones_like(u), -v, -u),
+    lambda u, v: (v, -np.ones_like(u), -u),
+    lambda u, v: (-v, u, -np.ones_like(u)),
+)
+
+
+def _np_face_uv_to_xyz(
+    face: np.ndarray, u: np.ndarray, v: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f, fn in enumerate(_FACE_UV_TO_XYZ):
+        m = face == f
+        if m.any():
+            xf, yf, zf = fn(u[m], v[m])
+            x[m], y[m], z[m] = xf, yf, zf
+    return x, y, z
+
+
+def py_s2_index(
+    lon: np.ndarray, lat: np.ndarray, level: int
+) -> dict[str, np.ndarray]:
+    """numpy twin of ``with_s2_index``: dict of face/i/j/pos/cell/compact.
+
+    Bit-identical to the Catalyst route (pinned by test) and valid to
+    ``level`` 30 — also the engine of ``with_s2_index_kernel``."""
+    _check_level(level)
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    cp = np.cos(phi)
+    x, y, z = cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)
+    face, u, v = _np_face_uv(x, y, z)
+    n = np.int64(1 << level)
+    i = np.clip(np.floor(_np_uv_to_st(u) * n).astype(np.int64), 0, n - 1)
+    j = np.clip(np.floor(_np_uv_to_st(v) * n).astype(np.int64), 0, n - 1)
+    pos = _np_hilbert_d(i, j, level)
+    shift = _POS_BITS - 2 * level
+    cell = (
+        (face.astype(np.uint64) << np.uint64(_POS_BITS))
+        | (pos.astype(np.uint64) << np.uint64(shift))
+        | np.uint64(1 << (shift - 1))
+    ).view(np.int64)
+    compact = (face << np.int64(2 * level)) + pos
+    return {"face": face, "i": i, "j": j, "pos": pos, "cell": cell, "compact": compact}
+
+
+def py_cell_center(
+    face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) of the (face, i, j) cell center — tests + neighbor wrap."""
+    n = float(1 << level)
+    u = _np_st_to_uv((np.asarray(i, np.float64) + 0.5) / n)
+    v = _np_st_to_uv((np.asarray(j, np.float64) + 0.5) / n)
+    x, y, z = _np_face_uv_to_xyz(np.asarray(face), u, v)
+    r = np.sqrt(x * x + y * y + z * z)
+    return np.degrees(np.arctan2(y, x)), np.degrees(np.arcsin(z / r))
+
+
+_NEIGHBOR_OFFSETS = ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def py_s2_neighbors(
+    face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int
+) -> list[set[int]]:
+    """Per-cell set of edge+vertex neighbor COMPACT ids, cube-wrap correct.
+
+    Off-face offsets use the FromFaceIJWrap trick: extend (s, t) linearly
+    past [0, 1] (the quadratic formulas are monotone outside the face),
+    lift to an (unnormalized) cube direction, and re-canonicalize via
+    face/uv — so neighbors across cube edges and at the 3-cell cube
+    corners come out right (corner cells get 7 distinct neighbors, not 8;
+    pinned by test)."""
+    _check_level(level)
+    face = np.asarray(face, np.int64)
+    i = np.asarray(i, np.int64)
+    j = np.asarray(j, np.int64)
+    n = np.int64(1 << level)
+    out: list[set[int]] = [set() for _ in range(len(face))]
+    for di, dj in _NEIGHBOR_OFFSETS:
+        ii = i + di
+        jj = j + dj
+        inside = (ii >= 0) & (ii < n) & (jj >= 0) & (jj < n)
+        if inside.any():
+            pos = _np_hilbert_d(ii[inside], jj[inside], level)
+            comp = (face[inside] << np.int64(2 * level)) + pos
+            for idx, c in zip(np.nonzero(inside)[0], comp):
+                out[idx].add(int(c))
+        off = ~inside
+        if off.any():
+            s = (ii[off].astype(np.float64) + 0.5) / float(n)
+            t = (jj[off].astype(np.float64) + 0.5) / float(n)
+            x, y, z = _np_face_uv_to_xyz(face[off], _np_st_to_uv(s), _np_st_to_uv(t))
+            f2, u2, v2 = _np_face_uv(x, y, z)
+            i2 = np.clip(np.floor(_np_uv_to_st(u2) * n).astype(np.int64), 0, n - 1)
+            j2 = np.clip(np.floor(_np_uv_to_st(v2) * n).astype(np.int64), 0, n - 1)
+            pos2 = _np_hilbert_d(i2, j2, level)
+            comp2 = (f2 << np.int64(2 * level)) + pos2
+            for idx, c in zip(np.nonzero(off)[0], comp2):
+                out[idx].add(int(c))
+    # drop self ids (possible only via the corner-wrap case above)
+    own_pos = _np_hilbert_d(i, j, level)
+    own_comp = (face << np.int64(2 * level)) + own_pos
+    for idx, own in enumerate(own_comp):
+        out[idx].discard(int(own))
+    return out
+
+
+def with_s2_index_kernel(
+    df: DataFrame,
+    level: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    prefix: str = "s2_",
+) -> DataFrame:
+    """Arrow-kernel route (``mapInPandas`` over py_s2_index) for levels past
+    the Catalyst unroll cap — zero shuffles, one narrow pass; bit-identical
+    to ``with_s2_index`` where both apply (pinned by test)."""
+    _check_level(level)
+    from pygridmap_spark import util as _util
+
+    schema = _util.schema_with(
+        df,
+        f"{prefix}face int",
+        f"{prefix}i long",
+        f"{prefix}j long",
+        f"{prefix}pos long",
+        f"{prefix}cell long",
+        f"{prefix}compact long",
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            r = py_s2_index(pdf[lon].to_numpy(), pdf[lat].to_numpy(), level)
+            pdf = pdf.copy()
+            pdf[f"{prefix}face"] = r["face"].astype(np.int32)
+            pdf[f"{prefix}i"] = r["i"]
+            pdf[f"{prefix}j"] = r["j"]
+            pdf[f"{prefix}pos"] = r["pos"]
+            pdf[f"{prefix}cell"] = r["cell"]
+            pdf[f"{prefix}compact"] = r["compact"]
+            yield pdf
+
+    return df.mapInPandas(_kernel, schema)
