@@ -42,6 +42,7 @@ from pygridmap_spark.operators import curation as CU
 from pygridmap_spark.operators import domains as DMN
 from pygridmap_spark.functions import reproject as RPJ
 from pygridmap_spark.functions import s2 as S2C
+from pygridmap_spark.functions import hexgrid as HX
 from pygridmap_spark.operators import packing as PKG
 from pygridmap_spark.operators import sampling as SMP
 from pygridmap_spark.streaming import pipeline as SP
@@ -1062,6 +1063,30 @@ def _q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-analog hex rollup (functions/hexgrid.py): docs in the LAEA domain
+    of use -> EPSG:3035 forward (Catalyst trig) -> 50 km hex binning (axial
+    transform + cube rounding, pure arithmetic) -> per-hex aggregation with
+    unpacked cell centers. Hexes on the equal-area plane have EXACTLY equal
+    ground area — the property H3's icosahedral machinery approximates.
+    Oracle: the same Snyder forward + hex math restated in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lon = F.lit(-25.0) + (F.col("doc_id") * F.lit(2654435761) % F.lit(70000)) / F.lit(1000.0)
+    lat = F.lit(30.0) + (F.col("doc_id") * F.lit(2246822519) % F.lit(42000)) / F.lit(1000.0)
+    x, y = RPJ.laea_forward(lon, lat)
+    df = HX.with_hex_index(docs.withColumns({"x": x, "y": y}), 50_000.0)
+    agg = df.groupBy("hex_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    q, r = HX.unpack(F.col("hex_id"))
+    cx, cy = HX.center(q, r, 50_000.0)
+    return agg.select(
+        "hex_id", "n_docs", "chars",
+        F.round(cx, 1).alias("cx"), F.round(cy, 1).alias("cy"),
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (the data-mixing primitive):
     keep iff md5-hash bucket < the stratum's fraction — reproducible
@@ -1369,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_webmercator": _q_reproject_webmercator,
         "s2_cell_index": _q_s2_cell_index,
         "s2_rollup": _q_s2_rollup,
+        "hex_rollup": _q_hex_rollup,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
@@ -2222,6 +2248,74 @@ def oracle_sql() -> dict[str, str]:
             FROM hil JOIN documents dd USING (doc_id)
             WHERE k = -1
             GROUP BY 1
+        """,
+        "hex_rollup": f"""
+            WITH pts AS (
+                SELECT doc_id, n_chars,
+                       -25.0 + (doc_id * 2654435761 % 70000) / 1000.0 AS lon,
+                       30.0 + (doc_id * 2246822519 % 42000) / 1000.0 AS lat
+                FROM documents
+            ),
+            tr AS (
+                SELECT doc_id, n_chars,
+                       radians(lon) - {RPJ._LON0!r} AS lam,
+                       sin(radians(lat)) AS sp
+                FROM pts
+            ),
+            qv AS (
+                SELECT *, {1.0 - RPJ._E2!r} * (sp / (1.0 - {RPJ._E2!r} * sp * sp)
+                          - {1.0 / (2.0 * RPJ._E)!r}
+                            * ln((1.0 - {RPJ._E!r} * sp) / (1.0 + {RPJ._E!r} * sp))) AS q
+                FROM tr
+            ),
+            bt AS (
+                SELECT *, asin(least(greatest(q / {RPJ._QP!r}, -1.0), 1.0)) AS beta
+                FROM qv
+            ),
+            fw AS (
+                SELECT doc_id, n_chars,
+                       {RPJ._FE!r} + {RPJ._RQ!r}
+                           * sqrt(2.0 / (1.0 + {RPJ._SB1!r} * sin(beta)
+                                             + {RPJ._CB1!r} * cos(beta) * cos(lam)))
+                           * {RPJ._D!r} * cos(beta) * sin(lam) AS x,
+                       {RPJ._FN!r} + ({RPJ._RQ!r}
+                           * sqrt(2.0 / (1.0 + {RPJ._SB1!r} * sin(beta)
+                                             + {RPJ._CB1!r} * cos(beta) * cos(lam)))
+                           / {RPJ._D!r})
+                           * ({RPJ._CB1!r} * sin(beta)
+                              - {RPJ._SB1!r} * cos(beta) * cos(lam)) AS y
+                FROM bt
+            ),
+            hexf AS (
+                SELECT doc_id, n_chars,
+                       (x * (sqrt(3.0) / 3.0) - y / 3.0) / 50000.0 AS qf,
+                       (y * (2.0 / 3.0)) / 50000.0 AS rf
+                FROM fw
+            ),
+            hexr AS (
+                SELECT doc_id, n_chars, qf, rf, -qf - rf AS sf,
+                       round(qf, 0) AS rq, round(rf, 0) AS rr,
+                       round(-qf - rf, 0) AS rs
+                FROM hexf
+            ),
+            hexc AS (
+                SELECT doc_id, n_chars,
+                       CAST(CASE WHEN abs(rq - qf) > abs(rr - rf)
+                                      AND abs(rq - qf) > abs(rs - sf)
+                                 THEN -rr - rs ELSE rq END AS BIGINT) AS hq,
+                       CAST(CASE WHEN NOT (abs(rq - qf) > abs(rr - rf)
+                                           AND abs(rq - qf) > abs(rs - sf))
+                                      AND abs(rr - rf) > abs(rs - sf)
+                                 THEN -rq - rs ELSE rr END AS BIGINT) AS hr
+                FROM hexr
+            )
+            SELECT (hq + 33554432) * 67108864 + (hr + 33554432) AS hex_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   round((50000.0 * sqrt(3.0)) * (hq + hr / 2.0), 1) AS cx,
+                   round((50000.0 * 1.5) * CAST(hr AS DOUBLE), 1) AS cy
+            FROM hexc
+            GROUP BY hq, hr
         """,
         "stratified_sample": """
             WITH b AS (

@@ -6,6 +6,7 @@ Everything here is built from ``pyspark.sql.functions`` — no Python UDFs.
 from pygridmap_spark.functions import (
     cellindex,
     geolocate,
+    hexgrid,
     reproject,
     s2,
     text,
@@ -17,6 +18,7 @@ from pygridmap_spark.functions import (
 __all__ = [
     "cellindex",
     "geolocate",
+    "hexgrid",
     "reproject",
     "s2",
     "text",

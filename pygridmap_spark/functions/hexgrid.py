@@ -1,0 +1,171 @@
+"""Hexagonal cell index — the engine's H3-analog, over an equal-area plane.
+
+The north star asks for "H3/S2 cells". ``s2.py`` supplies the spherical
+quad family; this module supplies the hex family. No H3 build ships in
+this container, and H3's icosahedral aperture-7 machinery exists to make
+hexes *roughly* equal-area on the sphere — but this engine already has an
+exact equal-area plane: EPSG:3035 (LAEA, functions/reproject.py). A
+regular hex grid laid on an equal-area projection gives EXACTLY
+equal-area cells on the ellipsoid (every hex covers size²·3√3/2 of true
+ground area), which is the property H3 approximates. So: project with
+``reproject.laea_forward``, then bin here.
+
+All public-domain math (axial/cube hex coordinates and cube rounding, the
+standard formulation popularized by the Red Blob Games article): pure
+Catalyst arithmetic, zero Python, one codegen span; the DuckDB oracle twin
+restates it exactly (driver query ``hex_rollup``).
+
+Grid convention: pointy-top hexes, ``size`` = circumradius (center to
+vertex) in the plane's units (meters for LAEA). Axial (q, r):
+
+    q = (x·√3/3 − y/3) / size        x = size·√3·(q + r/2)
+    r = (y·2/3) / size               y = size·(3/2)·r
+
+Cell ids pack (q, r) into one positive long — ``(q+B)·2^26 + (r+B)``,
+B = 2^25 — valid for |q|, |r| < 33.5M cells (an Earth circumference of
+1 m hexes), float-exact below 2^52, and BIGINT-identical in DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_B = 1 << 25  # axial-coordinate offset
+_W = 1 << 26  # packing stride
+SQRT3 = math.sqrt(3.0)
+
+
+def axial_coords(x: Column, y: Column, size: float) -> tuple[Column, Column]:
+    """Rounded axial (q, r) of the hex containing plane point (x, y):
+    fractional axial transform + cube rounding (largest-residual repair
+    keeps q + r + s == 0, i.e. the point maps to the NEAREST hex center
+    — pinned by test)."""
+    qf = (x * F.lit(SQRT3 / 3.0) - y * F.lit(1.0 / 3.0)) / F.lit(float(size))
+    rf = (y * F.lit(2.0 / 3.0)) / F.lit(float(size))
+    sf = -qf - rf
+    rq = F.round(qf, 0)
+    rr = F.round(rf, 0)
+    rs = F.round(sf, 0)
+    dq = F.abs(rq - qf)
+    dr = F.abs(rr - rf)
+    ds = F.abs(rs - sf)
+    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq).cast("long")
+    r = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr).cast("long")
+    return q, r
+
+
+def pack(q: Column, r: Column) -> Column:
+    """(q, r) -> one positive long id (offset-packed, see module doc)."""
+    return (q + F.lit(_B)) * F.lit(_W) + (r + F.lit(_B))
+
+
+def unpack(cell: Column) -> tuple[Column, Column]:
+    """Inverse of ``pack``."""
+    q = (cell / F.lit(_W)).cast("long") - F.lit(_B)
+    r = cell % F.lit(_W) - F.lit(_B)
+    return q, r
+
+
+def hex_cell(x: Column, y: Column, size: float) -> Column:
+    """Packed hex id of plane point (x, y)."""
+    q, r = axial_coords(x, y, size)
+    return pack(q, r)
+
+
+def center(q: Column, r: Column, size: float) -> tuple[Column, Column]:
+    """Plane coordinates of a hex center from axial (q, r)."""
+    x = F.lit(float(size) * SQRT3) * (q + r / F.lit(2.0))
+    y = F.lit(float(size) * 1.5) * r
+    return x, y
+
+
+def with_hex_index(
+    df: DataFrame,
+    size: float,
+    x: str = "x",
+    y: str = "y",
+    prefix: str = "hex_",
+) -> DataFrame:
+    """Append ``{prefix}q``, ``{prefix}r``, ``{prefix}id`` for the hex grid
+    of circumradius ``size`` — all Catalyst, zero Python, no shuffle."""
+    q, r = axial_coords(F.col(x), F.col(y), size)
+    df = df.withColumns({f"{prefix}q": q, f"{prefix}r": r})
+    return df.withColumn(
+        f"{prefix}id", pack(F.col(f"{prefix}q"), F.col(f"{prefix}r"))
+    )
+
+
+# --- neighbor / ring topology (driver-side constants, like cellindex) -------
+
+AXIAL_NEIGHBORS = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def ring_offsets(radius: int) -> list[tuple[int, int]]:
+    """Axial offsets of the hex ring at exactly ``radius`` (6·radius cells;
+    the kNN ring-expansion constant, hex analog of cellindex.ring_offsets)."""
+    if radius == 0:
+        return [(0, 0)]
+    out = []
+    q, r = -radius, radius  # start at the corner in direction 4 (-1, +1)
+    for side in range(6):
+        dq, dr = AXIAL_NEIGHBORS[side]
+        for _ in range(radius):
+            out.append((q, r))
+            q, r = q + dq, r + dr
+    return out
+
+
+def disk_offsets(radius: int) -> list[tuple[int, int]]:
+    """All axial offsets within hex distance ``radius``: 1 + 3·R·(R+1)."""
+    return [
+        (dq, dr)
+        for dq in range(-radius, radius + 1)
+        for dr in range(max(-radius, -dq - radius), min(radius, -dq + radius) + 1)
+    ]
+
+
+def hex_distance(q1, r1, q2, r2) -> int:
+    """Hex (cube) distance between two axial cells — python helper."""
+    dq, dr = q1 - q2, r1 - r2
+    return int((abs(dq) + abs(dr) + abs(dq + dr)) // 2)
+
+
+# --- numpy twins ------------------------------------------------------------
+
+
+def py_axial(x: np.ndarray, y: np.ndarray, size: float) -> tuple[np.ndarray, np.ndarray]:
+    """numpy twin of ``axial_coords`` (same round-half-away-from-zero
+    convention as Spark/DuckDB ``round``; ties are measure-zero)."""
+    qf = (np.asarray(x, np.float64) * (SQRT3 / 3.0) - np.asarray(y, np.float64) / 3.0) / size
+    rf = (np.asarray(y, np.float64) * (2.0 / 3.0)) / size
+    sf = -qf - rf
+
+    def _round_half_away(v):
+        return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+    rq, rr, rs = _round_half_away(qf), _round_half_away(rf), _round_half_away(sf)
+    dq, dr, ds = np.abs(rq - qf), np.abs(rr - rf), np.abs(rs - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -rr - rs, rq)
+    r = np.where(fix_r, -rq - rs, rr)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def py_pack(q: np.ndarray, r: np.ndarray) -> np.ndarray:
+    return (np.asarray(q, np.int64) + _B) * _W + (np.asarray(r, np.int64) + _B)
+
+
+def py_unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, np.int64)
+    return cell // _W - _B, cell % _W - _B
+
+
+def py_center(q: np.ndarray, r: np.ndarray, size: float) -> tuple[np.ndarray, np.ndarray]:
+    q = np.asarray(q, np.float64)
+    r = np.asarray(r, np.float64)
+    return size * SQRT3 * (q + r / 2.0), size * 1.5 * r

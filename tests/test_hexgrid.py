@@ -1,0 +1,106 @@
+"""Hex cell index (functions/hexgrid.py): nearest-center correctness of
+cube rounding, pack/unpack algebra, ring/disk topology, Catalyst == numpy
+parity, and the equal-area-on-LAEA composition the module exists for."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import hexgrid as HX
+
+
+def _rand_xy(n, seed=0, span=1e6):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-span, span, n), rng.uniform(-span, span, n)
+
+
+def test_cube_round_assigns_nearest_center():
+    # the defining property of hex binning: the assigned cell's center is
+    # the closest center among the cell and all six neighbors
+    x, y = _rand_xy(50_000, seed=1)
+    size = 1234.5
+    q, r = HX.py_axial(x, y, size)
+    cx, cy = HX.py_center(q, r, size)
+    d_own = (x - cx) ** 2 + (y - cy) ** 2
+    for dq, dr in HX.AXIAL_NEIGHBORS:
+        nx, ny = HX.py_center(q + dq, r + dr, size)
+        d_n = (x - nx) ** 2 + (y - ny) ** 2
+        assert (d_own <= d_n + 1e-7).all()
+
+
+def test_pack_unpack_round_trip():
+    rng = np.random.default_rng(2)
+    q = rng.integers(-(1 << 24), 1 << 24, 100_000)
+    r = rng.integers(-(1 << 24), 1 << 24, 100_000)
+    c = HX.py_pack(q, r)
+    assert (c > 0).all() and (c < (1 << 52)).all()  # float-exact, positive
+    q2, r2 = HX.py_unpack(c)
+    assert (q2 == q).all() and (r2 == r).all()
+
+
+def test_center_round_trip():
+    rng = np.random.default_rng(3)
+    q = rng.integers(-1000, 1000, 10_000)
+    r = rng.integers(-1000, 1000, 10_000)
+    size = 250.0
+    cx, cy = HX.py_center(q, r, size)
+    q2, r2 = HX.py_axial(cx, cy, size)
+    assert (q2 == q).all() and (r2 == r).all()
+
+
+def test_ring_and_disk_topology():
+    assert HX.ring_offsets(0) == [(0, 0)]
+    for k in (1, 2, 5):
+        ring = HX.ring_offsets(k)
+        assert len(ring) == 6 * k
+        assert len(set(ring)) == 6 * k
+        assert all(HX.hex_distance(0, 0, q, r) == k for q, r in ring)
+        disk = HX.disk_offsets(k)
+        assert len(disk) == 1 + 3 * k * (k + 1)
+        assert set(ring) <= set(disk)
+        assert all(HX.hex_distance(0, 0, q, r) <= k for q, r in disk)
+
+
+def test_neighbor_offsets_are_ring_one():
+    assert set(HX.AXIAL_NEIGHBORS) == set(HX.ring_offsets(1))
+
+
+def test_catalyst_matches_numpy(spark):
+    x, y = _rand_xy(4_000, seed=4)
+    # adversarial: exact centers, vertices, axis points
+    extra_x = np.array([0.0, 100.0 * HX.SQRT3, -100.0 * HX.SQRT3, 50.0, 0.0])
+    extra_y = np.array([0.0, 150.0, -150.0, 0.0, 100.0])
+    x = np.concatenate([x, extra_x]); y = np.concatenate([y, extra_y])
+    pdf = pd.DataFrame({"pid": np.arange(len(x)), "x": x, "y": y})
+    size = 100.0
+    df = spark.createDataFrame(pdf).repartition(3)
+    out = HX.with_hex_index(df, size).orderBy("pid").toPandas()
+    q, r = HX.py_axial(x, y, size)
+    assert (out["hex_q"].to_numpy() == q).all()
+    assert (out["hex_r"].to_numpy() == r).all()
+    assert (out["hex_id"].to_numpy() == HX.py_pack(q, r)).all()
+    # unpack columns invert pack
+    qq, rr = HX.unpack(F.col("hex_id"))
+    back = (
+        HX.with_hex_index(df, size)
+        .select("pid", qq.alias("q2"), rr.alias("r2"), "hex_q", "hex_r")
+        .filter((F.col("q2") != F.col("hex_q")) | (F.col("r2") != F.col("hex_r")))
+        .count()
+    )
+    assert back == 0
+
+
+def test_hex_on_laea_is_exact_equal_area(spark):
+    # hexes on the equal-area plane partition ground area exactly: uniform
+    # points on the PLANE land uniformly across cells (CV ~ Poisson only)
+    x, y = _rand_xy(200_000, seed=5, span=2e5)
+    q, r = HX.py_axial(x, y, 10_000.0)
+    # keep the fully-covered interior (edge cells are partially sampled)
+    cx, cy = HX.py_center(q, r, 10_000.0)
+    interior = (np.abs(cx) < 1.8e5) & (np.abs(cy) < 1.8e5)
+    _, cnt = np.unique(HX.py_pack(q[interior], r[interior]), return_counts=True)
+    poisson_cv = 1.0 / np.sqrt(cnt.mean())
+    assert cnt.std() / cnt.mean() < 1.5 * poisson_cv
