@@ -61,6 +61,8 @@ HEADLINE = [
     "reproject_webmercator",
     "union_exact_wkb",
     "union_exact_distributed",
+    "s2_cell_index",
+    "hex_rollup",
 ]
 
 
