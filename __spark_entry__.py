@@ -43,6 +43,7 @@ from pygridmap_spark.operators import domains as DMN
 from pygridmap_spark.functions import reproject as RPJ
 from pygridmap_spark.functions import s2 as S2C
 from pygridmap_spark.functions import hexgrid as HX
+from pygridmap_spark.operators import knn_sphere as KS
 from pygridmap_spark.operators import packing as PKG
 from pygridmap_spark.operators import sampling as SMP
 from pygridmap_spark.streaming import pipeline as SP
@@ -1063,6 +1064,25 @@ def _q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_s2_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic kNN via S2 cell-ring expansion (operators/knn_sphere.py):
+    exact great-circle k-nearest over whole-sphere synthetic coordinates —
+    distance-correct at the poles and across the antimeridian where the
+    planar cell ring is not. Oracle: brute-force chord + asin in DuckDB."""
+    docs = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    pts = docs.select(F.col("doc_id").alias("point_id"), "lon", "lat")
+    qs = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), "lon", "lat"
+    )
+    out = KS.knn_s2(pts, qs, k=5, level=3)
+    return out.select(
+        "query_id",
+        "point_id",
+        F.round(F.col("dist"), 9).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3-analog hex rollup (functions/hexgrid.py): docs in the LAEA domain
     of use -> EPSG:3035 forward (Catalyst trig) -> 50 km hex binning (axial
@@ -1395,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_index": _q_s2_cell_index,
         "s2_rollup": _q_s2_rollup,
         "hex_rollup": _q_hex_rollup,
+        "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
@@ -2248,6 +2269,39 @@ def oracle_sql() -> dict[str, str]:
             FROM hil JOIN documents dd USING (doc_id)
             WHERE k = -1
             GROUP BY 1
+        """,
+        "knn_s2_geodesic": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            vec AS (
+                SELECT doc_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts
+            ),
+            qs AS (
+                SELECT doc_id AS query_id, x AS qx, y AS qy, z AS qz
+                FROM vec WHERE doc_id < 20
+            ),
+            pairs AS (
+                SELECT q.query_id, p.doc_id AS point_id,
+                       sqrt((p.x - q.qx) * (p.x - q.qx)
+                          + (p.y - q.qy) * (p.y - q.qy)
+                          + (p.z - q.qz) * (p.z - q.qz)) AS c
+                FROM qs q CROSS JOIN vec p
+            )
+            SELECT query_id, point_id,
+                   round(2.0 * asin(least(c / 2.0, 1.0)), 9) AS dist, rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY c ASC, point_id ASC
+                ) AS rank FROM pairs
+            ) WHERE rank <= 5
         """,
         "hex_rollup": f"""
             WITH pts AS (

@@ -63,6 +63,7 @@ HEADLINE = [
     "union_exact_distributed",
     "s2_cell_index",
     "hex_rollup",
+    "knn_s2_geodesic",
 ]
 
 

@@ -121,6 +121,58 @@ def compact_id(face: Column, pos: Column, level: int) -> Column:
     return F.shiftleft(face.cast("long"), 2 * level) + pos
 
 
+# Per-axis |d(st)/d(theta)| supremum for the quadratic projection: a
+# geodesic of angle theta displaces a point's (s, t) by at most
+# theta * ST_GRAD_BOUND per axis within one face chart. Numerically the
+# supremum is ~1.0606 (attained near face-edge midpoints); 9/8 adds a 6%
+# safety margin. Pinned empirically by test_s2.test_gradient_bound_holds.
+ST_GRAD_BOUND = 1.125
+
+
+def _with_face_ij(df: DataFrame, level: int, lon: str, lat: str) -> DataFrame:
+    """Internal: append __s2f__/__s2i__/__s2j__ at ``level`` (no Hilbert)."""
+    lam = F.radians(F.col(lon))
+    phi = F.radians(F.col(lat))
+    cp = F.cos(phi)
+    df = df.withColumns(
+        {"__s2x__": cp * F.cos(lam), "__s2y__": cp * F.sin(lam), "__s2z__": F.sin(phi)}
+    )
+    face, u, v = _face_uv_cols(F.col("__s2x__"), F.col("__s2y__"), F.col("__s2z__"))
+    df = df.withColumns({"__s2f__": face, "__s2u__": u, "__s2v__": v})
+    n = 1 << level
+    s = _uv_to_st_col(F.col("__s2u__"))
+    t = _uv_to_st_col(F.col("__s2v__"))
+    clamp = lambda c: F.greatest(F.lit(0).cast("long"), F.least(c, F.lit(n - 1).cast("long")))  # noqa: E731
+    return df.withColumns(
+        {
+            "__s2i__": clamp(F.floor(s * F.lit(float(n)))),
+            "__s2j__": clamp(F.floor(t * F.lit(float(n)))),
+        }
+    ).drop("__s2x__", "__s2y__", "__s2z__", "__s2u__", "__s2v__")
+
+
+def with_s2_face_ij(
+    df: DataFrame,
+    level: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    prefix: str = "s2_",
+) -> DataFrame:
+    """Append only ``{prefix}face``, ``{prefix}i``, ``{prefix}j`` at
+    ``level`` — the cheap equi-join key for spatial joins/kNN (the ij
+    PREFIX is the ancestor: coarsening is a shiftright, no Hilbert
+    needed). Valid to level 30; pure Catalyst."""
+    _check_level(level)
+    df = _with_face_ij(df, level, lon, lat)
+    return df.withColumns(
+        {
+            f"{prefix}face": F.col("__s2f__").cast("int"),
+            f"{prefix}i": F.col("__s2i__"),
+            f"{prefix}j": F.col("__s2j__"),
+        }
+    ).drop("__s2f__", "__s2i__", "__s2j__")
+
+
 def with_s2_index(
     df: DataFrame,
     level: int,
@@ -136,24 +188,7 @@ def with_s2_index(
     ``level``; see module docstring), all inside WholeStageCodegen.
     """
     _check_level(level, CATALYST_MAX_LEVEL)
-    lam = F.radians(F.col(lon))
-    phi = F.radians(F.col(lat))
-    cp = F.cos(phi)
-    df = df.withColumns(
-        {"__s2x__": cp * F.cos(lam), "__s2y__": cp * F.sin(lam), "__s2z__": F.sin(phi)}
-    )
-    face, u, v = _face_uv_cols(F.col("__s2x__"), F.col("__s2y__"), F.col("__s2z__"))
-    df = df.withColumns({"__s2f__": face, "__s2u__": u, "__s2v__": v})
-    n = 1 << level
-    s = _uv_to_st_col(F.col("__s2u__"))
-    t = _uv_to_st_col(F.col("__s2v__"))
-    clamp = lambda c: F.greatest(F.lit(0).cast("long"), F.least(c, F.lit(n - 1).cast("long")))  # noqa: E731
-    df = df.withColumns(
-        {
-            "__s2i__": clamp(F.floor(s * F.lit(float(n)))),
-            "__s2j__": clamp(F.floor(t * F.lit(float(n)))),
-        }
-    )
+    df = _with_face_ij(df, level, lon, lat)
     df = _hilbert_pos_cols(df, level, "__s2i__", "__s2j__", "__s2d__")
     pos = F.col("__s2d__")
     f = F.col("__s2f__")
@@ -167,10 +202,7 @@ def with_s2_index(
             f"{prefix}compact": compact_id(f, pos, level),
         }
     )
-    return out.drop(
-        "__s2x__", "__s2y__", "__s2z__", "__s2f__", "__s2u__", "__s2v__",
-        "__s2i__", "__s2j__", "__s2d__",
-    )
+    return out.drop("__s2f__", "__s2i__", "__s2j__", "__s2d__")
 
 
 def _hilbert_pos_cols(
@@ -453,6 +485,57 @@ def py_s2_neighbors(
     for idx, own in enumerate(own_comp):
         out[idx].discard(int(own))
     return out
+
+
+def py_s2_neighbors_ij(
+    face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Edge+vertex neighbors as flat (row_idx, face, i, j) arrays (each
+    input row contributes 7-8 deduped neighbor triples; self-wraps at cube
+    corners dropped). Same cube-wrap math as :func:`py_s2_neighbors` but
+    keyed by (face, i, j) — no Hilbert — so ancestors are shiftrights."""
+    _check_level(level)
+    face = np.asarray(face, np.int64)
+    i = np.asarray(i, np.int64)
+    j = np.asarray(j, np.int64)
+    n = np.int64(1 << level)
+    rows, fs, is_, js = [], [], [], []
+    for di, dj in _NEIGHBOR_OFFSETS:
+        ii = i + di
+        jj = j + dj
+        inside = (ii >= 0) & (ii < n) & (jj >= 0) & (jj < n)
+        if inside.any():
+            rows.append(np.nonzero(inside)[0])
+            fs.append(face[inside])
+            is_.append(ii[inside])
+            js.append(jj[inside])
+        off = ~inside
+        if off.any():
+            s = (ii[off].astype(np.float64) + 0.5) / float(n)
+            t = (jj[off].astype(np.float64) + 0.5) / float(n)
+            x, y, z = _np_face_uv_to_xyz(face[off], _np_st_to_uv(s), _np_st_to_uv(t))
+            f2, u2, v2 = _np_face_uv(x, y, z)
+            i2 = np.clip(np.floor(_np_uv_to_st(u2) * n).astype(np.int64), 0, n - 1)
+            j2 = np.clip(np.floor(_np_uv_to_st(v2) * n).astype(np.int64), 0, n - 1)
+            rows.append(np.nonzero(off)[0])
+            fs.append(f2)
+            is_.append(i2)
+            js.append(j2)
+    row = np.concatenate(rows)
+    f = np.concatenate(fs)
+    ii = np.concatenate(is_)
+    jj = np.concatenate(js)
+    # dedup (row, cell) and drop corner self-wraps; lexsort (no packed key
+    # — a single int64 key would overflow at high levels)
+    order = np.lexsort((jj, ii, f, row))
+    row, f, ii, jj = row[order], f[order], ii[order], jj[order]
+    dup = np.zeros(len(row), dtype=bool)
+    dup[1:] = (
+        (row[1:] == row[:-1]) & (f[1:] == f[:-1]) & (ii[1:] == ii[:-1]) & (jj[1:] == jj[:-1])
+    )
+    self_wrap = (f == face[row]) & (ii == i[row]) & (jj == j[row])
+    keep = ~dup & ~self_wrap
+    return row[keep], f[keep], ii[keep], jj[keep]
 
 
 def with_s2_index_kernel(
