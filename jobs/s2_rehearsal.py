@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Volume rehearsal for the spherical index family (functions/s2.py,
+operators/knn_sphere.py): synthesize a uniform-on-sphere page layer IN
+Spark (one projection over spark.range, no driver data), then measure
+
+1. level-12 S2 encode throughput (the full Catalyst trig + Hilbert unroll),
+2. the level-6 rollup (the one exchange the index exists to keep
+   skew-balanced),
+3. geodesic kNN (points x queries) wall time and exchange volume,
+
+with per-stage shuffle totals from the REST stage metrics (the executed
+numbers, not plan copies — CLAUDE.md gotcha). Usage:
+
+    python jobs/s2_rehearsal.py --points 20000000 --knn-points 5000000 \
+        --queries 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _rest_stages(spark) -> list[dict]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete&details=false"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _shuffle_totals(spark) -> tuple[float, float]:
+    st = _rest_stages(spark)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in st) / 1e6,
+        sum(s.get("shuffleReadBytes", 0) for s in st) / 1e6,
+    )
+
+
+def make_points(spark, n: int):
+    """Deterministic uniform-on-sphere points: area-true latitude via
+    asin(2u-1), integer-hash u's (exact arithmetic, reproducible)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    u1 = (F.col("id") * F.lit(2654435761) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+    u2 = (F.col("id") * F.lit(2246822519) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+    return df.select(
+        F.col("id").alias("point_id"),
+        (u1 * 360.0 - 180.0).alias("lon"),
+        F.degrees(F.asin(2.0 * u2 - 1.0)).alias("lat"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=20_000_000)
+    ap.add_argument("--knn-points", type=int, default=5_000_000)
+    ap.add_argument("--queries", type=int, default=100_000)
+    ap.add_argument("--level", type=int, default=12)
+    ap.add_argument("--knn-level", type=int, default=8)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pygridmap_spark.functions import s2 as S2
+    from pygridmap_spark.operators import knn_sphere as KS
+    from pygridmap_spark.session import get_spark
+
+    spark = get_spark(
+        app="s2_rehearsal",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
+    )
+    report: dict = {
+        "points": args.points,
+        "knn_points": args.knn_points,
+        "queries": args.queries,
+        "level": args.level,
+    }
+    try:
+        pts = make_points(spark, args.points).repartition(128).persist()
+        n = pts.count()
+        assert n == args.points
+
+        # ---- stage 1: level-12 encode (zero exchanges) ---------------
+        w0, r0 = _shuffle_totals(spark)
+        t0 = time.time()
+        enc = S2.with_s2_index(pts, args.level)
+        enc.write.format("noop").mode("overwrite").save()
+        t_enc = time.time() - t0
+        w1, r1 = _shuffle_totals(spark)
+        report["encode"] = {
+            "wall_s": round(t_enc, 2),
+            "rows_per_sec": int(n / t_enc),
+            "shuffle_write_mb": round(w1 - w0, 1),
+        }
+
+        # ---- stage 2: rollup to level 6 (ONE exchange) ---------------
+        t0 = time.time()
+        roll = (
+            enc.groupBy(
+                S2.compact_parent(F.col("s2_compact"), args.level, 6).alias("c6")
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        n_cells = roll.count()
+        t_roll = time.time() - t0
+        w2, r2 = _shuffle_totals(spark)
+        # balance of the rollup key: cells-hit + heaviest-cell share
+        top = roll.agg(
+            F.max("n").alias("mx"), F.avg("n").alias("avg")
+        ).collect()[0]
+        report["rollup_l6"] = {
+            "wall_s": round(t_roll, 2),
+            "rows_per_sec": int(n / t_roll),
+            "cells": n_cells,
+            "max_over_avg_cell": round(top["mx"] / top["avg"], 2),
+            "shuffle_write_mb": round(w2 - w1, 1),
+        }
+
+        # ---- stage 3: geodesic kNN -----------------------------------
+        kpts = pts.filter(F.col("point_id") < args.knn_points)
+        qs = (
+            make_points(spark, args.queries * 211)
+            .filter(F.col("point_id") % 211 == 7)
+            .select(F.col("point_id").alias("query_id"), "lon", "lat")
+        )
+        t0 = time.time()
+        out = KS.knn_s2(kpts, qs, k=args.k, level=args.knn_level)
+        n_out = out.count()
+        t_knn = time.time() - t0
+        w3, r3 = _shuffle_totals(spark)
+        report["knn"] = {
+            "wall_s": round(t_knn, 2),
+            "queries_per_sec": int(qs.count() / t_knn),
+            "result_rows": n_out,
+            "shuffle_write_mb": round(w3 - w2, 1),
+        }
+        pts.unpersist()
+    finally:
+        print(json.dumps(report))
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
