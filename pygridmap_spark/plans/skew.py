@@ -44,7 +44,13 @@ def repartition_by_prefix(
     levels_up: int = 4,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Repartition by coarsened Morton prefix (locality-preserving)."""
+    """Repartition by coarsened Morton prefix (locality-preserving).
+
+    Works identically on S2 compact ids (``functions.s2``): their curve-
+    position prefix IS the ancestor cell (``compact_parent`` is the same
+    shiftright), so passing ``code_col="s2_compact"`` buckets by the
+    level-(L - levels_up) spherical cell — near-equal-area by
+    construction, i.e. no cos(lat) polar collapse in the bucket sizes."""
     prefix = cellindex.morton_prefix(F.col(code_col), levels_up).alias("__prefix__")
     out = df.withColumn("__prefix__", prefix)
     out = (
