@@ -44,6 +44,11 @@ from pygridmap_spark.functions import reproject as RPJ
 from pygridmap_spark.functions import s2 as S2C
 from pygridmap_spark.functions import hexgrid as HX
 from pygridmap_spark.operators import knn_sphere as KS
+
+# chord threshold for the within_radius_s2 driver query (400 km), embedded
+# into the DuckDB oracle so both engines filter on the identical double
+import math as _math
+_RADIUS_S2_CHORD = 2.0 * _math.sin((400_000.0 / KS.EARTH_RADIUS_M) / 2.0)
 from pygridmap_spark.operators import packing as PKG
 from pygridmap_spark.operators import sampling as SMP
 from pygridmap_spark.streaming import pipeline as SP
@@ -1083,6 +1088,24 @@ def _q_knn_s2_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_within_radius_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic radius join (operators/knn_sphere.py within_radius_s2):
+    every point within 400 km great-circle distance of each query via a
+    single-level S2 cover (level 3 here) — one <=9-cell cover per query,
+    ONE (face, i, j) equi-join, chord refine. Exact incl. poles /
+    antimeridian / cube edges. Oracle: brute-force chord filter in
+    DuckDB with the identical Python-float chord threshold."""
+    docs = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    pts = docs.select(F.col("doc_id").alias("point_id"), "lon", "lat")
+    qs = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("query_id"), "lon", "lat"
+    )
+    out = KS.within_radius_s2(pts, qs, 400_000.0)
+    return out.select(
+        "query_id", "point_id", F.round(F.col("dist"), 9).alias("dist")
+    )
+
+
 def _q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3-analog hex rollup (functions/hexgrid.py): docs in the LAEA domain
     of use -> EPSG:3035 forward (Catalyst trig) -> 50 km hex binning (axial
@@ -1415,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_index": _q_s2_cell_index,
         "s2_rollup": _q_s2_rollup,
         "hex_rollup": _q_hex_rollup,
+        "within_radius_s2": _q_within_radius_s2,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2302,6 +2326,33 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id ORDER BY c ASC, point_id ASC
                 ) AS rank FROM pairs
             ) WHERE rank <= 5
+        """,
+        "within_radius_s2": f"""
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            vec AS (
+                SELECT doc_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts
+            ),
+            qs AS (
+                SELECT doc_id AS query_id, x AS qx, y AS qy, z AS qz
+                FROM vec WHERE doc_id < 40
+            )
+            SELECT query_id, point_id, round(2.0 * asin(least(c / 2.0, 1.0)), 9) AS dist
+            FROM (
+                SELECT q.query_id, p.doc_id AS point_id,
+                       sqrt((p.x - q.qx) * (p.x - q.qx)
+                          + (p.y - q.qy) * (p.y - q.qy)
+                          + (p.z - q.qz) * (p.z - q.qz)) AS c
+                FROM qs q CROSS JOIN vec p
+            ) WHERE c <= {_RADIUS_S2_CHORD!r}
         """,
         "hex_rollup": f"""
             WITH pts AS (

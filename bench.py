@@ -64,6 +64,7 @@ HEADLINE = [
     "s2_cell_index",
     "hex_rollup",
     "knn_s2_geodesic",
+    "within_radius_s2",
 ]
 
 

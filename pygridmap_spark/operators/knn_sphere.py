@@ -31,6 +31,8 @@ Ties break on (dist, point_id) like the planar operator.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -394,3 +396,181 @@ def _bruteforce_vec(p, brute_q, k, point_id, query_id):
 
 def _bruteforce_part(p, q, k, point_id, query_id):
     return _bruteforce_vec(p, q.select(query_id, "_qx", "_qy", "_qz"), k, point_id, query_id)
+
+
+# ---------------------------------------------------------------------------
+# Geodesic radius join (fixed-radius great-circle neighbor search)
+# ---------------------------------------------------------------------------
+
+def radius_cover_level(radius_m: float) -> int:
+    """Deepest S2 level whose cells still satisfy the cover guarantee for
+    ``radius_m``: cell st-width ``2^-L >= theta * ST_GRAD_BOUND`` means
+    every point within great-circle angle theta of a query lies in the
+    query's level-L cell or one of its <= 8 cube-wrap neighbors (the same
+    bound phase 2 of :func:`knn_s2` relies on; pinned by
+    test_gradient_bound_holds). May be < 1 for near-hemisphere radii (no
+    usable cover level) or > MAX_LEVEL for sub-meter radii (callers clamp).
+    """
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    theta = radius_m / EARTH_RADIUS_M
+    return math.floor(-math.log2(theta * S2.ST_GRAD_BOUND))
+
+
+def within_radius_s2_bruteforce(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Broadcast brute-force geodesic radius join — exact, O(|Q| x |P|);
+    the verification twin. Returns (query_id, point_id, dist) with ``dist``
+    the great-circle angle in radians, inclusive of ``dist == radius``."""
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    theta = min(radius_m / EARTH_RADIUS_M, math.pi)
+    chord_max = 2.0 * math.sin(theta / 2.0)
+    p = _with_unit_vec(points.select(point_id, lon, lat), lon, lat, "_p").drop(lon, lat)
+    q = _with_unit_vec(queries.select(query_id, lon, lat), lon, lat, "_q").drop(lon, lat)
+    return (
+        p.crossJoin(F.broadcast(q))
+        .withColumn("_c", _chord())
+        .filter(F.col("_c") <= F.lit(chord_max))
+        .select(query_id, point_id, _angle(F.col("_c")).alias("dist"))
+    )
+
+
+def within_radius_s2(
+    points: DataFrame,
+    queries: DataFrame,
+    radius_m: float,
+    level: int | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact geodesic radius join via a single-level S2 cell cover.
+
+    Because the radius is a constant (unlike kNN's per-query kth
+    distance), the cover level is one number for the whole job:
+    ``L = radius_cover_level(radius_m)`` guarantees every match for a
+    query lies in the query's level-L cell or its <= 8 cube-wrap
+    neighbors. The plan is then exactly three steps, all
+    shuffle-minimal at 100-TB scale:
+
+    1. index both sides at level L — pure Catalyst trig on (lon, lat),
+       no exchange;
+    2. expand each query to its <= 9 cover cells (one Arrow kernel,
+       ids + 3 doubles per row, output <= 9x|Q|);
+    3. ONE (face, i, j) equi-join — the big points side shuffles once
+       on its cell key (or not at all if the 9x|Q| cover side is small
+       enough for AQE to broadcast it) — then a chord refine.
+
+    ``level`` may be passed to REUSE an existing coarser index (it must
+    be <= the guarantee level, else the cover would miss matches —
+    raises). Radii too large for any cover level (theta near pi/2 and
+    beyond) fall back to the broadcast brute-force twin.
+
+    Returns (query_id, point_id, dist): every point within ``radius_m``
+    great-circle meters of each query, ``dist`` the great-circle angle in
+    RADIANS (multiply by EARTH_RADIUS_M for meters), inclusive bound.
+    Reference parity: pygridmap's proximity joins are planar-CRS only
+    (gridtiler/base run in a projected CRS); this is the spherical
+    counterpart the web-scale page-geolocation domain needs.
+    """
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    theta = radius_m / EARTH_RADIUS_M
+    lc = radius_cover_level(radius_m) if theta < math.pi else 0
+    if level is None:
+        level = min(lc, S2.MAX_LEVEL)
+    elif level > lc:
+        raise ValueError(
+            f"level={level} is finer than the cover guarantee level {lc} for "
+            f"radius_m={radius_m}: a 9-cell cover at that level can miss "
+            "matches. Pass level <= the guarantee level (or None)."
+        )
+    if level < 1:
+        # no usable cover level (radius a significant fraction of the
+        # sphere) -> the broadcast fallback IS the right plan
+        return within_radius_s2_bruteforce(
+            points, queries, radius_m, lon, lat, point_id, query_id
+        )
+    chord_max = 2.0 * math.sin(theta / 2.0)
+
+    p = S2.with_s2_face_ij(
+        _with_unit_vec(points.select(point_id, lon, lat), lon, lat, "_p"),
+        level, lon, lat, prefix="_pc_",
+    ).drop(lon, lat)
+    q = S2.with_s2_face_ij(
+        _with_unit_vec(queries.select(query_id, lon, lat), lon, lat, "_q"),
+        level, lon, lat, prefix="_qc_",
+    ).drop(lon, lat)
+
+    cover_schema = (
+        f"{_q_id_field(q, query_id)}, _cf int, _ci long, _cj long, "
+        "_qx double, _qy double, _qz double"
+    )
+
+    def _cover_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            fc = pdf["_qc_face"].to_numpy()
+            ic = pdf["_qc_i"].to_numpy()
+            jc = pdf["_qc_j"].to_numpy()
+            row, f2, i2, j2 = S2.py_s2_neighbors_ij(fc, ic, jc, level)
+            qid = pdf[query_id].to_numpy()
+            qx = pdf["_qx"].to_numpy()
+            qy = pdf["_qy"].to_numpy()
+            qz = pdf["_qz"].to_numpy()
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            query_id: qid,
+                            "_cf": fc.astype(np.int32),
+                            "_ci": ic,
+                            "_cj": jc,
+                            "_qx": qx, "_qy": qy, "_qz": qz,
+                        }
+                    ),
+                    pd.DataFrame(
+                        {
+                            query_id: qid[row],
+                            "_cf": f2.astype(np.int32),
+                            "_ci": i2,
+                            "_cj": j2,
+                            "_qx": qx[row], "_qy": qy[row], "_qz": qz[row],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+
+    covers = q.select(
+        query_id, "_qc_face", "_qc_i", "_qc_j", "_qx", "_qy", "_qz"
+    ).mapInPandas(_cover_kernel, cover_schema)
+    pk = p.select(
+        point_id,
+        F.col("_pc_face").cast("int").alias("_cf"),
+        F.col("_pc_i").alias("_ci"),
+        F.col("_pc_j").alias("_cj"),
+        "_px", "_py", "_pz",
+    )
+    # py_s2_neighbors_ij dedups (query, cell) and drops corner self-wraps,
+    # and a point lies in exactly one level-L cell -> each (query, point)
+    # pair joins at most once; no distinct needed after the join.
+    return (
+        covers.join(pk, ["_cf", "_ci", "_cj"])
+        .withColumn("_c", _chord())
+        .filter(F.col("_c") <= F.lit(chord_max))
+        .select(query_id, point_id, _angle(F.col("_c")).alias("dist"))
+    )

@@ -134,3 +134,116 @@ def test_estimate_level(spark):
     )
     lvl = KS.estimate_knn_level(pts, 10)
     assert lvl == 5
+
+
+# ---------------------------------------------------------------------------
+# within_radius_s2 (geodesic radius join)
+# ---------------------------------------------------------------------------
+
+def _frames(spark, plon, plat, qlon, qlat):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(len(plon)), "lon": plon, "lat": plat})
+    ).repartition(4)
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(len(qlon)), "lon": qlon, "lat": qlat})
+    ).repartition(2)
+    return pts, qs
+
+
+def _cmp_radius(spark, plon, plat, qlon, qlat, radius_m, level=None):
+    pts, qs = _frames(spark, plon, plat, qlon, qlat)
+    got = (
+        KS.within_radius_s2(pts, qs, radius_m, level=level)
+        .orderBy("query_id", "point_id")
+        .toPandas()
+    )
+    exp = (
+        KS.within_radius_s2_bruteforce(pts, qs, radius_m)
+        .orderBy("query_id", "point_id")
+        .toPandas()
+    )
+    assert list(got["query_id"]) == list(exp["query_id"])
+    assert list(got["point_id"]) == list(exp["point_id"])
+    assert np.allclose(got["dist"], exp["dist"], atol=1e-12)
+    return got
+
+
+@pytest.mark.parametrize(
+    "radius_m",
+    [50_000.0, 500_000.0, 3_000_000.0, 12_000_000.0, 25_000_000.0],
+    ids=["city", "region", "lvl0-brute", "neg-lvl-brute", "whole-sphere"],
+)
+def test_radius_vs_bruteforce(spark, radius_m):
+    # 3M and 12M m radii have cover level < 1 -> broadcast fallback path;
+    # 25M m exceeds pi radians -> every pair
+    plon, plat = _sphere_points(1500, 10)
+    qlon, qlat = _sphere_points(25, 11)
+    qlon[:4] = [179.9, -179.9, 0.0, 45.0]
+    qlat[:4] = [10.0, -10.0, 89.9, 0.0]  # antimeridian, pole, cube edge
+    _cmp_radius(spark, plon, plat, qlon, qlat, radius_m)
+
+
+def test_radius_face_edge_cluster(spark):
+    # matches straddling a cube edge (lon 45) must be recovered by the
+    # cube-wrap neighbor cells, not just the same-face cell
+    rng = np.random.default_rng(12)
+    plon = np.concatenate(
+        [rng.uniform(44.0, 44.99, 80), rng.uniform(45.01, 46.0, 80)]
+    )
+    plat = rng.uniform(-2.0, 2.0, 160)
+    qlon = np.array([45.0, 44.999, 45.001])
+    qlat = np.array([0.0, 1.0, -1.0])
+    got = _cmp_radius(spark, plon, plat, qlon, qlat, 100_000.0)
+    assert len(got) > 0  # the cluster guarantees matches
+
+
+def test_radius_coarser_level_reuse(spark):
+    # an explicitly coarser index level than the guarantee level is still
+    # exact (more candidates, same refine)
+    plon, plat = _sphere_points(800, 13)
+    qlon, qlat = _sphere_points(10, 14)
+    _cmp_radius(spark, plon, plat, qlon, qlat, 200_000.0, level=2)
+
+
+def test_radius_level_guard(spark):
+    plon, plat = _sphere_points(10, 15)
+    qlon, qlat = _sphere_points(3, 16)
+    pts, qs = _frames(spark, plon, plat, qlon, qlat)
+    lc = KS.radius_cover_level(200_000.0)
+    with pytest.raises(ValueError, match="finer than the cover guarantee"):
+        KS.within_radius_s2(pts, qs, 200_000.0, level=lc + 1)
+    with pytest.raises(ValueError, match="positive"):
+        KS.within_radius_s2(pts, qs, 0.0)
+    with pytest.raises(ValueError, match="positive"):
+        KS.radius_cover_level(-1.0)
+
+
+def test_radius_empty_result(spark):
+    # points on the opposite side of the sphere from every query
+    plon = np.array([0.0, 1.0, 2.0])
+    plat = np.array([0.0, 1.0, -1.0])
+    qlon = np.array([179.0, -179.0])
+    qlat = np.array([0.0, 5.0])
+    pts, qs = _frames(spark, plon, plat, qlon, qlat)
+    out = KS.within_radius_s2(pts, qs, 10_000.0).toPandas()
+    assert len(out) == 0
+
+
+def test_radius_inclusive_bound_and_units(spark):
+    # dist is radians; two points at a known great-circle angle: one well
+    # inside, one well outside; the returned dist * R matches the haversine
+    plon = np.array([0.0, 0.0])
+    plat = np.array([0.0, 1.0])  # 1 degree apart on a meridian
+    qlon = np.array([0.0])
+    qlat = np.array([0.0])
+    pts, qs = _frames(spark, plon, plat, qlon, qlat)
+    one_deg_m = np.radians(1.0) * KS.EARTH_RADIUS_M
+    out = (
+        KS.within_radius_s2(pts, qs, one_deg_m * 1.01)
+        .orderBy("point_id")
+        .toPandas()
+    )
+    assert list(out["point_id"]) == [0, 1]
+    assert abs(out["dist"][1] - np.radians(1.0)) < 1e-12
+    out2 = KS.within_radius_s2(pts, qs, one_deg_m * 0.99).toPandas()
+    assert list(out2["point_id"]) == [0]
