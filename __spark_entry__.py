@@ -49,6 +49,10 @@ from pygridmap_spark.operators import knn_sphere as KS
 # into the DuckDB oracle so both engines filter on the identical double
 import math as _math
 _RADIUS_S2_CHORD = 2.0 * _math.sin((400_000.0 / KS.EARTH_RADIUS_M) / 2.0)
+
+# hex_polyfill oracle strides (20 km hexes), embedded as exact doubles
+_HEX_SX = 20_000.0 * _math.sqrt(3.0)
+_HEX_SY = 20_000.0 * 1.5
 from pygridmap_spark.operators import packing as PKG
 from pygridmap_spark.operators import sampling as SMP
 from pygridmap_spark.streaming import pipeline as SP
@@ -1088,6 +1092,48 @@ def _q_knn_s2_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex polyfill (functions/hexgrid.py polyfill — H3 polygonToCells
+    parity, center containment): 50 synthetic axis-aligned rects in the
+    LAEA plane -> every 20 km hex whose center falls inside. Rect bounds
+    carry fractional offsets so no hex center ever lands exactly on a
+    boundary (ray-cast half-open caveat never triggers), which makes the
+    DuckDB twin pure range arithmetic: r rows via generate_series, q spans
+    via the same ceil/floor-with-r/2-offset formulas."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as _WKB
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 50)
+    xmin = F.lit(-900_000.37) + (F.col("doc_id") * F.lit(2654435761) % F.lit(1_500_000))
+    ymin = F.lit(-700_000.59) + (F.col("doc_id") * F.lit(2246822519) % F.lit(1_200_000))
+    wdt = F.lit(40_000.21) + (F.col("doc_id") * F.lit(40503) % F.lit(260_000))
+    hgt = F.lit(40_000.43) + (F.col("doc_id") * F.lit(69997) % F.lit(260_000))
+    bounds = docs.select(
+        F.col("doc_id").alias("poly_id"),
+        xmin.alias("_x0"), ymin.alias("_y0"),
+        (xmin + wdt).alias("_x1"), (ymin + hgt).alias("_y1"),
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "poly_id": pdf["poly_id"],
+                    "wkb": [
+                        _WKB.encode_box(x0, y0, x1, y1)
+                        for x0, y0, x1, y1 in zip(
+                            pdf["_x0"], pdf["_y0"], pdf["_x1"], pdf["_y1"]
+                        )
+                    ],
+                }
+            )
+
+    polys = bounds.mapInPandas(_encode, "poly_id long, wkb binary")
+    out = HX.polyfill(polys, 20_000.0)
+    return out.select("poly_id", "hex_q", "hex_r", "hex_id")
+
+
 def _q_within_radius_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic radius join (operators/knn_sphere.py within_radius_s2):
     every point within 400 km great-circle distance of each query via a
@@ -1439,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_rollup": _q_s2_rollup,
         "hex_rollup": _q_hex_rollup,
         "within_radius_s2": _q_within_radius_s2,
+        "hex_polyfill": _q_hex_polyfill,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2326,6 +2373,35 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id ORDER BY c ASC, point_id ASC
                 ) AS rank FROM pairs
             ) WHERE rank <= 5
+        """,
+        "hex_polyfill": f"""
+            WITH bounds AS (
+                SELECT doc_id AS poly_id,
+                       -900000.37 + (doc_id * 2654435761 % 1500000) AS x0,
+                       -700000.59 + (doc_id * 2246822519 % 1200000) AS y0,
+                       -900000.37 + (doc_id * 2654435761 % 1500000)
+                           + 40000.21 + (doc_id * 40503 % 260000) AS x1,
+                       -700000.59 + (doc_id * 2246822519 % 1200000)
+                           + 40000.43 + (doc_id * 69997 % 260000) AS y1
+                FROM documents WHERE doc_id < 50
+            ),
+            rrows AS (
+                SELECT poly_id, x0, x1, r
+                FROM bounds,
+                     LATERAL unnest(generate_series(
+                         CAST(ceil(y0 / {_HEX_SY!r}) AS BIGINT),
+                         CAST(floor(y1 / {_HEX_SY!r}) AS BIGINT))) AS t(r)
+            ),
+            cells AS (
+                SELECT poly_id, q, r
+                FROM rrows,
+                     LATERAL unnest(generate_series(
+                         CAST(ceil(x0 / {_HEX_SX!r} - r / 2.0) AS BIGINT),
+                         CAST(floor(x1 / {_HEX_SX!r} - r / 2.0) AS BIGINT))) AS t(q)
+            )
+            SELECT poly_id, q AS hex_q, r AS hex_r,
+                   (q + 33554432) * 67108864 + (r + 33554432) AS hex_id
+            FROM cells
         """,
         "within_radius_s2": f"""
             WITH pts AS (

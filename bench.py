@@ -65,6 +65,7 @@ HEADLINE = [
     "hex_rollup",
     "knn_s2_geodesic",
     "within_radius_s2",
+    "hex_polyfill",
 ]
 
 

@@ -7,6 +7,7 @@ Spark (one projection over spark.range, no driver data), then measure
 2. the level-6 rollup (the one exchange the index exists to keep
    skew-balanced),
 3. geodesic kNN (points x queries) wall time and exchange volume,
+4. the geodesic radius join (constant cover level, one equi-join),
 
 with per-stage shuffle totals from the REST stage metrics (the executed
 numbers, not plan copies — CLAUDE.md gotcha). Usage:
@@ -66,6 +67,7 @@ def main() -> None:
     ap.add_argument("--level", type=int, default=12)
     ap.add_argument("--knn-level", type=int, default=8)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--radius-m", type=float, default=100_000.0)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -145,6 +147,23 @@ def main() -> None:
             "queries_per_sec": int(qs.count() / t_knn),
             "result_rows": n_out,
             "shuffle_write_mb": round(w3 - w2, 1),
+        }
+
+        # ---- stage 4: geodesic radius join ---------------------------
+        # constant radius -> ONE cover level, ONE equi-join (no
+        # iterative rounds): the whole stage is a single Spark job
+        t0 = time.time()
+        rr = KS.within_radius_s2(kpts, qs, args.radius_m)
+        n_rr = rr.count()
+        t_rad = time.time() - t0
+        w4, r4 = _shuffle_totals(spark)
+        report["radius_join"] = {
+            "radius_m": args.radius_m,
+            "cover_level": KS.radius_cover_level(args.radius_m),
+            "wall_s": round(t_rad, 2),
+            "queries_per_sec": int(args.queries / t_rad),
+            "result_rows": n_rr,
+            "shuffle_write_mb": round(w4 - w3, 1),
         }
         pts.unpersist()
     finally:

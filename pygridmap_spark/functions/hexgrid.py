@@ -169,3 +169,131 @@ def py_center(q: np.ndarray, r: np.ndarray, size: float) -> tuple[np.ndarray, np
     q = np.asarray(q, np.float64)
     r = np.asarray(r, np.float64)
     return size * SQRT3 * (q + r / 2.0), size * 1.5 * r
+
+
+# --- polyfill (H3 polygonToCells parity) -------------------------------------
+
+
+def polyfill(
+    polys: DataFrame,
+    size: float,
+    wkb_col: str = "wkb",
+    id_col: str = "poly_id",
+    prefix: str = "hex_",
+) -> DataFrame:
+    """All hex cells whose CENTER lies inside each (multi)polygon — H3's
+    ``polygonToCells`` semantics (center containment) on the LAEA plane.
+
+    Three stages, heavy work distributed and Catalyst-visible:
+
+    1. an Arrow kernel turns each polygon into its bbox's ROW RANGES —
+       one output row per hex row ``r`` with the inclusive ``[q_lo, q_hi]``
+       span whose centers fall in the bbox (O(rows), tiny);
+    2. Catalyst ``explode(sequence(q_lo, q_hi))`` enumerates candidate
+       cells DISTRIBUTED (a mega-polygon's millions of candidates are
+       ordinary rows Spark can repartition/AQE-split, never one task's
+       Python loop), and computes each center in codegen;
+    3. candidates equi-join the polygon WKB on ``id_col`` (AQE broadcasts
+       dim-sized layers) and a second Arrow kernel runs the vectorized
+       even-odd ray cast (core/geometry.points_in_multipolygon), decoding
+       each polygon once per batch-group.
+
+    Returns (id_col, {prefix}q, {prefix}r, {prefix}id). Centers exactly on
+    a polygon edge follow the ray-cast half-open convention (standard
+    caveat, same as the engine's PIP joins). Reference parity: pygridmap
+    covers polygons with RECT grid cells (gridding.grid_maker); this is
+    the hex-family analog the north star's "H3/S2 cells" implies.
+    """
+    size = float(size)
+    sx = size * SQRT3  # center x stride per unit (q + r/2)
+    sy = size * 1.5  # center y stride per unit r
+    id_field = f"{id_col} {dict(polys.dtypes)[id_col]}"
+    ranges_schema = f"{id_field}, _r long, _qlo long, _qhi long"
+
+    def _row_ranges(batches):
+        import pandas as pd
+
+        from pygridmap_spark.core import geometry as G
+        from pygridmap_spark.core import wkb as WKB
+
+        for pdf in batches:
+            ids, rs, qlos, qhis = [], [], [], []
+            for pid, buf in zip(pdf[id_col], pdf[wkb_col]):
+                if buf is None:
+                    continue
+                mp = WKB.decode_multipolygon(bytes(buf))
+                if not mp or not any(len(p) for p in mp):
+                    continue
+                xmin, ymin, xmax, ymax = G.multipolygon_bbox(mp)
+                rlo = int(np.ceil(ymin / sy))
+                rhi = int(np.floor(ymax / sy))
+                if rhi < rlo:
+                    continue
+                rr = np.arange(rlo, rhi + 1, dtype=np.int64)
+                qlo = np.ceil(xmin / sx - rr / 2.0).astype(np.int64)
+                qhi = np.floor(xmax / sx - rr / 2.0).astype(np.int64)
+                ok = qhi >= qlo
+                if not ok.any():
+                    continue
+                rr, qlo, qhi = rr[ok], qlo[ok], qhi[ok]
+                ids.append(np.repeat(np.asarray(pid), len(rr)))
+                rs.append(rr)
+                qlos.append(qlo)
+                qhis.append(qhi)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "_r": np.concatenate(rs),
+                        "_qlo": np.concatenate(qlos),
+                        "_qhi": np.concatenate(qhis),
+                    }
+                )
+
+    ranges = polys.select(id_col, wkb_col).mapInPandas(_row_ranges, ranges_schema)
+    cx, cy = center(F.col("_q"), F.col("_r"), size)
+    cand = (
+        ranges.withColumn("_q", F.explode(F.sequence(F.col("_qlo"), F.col("_qhi"))))
+        .drop("_qlo", "_qhi")
+        .withColumns({"_cx": cx, "_cy": cy})
+    )
+    joined = cand.join(polys.select(id_col, wkb_col), id_col)
+
+    out_schema = f"{id_field}, {prefix}q long, {prefix}r long, {prefix}id long"
+
+    def _containment(batches):
+        import pandas as pd
+
+        from pygridmap_spark.core import geometry as G
+        from pygridmap_spark.core import wkb as WKB
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            parts = []
+            for pid, g in pdf.groupby(id_col, sort=False):
+                buf = g[wkb_col].iloc[0]
+                if buf is None:
+                    continue
+                mp = WKB.decode_multipolygon(bytes(buf))
+                inside = G.points_in_multipolygon(
+                    g["_cx"].to_numpy(), g["_cy"].to_numpy(), mp
+                )
+                if not inside.any():
+                    continue
+                q = g["_q"].to_numpy()[inside]
+                r = g["_r"].to_numpy()[inside]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: g[id_col].to_numpy()[inside],
+                            f"{prefix}q": q,
+                            f"{prefix}r": r,
+                            f"{prefix}id": py_pack(q, r),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return joined.mapInPandas(_containment, out_schema)

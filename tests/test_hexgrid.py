@@ -104,3 +104,96 @@ def test_hex_on_laea_is_exact_equal_area(spark):
     _, cnt = np.unique(HX.py_pack(q[interior], r[interior]), return_counts=True)
     poisson_cv = 1.0 / np.sqrt(cnt.mean())
     assert cnt.std() / cnt.mean() < 1.5 * poisson_cv
+
+
+# --- polyfill ---------------------------------------------------------------
+
+from pygridmap_spark.core import geometry as G
+from pygridmap_spark.core import wkb as WKB
+
+
+def _brute_polyfill(mp, size):
+    """Reference polyfill: scan a padded candidate window, center test."""
+    xmin, ymin, xmax, ymax = G.multipolygon_bbox(mp)
+    rlo = int(np.ceil(ymin / (1.5 * size))) - 2
+    rhi = int(np.floor(ymax / (1.5 * size))) + 2
+    cells = set()
+    for r in range(rlo, rhi + 1):
+        qlo = int(np.floor(xmin / (size * HX.SQRT3) - r / 2.0)) - 3
+        qhi = int(np.ceil(xmax / (size * HX.SQRT3) - r / 2.0)) + 3
+        q = np.arange(qlo, qhi + 1)
+        cx, cy = HX.py_center(q, np.full(len(q), r), size)
+        inside = G.points_in_multipolygon(cx, cy, mp)
+        cells.update((int(qq), r) for qq in q[inside])
+    return cells
+
+
+def _polyfill_cmp(spark, fixtures, size):
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": list(range(len(fixtures))),
+                "wkb": [WKB.encode_multipolygon(mp) for mp in fixtures],
+            }
+        )
+    )
+    got = HX.polyfill(polys, size).toPandas()
+    for pid, mp in enumerate(fixtures):
+        g = set(
+            zip(
+                got[got.poly_id == pid].hex_q.astype(int),
+                got[got.poly_id == pid].hex_r.astype(int),
+            )
+        )
+        assert g == _brute_polyfill(mp, size), f"poly {pid}"
+    qq, rr = HX.py_unpack(got.hex_id.to_numpy())
+    assert (qq == got.hex_q.to_numpy()).all()
+    assert (rr == got.hex_r.to_numpy()).all()
+    return got
+
+
+def test_polyfill_shapes(spark):
+    rect = [[np.array([[3.1, 2.7], [97.3, 2.7], [97.3, 81.9], [3.1, 81.9], [3.1, 2.7]])]]
+    ell = [[np.array(
+        [[0.3, 0.2], [60.1, 0.2], [60.1, 30.4], [30.2, 30.4], [30.2, 70.6],
+         [0.3, 70.6], [0.3, 0.2]])]]
+    hole = [[
+        np.array([[-50.2, -40.3], [50.7, -40.3], [50.7, 40.9], [-50.2, 40.9],
+                  [-50.2, -40.3]]),
+        np.array([[-20.1, -15.2], [20.3, -15.2], [20.3, 15.4], [-20.1, 15.4],
+                  [-20.1, -15.2]]),
+    ]]
+    two_part = [
+        [np.array([[0.1, 0.1], [30.2, 0.1], [30.2, 25.3], [0.1, 25.3], [0.1, 0.1]])],
+        [np.array([[70.4, 50.2], [95.6, 50.2], [95.6, 75.8], [70.4, 75.8], [70.4, 50.2]])],
+    ]
+    _polyfill_cmp(spark, [rect, ell, hole, two_part], 10.0)
+
+
+def test_polyfill_random_concave(spark):
+    # star-shaped random polygons (angle-sorted radial vertices are simple)
+    rng = np.random.default_rng(42)
+    fixtures = []
+    for _ in range(4):
+        k = rng.integers(6, 14)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(20.0, 120.0, k)
+        cx, cy = rng.uniform(-200, 200, 2)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        fixtures.append([[ring]])
+    _polyfill_cmp(spark, fixtures, 7.0)
+
+
+def test_polyfill_degenerate(spark):
+    # sub-cell sliver polygon containing no hex center; and a null wkb row
+    sliver = [[np.array([[0.21, 0.31], [0.52, 0.31], [0.52, 0.62], [0.21, 0.62],
+                         [0.21, 0.31]])]]
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {"poly_id": [0, 1],
+             "wkb": [WKB.encode_multipolygon(sliver), None]}
+        )
+    )
+    out = HX.polyfill(polys, 10.0).toPandas()
+    assert len(out) == 0
