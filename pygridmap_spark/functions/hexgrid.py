@@ -173,6 +173,8 @@ def py_center(q: np.ndarray, r: np.ndarray, size: float) -> tuple[np.ndarray, np
 
 # --- polyfill (H3 polygonToCells parity) -------------------------------------
 
+_MAX_SPAN = 4096  # candidate cap per range row (bounds per-task PIP work)
+
 
 def polyfill(
     polys: DataFrame,
@@ -180,6 +182,8 @@ def polyfill(
     wkb_col: str = "wkb",
     id_col: str = "poly_id",
     prefix: str = "hex_",
+    candidates_partitions: int | None = None,
+    max_span: int = _MAX_SPAN,
 ) -> DataFrame:
     """All hex cells whose CENTER lies inside each (multi)polygon — H3's
     ``polygonToCells`` semantics (center containment) on the LAEA plane.
@@ -190,13 +194,21 @@ def polyfill(
        one output row per hex row ``r`` with the inclusive ``[q_lo, q_hi]``
        span whose centers fall in the bbox (O(rows), tiny);
     2. Catalyst ``explode(sequence(q_lo, q_hi))`` enumerates candidate
-       cells DISTRIBUTED (a mega-polygon's millions of candidates are
-       ordinary rows Spark can repartition/AQE-split, never one task's
-       Python loop), and computes each center in codegen;
+       cells as ordinary rows and computes each center in codegen;
     3. candidates equi-join the polygon WKB on ``id_col`` (AQE broadcasts
        dim-sized layers) and a second Arrow kernel runs the vectorized
        even-odd ray cast (core/geometry.points_in_multipolygon), decoding
        each polygon once per batch-group.
+
+    ``candidates_partitions``: explode is not an exchange — candidates
+    inherit the (typically few) input partitions, so ONE mega-polygon's
+    millions of candidates would run their ray cast in one task. Set this
+    to round-robin the RANGE rows across N partitions before the explode
+    (the kernel caps each range row at 4096 candidates, so the exchange
+    is O(cells/4096) tiny rows and every downstream task holds a bounded
+    slice of the mega-polygon's work). Leave None (no exchange) when
+    polygons are many and individually small — the default matches the
+    engine's zero-exchange bias.
 
     Returns (id_col, {prefix}q, {prefix}r, {prefix}id). Centers exactly on
     a polygon edge follow the ray-cast half-open convention (standard
@@ -236,10 +248,19 @@ def polyfill(
                 if not ok.any():
                     continue
                 rr, qlo, qhi = rr[ok], qlo[ok], qhi[ok]
+                # cap each range row at _MAX_SPAN candidates so a later
+                # repartition bounds every task's PIP slice
+                nch = (qhi - qlo) // max_span + 1
+                rr = np.repeat(rr, nch)
+                idx = np.arange(int(nch.sum())) - np.repeat(
+                    np.cumsum(nch) - nch, nch
+                )
+                lo = np.repeat(qlo, nch) + idx * max_span
+                hi = np.minimum(lo + max_span - 1, np.repeat(qhi, nch))
                 ids.append(np.repeat(np.asarray(pid), len(rr)))
                 rs.append(rr)
-                qlos.append(qlo)
-                qhis.append(qhi)
+                qlos.append(lo)
+                qhis.append(hi)
             if ids:
                 yield pd.DataFrame(
                     {
@@ -251,6 +272,8 @@ def polyfill(
                 )
 
     ranges = polys.select(id_col, wkb_col).mapInPandas(_row_ranges, ranges_schema)
+    if candidates_partitions:
+        ranges = ranges.repartition(int(candidates_partitions))
     cx, cy = center(F.col("_q"), F.col("_r"), size)
     cand = (
         ranges.withColumn("_q", F.explode(F.sequence(F.col("_qlo"), F.col("_qhi"))))

@@ -197,3 +197,21 @@ def test_polyfill_degenerate(spark):
     )
     out = HX.polyfill(polys, 10.0).toPandas()
     assert len(out) == 0
+
+
+def test_polyfill_chunked_and_repartitioned(spark):
+    # a tiny max_span forces many chunked range rows; with a candidate
+    # repartition the result must be identical (chunking/exchange is a
+    # pure execution detail)
+    rect = [[np.array([[3.1, 2.7], [397.3, 2.7], [397.3, 181.9], [3.1, 181.9],
+                       [3.1, 2.7]])]]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "wkb": [WKB.encode_multipolygon(rect)]})
+    )
+    base = HX.polyfill(polys, 10.0).toPandas()
+    chunked = HX.polyfill(
+        polys, 10.0, candidates_partitions=5, max_span=3
+    ).toPandas()
+    key = lambda df: sorted(zip(df.hex_q, df.hex_r))
+    assert key(chunked) == key(base)
+    assert len(base) > 100
