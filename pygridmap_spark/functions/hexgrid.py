@@ -174,6 +174,7 @@ def py_center(q: np.ndarray, r: np.ndarray, size: float) -> tuple[np.ndarray, np
 # --- polyfill (H3 polygonToCells parity) -------------------------------------
 
 _MAX_SPAN = 4096  # candidate cap per range row (bounds per-task PIP work)
+_PIP_SLAB = 32768  # points per ray-cast call ((P x E) temporaries stay ~MB)
 
 
 def polyfill(
@@ -193,22 +194,24 @@ def polyfill(
     1. an Arrow kernel turns each polygon into its bbox's ROW RANGES —
        one output row per hex row ``r`` with the inclusive ``[q_lo, q_hi]``
        span whose centers fall in the bbox (O(rows), tiny);
-    2. Catalyst ``explode(sequence(q_lo, q_hi))`` enumerates candidate
-       cells as ordinary rows and computes each center in codegen;
-    3. candidates equi-join the polygon WKB on ``id_col`` (AQE broadcasts
-       dim-sized layers) and a second Arrow kernel runs the vectorized
-       even-odd ray cast (core/geometry.points_in_multipolygon), decoding
-       each polygon once per batch-group.
+    2. the range rows equi-join the polygon WKB on ``id_col`` (AQE
+       broadcasts dim-sized layers) — ONE WKB copy per <=``max_span``
+       candidates, so a mega-polygon's geometry never rides an exchange
+       once per cell;
+    3. a second Arrow kernel expands each range to its candidate centers
+       in numpy (per-range arange offsets, no per-cell Python) and runs
+       the vectorized even-odd ray cast
+       (core/geometry.points_in_multipolygon), decoding each polygon once
+       per batch-group.
 
-    ``candidates_partitions``: explode is not an exchange — candidates
-    inherit the (typically few) input partitions, so ONE mega-polygon's
-    millions of candidates would run their ray cast in one task. Set this
-    to round-robin the RANGE rows across N partitions before the explode
-    (the kernel caps each range row at 4096 candidates, so the exchange
-    is O(cells/4096) tiny rows and every downstream task holds a bounded
-    slice of the mega-polygon's work). Leave None (no exchange) when
-    polygons are many and individually small — the default matches the
-    engine's zero-exchange bias.
+    ``candidates_partitions``: the range kernel is not an exchange — its
+    rows inherit the (typically few) input partitions, so ONE
+    mega-polygon's millions of candidates would ray-cast in a single
+    task. Set this to round-robin the chunked range rows across N
+    partitions (an O(cells/max_span) tiny-row exchange) so every task
+    holds a bounded slice of the mega-polygon's work. Leave None (no
+    exchange) when polygons are many and individually small — the
+    default matches the engine's zero-exchange bias.
 
     Returns (id_col, {prefix}q, {prefix}r, {prefix}id). Centers exactly on
     a polygon edge follow the ray-cast half-open convention (standard
@@ -274,13 +277,10 @@ def polyfill(
     ranges = polys.select(id_col, wkb_col).mapInPandas(_row_ranges, ranges_schema)
     if candidates_partitions:
         ranges = ranges.repartition(int(candidates_partitions))
-    cx, cy = center(F.col("_q"), F.col("_r"), size)
-    cand = (
-        ranges.withColumn("_q", F.explode(F.sequence(F.col("_qlo"), F.col("_qhi"))))
-        .drop("_qlo", "_qhi")
-        .withColumns({"_cx": cx, "_cy": cy})
-    )
-    joined = cand.join(polys.select(id_col, wkb_col), id_col)
+    # join the WKB onto the chunked RANGE rows (one copy per <=max_span
+    # candidates), never onto candidate cells — a mega-polygon's geometry
+    # must not ride the exchange once per cell
+    joined = ranges.join(polys.select(id_col, wkb_col), id_col)
 
     out_schema = f"{id_field}, {prefix}q long, {prefix}r long, {prefix}id long"
 
@@ -299,17 +299,38 @@ def polyfill(
                 if buf is None:
                     continue
                 mp = WKB.decode_multipolygon(bytes(buf))
-                inside = G.points_in_multipolygon(
-                    g["_cx"].to_numpy(), g["_cy"].to_numpy(), mp
-                )
+                lo = g["_qlo"].to_numpy()
+                hi = g["_qhi"].to_numpy()
+                rr = g["_r"].to_numpy()
+                spans = hi - lo + 1
+                # expand the ranges to candidate (q, r) in numpy (the
+                # per-range arange offsets trick; no Python per-cell loop)
+                total = int(spans.sum())
+                idx = np.arange(total) - np.repeat(np.cumsum(spans) - spans, spans)
+                q = np.repeat(lo, spans) + idx
+                r = np.repeat(rr, spans)
+                cx, cy = py_center(q, r, size)
+                # slab the ray cast: the kernel builds (points x edges)
+                # temporaries, so cap points per call to keep them
+                # cache-/RAM-sized (CLAUDE.md slabbing hazard)
+                if total <= _PIP_SLAB:
+                    inside = G.points_in_multipolygon(cx, cy, mp)
+                else:
+                    inside = np.empty(total, dtype=bool)
+                    for s in range(0, total, _PIP_SLAB):
+                        e = min(s + _PIP_SLAB, total)
+                        inside[s:e] = G.points_in_multipolygon(
+                            cx[s:e], cy[s:e], mp
+                        )
                 if not inside.any():
                     continue
-                q = g["_q"].to_numpy()[inside]
-                r = g["_r"].to_numpy()[inside]
+                q, r = q[inside], r[inside]
                 parts.append(
                     pd.DataFrame(
                         {
-                            id_col: g[id_col].to_numpy()[inside],
+                            id_col: np.repeat(
+                                g[id_col].to_numpy()[:1], len(q)
+                            ),
                             f"{prefix}q": q,
                             f"{prefix}r": r,
                             f"{prefix}id": py_pack(q, r),
