@@ -1134,6 +1134,60 @@ def _q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("poly_id", "hex_q", "hex_r", "hex_id")
 
 
+def _q_s2_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 polyfill (functions/s2.polyfill — geodesic polygonToCells at a
+    fixed level): 30 synthetic uv-rect quads on face 2. A straight segment
+    in a face's gnomonic (u, v) chart IS a geodesic, so each quad's
+    spherical interior equals its uv rect — which makes the DuckDB twin
+    pure arithmetic (st<->uv quadratic closed form + ceil/floor center
+    ranges) while Spark runs the REAL machinery (bounding cap -> cover
+    cells -> winding-number ray cast on unit vectors). Fractional bounds
+    keep centers off quad edges."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as _WKB
+    from pygridmap_spark.functions import s2 as _S2M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 30)
+    u0 = F.lit(-0.8123) + (F.col("doc_id") * F.lit(2654435761) % F.lit(1200)) / F.lit(1000.0)
+    v0 = F.lit(-0.8457) + (F.col("doc_id") * F.lit(2246822519) % F.lit(1200)) / F.lit(1000.0)
+    du = F.lit(0.0817) + (F.col("doc_id") * F.lit(40503) % F.lit(400)) / F.lit(1000.0)
+    dv = F.lit(0.0693) + (F.col("doc_id") * F.lit(69997) % F.lit(400)) / F.lit(1000.0)
+    bounds = docs.select(
+        F.col("doc_id").alias("poly_id"),
+        u0.alias("_u0"), v0.alias("_v0"),
+        (u0 + du).alias("_u1"), (v0 + dv).alias("_v1"),
+    )
+
+    def _encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for pid, a0, b0, a1, b1 in zip(
+                pdf["poly_id"], pdf["_u0"], pdf["_v0"], pdf["_u1"], pdf["_v1"]
+            ):
+                uu = np.array([a0, a1, a1, a0, a0])
+                vv = np.array([b0, b0, b1, b1, b0])
+                x, y, z = _S2M._np_face_uv_to_xyz(np.full(5, 2), uu, vv)
+                n = np.sqrt(x * x + y * y + z * z)
+                lon = np.degrees(np.arctan2(y, x))
+                lat = np.degrees(np.arcsin(z / n))
+                ring = np.column_stack([lon, lat])
+                out.append(
+                    {"poly_id": pid, "wkb": _WKB.encode_multipolygon([[ring]])}
+                )
+            yield pd.DataFrame(out)
+
+    polys = bounds.mapInPandas(_encode, "poly_id long, wkb binary")
+    out = _S2M.polyfill(polys, 7)
+    return out.select(
+        "poly_id",
+        F.col("s2_face").cast("long").alias("s2_face"),
+        "s2_i", "s2_j",
+    )
+
+
 def _q_within_radius_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic radius join (operators/knn_sphere.py within_radius_s2):
     every point within 400 km great-circle distance of each query via a
@@ -1486,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_rollup": _q_hex_rollup,
         "within_radius_s2": _q_within_radius_s2,
         "hex_polyfill": _q_hex_polyfill,
+        "s2_polyfill": _q_s2_polyfill,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2402,6 +2457,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT poly_id, q AS hex_q, r AS hex_r,
                    (q + 33554432) * 67108864 + (r + 33554432) AS hex_id
             FROM cells
+        """,
+        "s2_polyfill": """
+            WITH bounds AS (
+                SELECT doc_id AS poly_id,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            ),
+            st AS (
+                SELECT poly_id,
+                       CASE WHEN u0 >= 0.0 THEN sqrt(1.0 + 3.0 * u0) * 0.5
+                            ELSE 1.0 - sqrt(1.0 - 3.0 * u0) * 0.5 END AS s0,
+                       CASE WHEN u1 >= 0.0 THEN sqrt(1.0 + 3.0 * u1) * 0.5
+                            ELSE 1.0 - sqrt(1.0 - 3.0 * u1) * 0.5 END AS s1,
+                       CASE WHEN v0 >= 0.0 THEN sqrt(1.0 + 3.0 * v0) * 0.5
+                            ELSE 1.0 - sqrt(1.0 - 3.0 * v0) * 0.5 END AS t0,
+                       CASE WHEN v1 >= 0.0 THEN sqrt(1.0 + 3.0 * v1) * 0.5
+                            ELSE 1.0 - sqrt(1.0 - 3.0 * v1) * 0.5 END AS t1
+                FROM bounds
+            ),
+            irows AS (
+                SELECT poly_id, t0, t1, i
+                FROM st,
+                     LATERAL unnest(generate_series(
+                         CAST(ceil(s0 * 128.0 - 0.5) AS BIGINT),
+                         CAST(floor(s1 * 128.0 - 0.5) AS BIGINT))) AS a(i)
+            )
+            SELECT poly_id, 2 AS s2_face, i AS s2_i, j AS s2_j
+            FROM irows,
+                 LATERAL unnest(generate_series(
+                     CAST(ceil(t0 * 128.0 - 0.5) AS BIGINT),
+                     CAST(floor(t1 * 128.0 - 0.5) AS BIGINT))) AS b(j)
         """,
         "within_radius_s2": f"""
             WITH pts AS (

@@ -66,6 +66,7 @@ HEADLINE = [
     "knn_s2_geodesic",
     "within_radius_s2",
     "hex_polyfill",
+    "s2_polyfill",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Spherical polygon kernel: point-in-polygon on the unit sphere.
+
+Geodesic polygons — rings of (lon, lat) vertices joined by great-circle
+arcs (< 180 deg each) — tested by the tangent-plane winding number: for a
+point ``p`` and ring edge ``(a, b)``, project both endpoints onto the
+tangent plane at ``p`` and accumulate the signed angle between them; the
+sum is ~±2π when ``p`` is inside the ring and ~0 outside. Rings combine
+even-odd (holes XOR), matching the planar kernel's convention
+(core/geometry.points_in_polygon) and WKB's ring layout.
+
+Domain of validity (documented, not checked row-wise): each ring must lie
+within an open hemisphere and must not contain the test point's antipode
+— the standard winding-number caveat on the sphere. Web-scale zone layers
+(admin areas, tiles, coverage footprints) satisfy this by orders of
+magnitude.
+
+All public spherical-geometry math (gnomonic straightness of geodesics,
+tangent-plane winding); vectorized over points with a Python loop only
+over edges, so it runs slab-sized inside Arrow batches like the planar
+kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "lonlat_to_xyz",
+    "ring_to_xyz",
+    "points_in_spherical_ring",
+    "points_in_spherical_polygon",
+    "bounding_cap",
+]
+
+
+def lonlat_to_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """(N,) degrees -> (N, 3) unit vectors."""
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    cp = np.cos(phi)
+    return np.column_stack([cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)])
+
+
+def ring_to_xyz(ring: np.ndarray) -> np.ndarray:
+    """(K, 2) lon/lat ring -> (K, 3) unit vectors, closing vertex dropped
+    (the edge loop wraps)."""
+    ring = np.asarray(ring, np.float64)
+    if len(ring) > 1 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
+        ring = ring[:-1]
+    return lonlat_to_xyz(ring[:, 0], ring[:, 1])
+
+
+def points_in_spherical_ring(p: np.ndarray, ring_xyz: np.ndarray) -> np.ndarray:
+    """Winding-number containment of (P, 3) unit points in one geodesic
+    ring given as (K, 3) unit vertices (open — no repeated closing
+    vertex). Returns (P,) bool. Points exactly on an edge or vertex may
+    resolve either way (measure zero, same caveat as the planar ray
+    cast)."""
+    p = np.asarray(p, np.float64)
+    k = len(ring_xyz)
+    if k < 3:
+        return np.zeros(len(p), dtype=bool)
+    wind = np.zeros(len(p), dtype=np.float64)
+    # tangent-plane projections: loop over edges (K small), vectorize
+    # over points; ta/tb are (P, 3) temporaries per step
+    a = ring_xyz[-1]
+    adot = p @ a
+    ta = a[None, :] - adot[:, None] * p
+    for e in range(k):
+        b = ring_xyz[e]
+        bdot = p @ b
+        tb = b[None, :] - bdot[:, None] * p
+        cross = np.cross(ta, tb)
+        sin_ang = np.einsum("ij,ij->i", cross, p)
+        cos_ang = np.einsum("ij,ij->i", ta, tb)
+        wind += np.arctan2(sin_ang, cos_ang)
+        ta = tb
+    return np.abs(wind) > np.pi
+
+
+def points_in_spherical_polygon(p: np.ndarray, rings_lonlat: list) -> np.ndarray:
+    """Even-odd over all rings of one polygon (outer shell + holes),
+    rings given as (K, 2) lon/lat arrays (WKB layout)."""
+    inside = np.zeros(len(p), dtype=bool)
+    for ring in rings_lonlat:
+        inside ^= points_in_spherical_ring(p, ring_to_xyz(ring))
+    return inside
+
+
+def bounding_cap(rings_lonlat: list) -> tuple[np.ndarray, float]:
+    """Small enclosing cap of a geodesic polygon: (center unit vector,
+    angular radius). Center = normalized vertex mean; radius = max vertex
+    angle + half the longest edge arc (any point of an arc lies within
+    half its length of an endpoint), so the cap provably contains every
+    boundary and interior point of a hemisphere-bounded ring."""
+    vs = [ring_to_xyz(r) for r in rings_lonlat if len(r) >= 3]
+    if not vs:
+        return np.array([1.0, 0.0, 0.0]), 0.0
+    allv = np.vstack(vs)
+    c = allv.sum(axis=0)
+    norm = np.linalg.norm(c)
+    if norm < 1e-12:  # symmetric ring (e.g. a full great circle): no cap
+        return np.array([1.0, 0.0, 0.0]), float(np.pi)
+    c = c / norm
+    vmax = float(np.arccos(np.clip(allv @ c, -1.0, 1.0)).max())
+    emax = 0.0
+    for v in vs:
+        nxt = np.roll(v, -1, axis=0)
+        arcs = np.arccos(np.clip(np.einsum("ij,ij->i", v, nxt), -1.0, 1.0))
+        emax = max(emax, float(arcs.max()))
+    return c, min(vmax + emax / 2.0, float(np.pi))

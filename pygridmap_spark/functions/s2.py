@@ -574,3 +574,228 @@ def with_s2_index_kernel(
             yield pdf
 
     return df.mapInPandas(_kernel, schema)
+
+
+# --- polyfill (S2 region covering at a fixed level) --------------------------
+
+_PF_MAX_SPAN = 4096  # candidates per range row (bounds per-task PIP work)
+_PF_PIP_SLAB = 32768  # points per winding call ((P x 3) temporaries per edge)
+
+
+def polyfill(
+    polys: DataFrame,
+    level: int,
+    wkb_col: str = "wkb",
+    id_col: str = "poly_id",
+    prefix: str = "s2_",
+    candidates_partitions: int | None = None,
+    max_span: int = _PF_MAX_SPAN,
+) -> DataFrame:
+    """All level-``level`` S2 cells whose CENTER lies inside each geodesic
+    (multi)polygon — H3 ``polygonToCells`` semantics on the sphere, the
+    spherical twin of ``hexgrid.polyfill``.
+
+    Polygons are WKB in lon/lat degrees; edges are great-circle arcs
+    (< 180 deg), rings even-odd (holes), each polygon bounded by an open
+    hemisphere (core/sphere.py's winding-number domain). The plan mirrors
+    the hex polyfill's scale shape:
+
+    1. an Arrow kernel computes each polygon's bounding cap (vertex-mean
+       center, max-vertex + half-max-edge radius — provably encloses the
+       boundary, and the interior for hemisphere-bounded rings), picks the
+       cover level from the same pinned st-gradient bound the geodesic
+       kNN/radius join rely on, and emits the <= 9 cube-wrap cover cells'
+       DESCENDANT ij ranges at the target level as chunked rows
+       (<= ``max_span`` candidates each); caps too wide for any cover
+       level fall back to whole-sphere ranges;
+    2. the range rows equi-join the polygon WKB on ``id_col`` (one copy
+       per <= ``max_span`` candidates, never per cell);
+    3. a second Arrow kernel expands ranges to cell centers (quadratic
+       st -> uv -> unit xyz), pre-filters by the cap chord, and runs the
+       tangent-plane winding ray cast slab-sized
+       (core/sphere.points_in_spherical_polygon).
+
+    ``candidates_partitions`` round-robins the chunked range rows (an
+    O(cells/max_span) tiny exchange) so one continent-sized polygon's
+    work spreads across tasks — same knob, same reasoning, same pinned
+    identity guarantee as the hex polyfill.
+
+    Returns (id_col, {prefix}face, {prefix}i, {prefix}j,
+    {prefix}compact). Reference parity: pygridmap covers polygons with
+    planar rect cells (gridding.grid_maker); this is the spherical cell
+    family the north star's "H3/S2 cells" implies.
+    """
+    _check_level(level)
+    n = 1 << level
+    id_field = f"{id_col} {dict(polys.dtypes)[id_col]}"
+    ranges_schema = (
+        f"{id_field}, _f int, _i long, _jlo long, _jhi long, "
+        "_cx double, _cy double, _cz double, _cm double"
+    )
+
+    def _ranges(batches):
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        def _emit(rows, pid, f, i, jlo, jhi, cap):
+            # chunk j spans at max_span
+            nch = (jhi - jlo) // max_span + 1
+            i2 = np.repeat(i, nch)
+            f2 = np.repeat(f, nch)
+            idx = np.arange(int(nch.sum())) - np.repeat(np.cumsum(nch) - nch, nch)
+            lo = np.repeat(jlo, nch) + idx * max_span
+            hi = np.minimum(lo + max_span - 1, np.repeat(jhi, nch))
+            m = len(lo)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        id_col: np.repeat(np.asarray(pid), m),
+                        "_f": f2.astype(np.int32),
+                        "_i": i2,
+                        "_jlo": lo,
+                        "_jhi": hi,
+                        "_cx": np.full(m, cap[0]),
+                        "_cy": np.full(m, cap[1]),
+                        "_cz": np.full(m, cap[2]),
+                        "_cm": np.full(m, cap[3]),
+                    }
+                )
+            )
+
+        for pdf in batches:
+            rows: list = []
+            for pid, buf in zip(pdf[id_col], pdf[wkb_col]):
+                if buf is None:
+                    continue
+                mp = WKB.decode_multipolygon(bytes(buf))
+                rings = [r for poly in mp for r in poly if len(r) >= 3]
+                if not rings:
+                    continue
+                c, theta = SPH.bounding_cap(rings)
+                pad = min(theta * (1.0 + 1e-12) + 1e-15, np.pi)
+                cap = (c[0], c[1], c[2], 2.0 * np.sin(pad / 2.0))
+                lc = (
+                    int(np.floor(-np.log2(pad * ST_GRAD_BOUND)))
+                    if pad * ST_GRAD_BOUND < 1.0
+                    else 0
+                )
+                lcov = min(lc, level)
+                if lcov < 1:
+                    # whole sphere: every face, every i row, full j span
+                    ii = np.tile(np.arange(n, dtype=np.int64), 6)
+                    ff = np.repeat(np.arange(6, dtype=np.int64), n)
+                    _emit(
+                        rows, pid, ff, ii,
+                        np.zeros(len(ii), np.int64),
+                        np.full(len(ii), n - 1, np.int64),
+                        cap,
+                    )
+                    continue
+                # cap-center cell at the cover level + cube-wrap neighbors
+                clon = np.degrees(np.arctan2(c[1], c[0]))
+                clat = np.degrees(np.arcsin(np.clip(c[2], -1.0, 1.0)))
+                idx0 = py_s2_index(np.array([clon]), np.array([clat]), lcov)
+                f0, i0, j0 = idx0["face"], idx0["i"], idx0["j"]
+                _, fn, in_, jn = py_s2_neighbors_ij(f0, i0, j0, lcov)
+                cf = np.concatenate([f0, fn])
+                ci = np.concatenate([i0, in_])
+                cj = np.concatenate([j0, jn])
+                s = level - lcov
+                w = np.int64(1 << s)
+                # descendant rect of each cover cell: per-i rows
+                ii = (ci[:, None] << s) + np.arange(w, dtype=np.int64)[None, :]
+                ff = np.repeat(cf, w)
+                jlo = np.repeat(cj << s, w)
+                _emit(
+                    rows, pid, ff, ii.ravel(), jlo, jlo + w - 1, cap
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    ranges = polys.select(id_col, wkb_col).mapInPandas(_ranges, ranges_schema)
+    if candidates_partitions:
+        ranges = ranges.repartition(int(candidates_partitions))
+    joined = ranges.join(polys.select(id_col, wkb_col), id_col)
+
+    out_schema = (
+        f"{id_field}, {prefix}face int, {prefix}i long, {prefix}j long, "
+        f"{prefix}compact long"
+    )
+
+    def _containment(batches):
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        inv_n = 1.0 / float(n)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            parts = []
+            for pid, g in pdf.groupby(id_col, sort=False):
+                buf = g[wkb_col].iloc[0]
+                if buf is None:
+                    continue
+                mp = WKB.decode_multipolygon(bytes(buf))
+                rings = [r for poly in mp for r in poly if len(r) >= 3]
+                if not rings:
+                    continue
+                rxyz = [SPH.ring_to_xyz(r) for r in rings]
+                lo = g["_jlo"].to_numpy()
+                hi = g["_jhi"].to_numpy()
+                ii = g["_i"].to_numpy()
+                ffc = g["_f"].to_numpy()
+                spans = hi - lo + 1
+                total = int(spans.sum())
+                idx = np.arange(total) - np.repeat(np.cumsum(spans) - spans, spans)
+                j = np.repeat(lo, spans) + idx
+                i = np.repeat(ii, spans)
+                f = np.repeat(ffc, spans)
+                u = _np_st_to_uv((i.astype(np.float64) + 0.5) * inv_n)
+                v = _np_st_to_uv((j.astype(np.float64) + 0.5) * inv_n)
+                x, y, z = _np_face_uv_to_xyz(f, u, v)
+                norm = np.sqrt(x * x + y * y + z * z)
+                x, y, z = x / norm, y / norm, z / norm
+                # cap-chord prefilter (the cap provably contains the
+                # polygon, so dropped centers cannot be inside)
+                cx = g["_cx"].iloc[0]
+                cy = g["_cy"].iloc[0]
+                cz = g["_cz"].iloc[0]
+                cm = g["_cm"].iloc[0]
+                dx, dy, dz = x - cx, y - cy, z - cz
+                near = dx * dx + dy * dy + dz * dz <= cm * cm
+                if not near.any():
+                    continue
+                f, i, j = f[near], i[near], j[near]
+                p = np.column_stack([x[near], y[near], z[near]])
+                m = len(p)
+                inside = np.zeros(m, dtype=bool)
+                for st in range(0, m, _PF_PIP_SLAB):
+                    en = min(st + _PF_PIP_SLAB, m)
+                    acc = np.zeros(en - st, dtype=bool)
+                    for rx in rxyz:
+                        acc ^= SPH.points_in_spherical_ring(p[st:en], rx)
+                    inside[st:en] = acc
+                if not inside.any():
+                    continue
+                f, i, j = f[inside], i[inside], j[inside]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(g[id_col].to_numpy()[:1], len(i)),
+                            f"{prefix}face": f.astype(np.int32),
+                            f"{prefix}i": i,
+                            f"{prefix}j": j,
+                            f"{prefix}compact": (
+                                f.astype(np.int64) << np.int64(2 * level)
+                            ) + _np_hilbert_d(i, j, level),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return joined.mapInPandas(_containment, out_schema)

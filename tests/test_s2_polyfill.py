@@ -1,0 +1,193 @@
+"""S2 polyfill (functions/s2.polyfill) + the spherical PIP kernel
+(core/sphere.py): winding-number containment pins, polyfill vs a
+cap-restricted whole-sphere brute enumeration across face edges / poles /
+antimeridian / holes / multi-part, degenerate inputs, and the chunking /
+repartition identity guarantee."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pygridmap_spark.core import sphere as SPH
+from pygridmap_spark.core import wkb as WKB
+from pygridmap_spark.functions import s2 as S2
+
+LEVEL = 7
+N = 1 << LEVEL
+
+
+# --- kernel ------------------------------------------------------------------
+
+def test_winding_basics():
+    ring = np.array([[0.0, 0.0], [20.0, 0.0], [20.0, 15.0], [0.0, 15.0], [0.0, 0.0]])
+    p_in = SPH.lonlat_to_xyz(np.array([10.0, 1.0, 19.0]), np.array([7.0, 1.0, 14.0]))
+    p_out = SPH.lonlat_to_xyz(np.array([-5.0, 25.0, 10.0]), np.array([7.0, 7.0, 30.0]))
+    assert SPH.points_in_spherical_ring(p_in, SPH.ring_to_xyz(ring)).all()
+    assert not SPH.points_in_spherical_ring(p_out, SPH.ring_to_xyz(ring)).any()
+
+
+def test_winding_pole_ring():
+    # ring of constant latitude encircling the north pole: inside means
+    # "poleward", with no special-casing
+    lons = np.linspace(0, 360, 37)[:-1]
+    cap = np.column_stack([lons, np.full(36, 80.0)])
+    p = SPH.lonlat_to_xyz(np.array([50.0, 123.0, 50.0]), np.array([89.0, 85.0, 70.0]))
+    got = SPH.points_in_spherical_ring(p, SPH.ring_to_xyz(cap))
+    assert list(got) == [True, True, False]
+
+
+def test_winding_hole_even_odd():
+    ring = np.array([[0.0, 0.0], [20.0, 0.0], [20.0, 15.0], [0.0, 15.0], [0.0, 0.0]])
+    hole = np.array([[5.0, 5.0], [15.0, 5.0], [15.0, 10.0], [5.0, 10.0], [5.0, 5.0]])
+    p = SPH.lonlat_to_xyz(np.array([10.0, 2.0]), np.array([7.0, 2.0]))
+    got = SPH.points_in_spherical_polygon(p, [ring, hole])
+    assert list(got) == [False, True]
+
+
+def test_bounding_cap_contains_boundary():
+    rng = np.random.default_rng(9)
+    for _ in range(20):
+        k = rng.integers(4, 12)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        clon, clat = rng.uniform(-180, 180), rng.uniform(-60, 60)
+        rad = rng.uniform(2.0, 25.0, k)
+        ring = np.column_stack(
+            [clon + rad * np.cos(ang), clat + rad * np.sin(ang)]
+        )
+        ring = np.vstack([ring, ring[:1]])
+        c, th = SPH.bounding_cap([ring])
+        # densely sample each edge chordally; every sample within the cap
+        v = SPH.ring_to_xyz(ring)
+        t = np.linspace(0, 1, 33)[:, None]
+        for e in range(len(v)):
+            seg = v[e] * (1 - t) + v[(e + 1) % len(v)] * t
+            seg /= np.linalg.norm(seg, axis=1, keepdims=True)
+            assert (seg @ c >= np.cos(th) - 1e-12).all()
+
+
+# --- polyfill vs brute ---------------------------------------------------------
+
+def _brute(rings):
+    f = np.repeat(np.arange(6, dtype=np.int64), N * N)
+    i = np.tile(np.repeat(np.arange(N, dtype=np.int64), N), 6)
+    j = np.tile(np.arange(N, dtype=np.int64), 6 * N)
+    u = S2._np_st_to_uv((i + 0.5) / N)
+    v = S2._np_st_to_uv((j + 0.5) / N)
+    x, y, z = S2._np_face_uv_to_xyz(f, u, v)
+    nn = np.sqrt(x * x + y * y + z * z)
+    p = np.column_stack([x / nn, y / nn, z / nn])
+    # the winding test is hemisphere-scoped: restrict the enumeration to
+    # the polygon's bounding cap (as the operator does) so the antipodal
+    # mirror region is excluded
+    c, th = SPH.bounding_cap(rings)
+    keep = p @ c >= np.cos(min(th * 1.0000001 + 1e-12, np.pi))
+    f, i, j, p = f[keep], i[keep], j[keep], p[keep]
+    inside = np.zeros(len(p), dtype=bool)
+    for r in rings:
+        inside ^= SPH.points_in_spherical_ring(p, SPH.ring_to_xyz(r))
+    return set(zip(f[inside], i[inside], j[inside]))
+
+
+def _cmp(spark, fixtures, **kw):
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": list(range(len(fixtures))),
+                "wkb": [WKB.encode_multipolygon(mp) for mp in fixtures],
+            }
+        )
+    )
+    got = S2.polyfill(polys, LEVEL, **kw).toPandas()
+    for pid, mp in enumerate(fixtures):
+        rings = [r for poly in mp for r in poly]
+        g = set(
+            zip(
+                got[got.poly_id == pid].s2_face.astype(int),
+                got[got.poly_id == pid].s2_i,
+                got[got.poly_id == pid].s2_j,
+            )
+        )
+        assert g == _brute(rings), f"poly {pid}"
+    # compact ids consistent with the Hilbert layout
+    comp = (got.s2_face.to_numpy().astype(np.int64) << (2 * LEVEL)) + S2._np_hilbert_d(
+        got.s2_i.to_numpy(), got.s2_j.to_numpy(), LEVEL
+    )
+    assert (comp == got.s2_compact.to_numpy()).all()
+    return got
+
+
+def _fixtures():
+    lons = np.linspace(0, 360, 25)[:-1]
+    shell = np.array([[-170.0, -20.0], [-140.0, -20.0], [-140.0, 10.0],
+                      [-170.0, 10.0], [-170.0, -20.0]])
+    hole = np.array([[-160.0, -10.0], [-150.0, -10.0], [-150.0, 0.0],
+                     [-160.0, 0.0], [-160.0, -10.0]])
+    p1 = np.array([[170.0, -5.0], [179.0, -5.0], [179.0, 5.0], [170.0, 5.0],
+                   [170.0, -5.0]])
+    p2 = np.array([[-179.0, -5.0], [-170.0, -5.0], [-170.0, 5.0],
+                   [-179.0, 5.0], [-179.0, -5.0]])
+    return [
+        # quad crossing the lon-45 cube edge
+        [[np.array([[30.0, -10.0], [60.0, -10.0], [60.0, 20.0], [30.0, 20.0],
+                    [30.0, -10.0]])]],
+        # polar ring (north pole inside; winding handles it unmodified)
+        [[np.column_stack([lons, np.full(24, 75.0)])]],
+        # shell + hole
+        [[shell, hole]],
+        # two-part multipolygon straddling the antimeridian
+        [[p1], [p2]],
+        # southern high-latitude concave star
+        [[_star(77)]],
+    ]
+
+
+def _star(seed):
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(6, 12))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    rad = rng.uniform(4.0, 18.0, k)
+    ring = np.column_stack([20.0 + rad * np.cos(ang), -70.0 + rad * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+def test_polyfill_vs_brute(spark):
+    _cmp(spark, _fixtures())
+
+
+def test_polyfill_chunked_repartitioned_identical(spark):
+    fixtures = _fixtures()[:2]
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [0, 1],
+                "wkb": [WKB.encode_multipolygon(mp) for mp in fixtures],
+            }
+        )
+    )
+    base = S2.polyfill(polys, LEVEL).toPandas()
+    alt = S2.polyfill(
+        polys, LEVEL, candidates_partitions=7, max_span=17
+    ).toPandas()
+    key = lambda df: sorted(zip(df.poly_id, df.s2_compact))
+    assert key(alt) == key(base)
+
+
+def test_polyfill_hemisphere_scale_polygon(spark):
+    # cap too wide for any cover level -> whole-sphere candidate fallback
+    lons = np.linspace(0, 360, 25)[:-1]
+    ring = np.column_stack([lons, np.full(24, 8.0)])  # most of the north
+    _cmp(spark, [[[ring]]])
+
+
+def test_polyfill_degenerate(spark):
+    sliver = [[np.array([[10.0001, 5.0001], [10.0002, 5.0001],
+                         [10.0002, 5.0002], [10.0001, 5.0002],
+                         [10.0001, 5.0001]])]]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0, 1],
+                      "wkb": [WKB.encode_multipolygon(sliver), None]})
+    )
+    out = S2.polyfill(polys, LEVEL).toPandas()
+    assert len(out) == 0
