@@ -5,9 +5,9 @@ numpy-only kernels stay importable without a Spark install and Arrow
 workers importing a kernel don't pay the pyspark import.
 """
 
-from pygridmap_spark.core import bboxes, geometry, wkb
+from pygridmap_spark.core import bboxes, geometry, sphere, wkb
 
-__all__ = ["bboxes", "crs", "fsio", "geometry", "wkb"]
+__all__ = ["bboxes", "crs", "fsio", "geometry", "sphere", "wkb"]
 
 
 def __getattr__(name):
