@@ -1134,15 +1134,12 @@ def _q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("poly_id", "hex_q", "hex_r", "hex_id")
 
 
-def _q_s2_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 polyfill (functions/s2.polyfill — geodesic polygonToCells at a
-    fixed level): 30 synthetic uv-rect quads on face 2. A straight segment
-    in a face's gnomonic (u, v) chart IS a geodesic, so each quad's
-    spherical interior equals its uv rect — which makes the DuckDB twin
-    pure arithmetic (st<->uv quadratic closed form + ceil/floor center
-    ranges) while Spark runs the REAL machinery (bounding cap -> cover
-    cells -> winding-number ray cast on unit vectors). Fractional bounds
-    keep centers off quad edges."""
+def _s2_quad_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 synthetic geodesic quad zones on face 2 as (poly_id, wkb): each
+    is a uv-RECT whose edges are straight in the face's gnomonic chart —
+    i.e. true geodesics — so the zone's spherical interior equals its uv
+    rect and DuckDB twins stay pure arithmetic. Fractional bounds keep
+    cell centers and synthetic points off the edges."""
     import pandas as pd
 
     from pygridmap_spark.core import wkb as _WKB
@@ -1179,13 +1176,39 @@ def _q_s2_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    polys = bounds.mapInPandas(_encode, "poly_id long, wkb binary")
-    out = _S2M.polyfill(polys, 7)
+    return bounds.mapInPandas(_encode, "poly_id long, wkb binary")
+
+
+def _q_s2_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 polyfill (functions/s2.polyfill — geodesic polygonToCells at a
+    fixed level) over the face-2 uv-rect quad zones (_s2_quad_zones): the
+    DuckDB twin is pure arithmetic (st<->uv quadratic closed form +
+    ceil/floor center ranges) while Spark runs the REAL machinery
+    (bounding cap -> cover cells -> winding-number ray cast on unit
+    vectors)."""
+    from pygridmap_spark.functions import s2 as _S2M
+
+    out = _S2M.polyfill(_s2_quad_zones(spark, sf_dir), 7)
     return out.select(
         "poly_id",
         F.col("s2_face").cast("long").alias("s2_face"),
         "s2_i", "s2_j",
     )
+
+
+def _q_pip_s2_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic point-in-polygon join (operators/pip_sphere.py
+    point_in_polygon_s2): whole-sphere synthetic points tagged by the
+    face-2 quad zone layer via the classified S2 cover — interior cells
+    tag by the (face, i, j) equi-join alone, boundary cells run the exact
+    winding refine. Oracle: a point is in a quad iff its gnomonic face-2
+    (u, v) lies in the uv rect — face selection + uv ratios restated in
+    DuckDB, zero geometry."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    out = _PIP.point_in_polygon_s2(pts, _s2_quad_zones(spark, sf_dir), 8)
+    return out.select("doc_id", "poly_id")
 
 
 def _q_within_radius_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1541,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_radius_s2": _q_within_radius_s2,
         "hex_polyfill": _q_hex_polyfill,
         "s2_polyfill": _q_s2_polyfill,
+        "pip_s2_zones": _q_pip_s2_zones,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2493,6 +2517,49 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL unnest(generate_series(
                      CAST(ceil(t0 * 128.0 - 0.5) AS BIGINT),
                      CAST(floor(t1 * 128.0 - 0.5) AS BIGINT))) AS b(j)
+        """,
+        "pip_s2_zones": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            xyz AS (
+                SELECT doc_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts
+            ),
+            fuv AS (
+                SELECT doc_id, x, y, z,
+                       CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                                THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                            WHEN abs(y) >= abs(z)
+                                THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                            ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END
+                       END AS face
+                FROM xyz
+            ),
+            uv AS (
+                SELECT doc_id, face, -x / z AS u, -y / z AS v
+                FROM fuv WHERE face = 2
+            ),
+            quads AS (
+                SELECT doc_id AS poly_id,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            )
+            SELECT p.doc_id AS doc_id, q.poly_id AS poly_id
+            FROM uv p JOIN quads q
+              ON p.u >= q.u0 AND p.u <= q.u1
+             AND p.v >= q.v0 AND p.v <= q.v1
         """,
         "within_radius_s2": f"""
             WITH pts AS (

@@ -67,6 +67,7 @@ HEADLINE = [
     "within_radius_s2",
     "hex_polyfill",
     "s2_polyfill",
+    "pip_s2_zones",
 ]
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "ring_to_xyz",
     "points_in_spherical_ring",
     "points_in_spherical_polygon",
+    "min_arc_dist",
     "bounding_cap",
 ]
 
@@ -85,6 +86,39 @@ def points_in_spherical_polygon(p: np.ndarray, rings_lonlat: list) -> np.ndarray
     for ring in rings_lonlat:
         inside ^= points_in_spherical_ring(p, ring_to_xyz(ring))
     return inside
+
+
+def min_arc_dist(p: np.ndarray, ring_xyz: np.ndarray) -> np.ndarray:
+    """Minimum angular distance (radians) from each of (P, 3) unit points
+    to the boundary of one geodesic ring given as (K, 3) unit vertices
+    (open). Standard point-to-arc math: for edge (a, b) with great-circle
+    normal n = a x b, the perpendicular foot lies on the arc iff
+    (a x p)·n >= 0 and (p x b)·n >= 0, in which case the distance is
+    asin(|p·n̂|); otherwise it is the nearer endpoint angle. Degenerate
+    edges (|n| ~ 0: repeated or antipodal vertices) fall back to the
+    endpoint distance. Vectorized over points, loop over edges."""
+    p = np.asarray(p, np.float64)
+    k = len(ring_xyz)
+    out = np.full(len(p), np.pi, dtype=np.float64)
+    if k == 0:
+        return out
+    a = ring_xyz[-1]
+    da = np.arccos(np.clip(p @ a, -1.0, 1.0))
+    for e in range(k):
+        b = ring_xyz[e]
+        db = np.arccos(np.clip(p @ b, -1.0, 1.0))
+        nrm = np.cross(a, b)
+        nn = np.linalg.norm(nrm)
+        if nn > 1e-15:
+            nh = nrm / nn
+            on_arc = (np.cross(a, p) @ nh >= 0.0) & (np.cross(p, b) @ nh >= 0.0)
+            perp = np.arcsin(np.clip(np.abs(p @ nh), 0.0, 1.0))
+            d = np.where(on_arc, perp, np.minimum(da, db))
+        else:
+            d = np.minimum(da, db)
+        np.minimum(out, d, out=out)
+        a, da = b, db
+    return out
 
 
 def bounding_cap(rings_lonlat: list) -> tuple[np.ndarray, float]:

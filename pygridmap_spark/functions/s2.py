@@ -590,10 +590,23 @@ def polyfill(
     prefix: str = "s2_",
     candidates_partitions: int | None = None,
     max_span: int = _PF_MAX_SPAN,
+    classify: bool = False,
 ) -> DataFrame:
     """All level-``level`` S2 cells whose CENTER lies inside each geodesic
     (multi)polygon — H3 ``polygonToCells`` semantics on the sphere, the
     spherical twin of ``hexgrid.polyfill``.
+
+    With ``classify=True`` the output instead carries every cell whose
+    closed circumball can touch the polygon, labeled by an extra
+    ``{prefix}interior`` boolean: ``true`` means the whole cell is
+    PROVABLY inside (center inside and the boundary farther than the
+    cell's circumradius — min great-circle arc distance vs. the max
+    center-to-corner angle, both exact), ``false`` means the cell may
+    straddle the boundary (its center can be inside or outside). The
+    interior/boundary split is what makes an EXACT point-in-polygon join
+    scale: points landing in interior cells are inside by the equi-join
+    alone; only boundary-cell points pay a per-point winding refine
+    (see operators.pip_sphere.point_in_polygon_s2).
 
     Polygons are WKB in lon/lat degrees; edges are great-circle arcs
     (< 180 deg), rings even-odd (holes), each polygon bounded by an open
@@ -798,4 +811,115 @@ def polyfill(
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    return joined.mapInPandas(_containment, out_schema)
+    if not classify:
+        return joined.mapInPandas(_containment, out_schema)
+
+    cls_schema = out_schema + f", {prefix}interior boolean"
+
+    def _containment_classify(batches):
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        inv_n = 1.0 / float(n)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            parts = []
+            for pid, g in pdf.groupby(id_col, sort=False):
+                buf = g[wkb_col].iloc[0]
+                if buf is None:
+                    continue
+                mp = WKB.decode_multipolygon(bytes(buf))
+                rings = [r for poly in mp for r in poly if len(r) >= 3]
+                if not rings:
+                    continue
+                rxyz = [SPH.ring_to_xyz(r) for r in rings]
+                lo = g["_jlo"].to_numpy()
+                hi = g["_jhi"].to_numpy()
+                ii = g["_i"].to_numpy()
+                ffc = g["_f"].to_numpy()
+                spans = hi - lo + 1
+                total = int(spans.sum())
+                idx = np.arange(total) - np.repeat(np.cumsum(spans) - spans, spans)
+                j = np.repeat(lo, spans) + idx
+                i = np.repeat(ii, spans)
+                f = np.repeat(ffc, spans)
+                u = _np_st_to_uv((i.astype(np.float64) + 0.5) * inv_n)
+                v = _np_st_to_uv((j.astype(np.float64) + 0.5) * inv_n)
+                x, y, z = _np_face_uv_to_xyz(f, u, v)
+                norm = np.sqrt(x * x + y * y + z * z)
+                x, y, z = x / norm, y / norm, z / norm
+                # exact per-cell circumradius: max center->corner angle
+                # (quadratic st is monotone, so corners realize the max),
+                # slab-sized like the ray cast
+                m = total
+                rcell = np.empty(m)
+                for st0 in range(0, m, _PF_PIP_SLAB):
+                    en = min(st0 + _PF_PIP_SLAB, m)
+                    cosmin = np.ones(en - st0)
+                    fi = f[st0:en]
+                    for di in (0.0, 1.0):
+                        cu = _np_st_to_uv((i[st0:en].astype(np.float64) + di) * inv_n)
+                        for dj in (0.0, 1.0):
+                            cv = _np_st_to_uv((j[st0:en].astype(np.float64) + dj) * inv_n)
+                            cx_, cy_, cz_ = _np_face_uv_to_xyz(fi, cu, cv)
+                            cn = np.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+                            dot = (x[st0:en] * cx_ + y[st0:en] * cy_ + z[st0:en] * cz_) / cn
+                            np.minimum(cosmin, dot, out=cosmin)
+                    rcell[st0:en] = np.arccos(np.clip(cosmin, -1.0, 1.0))
+                # cap-chord prefilter padded per cell by the circumball
+                # chord (chord is subadditive, so cap+circumball is safe)
+                cxc = g["_cx"].iloc[0]
+                cyc = g["_cy"].iloc[0]
+                czc = g["_cz"].iloc[0]
+                cm = g["_cm"].iloc[0]
+                dx, dy, dz = x - cxc, y - cyc, z - czc
+                near = np.sqrt(dx * dx + dy * dy + dz * dz) <= cm + 2.0 * np.sin(
+                    rcell / 2.0
+                )
+                if not near.any():
+                    continue
+                f, i, j, rcell = f[near], i[near], j[near], rcell[near]
+                p = np.column_stack([x[near], y[near], z[near]])
+                m = len(p)
+                inside = np.zeros(m, dtype=bool)
+                mind = np.empty(m)
+                for st0 in range(0, m, _PF_PIP_SLAB):
+                    en = min(st0 + _PF_PIP_SLAB, m)
+                    acc = np.zeros(en - st0, dtype=bool)
+                    dmin = np.full(en - st0, np.pi)
+                    for rx in rxyz:
+                        acc ^= SPH.points_in_spherical_ring(p[st0:en], rx)
+                        np.minimum(dmin, SPH.min_arc_dist(p[st0:en], rx), out=dmin)
+                    inside[st0:en] = acc
+                    mind[st0:en] = dmin
+                # err toward "boundary": a misclassified boundary cell is
+                # refined exactly downstream, a misclassified interior
+                # cell would skip the refine — so the margin must only
+                # ever widen the boundary class
+                boundary = mind <= rcell * (1.0 + 1e-9) + 1e-12
+                keep = inside | boundary
+                if not keep.any():
+                    continue
+                f, i, j = f[keep], i[keep], j[keep]
+                interior = inside[keep] & ~boundary[keep]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(g[id_col].to_numpy()[:1], len(i)),
+                            f"{prefix}face": f.astype(np.int32),
+                            f"{prefix}i": i,
+                            f"{prefix}j": j,
+                            f"{prefix}compact": (
+                                f.astype(np.int64) << np.int64(2 * level)
+                            ) + _np_hilbert_d(i, j, level),
+                            f"{prefix}interior": interior,
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return joined.mapInPandas(_containment_classify, cls_schema)

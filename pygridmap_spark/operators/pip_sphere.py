@@ -1,0 +1,126 @@
+"""Geodesic point-in-polygon join over the S2 cell cover.
+
+The planar joins (operators/spatialjoin.py polygon_pip_join*) are exact
+for coordinates already in a projected plane; web-scale page coordinates
+live on the sphere, where planar rect covers stop being containment-
+correct at high latitudes and across the antimeridian / cube edges. This
+operator runs the same two-phase cover+refine design with GREAT-CIRCLE
+edges, using ``functions.s2.polyfill(classify=True)`` as the cover:
+
+1. one Arrow pass over the polygon layer emits each zone's level-``level``
+   cells labeled interior (cell provably inside: center inside and the
+   boundary farther than the exact cell circumradius) or boundary (the
+   cell's circumball can touch a boundary arc) — the WKB never rides the
+   cell replication (chunked range rows, functions/s2.py),
+2. ONE shuffled equi-join with points on (face, i, j) — AQE skew-splits
+   the cover of continent-sized zones,
+3. points in interior cells are inside by the join alone (zero geometry
+   work — the dominant class: interior cells grow with zone AREA while
+   boundary cells grow with boundary LENGTH, so the refined fraction
+   vanishes as zones get large relative to the cell size); boundary-cell
+   candidates join the raw WKB back by zone id (each geometry ships once
+   through that exchange) and run the exact tangent-plane winding test
+   (core/sphere.py), decoding once per zone per batch.
+
+Exactness matches the kernel's documented domain: each ring within an
+open hemisphere, great-circle edges < 180 deg, points exactly on an edge
+resolve either way (measure zero). A point inside several overlapping
+zones yields one output row per zone.
+
+Reference parity: pygridmap classifies planar grid cells against a mask
+polygon per tile (gridding.py prll_process_tile, gridtiler.py) — this is
+the spherical member of that family, keyed by the engine's S2 index so
+the same (face, i, j) columns serve kNN, radius joins, rollups and this
+join without re-encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import s2 as S2
+
+_P = "__pip_"
+
+
+def point_in_polygon_s2(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    wkb_col: str = "wkb",
+    poly_key: str = "poly_id",
+    candidates_partitions: int | None = None,
+) -> DataFrame:
+    """Tag each point with every geodesic (multi)polygon containing it.
+
+    ``level`` sets the cover cell size: finer levels shrink the refined
+    boundary-cell fraction but grow the cover table (cells ~ area * 4^level
+    on the unit sphere). Pick the level whose cell size is a small
+    multiple of the typical zone boundary feature — admin-zone layers at
+    city scale sit around level 10-13.
+
+    Returns the point columns plus ``poly_key`` (one row per containing
+    zone). Point frames must not already carry ``poly_key`` or
+    ``{lon}/{lat}``-conflicting ``__pip_*`` temporaries.
+    """
+    if poly_key in points.columns:
+        raise ValueError(
+            f"points already has a {poly_key!r} column; rename one side"
+        )
+    cover = S2.polyfill(
+        polygons,
+        level,
+        wkb_col=wkb_col,
+        id_col=poly_key,
+        prefix=_P,
+        candidates_partitions=candidates_partitions,
+        classify=True,
+    ).drop(f"{_P}compact")
+    pts = S2.with_s2_face_ij(points, level, lon=lon, lat=lat, prefix=_P)
+    cand = pts.join(cover, [f"{_P}face", f"{_P}i", f"{_P}j"])
+    interior = cand.filter(F.col(f"{_P}interior"))
+    boundary = cand.filter(~F.col(f"{_P}interior")).join(
+        polygons.select(poly_key, F.col(wkb_col).alias(f"{_P}wkb")), poly_key
+    )
+    schema = interior.schema
+
+    def _exact(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        cache: dict = {}
+        for batch in batches:
+            if not len(batch):
+                continue
+            px = batch[lon].to_numpy(dtype=np.float64)
+            py = batch[lat].to_numpy(dtype=np.float64)
+            p = SPH.lonlat_to_xyz(px, py)
+            pids = batch[poly_key].to_numpy()
+            keep = np.zeros(len(batch), dtype=bool)
+            for pid in pd.unique(pids):
+                sel = np.nonzero(pids == pid)[0]
+                rings = cache.get(pid)
+                if rings is None:
+                    mp = WKB.decode_multipolygon(
+                        bytes(batch[f"{_P}wkb"].iloc[sel[0]])
+                    )
+                    rings = [r for poly in mp for r in poly if len(r) >= 3]
+                    if len(cache) < 4096:
+                        cache[pid] = rings
+                inside = np.zeros(len(sel), dtype=bool)
+                for ring in rings:
+                    inside ^= SPH.points_in_spherical_ring(
+                        p[sel], SPH.ring_to_xyz(ring)
+                    )
+                keep[sel] = inside
+            yield batch[keep].drop(columns=[f"{_P}wkb"])
+
+    exact = boundary.mapInPandas(_exact, schema)
+    drop = [f"{_P}face", f"{_P}i", f"{_P}j", f"{_P}interior"]
+    return interior.unionByName(exact).drop(*drop)

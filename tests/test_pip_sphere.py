@@ -1,0 +1,212 @@
+"""Geodesic point-in-polygon join (operators/pip_sphere.py) — == brute
+spherical containment on global zone layers (face edges, antimeridian,
+holes, overlaps), the interior/boundary classified cover's soundness
+(functions/s2.polyfill classify=True), exactness on slivers thinner than a
+cell, and the key-collision guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pygridmap_spark.core import sphere as SPH
+from pygridmap_spark.core import wkb as WKB
+from pygridmap_spark.functions import s2 as S2
+from pygridmap_spark.operators.pip_sphere import point_in_polygon_s2
+
+LEVEL = 9
+
+
+def _zones():
+    rng = np.random.default_rng(7)
+    rows = []
+    for zid in range(10):
+        clat = float(rng.uniform(-65, 65))
+        clon = float(rng.uniform(-180, 180))
+        r = float(rng.uniform(2.0, 6.0))
+        ang = np.linspace(0, 2 * np.pi, 9)[:-1]
+        ring = np.column_stack(
+            [clon + r * np.cos(ang) / max(0.2, np.cos(np.radians(clat))),
+             clat + r * np.sin(ang)]
+        )
+        rows.append((zid, [[np.vstack([ring, ring[:1]])]]))
+    # shell + hole
+    outer = np.array([[10, 40], [20, 40], [20, 50], [10, 50], [10, 40]], float)
+    inner = np.array([[13, 43], [17, 43], [17, 47], [13, 47], [13, 43]], float)
+    rows.append((10, [[outer, inner]]))
+    # two-part multipolygon straddling the antimeridian
+    p1 = np.array([[172.0, -5.0], [179.5, -5.0], [179.5, 5.0], [172.0, 5.0],
+                   [172.0, -5.0]])
+    p2 = np.array([[-179.5, -5.0], [-172.0, -5.0], [-172.0, 5.0],
+                   [-179.5, 5.0], [-179.5, -5.0]])
+    rows.append((11, [[p1], [p2]]))
+    # a zone overlapping zone 10's shell (multi-tag region)
+    ov = np.array([[18, 44], [26, 44], [26, 52], [18, 52], [18, 44]], float)
+    rows.append((12, [[ov]]))
+    return rows
+
+
+def _points(n, seed=3):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-180, 180, n)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    return lon, lat
+
+
+def _brute_pairs(zone_rows, lon, lat):
+    p = SPH.lonlat_to_xyz(lon, lat)
+    pairs = set()
+    for zid, mp in zone_rows:
+        for poly in mp:
+            rings = [r for r in poly if len(r) >= 3]
+            c, rad = SPH.bounding_cap(rings)
+            incap = p @ c >= np.cos(min(rad * 1.000001 + 1e-9, np.pi))
+            sub = SPH.points_in_spherical_polygon(p[incap], rings)
+            for k in np.flatnonzero(incap)[sub]:
+                pairs.add((int(k), zid))
+    return pairs
+
+
+def _zone_df(spark, zone_rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [z for z, _ in zone_rows],
+                "wkb": [WKB.encode_multipolygon(mp) for _, mp in zone_rows],
+            }
+        )
+    )
+
+
+def test_pip_s2_matches_bruteforce(spark):
+    zone_rows = _zones()
+    lon, lat = _points(20_000)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt": np.arange(len(lon)), "lon": lon, "lat": lat})
+    )
+    out = point_in_polygon_s2(pts, _zone_df(spark, zone_rows), LEVEL)
+    got = {(int(r["pt"]), int(r["poly_id"])) for r in out.collect()}
+    assert got == _brute_pairs(zone_rows, lon, lat)
+    # the overlap region must multi-tag: some point is in both 10 and 12
+    by_pt: dict = {}
+    for k, z in got:
+        by_pt.setdefault(k, set()).add(z)
+    assert any({10, 12} <= zs for zs in by_pt.values())
+
+
+def test_classified_cover_sound_and_consistent(spark):
+    """interior=true cells are PROVABLY inside (dense corner/edge samples
+    all contained); the classified cover's center-inside cells equal the
+    plain polyfill set."""
+    zone_rows = _zones()[:6]
+    zdf = _zone_df(spark, zone_rows)
+    plain = S2.polyfill(zdf, LEVEL).toPandas()
+    cls = S2.polyfill(zdf, LEVEL, classify=True).toPandas()
+
+    def key(df):
+        return set(zip(df.poly_id, df.s2_face.astype(int), df.s2_i, df.s2_j))
+
+    # center-inside == plain polyfill: interior cells plus the boundary
+    # cells whose center is inside; recompute center containment for
+    # boundary cells via the kernel
+    rings_by_zone = {
+        z: [r for poly in mp for r in poly if len(r) >= 3] for z, mp in zone_rows
+    }
+    bnd = cls[~cls.s2_interior]
+    n = 1 << LEVEL
+    u = S2._np_st_to_uv((bnd.s2_i.to_numpy() + 0.5) / n)
+    v = S2._np_st_to_uv((bnd.s2_j.to_numpy() + 0.5) / n)
+    x, y, z_ = S2._np_face_uv_to_xyz(bnd.s2_face.to_numpy().astype(np.int64), u, v)
+    nn = np.sqrt(x * x + y * y + z_ * z_)
+    p = np.column_stack([x / nn, y / nn, z_ / nn])
+    center_in = np.zeros(len(bnd), dtype=bool)
+    for zid, rings in rings_by_zone.items():
+        sel = (bnd.poly_id == zid).to_numpy()
+        acc = np.zeros(int(sel.sum()), dtype=bool)
+        for r in rings:
+            acc ^= SPH.points_in_spherical_ring(p[sel], SPH.ring_to_xyz(r))
+        center_in[sel] = acc
+    got_center_inside = key(cls[cls.s2_interior]) | key(bnd[center_in])
+    assert got_center_inside == key(plain)
+
+    # soundness: every interior cell fully contained — sample a 5x5 st
+    # grid across each interior cell (corners included) and require
+    # containment of every sample
+    it = cls[cls.s2_interior]
+    for zid in it.poly_id.unique():
+        g = it[it.poly_id == zid]
+        fr = np.linspace(0.0, 1.0, 5)
+        offs = [(a, b) for a in fr for b in fr]
+        rings = rings_by_zone[int(zid)]
+        for da, db in offs:
+            su = S2._np_st_to_uv((g.s2_i.to_numpy() + da) / n)
+            sv = S2._np_st_to_uv((g.s2_j.to_numpy() + db) / n)
+            sx, sy, sz = S2._np_face_uv_to_xyz(
+                g.s2_face.to_numpy().astype(np.int64), su, sv
+            )
+            sn = np.sqrt(sx * sx + sy * sy + sz * sz)
+            sp = np.column_stack([sx / sn, sy / sn, sz / sn])
+            acc = np.zeros(len(g), dtype=bool)
+            for r in rings:
+                acc ^= SPH.points_in_spherical_ring(sp, SPH.ring_to_xyz(r))
+            assert acc.all(), f"zone {zid}: interior cell sample escaped"
+
+
+def test_interior_fastpath_dominates(spark):
+    """For a zone large relative to the cell, interior cells (zero refine
+    work) outnumber boundary cells — the property that bounds refine cost
+    by boundary LENGTH, not zone area."""
+    ring = np.array([[0.0, 0.0], [12.0, 0.0], [12.0, 12.0], [0.0, 12.0],
+                     [0.0, 0.0]])
+    zdf = _zone_df(spark, [(0, [[ring]])])
+    cls = S2.polyfill(zdf, 10, classify=True).toPandas()
+    n_int = int(cls.s2_interior.sum())
+    n_bnd = int((~cls.s2_interior).sum())
+    assert n_int > 3 * n_bnd
+
+
+def test_sliver_thinner_than_cell_is_exact(spark):
+    """A sliver zone that threads BETWEEN cell centers has zero
+    center-inside cells, yet its points must still be tagged — boundary
+    cells carry the exactness."""
+    sliver = np.array([[40.001, 10.001], [47.003, 10.001], [47.003, 10.002],
+                       [40.001, 10.002], [40.001, 10.001]])
+    zdf = _zone_df(spark, [(0, [[sliver]])])
+    lon = np.linspace(40.01, 46.99, 50)
+    lat = np.full(50, 10.0015)
+    inpts = pd.DataFrame({"pt": np.arange(50), "lon": lon, "lat": lat})
+    outpts = pd.DataFrame(
+        {"pt": np.arange(50, 100), "lon": lon, "lat": np.full(50, 10.01)}
+    )
+    pts = spark.createDataFrame(pd.concat([inpts, outpts]))
+    out = point_in_polygon_s2(pts, zdf, 8)
+    got = sorted(int(r["pt"]) for r in out.collect())
+    # the whole inside row is caught, nothing from the outside row (the
+    # sliver interior at lat 10.0015 lies strictly inside: geodesic edge
+    # sag over 7 deg of lon at lat 10 is ~1e-3 deg < the 1e-3 sliver
+    # height at its midpoint — verify against the kernel, not assumption)
+    p = SPH.lonlat_to_xyz(
+        np.concatenate([lon, lon]), np.concatenate([lat, np.full(50, 10.01)])
+    )
+    exp = np.flatnonzero(SPH.points_in_spherical_polygon(p, [sliver]))
+    assert got == sorted(int(k) for k in exp)
+    assert len(got) > 0
+
+
+def test_null_wkb_matches_nothing(spark):
+    zdf = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "wkb": [None]})
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt": [0], "lon": [10.0], "lat": [10.0]})
+    )
+    assert point_in_polygon_s2(pts, zdf, 8).count() == 0
+
+
+def test_poly_key_collision_raises(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "lon": [1.0], "lat": [1.0]})
+    )
+    with pytest.raises(ValueError, match="poly_id"):
+        point_in_polygon_s2(pts, pts, 8)
