@@ -8,6 +8,8 @@ Spark (one projection over spark.range, no driver data), then measure
    skew-balanced),
 3. geodesic kNN (points x queries) wall time and exchange volume,
 4. the geodesic radius join (constant cover level, one equi-join),
+5. the geodesic point-in-polygon join over a synthetic zone layer
+   (classified cover split + end-to-end tagging; --zones 0 skips),
 
 with per-stage shuffle totals from the REST stage metrics (the executed
 numbers, not plan copies — CLAUDE.md gotcha). Usage:
@@ -59,6 +61,51 @@ def make_points(spark, n: int):
     )
 
 
+def make_zones(spark, nz: int, mega: bool = True):
+    """Deterministic geodesic zone layer: 12-gon rings, radii 0.3-2.5 deg,
+    centers area-uniform below |lat| 70; zone 0 is optionally a
+    continent-sized 36-gon (radius 20 deg) to exercise the skew path.
+    Synthesized IN Spark, WKB-encoded in one Arrow pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pygridmap_spark.core import wkb as WKB
+
+    df = spark.range(nz)
+    u1 = (F.col("id") * F.lit(2654435761) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+    u2 = (F.col("id") * F.lit(2246822519) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+    u3 = (F.col("id") * F.lit(40503) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+    base = df.select(
+        F.col("id").alias("poly_id"),
+        (u1 * 360.0 - 180.0).alias("_clon"),
+        F.degrees(F.asin(2.0 * 0.9396926 * (u2 - 0.5))).alias("_clat"),
+        (0.3 + 2.2 * u3).alias("_r"),
+    )
+
+    def _enc(batches):
+        ang = np.linspace(0.0, 2.0 * np.pi, 13)[:-1]
+        mang = np.linspace(0.0, 2.0 * np.pi, 37)[:-1]
+        for pdf in batches:
+            out = []
+            for pid, clon, clat, r in zip(
+                pdf["poly_id"], pdf["_clon"], pdf["_clat"], pdf["_r"]
+            ):
+                if mega and pid == 0:
+                    a, rr, cla, clo = mang, 20.0, 0.0, 11.0
+                else:
+                    a, rr, cla, clo = ang, r, clat, clon
+                ring = np.column_stack(
+                    [clo + rr * np.cos(a) / max(0.2, np.cos(np.radians(cla))),
+                     cla + rr * np.sin(a)]
+                )
+                ring = np.vstack([ring, ring[:1]])
+                out.append({"poly_id": pid, "wkb": WKB.encode_multipolygon([[ring]])})
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(_enc, "poly_id long, wkb binary")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=20_000_000)
@@ -68,6 +115,9 @@ def main() -> None:
     ap.add_argument("--knn-level", type=int, default=8)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--radius-m", type=float, default=100_000.0)
+    ap.add_argument("--zones", type=int, default=1000)
+    ap.add_argument("--zone-level", type=int, default=11)
+    ap.add_argument("--skip-knn", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -130,41 +180,85 @@ def main() -> None:
             "shuffle_write_mb": round(w2 - w1, 1),
         }
 
-        # ---- stage 3: geodesic kNN -----------------------------------
-        kpts = pts.filter(F.col("point_id") < args.knn_points)
-        qs = (
-            make_points(spark, args.queries * 211)
-            .filter(F.col("point_id") % 211 == 7)
-            .select(F.col("point_id").alias("query_id"), "lon", "lat")
-        )
-        t0 = time.time()
-        out = KS.knn_s2(kpts, qs, k=args.k, level=args.knn_level)
-        n_out = out.count()
-        t_knn = time.time() - t0
-        w3, r3 = _shuffle_totals(spark)
-        report["knn"] = {
-            "wall_s": round(t_knn, 2),
-            "queries_per_sec": int(qs.count() / t_knn),
-            "result_rows": n_out,
-            "shuffle_write_mb": round(w3 - w2, 1),
-        }
+        if not args.skip_knn:
+            # ---- stage 3: geodesic kNN -----------------------------------
+            kpts = pts.filter(F.col("point_id") < args.knn_points)
+            qs = (
+                make_points(spark, args.queries * 211)
+                .filter(F.col("point_id") % 211 == 7)
+                .select(F.col("point_id").alias("query_id"), "lon", "lat")
+            )
+            t0 = time.time()
+            out = KS.knn_s2(kpts, qs, k=args.k, level=args.knn_level)
+            n_out = out.count()
+            t_knn = time.time() - t0
+            w3, r3 = _shuffle_totals(spark)
+            report["knn"] = {
+                "wall_s": round(t_knn, 2),
+                "queries_per_sec": int(qs.count() / t_knn),
+                "result_rows": n_out,
+                "shuffle_write_mb": round(w3 - w2, 1),
+            }
 
-        # ---- stage 4: geodesic radius join ---------------------------
-        # constant radius -> ONE cover level, ONE equi-join (no
-        # iterative rounds): the whole stage is a single Spark job
-        t0 = time.time()
-        rr = KS.within_radius_s2(kpts, qs, args.radius_m)
-        n_rr = rr.count()
-        t_rad = time.time() - t0
-        w4, r4 = _shuffle_totals(spark)
-        report["radius_join"] = {
-            "radius_m": args.radius_m,
-            "cover_level": KS.radius_cover_level(args.radius_m),
-            "wall_s": round(t_rad, 2),
-            "queries_per_sec": int(args.queries / t_rad),
-            "result_rows": n_rr,
-            "shuffle_write_mb": round(w4 - w3, 1),
-        }
+            # ---- stage 4: geodesic radius join ---------------------------
+            # constant radius -> ONE cover level, ONE equi-join (no
+            # iterative rounds): the whole stage is a single Spark job
+            t0 = time.time()
+            rr = KS.within_radius_s2(kpts, qs, args.radius_m)
+            n_rr = rr.count()
+            t_rad = time.time() - t0
+            w4, r4 = _shuffle_totals(spark)
+            report["radius_join"] = {
+                "radius_m": args.radius_m,
+                "cover_level": KS.radius_cover_level(args.radius_m),
+                "wall_s": round(t_rad, 2),
+                "queries_per_sec": int(args.queries / t_rad),
+                "result_rows": n_rr,
+                "shuffle_write_mb": round(w4 - w3, 1),
+            }
+        # ---- stage 5: geodesic PIP join (classified cover) -----------
+        if args.zones:
+            from pygridmap_spark.operators import pip_sphere as PIP
+
+            zs = make_zones(spark, args.zones).persist()
+            zs.count()
+            wz0, _ = _shuffle_totals(spark)
+            # 5a: the classified cover alone (interior/boundary split —
+            # the ratio that bounds refine cost by boundary length)
+            t0 = time.time()
+            cov = S2.polyfill(
+                zs, args.zone_level, classify=True, candidates_partitions=256
+            )
+            split = cov.groupBy("s2_interior").count().collect()
+            t_cov = time.time() - t0
+            wz1, _ = _shuffle_totals(spark)
+            n_int = sum(r["count"] for r in split if r["s2_interior"])
+            n_bnd = sum(r["count"] for r in split if not r["s2_interior"])
+            report["pip_cover"] = {
+                "zones": args.zones,
+                "zone_level": args.zone_level,
+                "wall_s": round(t_cov, 2),
+                "interior_cells": n_int,
+                "boundary_cells": n_bnd,
+                "cells_per_sec": int((n_int + n_bnd) / t_cov),
+                "shuffle_write_mb": round(wz1 - wz0, 1),
+            }
+            # 5b: the end-to-end join (cover recomputed inside — the
+            # operator is measured whole, not from the cached cover)
+            t0 = time.time()
+            tagged = PIP.point_in_polygon_s2(
+                pts, zs, args.zone_level, candidates_partitions=256
+            )
+            n_tag = tagged.count()
+            t_pip = time.time() - t0
+            wz2, _ = _shuffle_totals(spark)
+            report["pip_join"] = {
+                "wall_s": round(t_pip, 2),
+                "points_per_sec": int(n / t_pip),
+                "tagged_rows": n_tag,
+                "shuffle_write_mb": round(wz2 - wz1, 1),
+            }
+            zs.unpersist()
         pts.unpersist()
     finally:
         print(json.dumps(report))

@@ -79,6 +79,13 @@ def point_in_polygon_s2(
         candidates_partitions=candidates_partitions,
         classify=True,
     ).drop(f"{_P}compact")
+    # the cover feeds BOTH the interior pass-through and the boundary
+    # refine; a lazy plan recomputes the classify kernel once per branch
+    # (AQE does not reuse the exchange across the union — measured 2.5x
+    # at 2M points x 100 zones). localCheckpoint materializes it exactly
+    # once; like the dedup family, the cover job runs EAGERLY at call
+    # time (cells-sized, bounded by zone area / cell area, never points)
+    cover = cover.localCheckpoint(eager=True)
     pts = S2.with_s2_face_ij(points, level, lon=lon, lat=lat, prefix=_P)
     cand = pts.join(cover, [f"{_P}face", f"{_P}i", f"{_P}j"])
     interior = cand.filter(F.col(f"{_P}interior"))
