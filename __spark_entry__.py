@@ -1211,6 +1211,23 @@ def _q_pip_s2_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "poly_id")
 
 
+def _q_region_filter_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-prune region filter (operators/pip_sphere.py region_filter):
+    each quad zone compiles to <= 64 mixed-level covering ranges
+    (functions/s2.covering), the coalesced OR-of-BETWEEN predicate
+    filters the point stream on the leaf cell id, and one Arrow pass
+    assigns + winding-refines the survivors. Same membership semantics as
+    pip_s2_zones through entirely different machinery — the oracle is the
+    identical face-2 uv-rect arithmetic."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    out = _PIP.region_filter(
+        pts, _s2_quad_zones(spark, sf_dir), max_cells=64, max_level=12
+    )
+    return out.select("doc_id", "poly_id")
+
+
 def _q_within_radius_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic radius join (operators/knn_sphere.py within_radius_s2):
     every point within 400 km great-circle distance of each query via a
@@ -1565,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_polyfill": _q_hex_polyfill,
         "s2_polyfill": _q_s2_polyfill,
         "pip_s2_zones": _q_pip_s2_zones,
+        "region_filter_quads": _q_region_filter_quads,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2519,6 +2537,49 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(t1 * 128.0 - 0.5) AS BIGINT))) AS b(j)
         """,
         "pip_s2_zones": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            xyz AS (
+                SELECT doc_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts
+            ),
+            fuv AS (
+                SELECT doc_id, x, y, z,
+                       CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                                THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                            WHEN abs(y) >= abs(z)
+                                THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                            ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END
+                       END AS face
+                FROM xyz
+            ),
+            uv AS (
+                SELECT doc_id, face, -x / z AS u, -y / z AS v
+                FROM fuv WHERE face = 2
+            ),
+            quads AS (
+                SELECT doc_id AS poly_id,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            )
+            SELECT p.doc_id AS doc_id, q.poly_id AS poly_id
+            FROM uv p JOIN quads q
+              ON p.u >= q.u0 AND p.u <= q.u1
+             AND p.v >= q.v0 AND p.v <= q.v1
+        """,
+        "region_filter_quads": """
             WITH pts AS (
                 SELECT doc_id,
                        -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,

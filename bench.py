@@ -68,6 +68,7 @@ HEADLINE = [
     "hex_polyfill",
     "s2_polyfill",
     "pip_s2_zones",
+    "region_filter_quads",
 ]
 
 

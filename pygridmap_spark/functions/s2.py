@@ -576,6 +576,208 @@ def with_s2_index_kernel(
     return df.mapInPandas(_kernel, schema)
 
 
+def _np_classify_cells(f, i, j, level, rxyz):
+    """(inside, boundary) for cells (f, i, j) at ``level`` vs a geodesic
+    ring list (unit-vector arrays): ``inside`` = center containment
+    (winding), ``boundary`` = the cell's circumball can touch a boundary
+    arc (min arc distance <= exact max center-to-corner angle, margin
+    erring toward boundary). interior == inside & ~boundary; a cell with
+    neither flag contains no polygon point. Frontier-sized inputs (the
+    covering refiner) — no slabbing."""
+    from pygridmap_spark.core import sphere as SPH
+
+    inv_n = 1.0 / float(1 << level)
+    u = _np_st_to_uv((i.astype(np.float64) + 0.5) * inv_n)
+    v = _np_st_to_uv((j.astype(np.float64) + 0.5) * inv_n)
+    x, y, z = _np_face_uv_to_xyz(f, u, v)
+    nn = np.sqrt(x * x + y * y + z * z)
+    p = np.column_stack([x / nn, y / nn, z / nn])
+    cosmin = np.ones(len(p))
+    for di in (0.0, 1.0):
+        cu = _np_st_to_uv((i.astype(np.float64) + di) * inv_n)
+        for dj in (0.0, 1.0):
+            cv = _np_st_to_uv((j.astype(np.float64) + dj) * inv_n)
+            cx, cy, cz = _np_face_uv_to_xyz(f, cu, cv)
+            cn = np.sqrt(cx * cx + cy * cy + cz * cz)
+            dot = (p[:, 0] * cx + p[:, 1] * cy + p[:, 2] * cz) / cn
+            np.minimum(cosmin, dot, out=cosmin)
+    rcell = np.arccos(np.clip(cosmin, -1.0, 1.0))
+    inside = np.zeros(len(p), dtype=bool)
+    mind = np.full(len(p), np.pi)
+    for rx in rxyz:
+        inside ^= SPH.points_in_spherical_ring(p, rx)
+        np.minimum(mind, SPH.min_arc_dist(p, rx), out=mind)
+    boundary = mind <= rcell * (1.0 + 1e-9) + 1e-12
+    return inside, boundary, p, rcell
+
+
+def _np_cell_ranges(f, i, j, level):
+    """S2-layout id + leaf [range_min, range_max] for cells at ``level``
+    (numpy twin of full_id/range_min/range_max; uint64 internally, viewed
+    signed like the Column algebra — a cell never spans the sign
+    boundary, so signed BETWEEN stays correct per range)."""
+    pos = _np_hilbert_d(i, j, level)
+    shift = _POS_BITS - 2 * level
+    half = np.uint64(1 << (shift - 1))
+    cell = (
+        (f.astype(np.uint64) << np.uint64(_POS_BITS))
+        | (pos.astype(np.uint64) << np.uint64(shift))
+        | half
+    )
+    off = half - np.uint64(1)
+    return (
+        cell.view(np.int64),
+        (cell - off).view(np.int64),
+        (cell + off).view(np.int64),
+    )
+
+
+def covering(
+    polys: DataFrame,
+    max_cells: int = 64,
+    max_level: int = 18,
+    wkb_col: str = "wkb",
+    id_col: str = "poly_id",
+    prefix: str = "s2_",
+) -> DataFrame:
+    """Adaptive MIXED-LEVEL cell covering of each geodesic (multi)polygon
+    — the S2 RegionCoverer analog: at most ``max_cells`` cells per
+    polygon (guaranteed), coarse where the region is fat, fine along the
+    boundary, each labeled ``{prefix}interior`` (provably inside, same
+    exact criterion as ``polyfill(classify=True)``) and carrying the
+    S2-layout id plus its descendant leaf range
+    [``{prefix}range_min``, ``{prefix}range_max``] — the form that
+    compiles a region into BETWEEN predicates on an indexed cell column
+    (operators.pip_sphere.region_filter pushes them into the scan).
+
+    Level-synchronous refinement rather than s2geometry's priority queue
+    (same containment guarantee — the covering always contains the whole
+    polygon; cell selection can differ): seed with the bounding-cap
+    cover (whole sphere for cap-scale polygons), then repeatedly emit
+    interior cells, drop outside cells, and split boundary cells while
+    the budget allows; leftover boundary cells emit as-is. One Arrow
+    pass over the polygon rows — per-polygon work is O(max_cells x
+    edges), distributed by polygon."""
+    _check_level(max_level)
+    if max_cells < 6:
+        raise ValueError("max_cells must be >= 6 (the whole-sphere seed)")
+    id_field = f"{id_col} {dict(polys.dtypes)[id_col]}"
+    schema = (
+        f"{id_field}, {prefix}face int, {prefix}i long, {prefix}j long, "
+        f"{prefix}level int, {prefix}cell long, {prefix}range_min long, "
+        f"{prefix}range_max long, {prefix}interior boolean"
+    )
+
+    def _cover(batches):
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        for pdf in batches:
+            parts = []
+            for pid, buf in zip(pdf[id_col], pdf[wkb_col]):
+                if buf is None:
+                    continue
+                mp = WKB.decode_multipolygon(bytes(buf))
+                rings = [r for poly in mp for r in poly if len(r) >= 3]
+                if not rings:
+                    continue
+                rxyz = [SPH.ring_to_xyz(r) for r in rings]
+                c, theta = SPH.bounding_cap(rings)
+                pad = min(theta * (1.0 + 1e-12) + 1e-15, np.pi)
+                lc = (
+                    int(np.floor(-np.log2(pad * ST_GRAD_BOUND)))
+                    if pad * ST_GRAD_BOUND < 1.0
+                    else 0
+                )
+                lev = min(max(lc, 0), max_level)
+                if lev < 1:
+                    lev = 0
+                    f = np.arange(6, dtype=np.int64)
+                    i = np.zeros(6, dtype=np.int64)
+                    j = np.zeros(6, dtype=np.int64)
+                else:
+                    clon = np.degrees(np.arctan2(c[1], c[0]))
+                    clat = np.degrees(np.arcsin(np.clip(c[2], -1.0, 1.0)))
+                    idx0 = py_s2_index(np.array([clon]), np.array([clat]), lev)
+                    _, fn, in_, jn = py_s2_neighbors_ij(
+                        idx0["face"], idx0["i"], idx0["j"], lev
+                    )
+                    f = np.concatenate([idx0["face"], fn])
+                    i = np.concatenate([idx0["i"], in_])
+                    j = np.concatenate([idx0["j"], jn])
+                ef, ei, ej, el, eint = [], [], [], [], []
+                n_out = 0
+                cm = 2.0 * np.sin(min(pad, np.pi) / 2.0)
+                while True:
+                    inside, bnd, ctr, rcell = _np_classify_cells(f, i, j, lev, rxyz)
+                    # cap restriction: the winding test also flags the
+                    # polygon's ANTIPODAL mirror (hemisphere caveat) —
+                    # only cells whose circumball can reach the bounding
+                    # cap may carry either label (chord subadditivity, as
+                    # in polyfill's candidate prefilter)
+                    dx = ctr[:, 0] - c[0]
+                    dy = ctr[:, 1] - c[1]
+                    dz = ctr[:, 2] - c[2]
+                    near = np.sqrt(dx * dx + dy * dy + dz * dz) <= cm + 2.0 * np.sin(
+                        rcell / 2.0
+                    )
+                    inside &= near
+                    bnd &= near
+                    it = inside & ~bnd
+                    if it.any():
+                        ef.append(f[it]); ei.append(i[it]); ej.append(j[it])
+                        el.append(np.full(int(it.sum()), lev, np.int64))
+                        eint.append(np.ones(int(it.sum()), bool))
+                        n_out += int(it.sum())
+                    fb, ib, jb = f[bnd], i[bnd], j[bnd]
+                    if len(fb) == 0:
+                        break
+                    if lev >= max_level or n_out + 4 * len(fb) > max_cells:
+                        ef.append(fb); ei.append(ib); ej.append(jb)
+                        el.append(np.full(len(fb), lev, np.int64))
+                        eint.append(np.zeros(len(fb), bool))
+                        n_out += len(fb)
+                        break
+                    f = np.repeat(fb, 4)
+                    i = (ib[:, None] * 2 + np.array([0, 0, 1, 1])).ravel()
+                    j = (jb[:, None] * 2 + np.array([0, 1, 0, 1])).ravel()
+                    lev += 1
+                if not ef:
+                    continue
+                f = np.concatenate(ef); i = np.concatenate(ei)
+                j = np.concatenate(ej); lv = np.concatenate(el)
+                it = np.concatenate(eint)
+                cells = np.empty(len(f), np.int64)
+                rmin = np.empty(len(f), np.int64)
+                rmax = np.empty(len(f), np.int64)
+                for L in np.unique(lv):
+                    m = lv == L
+                    cells[m], rmin[m], rmax[m] = _np_cell_ranges(
+                        f[m], i[m], j[m], int(L)
+                    )
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(np.asarray(pid), len(f)),
+                            f"{prefix}face": f.astype(np.int32),
+                            f"{prefix}i": i,
+                            f"{prefix}j": j,
+                            f"{prefix}level": lv.astype(np.int32),
+                            f"{prefix}cell": cells,
+                            f"{prefix}range_min": rmin,
+                            f"{prefix}range_max": rmax,
+                            f"{prefix}interior": it,
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return polys.select(id_col, wkb_col).mapInPandas(_cover, schema)
+
+
 # --- polyfill (S2 region covering at a fixed level) --------------------------
 
 _PF_MAX_SPAN = 4096  # candidates per range row (bounds per-task PIP work)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pygridmap_spark.functions import s2 as S2
 
@@ -131,3 +132,173 @@ def point_in_polygon_s2(
     exact = boundary.mapInPandas(_exact, schema)
     drop = [f"{_P}face", f"{_P}i", f"{_P}j", f"{_P}interior"]
     return interior.unionByName(exact).drop(*drop)
+
+
+def region_filter(
+    points: DataFrame,
+    polygons: DataFrame,
+    max_cells: int = 256,
+    max_level: int = 12,
+    lon: str = "lon",
+    lat: str = "lat",
+    wkb_col: str = "wkb",
+    poly_key: str = "poly_id",
+    cell_col: str | None = None,
+    max_ranges: int = 4096,
+) -> DataFrame:
+    """Scan-prune + exact refine for a FEW regions — the S2
+    covering-as-predicate pattern. Each region compiles to at most
+    ``max_cells`` mixed-level id ranges (``functions.s2.covering``); their
+    OR-of-BETWEEN disjunction goes into a plain ``filter`` on the cell
+    id, so on a lake table SORTED by that id the predicate reaches the
+    parquet scan as PushedFilters and prunes row groups BEFORE any join
+    or Python — the dominant cost of "which pages are in this country"
+    over 100 TB is then the scan of the matching id ranges only. The
+    tiny survivor set is assigned and exact-refined in one Arrow pass
+    (interior ranges are proof of containment; boundary-range hits run
+    the winding test).
+
+    ``cell_col`` names an existing S2-layout id column (any level >=
+    ``max_level``, e.g. the table's index column); ``None`` computes a
+    level-``max_level`` id inline (Catalyst, codegen — no pushdown
+    benefit unless the source is already cell-sorted). The covering and
+    region WKB are collected driver-side: ``max_cells x n_regions``
+    rows, dimension-sized by contract (``max_ranges`` guards the
+    predicate size) — for region LAYERS use :func:`point_in_polygon_s2`.
+    Returns the point columns plus ``poly_key``."""
+    if poly_key in points.columns:
+        raise ValueError(
+            f"points already has a {poly_key!r} column; rename one side"
+        )
+    cov = S2.covering(
+        polygons, max_cells=max_cells, max_level=max_level,
+        wkb_col=wkb_col, id_col=poly_key, prefix=_P,
+    ).collect()
+    if len(cov) > max_ranges:
+        raise ValueError(
+            f"covering has {len(cov)} ranges (> max_ranges={max_ranges}): "
+            "too many regions for the scan-prune path — use "
+            "point_in_polygon_s2 for region layers"
+        )
+    geoms = {
+        r[poly_key]: bytes(r[wkb_col])
+        for r in polygons.select(poly_key, wkb_col).collect()
+        if r[wkb_col] is not None
+    }
+    key_field = [f for f in polygons.schema.fields if f.name == poly_key][0]
+    out_schema = T.StructType(list(points.schema.fields) + [key_field])
+    if not cov:
+        return points.sparkSession.createDataFrame([], out_schema)
+
+    if cell_col is None:
+        # Arrow-kernel route, NOT the Catalyst unroll: the OR-of-BETWEEN
+        # filter would otherwise push through the encode's Project chain,
+        # substituting the full Hilbert expression into every term
+        # (exponential optimizer blowup — the known inlining hazard); the
+        # kernel is a pushdown barrier, and inline mode has no scan to
+        # prune anyway (use cell_col on a cell-sorted table for that)
+        cidx = S2.with_s2_index_kernel(
+            points, max_level, lon=lon, lat=lat, prefix=_P
+        )
+        cell = F.col(f"{_P}cell")
+    else:
+        cidx = points
+        cell = F.col(cell_col)
+    # scan predicate: coalesce overlapping/adjacent ranges ACROSS polygons
+    # (sibling interior cells merge into long runs of the curve), then
+    # fold the OR as a balanced tree — a linear fold stack-overflows
+    # Catalyst's column converter past a few hundred terms
+    spans = sorted(
+        (r[f"{_P}range_min"], r[f"{_P}range_max"]) for r in cov
+    )
+    merged = [list(spans[0])]
+    for lo, hi in spans[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    terms = [cell.between(lo, hi) for lo, hi in merged]
+    while len(terms) > 1:
+        terms = [
+            terms[k] | terms[k + 1] if k + 1 < len(terms) else terms[k]
+            for k in range(0, len(terms), 2)
+        ]
+    cand = cidx.filter(terms[0])
+
+    # assignment + refine in ONE Arrow pass over the pruned survivors:
+    # searchsorted against each region's sorted ranges, winding only for
+    # boundary-range hits
+    bc = points.sparkSession.sparkContext.broadcast(
+        {
+            "geoms": geoms,
+            "ranges": [
+                (
+                    r[poly_key],
+                    r[f"{_P}range_min"],
+                    r[f"{_P}range_max"],
+                    r[f"{_P}interior"],
+                )
+                for r in cov
+            ],
+        }
+    )
+    cell_name = cell_col if cell_col is not None else f"{_P}cell"
+    point_cols = [f.name for f in points.schema.fields]
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        val = bc.value
+        by_poly: dict = {}
+        for pid, lo, hi, interior in val["ranges"]:
+            by_poly.setdefault(pid, []).append((lo, hi, interior))
+        rings_cache: dict = {}
+
+        def rings_of(pid):
+            if pid not in rings_cache:
+                mp = WKB.decode_multipolygon(val["geoms"][pid])
+                rings_cache[pid] = [
+                    SPH.ring_to_xyz(r) for poly in mp for r in poly if len(r) >= 3
+                ]
+            return rings_cache[pid]
+
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch[cell_name].to_numpy()
+            p = None
+            outs = []
+            for pid, rs in by_poly.items():
+                rs = sorted(rs)
+                lo = np.array([r[0] for r in rs])
+                hi = np.array([r[1] for r in rs])
+                it = np.array([r[2] for r in rs])
+                k = np.searchsorted(lo, ids, side="right") - 1
+                kc = np.clip(k, 0, len(lo) - 1)
+                hit = (k >= 0) & (ids <= hi[kc])
+                if not hit.any():
+                    continue
+                keep = hit & it[kc]
+                bndsel = np.flatnonzero(hit & ~it[kc])
+                if len(bndsel):
+                    if p is None:
+                        p = SPH.lonlat_to_xyz(
+                            batch[lon].to_numpy(np.float64),
+                            batch[lat].to_numpy(np.float64),
+                        )
+                    inside = np.zeros(len(bndsel), dtype=bool)
+                    for rx in rings_of(pid):
+                        inside ^= SPH.points_in_spherical_ring(p[bndsel], rx)
+                    keep[bndsel[inside]] = True
+                if keep.any():
+                    sub = batch.loc[keep, point_cols].copy()
+                    sub[poly_key] = pid
+                    outs.append(sub)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return cand.mapInPandas(_assign, out_schema)

@@ -210,3 +210,131 @@ def test_poly_key_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="poly_id"):
         point_in_polygon_s2(pts, pts, 8)
+
+
+# --- adaptive covering + region_filter --------------------------------------
+
+from pygridmap_spark.operators.pip_sphere import region_filter  # noqa: E402
+
+
+def test_covering_budget_mixed_levels_and_containment(spark):
+    """<= max_cells GUARANTEED, coarse interior + finer boundary levels,
+    and the covering contains every interior point (sampled densely)."""
+    ang = np.linspace(0, 2 * np.pi, 13)[:-1]
+    ring = np.column_stack([10 + 4 * np.cos(ang), 45 + 3 * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    zdf = _zone_df(spark, [(0, [[ring]])])
+    for max_cells in (8, 32, 64, 256):
+        cov = S2.covering(zdf, max_cells=max_cells, max_level=14).toPandas()
+        assert 0 < len(cov) <= max_cells
+    cov = S2.covering(zdf, max_cells=64, max_level=14).toPandas()
+    assert cov.s2_level.nunique() > 1  # mixed levels
+    # boundary cells sit at finer levels than the coarsest interior cell
+    assert cov[~cov.s2_interior].s2_level.min() >= cov.s2_level.min()
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(5.5, 14.5, 4000)
+    lat = rng.uniform(41.5, 48.5, 4000)
+    p = SPH.lonlat_to_xyz(lon, lat)
+    ins = SPH.points_in_spherical_ring(p, SPH.ring_to_xyz(ring))
+    leaf = S2.py_s2_index(lon[ins], lat[ins], 30)["cell"]
+    order = np.argsort(cov.s2_range_min.to_numpy())
+    lo = cov.s2_range_min.to_numpy()[order]
+    hi = cov.s2_range_max.to_numpy()[order]
+    k = np.searchsorted(lo, leaf, side="right") - 1
+    assert ((k >= 0) & (leaf <= hi[np.clip(k, 0, len(hi) - 1)])).all()
+    # interior ranges are PROOF of containment: sampled points whose leaf
+    # lands in an interior range must be inside
+    it = cov[cov.s2_interior]
+    leaf_all = S2.py_s2_index(lon, lat, 30)["cell"]
+    in_interior = np.zeros(len(lon), dtype=bool)
+    for lo_i, hi_i in zip(it.s2_range_min, it.s2_range_max):
+        in_interior |= (leaf_all >= lo_i) & (leaf_all <= hi_i)
+    assert (~in_interior | ins).all()
+
+
+def test_covering_whole_sphere_seed(spark):
+    """A cap-scale ring (most of the north) seeds from the 6 face cells
+    and still yields a valid bounded covering."""
+    lons = np.linspace(0, 360, 25)[:-1]
+    ring = np.column_stack([lons, np.full(24, 8.0)])
+    zdf = _zone_df(spark, [(0, [[np.vstack([ring, ring[:1]])]])])
+    cov = S2.covering(zdf, max_cells=96, max_level=6).toPandas()
+    assert 0 < len(cov) <= 96
+    # the north pole is deep inside: its leaf lies in an interior range
+    leaf = S2.py_s2_index(np.array([13.0]), np.array([89.9]), 30)["cell"]
+    it = cov[cov.s2_interior]
+    hit = ((leaf[0] >= it.s2_range_min) & (leaf[0] <= it.s2_range_max)).any()
+    assert hit
+
+
+def test_region_filter_matches_bruteforce(spark):
+    zone_rows = _zones()
+    lon, lat = _points(20_000)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt": np.arange(len(lon)), "lon": lon, "lat": lat})
+    )
+    out = region_filter(pts, _zone_df(spark, zone_rows), max_cells=64, max_level=12)
+    got = {(int(r["pt"]), int(r["poly_id"])) for r in out.collect()}
+    assert got == _brute_pairs(zone_rows, lon, lat)
+
+
+def test_region_filter_pushdown_on_sorted_cell_column(spark, tmp_path):
+    """The covering ranges must reach the parquet scan as PushedFilters
+    on the indexed cell column, and the result must equal the inline
+    route."""
+    zone_rows = _zones()[:4]
+    lon, lat = _points(8_000, seed=11)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt": np.arange(len(lon)), "lon": lon, "lat": lat})
+    )
+    from pyspark.sql import functions as F
+
+    idx = S2.with_s2_index(pts, 14).select(
+        "pt", "lon", "lat", F.col("s2_cell").alias("cell")
+    )
+    path = str(tmp_path / "cells")
+    idx.repartitionByRange(4, "cell").sortWithinPartitions("cell").write.parquet(path)
+    tbl = spark.read.parquet(path)
+    zdf = _zone_df(spark, zone_rows)
+    out = region_filter(tbl, zdf, max_cells=64, max_level=12, cell_col="cell")
+    got = {(int(r["pt"]), int(r["poly_id"])) for r in out.collect()}
+    assert got == _brute_pairs(zone_rows, lon, lat)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and ("GreaterThanOrEqual(cell" in pushed[0] or "Or(And" in pushed[0])
+
+
+def test_region_filter_guards(spark):
+    zdf = spark.createDataFrame(pd.DataFrame({"poly_id": [0], "wkb": [None]}))
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt": [0], "lon": [10.0], "lat": [10.0]})
+    )
+    empty = region_filter(pts, zdf, max_cells=16, max_level=8)
+    assert empty.count() == 0 and empty.columns == ["pt", "lon", "lat", "poly_id"]
+    with pytest.raises(ValueError, match="max_ranges"):
+        region_filter(
+            pts, _zone_df(spark, _zones()), max_cells=64, max_level=12, max_ranges=10
+        )
+
+
+def test_region_filter_cap_scale_zone_excludes_antipodal_mirror(spark):
+    """A cap-scale zone seeds the covering from the whole sphere, where
+    the winding test also flags the zone's ANTIPODAL mirror — the cap
+    restriction must keep mirror cells out of the covering (regression:
+    mirror points were tagged interior)."""
+    ang = np.linspace(0, 2 * np.pi, 25)[:-1]
+    ring = np.column_stack([11 + 40 * np.cos(ang), 40 * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    zone_rows = [(0, [[ring]])]
+    zdf = _zone_df(spark, zone_rows)
+    # points: inside the zone, at its antipodal mirror, and far away
+    lon = np.array([11.0, 20.0, -169.0, -160.0, 100.0])
+    lat = np.array([0.0, 10.0, 0.0, -10.0, 60.0])
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt": np.arange(5), "lon": lon, "lat": lat})
+    )
+    out = region_filter(pts, zdf, max_cells=64, max_level=8)
+    got = sorted(int(r["pt"]) for r in out.collect())
+    assert got == [0, 1]
