@@ -338,3 +338,41 @@ def test_region_filter_cap_scale_zone_excludes_antipodal_mirror(spark):
     out = region_filter(pts, zdf, max_cells=64, max_level=8)
     got = sorted(int(r["pt"]) for r in out.collect())
     assert got == [0, 1]
+
+
+def test_point_in_polygon_s2_streaming_matches_batch(spark, tmp_path):
+    """The geodesic PIP join runs unchanged under Structured Streaming: a
+    file-source point stream against the static (localCheckpointed)
+    classified cover — stream-static equi-join + the refine kernel +
+    union are all append-mode legal — and the streamed result equals the
+    batch result."""
+    zone_rows = _zones()[:6]
+    zdf = _zone_df(spark, zone_rows)
+    lon, lat = _points(4_000, seed=21)
+    pdf = pd.DataFrame({"pt": np.arange(len(lon)), "lon": lon, "lat": lat})
+    src = str(tmp_path / "pts")
+    batch_pts = spark.createDataFrame(pdf)
+    batch_pts.repartition(3).write.parquet(src)
+    expect = {
+        (int(r["pt"]), int(r["poly_id"]))
+        for r in point_in_polygon_s2(batch_pts, zdf, LEVEL).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch_pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tagged = point_in_polygon_s2(stream, zdf, LEVEL)
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName("pip_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (int(r["pt"]), int(r["poly_id"]))
+        for r in spark.sql("select * from pip_stream").collect()
+    }
+    assert got == expect and len(got) > 0
