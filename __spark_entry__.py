@@ -1207,7 +1207,7 @@ def _q_pip_s2_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygridmap_spark.operators import pip_sphere as _PIP
 
     pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
-    out = _PIP.point_in_polygon_s2(pts, _s2_quad_zones(spark, sf_dir), 8)
+    out = _PIP.point_in_polygon_s2(pts, _s2_quad_zones(spark, sf_dir), 7)
     return out.select("doc_id", "poly_id")
 
 

@@ -10,6 +10,8 @@ Spark (one projection over spark.range, no driver data), then measure
 4. the geodesic radius join (constant cover level, one equi-join),
 5. the geodesic point-in-polygon join over a synthetic zone layer
    (classified cover split + end-to-end tagging; --zones 0 skips),
+6. the scan-prune region filter on a cell-SORTED parquet table
+   (covering ranges as PushedFilters: rows read pruned vs unpruned),
 
 with per-stage shuffle totals from the REST stage metrics (the executed
 numbers, not plan copies — CLAUDE.md gotcha). Usage:
@@ -124,6 +126,7 @@ def main() -> None:
 
     from pygridmap_spark.functions import s2 as S2
     from pygridmap_spark.operators import knn_sphere as KS
+    from pygridmap_spark.operators import pip_sphere as PIP
     from pygridmap_spark.session import get_spark
 
     spark = get_spark(
@@ -259,6 +262,57 @@ def main() -> None:
                 "shuffle_write_mb": round(wz2 - wz1, 1),
             }
             zs.unpersist()
+
+            # ---- stage 6: scan-prune region filter (sorted lake table) ---
+            import shutil
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="s2scan_")
+            try:
+                enc14 = S2.with_s2_index(pts, 14)
+                enc14.select(
+                    "point_id", "lon", "lat", F.col("s2_cell").alias("cell")
+                ).repartitionByRange(64, "cell").sortWithinPartitions(
+                    "cell"
+                ).write.mode("overwrite").parquet(d)
+                tbl = spark.read.parquet(d)
+                few = make_zones(spark, 8, mega=False).localCheckpoint(eager=True)
+
+                def _input_totals():
+                    st = _rest_stages(spark)
+                    return (
+                        sum(s_.get("inputBytes", 0) for s_ in st) / 1e6,
+                        sum(s_.get("inputRecords", 0) for s_ in st),
+                    )
+
+                def _run():
+                    t0 = time.time()
+                    b0, rec0 = _input_totals()
+                    out = PIP.region_filter(
+                        tbl, few, max_cells=256, max_level=12, cell_col="cell"
+                    )
+                    n_hit = out.count()
+                    b1, rec1 = _input_totals()
+                    return {
+                        "wall_s": round(time.time() - t0, 2),
+                        "result_rows": n_hit,
+                        "records_read": rec1 - rec0,
+                        "mb_read": round(b1 - b0, 1),
+                    }
+
+                pruned = _run()
+                spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+                try:
+                    unpruned = _run()
+                finally:
+                    spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+                report["scan_prune"] = {
+                    "table_rows": n,
+                    "pruned": pruned,
+                    "no_pushdown": unpruned,
+                }
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
         pts.unpersist()
     finally:
         print(json.dumps(report))
