@@ -120,6 +120,7 @@ def main() -> None:
     ap.add_argument("--zones", type=int, default=1000)
     ap.add_argument("--zone-level", type=int, default=11)
     ap.add_argument("--skip-knn", action="store_true")
+    ap.add_argument("--skip-scan", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -221,8 +222,6 @@ def main() -> None:
             }
         # ---- stage 5: geodesic PIP join (classified cover) -----------
         if args.zones:
-            from pygridmap_spark.operators import pip_sphere as PIP
-
             zs = make_zones(spark, args.zones).persist()
             zs.count()
             wz0, _ = _shuffle_totals(spark)
@@ -263,7 +262,8 @@ def main() -> None:
             }
             zs.unpersist()
 
-            # ---- stage 6: scan-prune region filter (sorted lake table) ---
+        # ---- stage 6: scan-prune region filter (sorted lake table) ---
+        if not args.skip_scan:
             import shutil
             import tempfile
 
@@ -276,6 +276,7 @@ def main() -> None:
                     "cell"
                 ).write.mode("overwrite").parquet(d)
                 tbl = spark.read.parquet(d)
+                tbl.count()  # warm the page cache before either timing
                 few = make_zones(spark, 8, mega=False).localCheckpoint(eager=True)
 
                 def _input_totals():
@@ -300,12 +301,17 @@ def main() -> None:
                         "mb_read": round(b1 - b0, 1),
                     }
 
-                pruned = _run()
-                spark.conf.set("spark.sql.parquet.filterPushdown", "false")
-                try:
-                    unpruned = _run()
-                finally:
-                    spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+                # interleaved best-of-2 (shared-VM steal protocol)
+                pruned = unpruned = None
+                for _rep in range(2):
+                    r = _run()
+                    pruned = r if pruned is None or r["wall_s"] < pruned["wall_s"] else pruned
+                    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+                    try:
+                        r = _run()
+                    finally:
+                        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+                    unpruned = r if unpruned is None or r["wall_s"] < unpruned["wall_s"] else unpruned
                 report["scan_prune"] = {
                     "table_rows": n,
                     "pruned": pruned,

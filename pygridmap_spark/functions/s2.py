@@ -576,6 +576,65 @@ def with_s2_index_kernel(
     return df.mapInPandas(_kernel, schema)
 
 
+
+# Exactness domain of the winding-based region operators: the polygon's
+# bounding cap must fit in an OPEN QUARTER-SPHERE. The tangent-plane
+# winding number flags a region AND its antipodal mirror; candidates are
+# restricted to the bounding cap, which excludes the mirror exactly when
+# pi - pad > pad, i.e. pad < pi/2. At pad >= pi/2 the two overlap and no
+# cap/chord test can separate them (orientation-agnostic kernel), so
+# polyfill/covering fail closed rather than silently tag mirror cells.
+_MAX_CAP_RAD = np.pi / 2.0 * (1.0 - 1e-9)
+
+
+def _check_cap(pad: float, what: str) -> None:
+    if pad >= _MAX_CAP_RAD:
+        raise ValueError(
+            f"{what}: polygon bounding cap radius {np.degrees(pad):.1f} deg >= "
+            "90 deg (quarter-sphere): the orientation-agnostic winding kernel "
+            "cannot distinguish the polygon from its antipodal mirror at this "
+            "size. Split the polygon (e.g. clip by hemispheres) into "
+            "smaller-cap pieces."
+        )
+
+
+def _np_expand_group(g, inv_n):
+    """Expand one polygon's chunked (_f, _i, _jlo, _jhi) range rows into
+    candidate cells (f, i, j) plus their NORMALIZED center unit vectors —
+    shared by the plain and classify containment kernels."""
+    lo = g["_jlo"].to_numpy()
+    hi = g["_jhi"].to_numpy()
+    ii = g["_i"].to_numpy()
+    ffc = g["_f"].to_numpy()
+    spans = hi - lo + 1
+    total = int(spans.sum())
+    idx = np.arange(total) - np.repeat(np.cumsum(spans) - spans, spans)
+    j = np.repeat(lo, spans) + idx
+    i = np.repeat(ii, spans)
+    f = np.repeat(ffc, spans)
+    u = _np_st_to_uv((i.astype(np.float64) + 0.5) * inv_n)
+    v = _np_st_to_uv((j.astype(np.float64) + 0.5) * inv_n)
+    x, y, z = _np_face_uv_to_xyz(f, u, v)
+    norm = np.sqrt(x * x + y * y + z * z)
+    return f, i, j, x / norm, y / norm, z / norm
+
+
+def _np_cell_circumradius(f, i, j, inv_n, px, py, pz):
+    """Exact per-cell circumradius: max angle from the NORMALIZED center
+    (px, py, pz) to the 4 corners (quadratic st is monotone, so corners
+    realize the max)."""
+    cosmin = np.ones(len(px))
+    for di in (0.0, 1.0):
+        cu = _np_st_to_uv((i.astype(np.float64) + di) * inv_n)
+        for dj in (0.0, 1.0):
+            cv = _np_st_to_uv((j.astype(np.float64) + dj) * inv_n)
+            cx, cy, cz = _np_face_uv_to_xyz(f, cu, cv)
+            cn = np.sqrt(cx * cx + cy * cy + cz * cz)
+            dot = (px * cx + py * cy + pz * cz) / cn
+            np.minimum(cosmin, dot, out=cosmin)
+    return np.arccos(np.clip(cosmin, -1.0, 1.0))
+
+
 def _np_classify_cells(f, i, j, level, rxyz):
     """(inside, boundary) for cells (f, i, j) at ``level`` vs a geodesic
     ring list (unit-vector arrays): ``inside`` = center containment
@@ -592,16 +651,7 @@ def _np_classify_cells(f, i, j, level, rxyz):
     x, y, z = _np_face_uv_to_xyz(f, u, v)
     nn = np.sqrt(x * x + y * y + z * z)
     p = np.column_stack([x / nn, y / nn, z / nn])
-    cosmin = np.ones(len(p))
-    for di in (0.0, 1.0):
-        cu = _np_st_to_uv((i.astype(np.float64) + di) * inv_n)
-        for dj in (0.0, 1.0):
-            cv = _np_st_to_uv((j.astype(np.float64) + dj) * inv_n)
-            cx, cy, cz = _np_face_uv_to_xyz(f, cu, cv)
-            cn = np.sqrt(cx * cx + cy * cy + cz * cz)
-            dot = (p[:, 0] * cx + p[:, 1] * cy + p[:, 2] * cz) / cn
-            np.minimum(cosmin, dot, out=cosmin)
-    rcell = np.arccos(np.clip(cosmin, -1.0, 1.0))
+    rcell = _np_cell_circumradius(f, i, j, inv_n, p[:, 0], p[:, 1], p[:, 2])
     inside = np.zeros(len(p), dtype=bool)
     mind = np.full(len(p), np.pi)
     for rx in rxyz:
@@ -686,6 +736,7 @@ def covering(
                 rxyz = [SPH.ring_to_xyz(r) for r in rings]
                 c, theta = SPH.bounding_cap(rings)
                 pad = min(theta * (1.0 + 1e-12) + 1e-15, np.pi)
+                _check_cap(pad, "covering")
                 lc = (
                     int(np.floor(-np.log2(pad * ST_GRAD_BOUND)))
                     if pad * ST_GRAD_BOUND < 1.0
@@ -890,6 +941,7 @@ def polyfill(
                     continue
                 c, theta = SPH.bounding_cap(rings)
                 pad = min(theta * (1.0 + 1e-12) + 1e-15, np.pi)
+                _check_cap(pad, "polyfill")
                 cap = (c[0], c[1], c[2], 2.0 * np.sin(pad / 2.0))
                 lc = (
                     int(np.floor(-np.log2(pad * ST_GRAD_BOUND)))
@@ -959,21 +1011,8 @@ def polyfill(
                 if not rings:
                     continue
                 rxyz = [SPH.ring_to_xyz(r) for r in rings]
-                lo = g["_jlo"].to_numpy()
-                hi = g["_jhi"].to_numpy()
-                ii = g["_i"].to_numpy()
-                ffc = g["_f"].to_numpy()
-                spans = hi - lo + 1
-                total = int(spans.sum())
-                idx = np.arange(total) - np.repeat(np.cumsum(spans) - spans, spans)
-                j = np.repeat(lo, spans) + idx
-                i = np.repeat(ii, spans)
-                f = np.repeat(ffc, spans)
-                u = _np_st_to_uv((i.astype(np.float64) + 0.5) * inv_n)
-                v = _np_st_to_uv((j.astype(np.float64) + 0.5) * inv_n)
-                x, y, z = _np_face_uv_to_xyz(f, u, v)
-                norm = np.sqrt(x * x + y * y + z * z)
-                x, y, z = x / norm, y / norm, z / norm
+                f, i, j, x, y, z = _np_expand_group(g, inv_n)
+                total = len(f)
                 # cap-chord prefilter (the cap provably contains the
                 # polygon, so dropped centers cannot be inside)
                 cx = g["_cx"].iloc[0]
@@ -1038,21 +1077,8 @@ def polyfill(
                 if not rings:
                     continue
                 rxyz = [SPH.ring_to_xyz(r) for r in rings]
-                lo = g["_jlo"].to_numpy()
-                hi = g["_jhi"].to_numpy()
-                ii = g["_i"].to_numpy()
-                ffc = g["_f"].to_numpy()
-                spans = hi - lo + 1
-                total = int(spans.sum())
-                idx = np.arange(total) - np.repeat(np.cumsum(spans) - spans, spans)
-                j = np.repeat(lo, spans) + idx
-                i = np.repeat(ii, spans)
-                f = np.repeat(ffc, spans)
-                u = _np_st_to_uv((i.astype(np.float64) + 0.5) * inv_n)
-                v = _np_st_to_uv((j.astype(np.float64) + 0.5) * inv_n)
-                x, y, z = _np_face_uv_to_xyz(f, u, v)
-                norm = np.sqrt(x * x + y * y + z * z)
-                x, y, z = x / norm, y / norm, z / norm
+                f, i, j, x, y, z = _np_expand_group(g, inv_n)
+                total = len(f)
                 # exact per-cell circumradius: max center->corner angle
                 # (quadratic st is monotone, so corners realize the max),
                 # slab-sized like the ray cast
@@ -1060,17 +1086,10 @@ def polyfill(
                 rcell = np.empty(m)
                 for st0 in range(0, m, _PF_PIP_SLAB):
                     en = min(st0 + _PF_PIP_SLAB, m)
-                    cosmin = np.ones(en - st0)
-                    fi = f[st0:en]
-                    for di in (0.0, 1.0):
-                        cu = _np_st_to_uv((i[st0:en].astype(np.float64) + di) * inv_n)
-                        for dj in (0.0, 1.0):
-                            cv = _np_st_to_uv((j[st0:en].astype(np.float64) + dj) * inv_n)
-                            cx_, cy_, cz_ = _np_face_uv_to_xyz(fi, cu, cv)
-                            cn = np.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
-                            dot = (x[st0:en] * cx_ + y[st0:en] * cy_ + z[st0:en] * cz_) / cn
-                            np.minimum(cosmin, dot, out=cosmin)
-                    rcell[st0:en] = np.arccos(np.clip(cosmin, -1.0, 1.0))
+                    rcell[st0:en] = _np_cell_circumradius(
+                        f[st0:en], i[st0:en], j[st0:en], inv_n,
+                        x[st0:en], y[st0:en], z[st0:en],
+                    )
                 # cap-chord prefilter padded per cell by the circumball
                 # chord (chord is subadditive, so cap+circumball is safe)
                 cxc = g["_cx"].iloc[0]

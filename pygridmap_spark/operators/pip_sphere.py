@@ -22,9 +22,11 @@ edges, using ``functions.s2.polyfill(classify=True)`` as the cover:
    through that exchange) and run the exact tangent-plane winding test
    (core/sphere.py), decoding once per zone per batch.
 
-Exactness matches the kernel's documented domain: each ring within an
-open hemisphere, great-circle edges < 180 deg, points exactly on an edge
-resolve either way (measure zero). A point inside several overlapping
+Exactness domain: each polygon's bounding cap must fit in an open
+QUARTER-sphere (polyfill raises otherwise — beyond that the cap
+restriction cannot exclude the antipodal winding mirror), great-circle
+edges < 180 deg, points exactly on an edge resolve either way (measure
+zero). A point inside several overlapping
 zones yields one output row per zone.
 
 Reference parity: pygridmap classifies planar grid cells against a mask
@@ -113,19 +115,24 @@ def point_in_polygon_s2(
             keep = np.zeros(len(batch), dtype=bool)
             for pid in pd.unique(pids):
                 sel = np.nonzero(pids == pid)[0]
-                rings = cache.get(pid)
-                if rings is None:
+                rxyz = cache.get(pid)
+                if rxyz is None:
                     mp = WKB.decode_multipolygon(
                         bytes(batch[f"{_P}wkb"].iloc[sel[0]])
                     )
-                    rings = [r for poly in mp for r in poly if len(r) >= 3]
+                    # cache the UNIT-VECTOR rings, not lon/lat: the trig
+                    # transform is the per-zone cost worth amortizing
+                    rxyz = [
+                        SPH.ring_to_xyz(r)
+                        for poly in mp
+                        for r in poly
+                        if len(r) >= 3
+                    ]
                     if len(cache) < 4096:
-                        cache[pid] = rings
+                        cache[pid] = rxyz
                 inside = np.zeros(len(sel), dtype=bool)
-                for ring in rings:
-                    inside ^= SPH.points_in_spherical_ring(
-                        p[sel], SPH.ring_to_xyz(ring)
-                    )
+                for rx in rxyz:
+                    inside ^= SPH.points_in_spherical_ring(p[sel], rx)
                 keep[sel] = inside
             yield batch[keep].drop(columns=[f"{_P}wkb"])
 

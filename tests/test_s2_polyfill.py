@@ -191,3 +191,41 @@ def test_polyfill_degenerate(spark):
     )
     out = S2.polyfill(polys, LEVEL).toPandas()
     assert len(out) == 0
+
+
+def test_polyfill_quarter_sphere_cap_guard(spark):
+    """A polygon whose bounding cap reaches a quarter-sphere (>= 90 deg)
+    must FAIL CLOSED: beyond that the cap restriction can no longer
+    exclude the antipodal winding mirror (pi - pad <= pad), so silent
+    mirror tags would be possible — pinned regression from review: a
+    polar ring at lat +0.5 (pad ~97 deg) previously emitted mirror cells
+    south of lat -0.5 as inside."""
+    import pytest as _pytest
+
+    lons = np.linspace(0, 360, 25)[:-1]
+    ring = np.column_stack([lons, np.full(24, 0.5)])
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0],
+                      "wkb": [WKB.encode_multipolygon([[np.vstack([ring, ring[:1]])]])]})
+    )
+    with _pytest.raises(Exception, match="antipodal mirror"):
+        S2.polyfill(polys, LEVEL).count()
+    with _pytest.raises(Exception, match="antipodal mirror"):
+        S2.polyfill(polys, LEVEL, classify=True).count()
+    with _pytest.raises(Exception, match="antipodal mirror"):
+        S2.covering(polys, max_cells=64, max_level=8).count()
+
+
+def test_polyfill_wide_cap_below_quarter_sphere_still_exact(spark):
+    """Caps in the whole-sphere-fallback band but below 90 deg (here a
+    polar ring at lat 15: pad ~82 deg) stay exact: the mirror lies
+    beyond pi - pad > pad and the cap prefilter excludes it."""
+    lons = np.linspace(0, 360, 25)[:-1]
+    ring = np.column_stack([lons, np.full(24, 15.0)])
+    got = _cmp(spark, [[[ring]]])
+    # explicit mirror check: no cell center south of -10 deg latitude
+    u = S2._np_st_to_uv((got.s2_j.to_numpy() + 0.5) / N)
+    su = S2._np_st_to_uv((got.s2_i.to_numpy() + 0.5) / N)
+    x, y, z = S2._np_face_uv_to_xyz(got.s2_face.to_numpy().astype(np.int64), su, u)
+    lat = np.degrees(np.arcsin(z / np.sqrt(x * x + y * y + z * z)))
+    assert lat.min() > 10.0
