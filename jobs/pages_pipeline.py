@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Production pipeline job: geolocate -> cell-index -> tile-assign ->
-PIP region join -> tiled sink, with per-stage lineage checkpoints.
+PIP region join -> tiled sink, with per-stage lineage checkpoints; opt-in
+GEODESIC zone tagging (--geo-zones: WKB polygons joined exactly on the
+sphere via the classified S2 cover) with a per-zone rollup stage.
 
 Submit (cluster):
     spark-submit --py-files pygridmap_spark.zip jobs/pages_pipeline.py \
         --input  <pages parquet/iceberg path> \
         --output <work dir> \
         [--regions <rect-region parquet>] [--psl <public_suffix_list.dat>] \
+        [--geo-zones <wkb-zone parquet> --geo-level 11] \
         [--zoom 7] [--resolution 0.01]
 
 Every stage checkpoints to parquet with a per-partition row-count/hash
@@ -39,6 +42,13 @@ def main() -> None:
         "(functions.urls.load_psl — the production path; omit for the "
         "14-rule stand-in)",
     )
+    ap.add_argument(
+        "--geo-zones",
+        help="geodesic zone parquet (poly_id, wkb): exact sphere-side "
+        "point-in-polygon tagging via operators.pip_sphere (great-circle "
+        "edges; correct at poles/antimeridian where rect regions are not)",
+    )
+    ap.add_argument("--geo-level", type=int, default=11, help="S2 cover level for --geo-zones")
     ap.add_argument("--output", required=True)
     ap.add_argument("--zoom", type=int, default=7)
     ap.add_argument("--resolution", type=float, default=0.01)
@@ -109,6 +119,42 @@ def main() -> None:
         partition_cols=["poly_id"],
         inputs=[os.path.join(args.output, "stage_encoded")],
     )
+
+    # stage 2b (opt-in): geodesic zone tagging + per-zone rollup — the
+    # spherical member of the PIP family (interior cover cells tag by the
+    # equi-join alone; only boundary cells pay the winding refine)
+    if args.geo_zones:
+        from pygridmap_spark.operators import pip_sphere as PIP
+
+        zones = spark.read.parquet(args.geo_zones)
+        tagged = PIP.point_in_polygon_s2(
+            enc.withColumnRenamed("poly_id", "__rect_poly_id__")
+            if "poly_id" in enc.columns
+            else enc,
+            zones,
+            args.geo_level,
+        )
+        tagged = lineage.checkpoint(
+            tagged,
+            os.path.join(args.output, "stage_geo_tagged"),
+            stage="geo_tagged",
+            partition_cols=["poly_id"],
+            inputs=[
+                os.path.join(args.output, "stage_encoded"),
+                f"geo:{args.geo_zones}@{args.geo_level}",
+            ],
+        )
+        zone_stats = tagged.groupBy("poly_id").agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct("registered_domain").alias("n_domains"),
+        )
+        zone_stats = lineage.checkpoint(
+            zone_stats,
+            os.path.join(args.output, "stage_zone_stats"),
+            stage="zone_stats",
+            inputs=[os.path.join(args.output, "stage_geo_tagged")],
+        )
+        print({"geo_zones": zone_stats.count()})
 
     # stage 3: tiled sink + info.json
     info = sinks.write_tiles(
