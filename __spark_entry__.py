@@ -1228,6 +1228,47 @@ def _q_region_filter_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "poly_id")
 
 
+def _q_s2_cell_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell outline corners (functions/s2.py py_cell_corners /
+    cell_outline_wkb): the vector form of a cell — st (0,0)(1,0)(1,1)(0,1)
+    corners through the quadratic st->uv closed form and the per-face
+    gnomonic lift, as plain lon/lat columns. Oracle: the identical
+    arithmetic restated in DuckDB (no Hilbert needed — corners are pure
+    face/i/j math). Rounded to 9 decimals both sides."""
+    import pandas as pd
+
+    from pygridmap_spark.functions import s2 as _S2M
+
+    lev = 5
+    pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    enc = _S2M.with_s2_face_ij(pts, lev)
+
+    def _corners(batches):
+        for pdf in batches:
+            lon, lat = _S2M.py_cell_corners(
+                pdf["s2_face"].to_numpy(), pdf["s2_i"].to_numpy(),
+                pdf["s2_j"].to_numpy(), lev,
+            )
+            out = pdf[["doc_id", "s2_face", "s2_i", "s2_j"]].copy()
+            for k in range(4):
+                out[f"c{k}_lon"] = lon[:, k]
+                out[f"c{k}_lat"] = lat[:, k]
+            yield out
+
+    schema = (
+        "doc_id long, s2_face int, s2_i long, s2_j long, "
+        + ", ".join(f"c{k}_lon double, c{k}_lat double" for k in range(4))
+    )
+    out = enc.mapInPandas(_corners, schema)
+    rounded = {f"c{k}_{ax}": F.round(F.col(f"c{k}_{ax}"), 9)
+               for k in range(4) for ax in ("lon", "lat")}
+    return out.withColumns(rounded).select(
+        "doc_id", F.col("s2_face").cast("long").alias("s2_face"),
+        "s2_i", "s2_j",
+        *[f"c{k}_{ax}" for k in range(4) for ax in ("lon", "lat")],
+    )
+
+
 def _q_within_radius_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic radius join (operators/knn_sphere.py within_radius_s2):
     every point within 400 km great-circle distance of each query via a
@@ -1583,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_polyfill": _q_s2_polyfill,
         "pip_s2_zones": _q_pip_s2_zones,
         "region_filter_quads": _q_region_filter_quads,
+        "s2_cell_corners": _q_s2_cell_corners,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2621,6 +2663,87 @@ def oracle_sql() -> dict[str, str]:
             FROM uv p JOIN quads q
               ON p.u >= q.u0 AND p.u <= q.u1
              AND p.v >= q.v0 AND p.v <= q.v1
+        """,
+        "s2_cell_corners": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            xyz AS (
+                SELECT doc_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts
+            ),
+            fuv AS (
+                SELECT doc_id, x, y, z,
+                       CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                                THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                            WHEN abs(y) >= abs(z)
+                                THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                            ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END
+                       END AS face
+                FROM xyz
+            ),
+            uv AS (
+                SELECT doc_id, face,
+                       CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y
+                                 WHEN 2 THEN -x / z WHEN 3 THEN z / x
+                                 WHEN 4 THEN z / y ELSE -y / z END AS u,
+                       CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y
+                                 WHEN 2 THEN -y / z WHEN 3 THEN y / x
+                                 WHEN 4 THEN -x / y ELSE x / z END AS v
+                FROM fuv
+            ),
+            ij AS (
+                SELECT doc_id, face,
+                       LEAST(GREATEST(CAST(floor((CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                            ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END) * 32.0) AS BIGINT), 0), 31) AS i,
+                       LEAST(GREATEST(CAST(floor((CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                            ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END) * 32.0) AS BIGINT), 0), 31) AS j
+                FROM uv
+            ),
+            cuv AS (
+                SELECT doc_id, face, i, j,
+                       CASE WHEN (i + 0.0)/32.0 >= 0.5 THEN (4.0*((i+0.0)/32.0)*((i+0.0)/32.0) - 1.0)/3.0
+                            ELSE (1.0 - 4.0*(1.0-(i+0.0)/32.0)*(1.0-(i+0.0)/32.0))/3.0 END AS u0,
+                       CASE WHEN (i + 1.0)/32.0 >= 0.5 THEN (4.0*((i+1.0)/32.0)*((i+1.0)/32.0) - 1.0)/3.0
+                            ELSE (1.0 - 4.0*(1.0-(i+1.0)/32.0)*(1.0-(i+1.0)/32.0))/3.0 END AS u1,
+                       CASE WHEN (j + 0.0)/32.0 >= 0.5 THEN (4.0*((j+0.0)/32.0)*((j+0.0)/32.0) - 1.0)/3.0
+                            ELSE (1.0 - 4.0*(1.0-(j+0.0)/32.0)*(1.0-(j+0.0)/32.0))/3.0 END AS v0,
+                       CASE WHEN (j + 1.0)/32.0 >= 0.5 THEN (4.0*((j+1.0)/32.0)*((j+1.0)/32.0) - 1.0)/3.0
+                            ELSE (1.0 - 4.0*(1.0-(j+1.0)/32.0)*(1.0-(j+1.0)/32.0))/3.0 END AS v1
+                FROM ij
+            )
+            SELECT doc_id, CAST(face AS BIGINT) AS s2_face, i AS s2_i, j AS s2_j,
+                       round(degrees(atan2(
+                         CASE face WHEN 0 THEN u0 WHEN 1 THEN 1.0 WHEN 2 THEN -v0 WHEN 3 THEN -v0 WHEN 4 THEN -1.0 ELSE u0 END,
+                         CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u0 WHEN 2 THEN -u0 WHEN 3 THEN -1.0 WHEN 4 THEN v0 ELSE -v0 END)), 9) AS c0_lon,
+                       round(degrees(asin(
+                         (CASE face WHEN 0 THEN v0 WHEN 1 THEN v0 WHEN 2 THEN 1.0 WHEN 3 THEN -u0 WHEN 4 THEN -u0 ELSE -1.0 END)
+                         / sqrt(1.0 + u0*u0 + v0*v0))), 9) AS c0_lat,
+                       round(degrees(atan2(
+                         CASE face WHEN 0 THEN u1 WHEN 1 THEN 1.0 WHEN 2 THEN -v0 WHEN 3 THEN -v0 WHEN 4 THEN -1.0 ELSE u1 END,
+                         CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u1 WHEN 2 THEN -u1 WHEN 3 THEN -1.0 WHEN 4 THEN v0 ELSE -v0 END)), 9) AS c1_lon,
+                       round(degrees(asin(
+                         (CASE face WHEN 0 THEN v0 WHEN 1 THEN v0 WHEN 2 THEN 1.0 WHEN 3 THEN -u1 WHEN 4 THEN -u1 ELSE -1.0 END)
+                         / sqrt(1.0 + u1*u1 + v0*v0))), 9) AS c1_lat,
+                       round(degrees(atan2(
+                         CASE face WHEN 0 THEN u1 WHEN 1 THEN 1.0 WHEN 2 THEN -v1 WHEN 3 THEN -v1 WHEN 4 THEN -1.0 ELSE u1 END,
+                         CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u1 WHEN 2 THEN -u1 WHEN 3 THEN -1.0 WHEN 4 THEN v1 ELSE -v1 END)), 9) AS c2_lon,
+                       round(degrees(asin(
+                         (CASE face WHEN 0 THEN v1 WHEN 1 THEN v1 WHEN 2 THEN 1.0 WHEN 3 THEN -u1 WHEN 4 THEN -u1 ELSE -1.0 END)
+                         / sqrt(1.0 + u1*u1 + v1*v1))), 9) AS c2_lat,
+                       round(degrees(atan2(
+                         CASE face WHEN 0 THEN u0 WHEN 1 THEN 1.0 WHEN 2 THEN -v1 WHEN 3 THEN -v1 WHEN 4 THEN -1.0 ELSE u0 END,
+                         CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u0 WHEN 2 THEN -u0 WHEN 3 THEN -1.0 WHEN 4 THEN v1 ELSE -v1 END)), 9) AS c3_lon,
+                       round(degrees(asin(
+                         (CASE face WHEN 0 THEN v1 WHEN 1 THEN v1 WHEN 2 THEN 1.0 WHEN 3 THEN -u0 WHEN 4 THEN -u0 ELSE -1.0 END)
+                         / sqrt(1.0 + u0*u0 + v1*v1))), 9) AS c3_lat
+            FROM cuv
         """,
         "within_radius_s2": f"""
             WITH pts AS (

@@ -69,6 +69,7 @@ HEADLINE = [
     "s2_polyfill",
     "pip_s2_zones",
     "region_filter_quads",
+    "s2_cell_corners",
 ]
 
 

@@ -829,6 +829,63 @@ def covering(
     return polys.select(id_col, wkb_col).mapInPandas(_cover, schema)
 
 
+def py_cell_corners(
+    face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) degrees of the 4 cell corners, shape (N, 4), in st
+    order (0,0) (1,0) (1,1) (0,1) — the cell's geodesic outline (cell
+    edges are st-axis lines, which are great-circle arcs in the gnomonic
+    face chart)."""
+    n = float(1 << level)
+    lon = np.empty((len(i), 4))
+    lat = np.empty((len(i), 4))
+    for k, (di, dj) in enumerate(((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))):
+        u = _np_st_to_uv((np.asarray(i, np.float64) + di) / n)
+        v = _np_st_to_uv((np.asarray(j, np.float64) + dj) / n)
+        x, y, z = _np_face_uv_to_xyz(np.asarray(face), u, v)
+        r = np.sqrt(x * x + y * y + z * z)
+        lon[:, k] = np.degrees(np.arctan2(y, x))
+        lat[:, k] = np.degrees(np.arcsin(z / r))
+    return lon, lat
+
+
+def cell_outline_wkb(
+    df: DataFrame,
+    level: int,
+    face: str = "s2_face",
+    i: str = "s2_i",
+    j: str = "s2_j",
+    out_col: str = "cell_wkb",
+) -> DataFrame:
+    """Append each cell's geodesic outline as a WKB polygon (closed
+    4-corner ring) — the vector form of a cell rollup, consumable by the
+    overlay/dissolve machinery and by the spherical PIP kernels. One
+    Arrow pass, zero shuffles."""
+    _check_level(level)
+    from pygridmap_spark import util as _util
+
+    schema = _util.schema_with(df, f"{out_col} binary")
+
+    def _kernel(batches):
+        from pygridmap_spark.core import wkb as WKB
+
+        for pdf in batches:
+            lon, lat = py_cell_corners(
+                pdf[face].to_numpy(), pdf[i].to_numpy(), pdf[j].to_numpy(), level
+            )
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                WKB.encode_multipolygon(
+                    [[np.column_stack([np.append(lon[r], lon[r, 0]),
+                                       np.append(lat[r], lat[r, 0])])]]
+                )
+                for r in range(len(pdf))
+            ]
+            yield pdf
+
+    return df.mapInPandas(_kernel, schema)
+
+
 # --- polyfill (S2 region covering at a fixed level) --------------------------
 
 _PF_MAX_SPAN = 4096  # candidates per range row (bounds per-task PIP work)

@@ -229,3 +229,31 @@ def test_polyfill_wide_cap_below_quarter_sphere_still_exact(spark):
     x, y, z = S2._np_face_uv_to_xyz(got.s2_face.to_numpy().astype(np.int64), su, u)
     lat = np.degrees(np.arcsin(z / np.sqrt(x * x + y * y + z * z)))
     assert lat.min() > 10.0
+
+
+def test_cell_corners_and_outline_wkb(spark):
+    """Corners bound the cell: the center is inside its own outline, a
+    neighbor's center is not; adjacent cells share corner coordinates;
+    the DataFrame route emits decodable closed rings."""
+    face = np.array([2, 2, 4], dtype=np.int64)
+    i = np.array([10, 11, 77], dtype=np.int64)
+    j = np.array([20, 20, 40], dtype=np.int64)
+    lon, lat = S2.py_cell_corners(face, i, j, LEVEL)
+    # shared edge between (10,20) and (11,20): corners 1,2 of the first
+    # equal corners 0,3 of the second
+    assert np.allclose([lon[0, 1], lat[0, 1]], [lon[1, 0], lat[1, 0]])
+    assert np.allclose([lon[0, 2], lat[0, 2]], [lon[1, 3], lat[1, 3]])
+    clon, clat = S2.py_cell_center(face, i, j, LEVEL)
+    df = spark.createDataFrame(
+        pd.DataFrame({"s2_face": face, "s2_i": i, "s2_j": j})
+    )
+    out = S2.cell_outline_wkb(df, LEVEL).toPandas()
+    for r in range(3):
+        mp = WKB.decode_multipolygon(bytes(out.cell_wkb[r]))
+        ring = mp[0][0]
+        assert len(ring) == 5 and (ring[0] == ring[-1]).all()
+        ctr = SPH.lonlat_to_xyz(np.array([clon[r]]), np.array([clat[r]]))
+        assert SPH.points_in_spherical_polygon(ctr, [ring])[0]
+        other = SPH.lonlat_to_xyz(np.array([clon[(r + 1) % 3]]),
+                                  np.array([clat[(r + 1) % 3]]))
+        assert not SPH.points_in_spherical_polygon(other, [ring])[0]
