@@ -1269,6 +1269,100 @@ def _q_s2_cell_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_s2_cells_to_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cells -> vector dissolve (functions/s2.py cells_to_wkb): each
+    group's level-5 cell set dissolves to an exact geodesic outline
+    multipolygon through the REAL machinery (strict shared-edge dissolve
+    in integer ij space + quadratic st->uv + gnomonic lift), one grouped
+    exchange via util.grouped_rows_sorted. Groups are deterministic
+    w x h ij-rects, so the outline is a 4-corner geodesic quad whose
+    corners the oracle re-derives in closed form (the same face/st/uv
+    arithmetic as the hash-green s2_cell_corners twin); min/max/sum over
+    the decoded ring vertices are order-independent pins of all four."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as _WKBM
+    from pygridmap_spark.functions import s2 as _S2M
+
+    d = F.col("doc_id")
+    g = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(d < 40)
+        .select(
+            d.alias("poly_id"),
+            (d % 6).cast("int").alias("s2_face"),
+            ((d * 7) % 24).alias("i0"),
+            ((d * 11) % 26).alias("j0"),
+            (F.lit(1) + d % 5).alias("w"),
+            (F.lit(1) + (d * 3) % 4).alias("h"),
+        )
+    )
+    cells = g.select(
+        "poly_id",
+        "s2_face",
+        F.explode(F.sequence(F.col("i0"), F.col("i0") + F.col("w") - 1)).alias("s2_i"),
+        "j0",
+        "h",
+    ).select(
+        "poly_id",
+        "s2_face",
+        "s2_i",
+        F.explode(F.sequence(F.col("j0"), F.col("j0") + F.col("h") - 1)).alias("s2_j"),
+    )
+    out = _S2M.cells_to_wkb(cells, 5)
+
+    def _stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                vs = np.vstack(
+                    [
+                        ring[:-1]  # rings are closed; count each corner once
+                        for poly in _WKBM.decode_multipolygon(bytes(r["wkb"]))
+                        for ring in poly
+                    ]
+                )
+                rows.append(
+                    {
+                        "poly_id": r["poly_id"],
+                        "s2_face": r["s2_face"],
+                        "n_polys": r["n_polys"],
+                        "n_vertices": r["n_vertices"],
+                        "min_lon": vs[:, 0].min(),
+                        "max_lon": vs[:, 0].max(),
+                        "min_lat": vs[:, 1].min(),
+                        "max_lat": vs[:, 1].max(),
+                        "sum_lon": vs[:, 0].sum(),
+                        "sum_lat": vs[:, 1].sum(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "poly_id", "s2_face", "n_polys", "n_vertices",
+                    "min_lon", "max_lon", "min_lat", "max_lat",
+                    "sum_lon", "sum_lat",
+                ],
+            )
+
+    stats = out.mapInPandas(
+        _stats,
+        "poly_id long, s2_face int, n_polys int, n_vertices int, "
+        "min_lon double, max_lon double, min_lat double, max_lat double, "
+        "sum_lon double, sum_lat double",
+    )
+    # min/max commute with the monotone rounding; sums round at 6 to
+    # absorb cross-engine ulp ordering
+    return stats.select(
+        "poly_id", "s2_face", "n_polys", "n_vertices",
+        *[F.round(F.col(c), 9).alias(c) for c in ("min_lon", "max_lon", "min_lat", "max_lat")],
+        *[F.round(F.col(c), 6).alias(c) for c in ("sum_lon", "sum_lat")],
+    )
+
+
 def _q_within_radius_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic radius join (operators/knn_sphere.py within_radius_s2):
     every point within 400 km great-circle distance of each query via a
@@ -1529,6 +1623,44 @@ def _q_raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_raster_to_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile -> GEODESIC vector-cell aggregation (the north star's
+    raster<->vector join on the sphere): an EPSG:3035 raster's cell
+    centers go through the closed-form inverse LAEA (Catalyst trig,
+    functions/reproject.py) to lon/lat, then the S2 cube-face encode
+    (functions/s2.py, zero Python) keyed at level 8 — one partial-
+    aggregated exchange on a near-equal-area spherical key. Oracle: the
+    identical inverse-LAEA + face/st/ij arithmetic restated in DuckDB (no
+    Hilbert needed for the (face, i, j) key)."""
+    from pygridmap_spark.functions import s2 as _S2M
+
+    r = RA.synthetic_raster(spark, width=64, height=48, nodata_every=7)
+    x = F.lit(3_800_000.0) + (F.col("col") + F.lit(0.5)) * F.lit(20_000.0)
+    y = F.lit(2_600_000.0) + (F.col("row") + F.lit(0.5)) * F.lit(20_000.0)
+    lon, lat = RPJ.laea_inverse(x, y)
+    enc = _S2M.with_s2_face_ij(r.withColumns({"lon": lon, "lat": lat}), 8)
+    return (
+        enc.groupBy("s2_face", "s2_i", "s2_j")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.count("band1").alias("n_valid"),
+            F.sum("band1").alias("band_sum"),
+            F.min("band1").alias("band_min"),
+            F.max("band1").alias("band_max"),
+        )
+        .select(
+            F.col("s2_face").cast("long").alias("s2_face"),
+            "s2_i",
+            "s2_j",
+            "n_cells",
+            "n_valid",
+            F.round(F.col("band_sum"), 6).alias("band_sum"),
+            "band_min",
+            "band_max",
+        )
+    )
+
+
 def _q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only): opaque binary -> feature vector via
     Arrow batches, deterministic fake decoder (real codec stubbed).
@@ -1625,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_s2_zones": _q_pip_s2_zones,
         "region_filter_quads": _q_region_filter_quads,
         "s2_cell_corners": _q_s2_cell_corners,
+        "s2_cells_to_poly": _q_s2_cells_to_poly,
+        "raster_to_s2_rollup": _q_raster_to_s2_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2744,6 +2878,140 @@ def oracle_sql() -> dict[str, str]:
                          (CASE face WHEN 0 THEN v1 WHEN 1 THEN v1 WHEN 2 THEN 1.0 WHEN 3 THEN -u0 WHEN 4 THEN -u0 ELSE -1.0 END)
                          / sqrt(1.0 + u0*u0 + v1*v1))), 9) AS c3_lat
             FROM cuv
+        """,
+        "raster_to_s2_rollup": """
+            WITH raster AS (
+                SELECT r1.range AS cl, r2.range AS rw,
+                       CASE WHEN (r1.range + r2.range * 64) % 7 = 0 THEN NULL
+                            ELSE CAST(r1.range + r2.range * 64 AS DOUBLE) END AS band1,
+                       CAST(3800000.0 + (r1.range + 0.5) * 20000.0 AS DOUBLE) AS x,
+                       CAST(2600000.0 + (r2.range + 0.5) * 20000.0 AS DOUBLE) AS y
+                FROM range(0, 64) r1, range(0, 48) r2
+            ),
+            iv AS (
+                SELECT *, (x - 4321000.0) / 1.0004253945280137 AS xp,
+                          (y - 3210000.0) * 1.0004253945280137 AS yp
+                FROM raster
+            ),
+            iv2 AS (SELECT *, sqrt(xp * xp + yp * yp) AS rho FROM iv),
+            iv3 AS (
+                SELECT *, 2.0 * asin(least(greatest(rho / 12742014.361767035, -1.0), 1.0)) AS ce
+                FROM iv2
+            ),
+            iv4 AS (
+                SELECT *,
+                       CASE WHEN rho = 0 THEN 0.9053975168158784
+                            ELSE asin(least(greatest(cos(ce) * 0.7866706332158556
+                                 + yp * sin(ce) * 0.6173729139148921 / rho, -1.0), 1.0))
+                       END AS beta2,
+                       CASE WHEN rho = 0 THEN 0.0
+                            ELSE atan2(xp * sin(ce),
+                                       rho * 0.6173729139148921 * cos(ce)
+                                       - yp * 0.7866706332158556 * sin(ce))
+                       END AS lam2
+                FROM iv3
+            ),
+            ll AS (
+                SELECT band1,
+                       radians(degrees(lam2 + 0.17453292519943295)) AS rlon,
+                       radians(degrees(beta2 + 0.00223920887347666 * sin(2.0 * beta2)
+                             + 2.883084001206078e-06 * sin(4.0 * beta2)
+                             + 5.033182737581254e-09 * sin(6.0 * beta2))) AS rlat
+                FROM iv4
+            ),
+            xyz AS (
+                SELECT band1,
+                       cos(rlat) * cos(rlon) AS px,
+                       cos(rlat) * sin(rlon) AS py,
+                       sin(rlat) AS pz
+                FROM ll
+            ),
+            fuv AS (
+                SELECT band1, px, py, pz,
+                       CASE WHEN abs(px) >= abs(py) AND abs(px) >= abs(pz)
+                                THEN CASE WHEN px >= 0 THEN 0 ELSE 3 END
+                            WHEN abs(py) >= abs(pz)
+                                THEN CASE WHEN py >= 0 THEN 1 ELSE 4 END
+                            ELSE CASE WHEN pz >= 0 THEN 2 ELSE 5 END
+                       END AS face
+                FROM xyz
+            ),
+            uv AS (
+                SELECT band1, face,
+                       CASE face WHEN 0 THEN py / px WHEN 1 THEN -px / py
+                                 WHEN 2 THEN -px / pz WHEN 3 THEN pz / px
+                                 WHEN 4 THEN pz / py ELSE -py / pz END AS u,
+                       CASE face WHEN 0 THEN pz / px WHEN 1 THEN pz / py
+                                 WHEN 2 THEN -py / pz WHEN 3 THEN py / px
+                                 WHEN 4 THEN -px / py ELSE px / pz END AS v
+                FROM fuv
+            ),
+            ij AS (
+                SELECT band1, face,
+                       LEAST(GREATEST(CAST(floor((CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                            ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END) * 256.0) AS BIGINT), 0), 255) AS i,
+                       LEAST(GREATEST(CAST(floor((CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                            ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END) * 256.0) AS BIGINT), 0), 255) AS j
+                FROM uv
+            )
+            SELECT CAST(face AS BIGINT) AS s2_face, i AS s2_i, j AS s2_j,
+                   count(*) AS n_cells, count(band1) AS n_valid,
+                   round(sum(band1), 6) AS band_sum,
+                   min(band1) AS band_min, max(band1) AS band_max
+            FROM ij
+            GROUP BY 1, 2, 3
+        """,
+        "s2_cells_to_poly": """
+            WITH g AS (
+                SELECT doc_id AS poly_id,
+                       CAST(doc_id % 6 AS INTEGER) AS face,
+                       (doc_id * 7) % 24 AS i0,
+                       (doc_id * 11) % 26 AS j0,
+                       1 + doc_id % 5 AS w,
+                       1 + (doc_id * 3) % 4 AS h
+                FROM documents WHERE doc_id < 40
+            ),
+            -- st coordinates of the dissolved rect outline's corners
+            suv AS (
+                SELECT poly_id, face,
+                       CASE WHEN (i0 + 0.0) / 32.0 >= 0.5
+                            THEN (4.0 * ((i0+0.0)/32.0) * ((i0+0.0)/32.0) - 1.0) / 3.0
+                            ELSE (1.0 - 4.0 * (1.0-(i0+0.0)/32.0) * (1.0-(i0+0.0)/32.0)) / 3.0 END AS u0,
+                       CASE WHEN (i0 + w + 0.0) / 32.0 >= 0.5
+                            THEN (4.0 * ((i0+w+0.0)/32.0) * ((i0+w+0.0)/32.0) - 1.0) / 3.0
+                            ELSE (1.0 - 4.0 * (1.0-(i0+w+0.0)/32.0) * (1.0-(i0+w+0.0)/32.0)) / 3.0 END AS u1,
+                       CASE WHEN (j0 + 0.0) / 32.0 >= 0.5
+                            THEN (4.0 * ((j0+0.0)/32.0) * ((j0+0.0)/32.0) - 1.0) / 3.0
+                            ELSE (1.0 - 4.0 * (1.0-(j0+0.0)/32.0) * (1.0-(j0+0.0)/32.0)) / 3.0 END AS v0,
+                       CASE WHEN (j0 + h + 0.0) / 32.0 >= 0.5
+                            THEN (4.0 * ((j0+h+0.0)/32.0) * ((j0+h+0.0)/32.0) - 1.0) / 3.0
+                            ELSE (1.0 - 4.0 * (1.0-(j0+h+0.0)/32.0) * (1.0-(j0+h+0.0)/32.0)) / 3.0 END AS v1
+                FROM g
+            ),
+            corners AS (
+                SELECT poly_id, face, u0 AS u, v0 AS v FROM suv
+                UNION ALL SELECT poly_id, face, u1, v0 FROM suv
+                UNION ALL SELECT poly_id, face, u1, v1 FROM suv
+                UNION ALL SELECT poly_id, face, u0, v1 FROM suv
+            ),
+            ll AS (
+                SELECT poly_id, face,
+                       degrees(atan2(
+                         CASE face WHEN 0 THEN u WHEN 1 THEN 1.0 WHEN 2 THEN -v WHEN 3 THEN -v WHEN 4 THEN -1.0 ELSE u END,
+                         CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u WHEN 2 THEN -u WHEN 3 THEN -1.0 WHEN 4 THEN v ELSE -v END)) AS lon,
+                       degrees(asin(
+                         (CASE face WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0 WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0 END)
+                         / sqrt(1.0 + u*u + v*v))) AS lat
+                FROM corners
+            )
+            SELECT poly_id, face AS s2_face,
+                   CAST(1 AS INTEGER) AS n_polys,
+                   CAST(4 AS INTEGER) AS n_vertices,
+                   round(min(lon), 9) AS min_lon, round(max(lon), 9) AS max_lon,
+                   round(min(lat), 9) AS min_lat, round(max(lat), 9) AS max_lat,
+                   round(sum(lon), 6) AS sum_lon, round(sum(lat), 6) AS sum_lat
+            FROM ll
+            GROUP BY poly_id, face
         """,
         "within_radius_s2": f"""
             WITH pts AS (

@@ -70,6 +70,8 @@ HEADLINE = [
     "pip_s2_zones",
     "region_filter_quads",
     "s2_cell_corners",
+    "s2_cells_to_poly",
+    "raster_to_s2_rollup",
 ]
 
 

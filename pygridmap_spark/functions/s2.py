@@ -886,6 +886,109 @@ def cell_outline_wkb(
     return df.mapInPandas(_kernel, schema)
 
 
+def py_cells_to_multipolygon(face: int, i: np.ndarray, j: np.ndarray, level: int) -> list:
+    """EXACT dissolved outline of a set of same-face level-``level`` cells
+    as a multipolygon of geodesic lon/lat rings (H3's cellsToMultiPolygon
+    semantics for the S2 scheme; inverse of :func:`polyfill`).
+
+    Exactness argument: cells are unit squares on the face's integer
+    (i, j) grid, so adjacent cells share FULL bit-identical edges — the
+    strict shared-edge dissolve (``core.geometry.dissolve_multipolygon``)
+    cancels every interior seam with no tolerance anywhere. Surviving
+    outline edges are axis-parallel in (i, j), hence axis-parallel in
+    (s, t) and — because st→uv is per-axis monotone — axis-parallel in the
+    gnomonic (u, v) chart, where a u=const / v=const line IS a great
+    circle: every output edge is a true geodesic arc, and the collinear
+    vertices the dissolve drops along a straight run lie on that same
+    arc, so dropping them is exact on the sphere too.
+
+    Returns ``[[ring, ...], ...]``: outer shells + holes per polygon,
+    each ring an (V, 2) lon/lat-degree array (even-odd semantics, the
+    convention of every spherical consumer in this repo — core/sphere.py
+    containment is orientation-insensitive). Duplicate input cells are
+    deduped (a repeated cell would otherwise break the partition
+    precondition of the strict dissolve)."""
+    _check_level(level)
+    from pygridmap_spark.core import geometry as GEO
+
+    ij = np.unique(
+        np.stack([np.asarray(i, np.int64), np.asarray(j, np.int64)], axis=1), axis=0
+    )
+    cells = [
+        [
+            np.array(
+                [[a, b], [a + 1, b], [a + 1, b + 1], [a, b + 1]], dtype=np.float64
+            )
+        ]
+        for a, b in ij
+    ]
+    mp = GEO.dissolve_multipolygon(cells, strict=True)
+    n = float(1 << level)
+    out = []
+    for rings in mp:
+        lifted = []
+        for ring in rings:
+            u = _np_st_to_uv(ring[:, 0] / n)
+            v = _np_st_to_uv(ring[:, 1] / n)
+            x, y, z = _np_face_uv_to_xyz(np.full(len(ring), face, dtype=np.int64), u, v)
+            r = np.sqrt(x * x + y * y + z * z)
+            lifted.append(
+                np.column_stack(
+                    [np.degrees(np.arctan2(y, x)), np.degrees(np.arcsin(z / r))]
+                )
+            )
+        out.append(lifted)
+    return out
+
+
+def cells_to_wkb(
+    df: DataFrame,
+    level: int,
+    group_cols: tuple = ("poly_id",),
+    face: str = "s2_face",
+    i: str = "s2_i",
+    j: str = "s2_j",
+    out_col: str = "wkb",
+) -> DataFrame:
+    """Distributed cells→vector dissolve: one geodesic WKB multipolygon
+    per (group..., face) from that group's level-``level`` cells —
+    completing the vector↔cell round trip (:func:`polyfill` is the other
+    direction; reference counterpart: the gridding notebooks' dissolve of
+    selected grid cells back to a boundary, base.py:504-516 via GEOS).
+
+    Plan: ONE hash exchange on (group..., face) through
+    ``util.grouped_rows_sorted`` (per-BATCH Arrow fee, not per-group — a
+    lake-scale layer has millions of small groups), then the exact
+    in-group kernel (:func:`py_cells_to_multipolygon`). Output rows carry
+    ``n_polys``/``n_vertices`` so rollups don't need to decode the WKB.
+    Cross-face groups emit one row per face; the two face outlines share
+    their cube-edge arcs exactly on the sphere (the charts agree there),
+    so even-odd containment over the row set equals containment in the
+    cell union."""
+    _check_level(level)
+    from pygridmap_spark import util as _util
+    from pygridmap_spark.core import wkb as WKB
+
+    keys = [*group_cols, face]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    schema += f", {out_col} binary, n_polys int, n_vertices int"
+
+    def _reduce(sub):
+        mp = py_cells_to_multipolygon(
+            int(sub[face].iloc[0]), sub[i].to_numpy(), sub[j].to_numpy(), level
+        )
+        row = {k: sub[k].iloc[0] for k in keys}
+        row[out_col] = WKB.encode_multipolygon(mp)
+        row["n_polys"] = len(mp)
+        row["n_vertices"] = int(sum(len(r) for rings in mp for r in rings))
+        return row
+
+    return _util.grouped_rows_sorted(df.select(*keys, i, j), keys, _reduce, schema)
+
+
 # --- polyfill (S2 region covering at a fixed level) --------------------------
 
 _PF_MAX_SPAN = 4096  # candidates per range row (bounds per-task PIP work)

@@ -257,3 +257,108 @@ def test_cell_corners_and_outline_wkb(spark):
         other = SPH.lonlat_to_xyz(np.array([clon[(r + 1) % 3]]),
                                   np.array([clat[(r + 1) % 3]]))
         assert not SPH.points_in_spherical_polygon(other, [ring])[0]
+
+
+def test_cells_to_multipolygon_kernel():
+    """Topology of the exact cell dissolve: rect block -> 4-vertex ring
+    (collinear seam vertices dropped), donut -> shell + hole, disjoint
+    cells -> two polygons, duplicates deduped; on EVERY face (incl. the
+    orientation-reversing face-5 chart) covered-cell centers are inside
+    the outline and the hole / far centers are not (even-odd is
+    orientation-insensitive)."""
+    block = S2.py_cells_to_multipolygon(
+        0, np.repeat(np.arange(10, 13), 2), np.tile(np.arange(4, 6), 3), 5
+    )
+    assert len(block) == 1 and [len(r) for r in block[0]] == [4]
+    assert len(S2.py_cells_to_multipolygon(3, np.array([0, 5]), np.array([0, 5]), 5)) == 2
+    dup = S2.py_cells_to_multipolygon(1, np.array([3, 3, 4]), np.array([3, 3, 3]), 5)
+    assert len(dup) == 1 and len(dup[0][0]) == 4
+    ij = [(a, b) for a in range(5, 8) for b in range(9, 12) if not (a == 6 and b == 10)]
+    ii = np.array([a for a, _ in ij])
+    jj = np.array([b for _, b in ij])
+    for face in range(6):
+        mp = S2.py_cells_to_multipolygon(face, ii, jj, 5)
+        assert len(mp) == 1 and len(mp[0]) == 2  # shell + hole
+        clon, clat = S2.py_cell_center(
+            np.full(len(ij) + 2, face),
+            np.append(ii, [6, 20]), np.append(jj, [10, 25]), 5,
+        )
+        p = SPH.lonlat_to_xyz(clon, clat)
+        inside = SPH.points_in_spherical_polygon(p, mp[0])
+        assert inside[: len(ij)].all() and not inside[len(ij):].any()
+
+
+def test_cells_to_wkb_matches_local_kernel(spark):
+    """The distributed operator (one grouped exchange, per-batch Arrow
+    fee) emits byte-identical WKB to the local kernel for every
+    (group, face), with consistent n_polys / n_vertices; a cross-face
+    group emits one row per face."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for gid in range(25):
+        face = gid % 6
+        a0, b0 = rng.integers(0, 28, 2)
+        w, h = 1 + gid % 4, 1 + (gid // 4) % 3
+        for a in range(a0, min(a0 + w, 32)):
+            for b in range(b0, min(b0 + h, 32)):
+                rows.append((gid, face, a, b))
+    # one deliberately cross-face group
+    rows += [(99, 0, 1, 1), (99, 0, 2, 1), (99, 5, 7, 7)]
+    pdf = pd.DataFrame(rows, columns=["poly_id", "s2_face", "s2_i", "s2_j"])
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = S2.cells_to_wkb(df, 5).toPandas()
+    assert len(out) == 27  # 25 single-face groups + 2 rows for the cross-face one
+    for (gid, face), sub in pdf.groupby(["poly_id", "s2_face"]):
+        mp = S2.py_cells_to_multipolygon(
+            int(face), sub.s2_i.to_numpy(), sub.s2_j.to_numpy(), 5
+        )
+        row = out[(out.poly_id == gid) & (out.s2_face == face)].iloc[0]
+        assert bytes(row.wkb) == WKB.encode_multipolygon(mp)
+        assert row.n_polys == len(mp)
+        assert row.n_vertices == sum(len(r) for rings in mp for r in rings)
+
+
+def test_polyfill_cells_to_wkb_roundtrip(spark):
+    """Vector -> cells -> vector: dissolving a polyfill cover back to WKB
+    preserves cell membership exactly — a point at ANY covered cell's
+    center is inside the group's outline set (even-odd over its per-face
+    rows) and a neighboring uncovered cell's center is not."""
+    fixtures = _fixtures()[:3]
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": range(len(fixtures)),
+                "wkb": [WKB.encode_multipolygon(mp) for mp in fixtures],
+            }
+        )
+    )
+    cells = S2.polyfill(polys, LEVEL)
+    out = S2.cells_to_wkb(cells, LEVEL).toPandas()
+    cpd = cells.toPandas()
+    for pid in range(len(fixtures)):
+        covered = set(
+            zip(
+                cpd[cpd.poly_id == pid].s2_face.astype(int),
+                cpd[cpd.poly_id == pid].s2_i,
+                cpd[cpd.poly_id == pid].s2_j,
+            )
+        )
+        probes = list(covered)
+        outside = set()
+        for f, a, b in list(covered)[:40]:
+            for da, db in ((1, 0), (0, 1), (-1, 0), (0, -1)):
+                nb = (f, a + da, b + db)
+                if nb not in covered and 0 <= nb[1] < N and 0 <= nb[2] < N:
+                    outside.add(nb)
+        probes += sorted(outside)
+        fc = np.array([p[0] for p in probes])
+        ic = np.array([p[1] for p in probes])
+        jc = np.array([p[2] for p in probes])
+        clon, clat = S2.py_cell_center(fc, ic, jc, LEVEL)
+        p = SPH.lonlat_to_xyz(clon, clat)
+        inside = np.zeros(len(probes), dtype=bool)
+        for _, row in out[out.poly_id == pid].iterrows():
+            for poly in WKB.decode_multipolygon(bytes(row.wkb)):
+                inside |= SPH.points_in_spherical_polygon(p, poly)
+        want = np.array([pr in covered for pr in probes])
+        assert (inside == want).all(), f"poly {pid}"
