@@ -121,6 +121,9 @@ def main() -> None:
     ap.add_argument("--zone-level", type=int, default=11)
     ap.add_argument("--skip-knn", action="store_true")
     ap.add_argument("--skip-scan", action="store_true")
+    ap.add_argument("--skip-dissolve", action="store_true")
+    ap.add_argument("--dissolve-level", type=int, default=10)
+    ap.add_argument("--dissolve-parent", type=int, default=4)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -319,6 +322,68 @@ def main() -> None:
                 }
             finally:
                 shutil.rmtree(d, ignore_errors=True)
+        # ---- stage 7: cells -> vector dissolve at volume --------------
+        # the occupied-cell footprint of the whole point table, dissolved
+        # to exact geodesic outlines per level-`parent` region: millions
+        # of cells, thousands of groups, ONE grouped exchange
+        if not args.skip_dissolve:
+            lev, plev = args.dissolve_level, args.dissolve_parent
+            sh = lev - plev
+            occ = (
+                S2.with_s2_face_ij(pts, lev)
+                .select("s2_face", "s2_i", "s2_j")
+                .distinct()
+                .withColumn(
+                    "poly_id",
+                    F.col("s2_face").cast("long") * F.lit(1 << (2 * plev))
+                    + F.shiftright(F.col("s2_i"), sh) * F.lit(1 << plev)
+                    + F.shiftright(F.col("s2_j"), sh),
+                )
+                .persist()
+            )
+            n_occ = occ.count()
+            wd0, _ = _shuffle_totals(spark)
+            t0 = time.time()
+            outl = S2.cells_to_wkb(occ, lev, group_cols=("poly_id",))
+            stats = outl.agg(
+                F.count("*").alias("rows"),
+                F.sum("n_polys").alias("polys"),
+                F.sum("n_vertices").alias("verts"),
+            ).collect()[0]
+            t_dis = time.time() - t0
+            wd1, _ = _shuffle_totals(spark)
+            # exactness probe: 3 groups recomputed with the local kernel
+            # must match the distributed WKB byte-for-byte
+            probe_ids = [r["poly_id"] for r in occ.select("poly_id").distinct().limit(3).collect()]
+            got = {
+                r["poly_id"]: bytes(r["wkb"])
+                for r in outl.filter(F.col("poly_id").isin(probe_ids)).collect()
+            }
+            from pygridmap_spark.core import wkb as WKBmod
+
+            ok = 0
+            for pid in probe_ids:
+                sub = occ.filter(F.col("poly_id") == pid).toPandas()
+                mp = S2.py_cells_to_multipolygon(
+                    int(sub.s2_face.iloc[0]),
+                    sub.s2_i.to_numpy(),
+                    sub.s2_j.to_numpy(),
+                    lev,
+                )
+                ok += got[pid] == WKBmod.encode_multipolygon(mp)
+            report["cells_to_vector"] = {
+                "cell_level": lev,
+                "parent_level": plev,
+                "occupied_cells": n_occ,
+                "wall_s": round(t_dis, 2),
+                "cells_per_sec": int(n_occ / t_dis),
+                "outline_rows": stats["rows"],
+                "polys": int(stats["polys"]),
+                "vertices": int(stats["verts"]),
+                "shuffle_write_mb": round(wd1 - wd0, 1),
+                "probe_groups_bit_identical": f"{ok}/{len(probe_ids)}",
+            }
+            occ.unpersist()
         pts.unpersist()
     finally:
         print(json.dumps(report))

@@ -1346,10 +1346,13 @@ def _dissolve_or_none(
         return None
     # 3. group rings into polygons: CCW outers, CW holes assigned to the
     # smallest containing outer
-    outers = [(r, ring_signed_area(np.vstack([r, r[:1]]))) for r in rings if ring_signed_area(np.vstack([r, r[:1]])) > 0]
-    holes = [r for r in rings if ring_signed_area(np.vstack([r, r[:1]])) < 0]
-    polys = [[r] for r, _ in sorted(outers, key=lambda t: t[1])]
-    areas = [a for _, a in sorted(outers, key=lambda t: t[1])]
+    sas = [ring_signed_area(np.vstack([r, r[:1]])) for r in rings]
+    outers = sorted(
+        ((r, sa) for r, sa in zip(rings, sas) if sa > 0), key=lambda t: t[1]
+    )
+    holes = [r for r, sa in zip(rings, sas) if sa < 0]
+    polys = [[r] for r, _ in outers]
+    areas = [a for _, a in outers]
     for h in holes:
         placed = False
         hx, hy = np.asarray([h[0, 0]]), np.asarray([h[0, 1]])

@@ -893,7 +893,8 @@ def py_cells_to_multipolygon(face: int, i: np.ndarray, j: np.ndarray, level: int
 
     Exactness argument: cells are unit squares on the face's integer
     (i, j) grid, so adjacent cells share FULL bit-identical edges — the
-    strict shared-edge dissolve (``core.geometry.dissolve_multipolygon``)
+    shared-edge dissolve (:func:`_grid_outline`, the vectorized twin of
+    ``core.geometry.dissolve_multipolygon``, equivalence property-pinned)
     cancels every interior seam with no tolerance anywhere. Surviving
     outline edges are axis-parallel in (i, j), hence axis-parallel in
     (s, t) and — because st→uv is per-axis monotone — axis-parallel in the
@@ -909,11 +910,19 @@ def py_cells_to_multipolygon(face: int, i: np.ndarray, j: np.ndarray, level: int
     deduped (a repeated cell would otherwise break the partition
     precondition of the strict dissolve)."""
     _check_level(level)
-    from pygridmap_spark.core import geometry as GEO
-
     ij = np.unique(
         np.stack([np.asarray(i, np.int64), np.asarray(j, np.int64)], axis=1), axis=0
     )
+    mp = _grid_outline(ij)
+    return _lift_ij_rings(mp, face, level)
+
+
+def _cells_outline_via_dissolve(ij: np.ndarray) -> list:
+    """Reference implementation of the grid outline through the general
+    strict dissolve — kept for the equivalence property test of
+    :func:`_grid_outline` (the vectorized fast path)."""
+    from pygridmap_spark.core import geometry as GEO
+
     cells = [
         [
             np.array(
@@ -922,21 +931,199 @@ def py_cells_to_multipolygon(face: int, i: np.ndarray, j: np.ndarray, level: int
         ]
         for a, b in ij
     ]
-    mp = GEO.dissolve_multipolygon(cells, strict=True)
+    return GEO.dissolve_multipolygon(
+        cells, strict=True, assume_oriented=True, input_area=float(len(ij))
+    )
+
+
+_GRID_DX = np.array([1, 0, -1, 0], dtype=np.int64)  # E N W S
+_GRID_DY = np.array([0, 1, 0, -1], dtype=np.int64)
+
+
+def _grid_member(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    pos = np.searchsorted(sorted_keys, keys)
+    ok = pos < len(sorted_keys)
+    out = np.zeros(len(keys), dtype=bool)
+    out[ok] = sorted_keys[pos[ok]] == keys[ok]
+    return out
+
+
+def _grid_outline(ij: np.ndarray) -> list:
+    """EXACT dissolved outline of a set of unit squares on the integer
+    grid, as canonical multipolygons (CCW shells + CW holes, exactly-
+    collinear run vertices dropped) — the vectorized twin of running the
+    general strict dissolve over the squares (equivalence pinned by a
+    property test). Everything is numpy: edge cancellation is a neighbor-
+    membership test, the left-turn traversal is three searchsorted passes
+    that build a successor permutation, and Python only walks its cycles.
+
+    The turn priority (right > straight > left, region always on the LEFT)
+    is the general stitcher's "smallest CCW rotation from the reversed
+    arrival edge" restated on the 4 grid directions: two diagonally
+    touching squares merge into one pinched CCW ring, while a hole
+    touching the shell at a corner stays a separate CW ring — matching
+    the reference dissolve exactly (pinned by the equivalence test)."""
+    ii = np.asarray(ij[:, 0], dtype=np.int64)
+    jj = np.asarray(ij[:, 1], dtype=np.int64)
+    k = len(ii)
+    if k == 0:
+        return []
+    PACK = np.int64(1) << np.int64(31)
+    cell_keys = np.sort(ii * PACK + jj)
+
+    def has(di: int, dj: int) -> np.ndarray:
+        return _grid_member((ii + di) * PACK + (jj + dj), cell_keys)
+
+    # directed boundary edges, region on the left: (start x, start y, dir)
+    sx_parts, sy_parts, dir_parts = [], [], []
+    for d, (sx, sy, ndi, ndj) in enumerate(
+        (
+            (ii, jj, 0, -1),  # E: bottom edge, survives iff no cell below
+            (ii + 1, jj, 1, 0),  # N: right edge, iff no cell east
+            (ii + 1, jj + 1, 0, 1),  # W: top edge, iff no cell above
+            (ii, jj + 1, -1, 0),  # S: left edge, iff no cell west
+        )
+    ):
+        m = ~has(ndi, ndj)
+        sx_parts.append(sx[m])
+        sy_parts.append(sy[m])
+        dir_parts.append(np.full(int(m.sum()), d, dtype=np.int64))
+    sx = np.concatenate(sx_parts)
+    sy = np.concatenate(sy_parts)
+    dr = np.concatenate(dir_parts)
+    ne = len(sx)
+    ex = sx + _GRID_DX[dr]
+    ey = sy + _GRID_DY[dr]
+    # successor permutation: first existing among left/straight/right
+    ekey = (sx * PACK + sy) * 4 + dr
+    order = np.argsort(ekey, kind="stable")
+    skey = ekey[order]
+    succ = np.full(ne, -1, dtype=np.int64)
+    pending = np.arange(ne)
+    for turn in (3, 0, 1):  # right, straight, left — the general stitcher's
+        # "smallest CCW rotation from the REVERSED arrival edge" works out
+        # to right > straight > left on grid directions: diagonal squares
+        # merge into one pinched ring, diagonal hole contacts stay separate
+        if not len(pending):
+            break
+        cand = (ex[pending] * PACK + ey[pending]) * 4 + (dr[pending] + turn) % 4
+        pos = np.searchsorted(skey, cand)
+        ok = pos < ne
+        ok[ok] = skey[pos[ok]] == cand[ok]
+        succ[pending[ok]] = order[pos[ok]]
+        pending = pending[~ok]
+    if len(pending):  # unreachable for a valid cell set
+        raise ValueError("_grid_outline: open boundary chain (invalid cell set)")
+    # walk the cycles (plain int ops only — every per-ring reduction below
+    # is a reduceat over the walk order, where rings are contiguous)
+    visited = np.zeros(ne, dtype=bool)
+    oe = np.empty(ne, dtype=np.int64)  # edges in walk order
+    starts = [0]
+    succl = succ.tolist()
+    pos = 0
+    for e0 in range(ne):
+        if visited[e0]:
+            continue
+        e = e0
+        while not visited[e]:
+            visited[e] = True
+            oe[pos] = e
+            pos += 1
+            e = succl[e]
+        starts.append(pos)
+    rs = np.array(starts[:-1], dtype=np.int64)
+    re_ = np.array(starts[1:], dtype=np.int64)
+    wsx, wsy, wd = sx[oe], sy[oe], dr[oe]
+    # per-ring signed area straight from the directed edges (collinear
+    # dropping never moves area); float64 like the reference shoelace
+    cross = (wsx * (sy + _GRID_DY[dr])[oe] - (sx + _GRID_DX[dr])[oe] * wsy).astype(
+        np.float64
+    )
+    sas = 0.5 * np.add.reduceat(cross, rs)
+    # per-ring bbox (outer-ring prune for hole assignment)
+    minx = np.minimum.reduceat(wsx, rs)
+    miny = np.minimum.reduceat(wsy, rs)
+    maxx = np.maximum.reduceat(wsx, rs)
+    maxy = np.maximum.reduceat(wsy, rs)
+    # vertex kept iff the direction changes there (cyclic within the ring)
+    prev = np.empty(ne, dtype=np.int64)
+    prev[1:] = wd[:-1]
+    prev[rs] = wd[re_ - 1]
+    keep = wd != prev
+    gx = wsx[keep]
+    gy = wsy[keep]
+    ko = np.concatenate([[0], np.cumsum(np.add.reduceat(keep.astype(np.int64), rs))])
+    gkey = gx * PACK + gy
+    nr = len(rs)
+    # canonical rotation of every ring in ONE gather: start at the lex-min
+    # vertex (unique — a pinch revisit can never be the ring's minimum,
+    # since the diagonal cell it joins contributes a smaller corner)
+    lens = ko[1:] - ko[:-1]
+    total = ko[-1]
+    rid = np.repeat(np.arange(nr), lens)
+    minval = np.minimum.reduceat(gkey, ko[:-1])
+    rotpos = np.nonzero(gkey == minval[rid])[0]
+    if len(rotpos) != nr:  # unreachable: min-vertex uniqueness argument
+        raise ValueError("_grid_outline: non-unique ring minimum")
+    off = np.arange(total) - ko[rid]
+    gather = ko[rid] + (off + (rotpos[rid] - ko[rid])) % lens[rid]
+    gxy = np.column_stack([gx[gather], gy[gather]]).astype(np.float64)
+    rings: list = [gxy[ko[r]:ko[r + 1]] for r in range(nr)]
+    # shells CCW / holes CW by construction; group holes into the smallest
+    # containing shell (the general dissolve's rule), shells area-ascending
+    from pygridmap_spark.core import geometry as GEO
+
+    order2 = np.argsort(sas, kind="stable")
+    outer_idx = [r for r in order2 if sas[r] > 0]
+    hole_idx = [r for r in order2 if sas[r] < 0]
+    polys = [[rings[r]] for r in outer_idx]
+    if hole_idx:
+        oi = np.array(outer_idx)
+        for hr in hole_idx:
+            h = rings[hr]
+            px, py = h[0, 0], h[0, 1]
+            # bbox prune before the containment scan: without it a
+            # footprint with many tiny shells pays O(holes x shells) casts
+            cand = np.nonzero(
+                (minx[oi] <= px) & (miny[oi] <= py)
+                & (maxx[oi] >= px) & (maxy[oi] >= py)
+            )[0]
+            hx, hy = np.asarray([px]), np.asarray([py])
+            for ci in cand:  # area-ascending: tightest container wins
+                if GEO.points_in_ring(hx, hy, polys[ci][0])[0]:
+                    polys[ci].append(h)
+                    break
+            else:
+                raise ValueError("_grid_outline: unplaced hole (invalid cell set)")
+    # strict contract: dissolved signed area must equal the cell count
+    if abs(float(sas.sum()) - k) > 1e-9 * max(k, 1.0):
+        raise ValueError("_grid_outline: area diverged from the cell count")
+    return polys
+
+
+def _lift_ij_rings(mp: list, face: int, level: int) -> list:
+    """Lift (i, j) integer-grid rings to lon/lat degrees through st→uv +
+    the gnomonic face chart — ONE vectorized pass over every vertex of
+    every ring (tiny per-ring arrays are pure numpy overhead)."""
     n = float(1 << level)
-    out = []
+    flat = [ring for rings in mp for ring in rings]
+    if not flat:
+        return []
+    allv = np.vstack(flat)
+    u = _np_st_to_uv(allv[:, 0] / n)
+    v = _np_st_to_uv(allv[:, 1] / n)
+    x, y, z = _np_face_uv_to_xyz(np.full(len(allv), face, dtype=np.int64), u, v)
+    r = np.sqrt(x * x + y * y + z * z)
+    lonlat = np.column_stack(
+        [np.degrees(np.arctan2(y, x)), np.degrees(np.arcsin(z / r))]
+    )
+    bounds = np.cumsum([0] + [len(rg) for rg in flat])
+    out, pos = [], 0
     for rings in mp:
         lifted = []
-        for ring in rings:
-            u = _np_st_to_uv(ring[:, 0] / n)
-            v = _np_st_to_uv(ring[:, 1] / n)
-            x, y, z = _np_face_uv_to_xyz(np.full(len(ring), face, dtype=np.int64), u, v)
-            r = np.sqrt(x * x + y * y + z * z)
-            lifted.append(
-                np.column_stack(
-                    [np.degrees(np.arctan2(y, x)), np.degrees(np.arcsin(z / r))]
-                )
-            )
+        for _ in rings:
+            lifted.append(lonlat[bounds[pos]:bounds[pos + 1]])
+            pos += 1
         out.append(lifted)
     return out
 

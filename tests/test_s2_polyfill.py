@@ -362,3 +362,51 @@ def test_polyfill_cells_to_wkb_roundtrip(spark):
                 inside |= SPH.points_in_spherical_polygon(p, poly)
         want = np.array([pr in covered for pr in probes])
         assert (inside == want).all(), f"poly {pid}"
+
+
+def _canon_rings(mp):
+    out = []
+    for poly in mp:
+        for r in poly:
+            r = np.asarray(r)
+            if len(r) > 1 and (r[0] == r[-1]).all():
+                r = r[:-1]
+            k = np.lexsort((r[:, 1], r[:, 0]))[0]
+            out.append(tuple(map(tuple, np.roll(r, -k, axis=0))))
+    return sorted(out)
+
+
+def test_grid_outline_equals_general_dissolve():
+    """The vectorized grid stitcher (_grid_outline) is ring-for-ring
+    equivalent to running the general strict dissolve over the unit
+    squares — including the subtle corner semantics: two diagonally
+    touching squares MERGE into one pinched CCW ring (the tightest-left-
+    turn rule crosses at the corner) while a hole touching the shell
+    diagonally stays a separate CW ring."""
+    cases = []
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        k = int(r.integers(1, 400))
+        cases.append(
+            np.unique(np.stack([r.integers(0, 20, k), r.integers(0, 20, k)], 1), axis=0)
+        )
+    # donut, checkerboard (pinch merges), singleton, dense-with-holes,
+    # island-in-hole-in-shell nesting
+    cases.append(np.array([(a, b) for a in range(10) for b in range(10)
+                           if not (3 <= a <= 6 and 3 <= b <= 6)]))
+    cases.append(np.array([(a, b) for a in range(8) for b in range(8) if (a + b) % 2 == 0]))
+    cases.append(np.array([[5, 5]]))
+    r = np.random.default_rng(99)
+    dense = np.array([(a, b) for a in range(15) for b in range(15)])
+    cases.append(dense[r.random(len(dense)) > 0.08])
+    big = set((a, b) for a in range(12) for b in range(12))
+    hole = set((a, b) for a in range(2, 10) for b in range(2, 10))
+    island = set((a, b) for a in range(4, 8) for b in range(4, 8))
+    cases.append(np.array(sorted((big - hole) | island)))
+    for n, ij in enumerate(cases):
+        got = S2._grid_outline(ij)
+        want = S2._cells_outline_via_dissolve(ij)
+        assert _canon_rings(got) == _canon_rings(want), f"case {n}"
+    # checkerboard pinch pinned explicitly: 2 diagonal squares -> ONE ring
+    one = S2._grid_outline(np.array([[0, 0], [1, 1]]))
+    assert len(one) == 1 and len(one[0]) == 1 and len(one[0][0]) == 8
