@@ -1179,6 +1179,65 @@ def _s2_quad_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounds.mapInPandas(_encode, "poly_id long, wkb binary")
 
 
+def _s2_quad_zones2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second face-2 quad family (60 zones, independent hash constants) —
+    the right side of the polygon x polygon join fixture."""
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as _WKB
+    from pygridmap_spark.functions import s2 as _S2M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
+    u0 = F.lit(-0.8311) + (F.col("doc_id") * F.lit(1327217885) % F.lit(1130)) / F.lit(1000.0)
+    v0 = F.lit(-0.7961) + (F.col("doc_id") * F.lit(2971215073) % F.lit(1190)) / F.lit(1000.0)
+    du = F.lit(0.0509) + (F.col("doc_id") * F.lit(28657) % F.lit(299)) / F.lit(1000.0)
+    dv = F.lit(0.0451) + (F.col("doc_id") * F.lit(514229) % F.lit(347)) / F.lit(1000.0)
+    bounds = docs.select(
+        F.col("doc_id").alias("poly_id"),
+        u0.alias("_u0"), v0.alias("_v0"),
+        (u0 + du).alias("_u1"), (v0 + dv).alias("_v1"),
+    )
+
+    def _encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for pid, a0, b0, a1, b1 in zip(
+                pdf["poly_id"], pdf["_u0"], pdf["_v0"], pdf["_u1"], pdf["_v1"]
+            ):
+                uu = np.array([a0, a1, a1, a0, a0])
+                vv = np.array([b0, b0, b1, b1, b0])
+                x, y, z = _S2M._np_face_uv_to_xyz(np.full(5, 2), uu, vv)
+                n = np.sqrt(x * x + y * y + z * z)
+                ring = np.column_stack(
+                    [np.degrees(np.arctan2(y, x)), np.degrees(np.arcsin(z / n))]
+                )
+                out.append(
+                    {"poly_id": pid, "wkb": _WKB.encode_multipolygon([[ring]])}
+                )
+            yield pd.DataFrame(out)
+
+    return bounds.mapInPandas(_encode, "poly_id long, wkb binary")
+
+
+def _q_zones_intersect_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic polygon x polygon intersects join (operators/pip_sphere.py
+    zones_intersect_s2): candidates from the classified-cover cell
+    equi-join, interior-interior shared cells decide with zero geometry,
+    the rest refine exactly (vertex winding + representative interior
+    point + transversal arc crossings). Both layers are face-2 uv-rect
+    quads — gnomonic straightness makes spherical interior overlap equal
+    uv interval overlap, so the oracle is pure rect arithmetic while
+    Spark runs the full cover + refine machinery."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    out = _PIP.zones_intersect_s2(
+        _s2_quad_zones(spark, sf_dir), _s2_quad_zones2(spark, sf_dir), 6
+    )
+    return out.select("poly_id_l", "poly_id_r")
+
+
 def _q_s2_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 polyfill (functions/s2.polyfill — geodesic polygonToCells at a
     fixed level) over the face-2 uv-rect quad zones (_s2_quad_zones): the
@@ -1759,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_corners": _q_s2_cell_corners,
         "s2_cells_to_poly": _q_s2_cells_to_poly,
         "raster_to_s2_rollup": _q_raster_to_s2_rollup,
+        "zones_intersect_s2": _q_zones_intersect_s2,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2878,6 +2938,32 @@ def oracle_sql() -> dict[str, str]:
                          (CASE face WHEN 0 THEN v1 WHEN 1 THEN v1 WHEN 2 THEN 1.0 WHEN 3 THEN -u0 WHEN 4 THEN -u0 ELSE -1.0 END)
                          / sqrt(1.0 + u0*u0 + v1*v1))), 9) AS c3_lat
             FROM cuv
+        """,
+        "zones_intersect_s2": """
+            WITH qa AS (
+                SELECT doc_id AS pl,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            ),
+            qb AS (
+                SELECT doc_id AS pr,
+                       -0.8311 + (doc_id * 1327217885 % 1130) / 1000.0 AS u0,
+                       -0.7961 + (doc_id * 2971215073 % 1190) / 1000.0 AS v0,
+                       -0.8311 + (doc_id * 1327217885 % 1130) / 1000.0
+                           + 0.0509 + (doc_id * 28657 % 299) / 1000.0 AS u1,
+                       -0.7961 + (doc_id * 2971215073 % 1190) / 1000.0
+                           + 0.0451 + (doc_id * 514229 % 347) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 60
+            )
+            SELECT qa.pl AS poly_id_l, qb.pr AS poly_id_r
+            FROM qa JOIN qb
+              ON qa.u0 < qb.u1 AND qb.u0 < qa.u1
+             AND qa.v0 < qb.v1 AND qb.v0 < qa.v1
         """,
         "raster_to_s2_rollup": """
             WITH raster AS (

@@ -72,6 +72,7 @@ HEADLINE = [
     "s2_cell_corners",
     "s2_cells_to_poly",
     "raster_to_s2_rollup",
+    "zones_intersect_s2",
 ]
 
 

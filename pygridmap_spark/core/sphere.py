@@ -31,6 +31,9 @@ __all__ = [
     "points_in_spherical_polygon",
     "min_arc_dist",
     "bounding_cap",
+    "rings_to_arcs",
+    "arcs_cross_pairs",
+    "spherical_polygons_intersect",
 ]
 
 
@@ -143,3 +146,110 @@ def bounding_cap(rings_lonlat: list) -> tuple[np.ndarray, float]:
         arcs = np.arccos(np.clip(np.einsum("ij,ij->i", v, nxt), -1.0, 1.0))
         emax = max(emax, float(arcs.max()))
     return c, min(vmax + emax / 2.0, float(np.pi))
+
+
+def rings_to_arcs(rings_lonlat: list) -> tuple[np.ndarray, np.ndarray]:
+    """Every directed boundary arc of a multipolygon's rings: two (E, 3)
+    unit-vector arrays (arc starts, arc ends). Degenerate zero-length
+    arcs (repeated vertices) are dropped."""
+    starts, ends = [], []
+    for r in rings_lonlat:
+        v = ring_to_xyz(r)
+        if len(v) < 2:
+            continue
+        starts.append(v)
+        ends.append(np.roll(v, -1, axis=0))
+    if not starts:
+        return np.zeros((0, 3)), np.zeros((0, 3))
+    a = np.vstack(starts)
+    b = np.vstack(ends)
+    m = ~(a == b).all(axis=1)  # exact duplicate endpoints only
+    return a[m], b[m]
+
+
+def arcs_cross_pairs(
+    a1: np.ndarray, a2: np.ndarray, b1: np.ndarray, b2: np.ndarray
+) -> np.ndarray:
+    """Transversal crossings of two families of great-circle arcs
+    (each < 180 deg): (A, 3) x (B, 3) -> (A, B) bool.
+
+    No antipodal ambiguity by construction: when arc b's endpoints
+    straddle plane(a) (s1*s2 < 0), the point where arc b crosses that
+    plane is the POSITIVE combination x = |s2|*b1 + |s1|*b2 (na.x = 0
+    exactly in sign terms), which lies on arc b automatically; the arcs
+    cross iff x also lies within arc a, tested with the two lune signs
+    x.(na x a1) >= 0 and x.(a2 x na) >= 0. Endpoint tangencies (a zero
+    sign anywhere) are NOT reported — degenerate contact is outside the
+    kernel's generic-position contract, like the planar kernel."""
+    a1 = np.asarray(a1, np.float64)
+    a2 = np.asarray(a2, np.float64)
+    b1 = np.asarray(b1, np.float64)
+    b2 = np.asarray(b2, np.float64)
+    if len(a1) == 0 or len(b1) == 0:
+        return np.zeros((len(a1), len(b1)), dtype=bool)
+    na = np.cross(a1, a2)  # (A, 3)
+    nb = np.cross(b1, b2)  # (B, 3)
+    s1 = na @ b1.T  # (A, B): b1 vs plane(a)
+    s2 = na @ b2.T
+    s3 = a1 @ nb.T  # (A, B): a1 vs plane(b)
+    s4 = a2 @ nb.T
+    straddle = (s1 * s2 < 0.0) & (s3 * s4 < 0.0)
+    if not straddle.any():
+        return straddle
+    # crossing point of arc b with plane(a), as a positive combination
+    x = (
+        np.abs(s2)[:, :, None] * b1[None, :, :]
+        + np.abs(s1)[:, :, None] * b2[None, :, :]
+    )  # (A, B, 3)
+    u1 = np.cross(na, a1)  # (A, 3): x on arc a iff x.u1 >= 0 ...
+    u2 = np.cross(a2, na)  # ... and x.u2 >= 0
+    c1 = np.einsum("abk,ak->ab", x, u1)
+    c2 = np.einsum("abk,ak->ab", x, u2)
+    return straddle & (c1 > 0.0) & (c2 > 0.0)
+
+
+def spherical_polygons_intersect(
+    rings_a: list,
+    rings_b: list,
+    rep_a: np.ndarray | None = None,
+    rep_b: np.ndarray | None = None,
+) -> bool:
+    """Do the INTERIORS of two geodesic multipolygons intersect? Exact
+    for generic-position inputs (no shared boundary segments / endpoint
+    tangencies — the planar kernel's contract): interiors intersect iff
+    (i) a boundary vertex of one lies strictly inside the other,
+    (ii) a known interior representative point of one lies in the other
+    (catches containment with no vertex inside — e.g. identical zones;
+    pass any strictly-interior point such as a center-contained cover
+    cell's center), or (iii) boundary arcs cross transversally.
+    Vertex/representative tests are restricted to the other polygon's
+    bounding cap first (the winding number is hemisphere-scoped)."""
+    polys_a = rings_a if rings_a and isinstance(rings_a[0], list) else [rings_a]
+    polys_b = rings_b if rings_b and isinstance(rings_b[0], list) else [rings_b]
+    flat_a = [r for poly in polys_a for r in poly]
+    flat_b = [r for poly in polys_b for r in poly]
+
+    def _any_inside(points: np.ndarray, polys: list, flat: list) -> bool:
+        if len(points) == 0:
+            return False
+        c, th = bounding_cap(flat)
+        near = points @ c >= np.cos(min(th + 1e-12, np.pi))
+        if not near.any():
+            return False
+        p = points[near]
+        inside = np.zeros(len(p), dtype=bool)
+        for poly in polys:
+            inside |= points_in_spherical_polygon(p, poly)
+        return bool(inside.any())
+
+    va = np.vstack([ring_to_xyz(r) for r in flat_a])
+    vb = np.vstack([ring_to_xyz(r) for r in flat_b])
+    if rep_a is not None:
+        va = np.vstack([va, np.asarray(rep_a, np.float64).reshape(-1, 3)])
+    if rep_b is not None:
+        vb = np.vstack([vb, np.asarray(rep_b, np.float64).reshape(-1, 3)])
+    if _any_inside(va, polys_b, flat_b) or _any_inside(vb, polys_a, flat_a):
+        return True
+    a1, a2 = rings_to_arcs(flat_a)
+    b1, b2 = rings_to_arcs(flat_b)
+    return bool(arcs_cross_pairs(a1, a2, b1, b2).any())

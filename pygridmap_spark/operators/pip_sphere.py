@@ -309,3 +309,140 @@ def region_filter(
                 yield pd.concat(outs, ignore_index=True)
 
     return cand.mapInPandas(_assign, out_schema)
+
+
+def zones_intersect_s2(
+    left: DataFrame,
+    right: DataFrame,
+    level: int,
+    wkb_col: str = "wkb",
+    poly_key: str = "poly_id",
+    suffixes: tuple = ("_l", "_r"),
+    candidates_partitions: int | None = None,
+) -> DataFrame:
+    """Geodesic polygon x polygon INTERSECTS join: every (left, right)
+    pair whose interiors intersect on the sphere — the polygon member of
+    the spatial-join family (reference counterpart: the planar
+    ``intersects`` joins of gridding/overlay, gridding.py set operations,
+    here with great-circle edges).
+
+    Plan (all candidate generation is the classified-cover equi-join;
+    geometry only ever runs on surviving candidate PAIRS):
+
+    1. both layers get a classified S2 cover (``polyfill(classify=True)``
+       — a sound superset: every cell whose circumball can touch the
+       zone), ids only;
+    2. ONE (face, i, j) equi-join + pair aggregation. A pair sharing a
+       cell that is provably interior to BOTH zones intersects with ZERO
+       geometry work (the cell is a witness region);
+    3. only the remaining candidate pairs join their WKB back and pay an
+       exact Arrow refine: vertex-in-the-other tests (bounding-cap
+       scoped winding), an interior representative point each (the
+       lex-min interior cover cell's center — catches containment with
+       no vertex inside, e.g. identical zones), and the transversal
+       great-circle arc-crossing kernel
+       (core/sphere.arcs_cross_pairs — antipodal-safe by construction).
+
+    Exact for generic-position inputs (no shared boundary segments or
+    endpoint tangencies — the kernel contract throughout this repo);
+    zones must satisfy the polyfill domain (each bounded by an open
+    hemisphere; quarter-sphere caps fail closed). Level trades cover
+    size against refine work exactly as in :func:`point_in_polygon_s2`.
+
+    Returns ``(poly_key + suffixes[0], poly_key + suffixes[1])``.
+    """
+    lkey, rkey = poly_key + suffixes[0], poly_key + suffixes[1]
+    dt = dict(left.dtypes)[poly_key]
+    if dict(right.dtypes)[poly_key] != dt:
+        raise ValueError("left/right poly_key dtypes differ")
+
+    def _cover(df: DataFrame, key: str, flag: str) -> DataFrame:
+        cov = S2.polyfill(
+            df,
+            level,
+            wkb_col=wkb_col,
+            id_col=poly_key,
+            prefix=_P,
+            candidates_partitions=candidates_partitions,
+            classify=True,
+        ).select(
+            F.col(poly_key).alias(key),
+            f"{_P}face",
+            f"{_P}i",
+            f"{_P}j",
+            F.col(f"{_P}interior").alias(flag),
+        )
+        # feeds the pair join AND the representative-cell agg: materialize
+        # once (same reasoning + measurement as point_in_polygon_s2)
+        return cov.localCheckpoint(eager=True)
+
+    covl = _cover(left, lkey, "__int_l__")
+    covr = _cover(right, rkey, "__int_r__")
+    cells = [f"{_P}face", f"{_P}i", f"{_P}j"]
+
+    def _rep(cov: DataFrame, key: str, flag: str, tag: str) -> DataFrame:
+        return (
+            cov.filter(F.col(flag))
+            .groupBy(key)
+            .agg(F.min(F.struct(*cells)).alias("__c__"))
+            .select(
+                key,
+                F.col(f"__c__.{_P}face").alias(f"__repf{tag}__"),
+                F.col(f"__c__.{_P}i").alias(f"__repi{tag}__"),
+                F.col(f"__c__.{_P}j").alias(f"__repj{tag}__"),
+            )
+        )
+
+    pairs = (
+        covl.join(covr, cells)
+        .groupBy(lkey, rkey)
+        .agg(
+            F.max(
+                (F.col("__int_l__") & F.col("__int_r__")).cast("int")
+            ).alias("__def__")
+        )
+    )
+    definite = pairs.filter(F.col("__def__") == 1).select(lkey, rkey)
+    cand = (
+        pairs.filter(F.col("__def__") == 0)
+        .select(lkey, rkey)
+        .join(left.select(F.col(poly_key).alias(lkey), F.col(wkb_col).alias("__wl__")), lkey)
+        .join(right.select(F.col(poly_key).alias(rkey), F.col(wkb_col).alias("__wr__")), rkey)
+        .join(_rep(covl, lkey, "__int_l__", "l"), lkey, "left")
+        .join(_rep(covr, rkey, "__int_r__", "r"), rkey, "left")
+    )
+
+    def _refine(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        def rep_xyz(row, tag):
+            f = row[f"__repf{tag}__"]
+            if pd.isna(f):
+                return None
+            clon, clat = S2.py_cell_center(
+                np.array([int(f)]),
+                np.array([int(row[f"__repi{tag}__"])]),
+                np.array([int(row[f"__repj{tag}__"])]),
+                level,
+            )
+            return SPH.lonlat_to_xyz(clon, clat)
+
+        for batch in batches:
+            keep = []
+            for idx, row in batch.iterrows():
+                hit = SPH.spherical_polygons_intersect(
+                    WKB.decode_multipolygon(bytes(row["__wl__"])),
+                    WKB.decode_multipolygon(bytes(row["__wr__"])),
+                    rep_a=rep_xyz(row, "l"),
+                    rep_b=rep_xyz(row, "r"),
+                )
+                if hit:
+                    keep.append(idx)
+            yield batch.loc[keep, [lkey, rkey]]
+
+    refined = cand.mapInPandas(_refine, f"{lkey} {dt}, {rkey} {dt}")
+    return definite.unionByName(refined)

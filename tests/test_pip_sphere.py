@@ -376,3 +376,112 @@ def test_point_in_polygon_s2_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from pip_stream").collect()
     }
     assert got == expect and len(got) > 0
+
+
+# --- zones_intersect_s2 --------------------------------------------------------
+
+def test_spherical_intersect_kernel_cases():
+    """arcs_cross_pairs + spherical_polygons_intersect unit pins: the
+    transversal cross, the antipodal-mirror trap (arcs on crossing great
+    circles but opposite sides of the sphere), endpoint tangency (not
+    reported — generic-position contract), hole semantics, containment,
+    and identical zones via the representative interior point."""
+    def arc(lo1, la1, lo2, la2):
+        return (SPH.lonlat_to_xyz(np.array([lo1]), np.array([la1])),
+                SPH.lonlat_to_xyz(np.array([lo2]), np.array([la2])))
+
+    a1, a2 = arc(-10, 0, 10, 0)
+    assert SPH.arcs_cross_pairs(a1, a2, *arc(0, -10, 0, 10))[0, 0]
+    assert not SPH.arcs_cross_pairs(a1, a2, *arc(20, -10, 20, 10))[0, 0]
+    assert not SPH.arcs_cross_pairs(a1, a2, *arc(180, -10, 180, 10))[0, 0]
+    assert not SPH.arcs_cross_pairs(a1, a2, *arc(10, 0, 10, 10))[0, 0]
+
+    sq = lambda x0, y0, x1, y1: [np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+    A, B, C = [sq(0, 0, 10, 10)], [sq(5, 5, 15, 15)], [sq(20, 20, 30, 30)]
+    big = [sq(-20, -20, 40, 40)]
+    assert SPH.spherical_polygons_intersect(A, B)
+    assert not SPH.spherical_polygons_intersect(A, C)
+    assert SPH.spherical_polygons_intersect(big, B)
+    assert SPH.spherical_polygons_intersect(B, big)
+    rep = SPH.lonlat_to_xyz(np.array([5.0]), np.array([5.0]))
+    assert SPH.spherical_polygons_intersect(A, [sq(0, 0, 10, 10)], rep_a=rep)
+    donut = [[np.array([[0., 0.], [30., 0.], [30., 30.], [0., 30.], [0., 0.]]),
+              np.array([[10., 10.], [20., 10.], [20., 20.], [10., 20.],
+                        [10., 10.]])]]
+    assert not SPH.spherical_polygons_intersect(donut, [sq(12, 12, 18, 18)])
+    assert SPH.spherical_polygons_intersect(donut, [sq(8, 12, 14, 18)])
+
+
+def _zones_b():
+    """Second layer: shifted stars, an exact duplicate of layer-A zone 0,
+    a zone nested inside A-10's hole (must NOT pair with 10), one
+    overlapping the hole edge (must pair), and an antimeridian box."""
+    rng = np.random.default_rng(23)
+    rows, reps = [], {}
+    for zid in range(8):
+        clat = float(rng.uniform(-60, 60))
+        clon = float(rng.uniform(-180, 180))
+        r = float(rng.uniform(2.0, 7.0))
+        ang = np.linspace(0, 2 * np.pi, 8)[:-1]
+        ring = np.column_stack(
+            [clon + r * np.cos(ang) / max(0.2, np.cos(np.radians(clat))),
+             clat + r * np.sin(ang)]
+        )
+        rows.append((zid, [[np.vstack([ring, ring[:1]])]]))
+        reps[zid] = (clon, clat)
+    dup = _zones()[0]
+    rows.append((8, dup[1]))  # exact duplicate of A zone 0
+    inhole = np.array([[14, 44], [16, 44], [16, 46], [14, 46], [14, 44]], float)
+    rows.append((9, [[inhole]]))
+    reps[9] = (15.0, 45.0)
+    acrosshole = np.array([[12, 42], [15, 42], [15, 45.5], [12, 45.5], [12, 42]], float)
+    rows.append((10, [[acrosshole]]))
+    reps[10] = (12.5, 42.5)
+    am = np.array([[178.0, -3.0], [-178.0, -3.0], [-178.0, 3.0], [178.0, 3.0],
+                   [178.0, -3.0]], float)
+    rows.append((11, [[am]]))
+    reps[11] = (180.0, 0.0)
+    return rows, reps
+
+
+def _reps_a():
+    rng = np.random.default_rng(7)
+    reps = {}
+    for zid in range(10):
+        clat = float(rng.uniform(-65, 65))
+        clon = float(rng.uniform(-180, 180))
+        rng.uniform(2.0, 6.0)
+        reps[zid] = (clon, clat)
+    reps[10] = (11.0, 41.0)  # in the shell, outside the hole
+    reps[11] = (175.0, 0.0)
+    reps[12] = (22.0, 48.0)
+    return reps
+
+
+def test_zones_intersect_matches_allpairs_refine(spark):
+    """The operator (classified-cover candidates + interior-cell witness
+    + Arrow refine) equals the exhaustive all-pairs kernel decision on
+    global layers with duplicates, hole nesting, antimeridian straddlers
+    and overlaps — and the duplicate zone IS paired (caught by the
+    representative interior point, not by vertex containment)."""
+    from pygridmap_spark.operators.pip_sphere import zones_intersect_s2
+
+    za = _zones()
+    zb, reps_b = _zones_b()
+    reps_a = _reps_a()
+    reps_b[8] = reps_a[0]
+    want = set()
+    for aid, mpa in za:
+        for bid, mpb in zb:
+            ra = SPH.lonlat_to_xyz(*[np.array([v]) for v in reps_a[aid]])
+            rb = SPH.lonlat_to_xyz(*[np.array([v]) for v in reps_b[bid]])
+            if SPH.spherical_polygons_intersect(mpa, mpb, rep_a=ra, rep_b=rb):
+                want.add((aid, bid))
+    got = zones_intersect_s2(_zone_df(spark, za), _zone_df(spark, zb), LEVEL)
+    pairs = set(map(tuple, got.toPandas()[["poly_id_l", "poly_id_r"]].to_numpy()))
+    assert pairs == want
+    assert (0, 8) in pairs  # the exact duplicate
+    assert (10, 9) not in pairs  # nested fully inside the hole
+    assert (10, 10) in pairs  # straddles the hole edge
+    assert (11, 11) in pairs  # antimeridian x antimeridian
