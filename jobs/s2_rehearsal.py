@@ -122,6 +122,10 @@ def main() -> None:
     ap.add_argument("--skip-knn", action="store_true")
     ap.add_argument("--skip-scan", action="store_true")
     ap.add_argument("--skip-dissolve", action="store_true")
+    ap.add_argument("--zz-zones", type=int, default=0,
+                    help="stage 8: geodesic zones x zones intersects join "
+                    "at this layer size each side (0 = skip)")
+    ap.add_argument("--zz-level", type=int, default=9)
     ap.add_argument("--dissolve-level", type=int, default=10)
     ap.add_argument("--dissolve-parent", type=int, default=4)
     args = ap.parse_args()
@@ -385,6 +389,51 @@ def main() -> None:
             }
             occ.unpersist()
         pts.unpersist()
+
+        # ---- stage 8: zones x zones intersects join at volume ----------
+        # two independent zone layers (offset ids decorrelate the hash
+        # sequences); candidates ride the ids-only cover join, geometry
+        # only on candidate pairs
+        if args.zz_zones:
+            za = make_zones(spark, args.zz_zones, mega=False)
+            zb = (
+                make_zones(spark, 2 * args.zz_zones, mega=False)
+                .filter(F.col("poly_id") >= args.zz_zones)
+            )
+            # 8a: the layer INDEXES (classified covers) — built once per
+            # layer in a real pipeline and shared by PIP joins, region
+            # filters, and zone x zone joins
+            # candidates_partitions is the MEGA-polygon knob; on a layer
+            # of many small zones it costs 8x (measured) — leave default
+            t0 = time.time()
+            covs = []
+            for zl in (za, zb):
+                c = S2.polyfill(
+                    zl, args.zz_level, classify=True
+                ).localCheckpoint(eager=True)
+                covs.append(c)
+            n_cov = sum(c.count() for c in covs)
+            t_idx = time.time() - t0
+            # 8b: the join itself, covers given
+            wz0, _ = _shuffle_totals(spark)
+            t0 = time.time()
+            zz = PIP.zones_intersect_s2(
+                za, zb, args.zz_level,
+                left_cover=covs[0], right_cover=covs[1],
+            )
+            n_pairs = zz.count()
+            t_zz = time.time() - t0
+            wz1, _ = _shuffle_totals(spark)
+            report["zones_join"] = {
+                "zones_each_side": args.zz_zones,
+                "level": args.zz_level,
+                "index_wall_s": round(t_idx, 2),
+                "index_cells": n_cov,
+                "join_wall_s": round(t_zz, 2),
+                "zones_per_sec_join": int(2 * args.zz_zones / t_zz),
+                "intersecting_pairs": n_pairs,
+                "join_shuffle_write_mb": round(wz1 - wz0, 1),
+            }
     finally:
         print(json.dumps(report))
         spark.stop()

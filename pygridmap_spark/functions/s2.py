@@ -1231,7 +1231,11 @@ def polyfill(
     ``candidates_partitions`` round-robins the chunked range rows (an
     O(cells/max_span) tiny exchange) so one continent-sized polygon's
     work spreads across tasks — same knob, same reasoning, same pinned
-    identity guarantee as the hex polyfill.
+    identity guarantee as the hex polyfill. It is the MEGA-polygon knob
+    only: on a layer of many small zones the extra exchange plus the
+    de-co-partitioned WKB join costs ~8x (measured, 10k 12-gon zones at
+    level 9: 11 s default vs 81 s at 256) — leave it None unless one
+    polygon's cover dwarfs the rest.
 
     Returns (id_col, {prefix}face, {prefix}i, {prefix}j,
     {prefix}compact). Reference parity: pygridmap covers polygons with

@@ -319,12 +319,22 @@ def zones_intersect_s2(
     poly_key: str = "poly_id",
     suffixes: tuple = ("_l", "_r"),
     candidates_partitions: int | None = None,
+    left_cover: DataFrame | None = None,
+    right_cover: DataFrame | None = None,
 ) -> DataFrame:
     """Geodesic polygon x polygon INTERSECTS join: every (left, right)
     pair whose interiors intersect on the sphere — the polygon member of
     the spatial-join family (reference counterpart: the planar
     ``intersects`` joins of gridding/overlay, gridding.py set operations,
     here with great-circle edges).
+
+    ``left_cover``/``right_cover`` accept a PRECOMPUTED classified cover
+    (the output of ``functions.s2.polyfill(classify=True)`` at ``level``
+    with the default ``s2_`` prefix). The cover is the layer's spatial
+    INDEX: a lake pipeline materializes it once per layer and reuses it
+    across PIP joins, region filters, and zone x zone joins — rebuilding
+    it inline is pure waste when the layer participates in several joins
+    (s2_rehearsal stage 8 records the index/join cost split).
 
     Plan (all candidate generation is the classified-cover equi-join;
     geometry only ever runs on surviving candidate PAIRS):
@@ -356,7 +366,15 @@ def zones_intersect_s2(
     if dict(right.dtypes)[poly_key] != dt:
         raise ValueError("left/right poly_key dtypes differ")
 
-    def _cover(df: DataFrame, key: str, flag: str) -> DataFrame:
+    def _cover(df: DataFrame, key: str, flag: str, pre: DataFrame | None) -> DataFrame:
+        if pre is not None:  # a materialized polyfill(classify=True) cover
+            return pre.select(
+                F.col(poly_key).alias(key),
+                F.col("s2_face").alias(f"{_P}face"),
+                F.col("s2_i").alias(f"{_P}i"),
+                F.col("s2_j").alias(f"{_P}j"),
+                F.col("s2_interior").alias(flag),
+            )
         cov = S2.polyfill(
             df,
             level,
@@ -376,8 +394,8 @@ def zones_intersect_s2(
         # once (same reasoning + measurement as point_in_polygon_s2)
         return cov.localCheckpoint(eager=True)
 
-    covl = _cover(left, lkey, "__int_l__")
-    covr = _cover(right, rkey, "__int_r__")
+    covl = _cover(left, lkey, "__int_l__", left_cover)
+    covr = _cover(right, rkey, "__int_r__", right_cover)
     cells = [f"{_P}face", f"{_P}i", f"{_P}j"]
 
     def _rep(cov: DataFrame, key: str, flag: str, tag: str) -> DataFrame:

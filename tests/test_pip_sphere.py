@@ -485,3 +485,22 @@ def test_zones_intersect_matches_allpairs_refine(spark):
     assert (10, 9) not in pairs  # nested fully inside the hole
     assert (10, 10) in pairs  # straddles the hole edge
     assert (11, 11) in pairs  # antimeridian x antimeridian
+
+
+def test_zones_intersect_precomputed_cover_identical(spark):
+    """A materialized polyfill(classify=True) cover passed via
+    left_cover/right_cover yields the identical pair set — the
+    index-reuse contract (the cover is the layer's spatial index,
+    built once and shared across the join family)."""
+    from pygridmap_spark.operators.pip_sphere import zones_intersect_s2
+
+    za = _zone_df(spark, _zones())
+    zb = _zone_df(spark, _zones_b()[0])
+    base = zones_intersect_s2(za, zb, LEVEL).toPandas()
+    covl = S2.polyfill(za, LEVEL, classify=True)
+    covr = S2.polyfill(zb, LEVEL, classify=True)
+    alt = zones_intersect_s2(
+        za, zb, LEVEL, left_cover=covl, right_cover=covr
+    ).toPandas()
+    key = lambda df: sorted(zip(df.poly_id_l, df.poly_id_r))
+    assert key(alt) == key(base)
