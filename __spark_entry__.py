@@ -1287,6 +1287,72 @@ def _q_region_filter_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "poly_id")
 
 
+def _q_geodesic_zone_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact geodesic zone area + area-weighted density
+    (operators/pip_sphere.geodesic_area + point_in_polygon_s2): each
+    face-2 uv-rect quad zone gets its EXACT spherical area — fan
+    spherical-excess over the WKB rings (core/sphere.spherical_ring_area,
+    Van Oosterom & Strackee) — and a points-per-million-km^2 density from
+    the geodesic PIP join: the area-true zonal statistic a planar
+    shoelace misstates on the sphere (reference counterpart: GEOS .area
+    after pyproj reprojection, base.py). Oracle: a uv rect's solid angle
+    has the classic pyramid closed form (inclusion-exclusion of
+    atan2(u*v, sqrt(1+u^2+v^2))) and membership is the same uv-range
+    arithmetic as pip_s2_zones — pure DuckDB arithmetic, zero geometry."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    zones = _s2_quad_zones(spark, sf_dir)
+    areas = _PIP.geodesic_area(
+        zones, wkb_col="wkb", out_col="area_sr", km2_col="area_km2"
+    )
+    pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    cnt = (
+        _PIP.point_in_polygon_s2(pts, zones, 7)
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+    out = areas.join(cnt, "poly_id", "left").na.fill({"n_points": 0})
+    return out.select(
+        "poly_id",
+        F.round("area_sr", 9).alias("area_sr"),
+        F.round("area_km2", 3).alias("area_km2"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(F.col("n_points") / F.col("area_km2") * F.lit(1e6), 6).alias(
+            "density_mkm2"
+        ),
+    )
+
+
+def _q_s2_cell_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-area-corrected S2 density rollup (functions/s2.cell_area_sr):
+    whole-sphere points -> level-12 index -> level-6 parent cell (i, j
+    bit shift) -> count divided by the cell's EXACT spherical area from
+    the pyramid solid-angle closed form, a pure Catalyst expression (zero
+    Python, inside WholeStageCodegen). The correction matters: S2's
+    quadratic st chart leaves a ~2x max/min cell-area spread that a bare
+    count-per-cell rollup silently inherits. Oracle: the identical closed
+    form restated in DuckDB over i >> 6."""
+    docs = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    grp = (
+        S2C.with_s2_index(docs, 12)
+        .groupBy(
+            "s2_face",
+            F.shiftright(F.col("s2_i"), 6).alias("i6"),
+            F.shiftright(F.col("s2_j"), 6).alias("j6"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    area = S2C.cell_area_sr(F.col("i6"), F.col("j6"), 6, km2=True)
+    return grp.select(
+        "s2_face",
+        "i6",
+        "j6",
+        "n_docs",
+        F.round(area, 3).alias("area_km2"),
+        F.round(F.col("n_docs") / area * F.lit(1e6), 6).alias("density_mkm2"),
+    )
+
+
 def _q_s2_cell_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell outline corners (functions/s2.py py_cell_corners /
     cell_outline_wkb): the vector form of a cell — st (0,0)(1,0)(1,1)(0,1)
@@ -1819,6 +1885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells_to_poly": _q_s2_cells_to_poly,
         "raster_to_s2_rollup": _q_raster_to_s2_rollup,
         "zones_intersect_s2": _q_zones_intersect_s2,
+        "geodesic_zone_area": _q_geodesic_zone_area,
+        "s2_cell_area_rollup": _q_s2_cell_area_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2674,6 +2742,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE k = -1
             GROUP BY 1
         """,
+        # s2_cell_area_rollup: the identical pyramid solid-angle closed form
+        # (st->uv quadratic chart, inclusion-exclusion of
+        # atan2(u*v, sqrt(1+u^2+v^2))) restated over the level-12 encode's
+        # (i >> 6, j >> 6) — same double arithmetic order as
+        # functions/s2.cell_area_sr.
+        "s2_cell_area_rollup": f"""
+            {_S2_ORACLE_CTE}
+            , grp AS (
+                SELECT CAST(face AS INTEGER) AS s2_face,
+                       i >> 6 AS i6, j >> 6 AS j6,
+                       count(*) AS n_docs
+                FROM ij
+                GROUP BY 1, 2, 3
+            ),
+            stb AS (
+                SELECT s2_face, i6, j6, n_docs,
+                       i6 * 0.015625 AS s0, (i6 + 1.0) * 0.015625 AS s1,
+                       j6 * 0.015625 AS t0, (j6 + 1.0) * 0.015625 AS t1
+                FROM grp
+            ),
+            uvb AS (
+                SELECT s2_face, i6, j6, n_docs,
+                       CASE WHEN s0 >= 0.5 THEN (4.0 * s0 * s0 - 1.0) / 3.0
+                            ELSE (1.0 - 4.0 * (1.0 - s0) * (1.0 - s0)) / 3.0
+                       END AS u0,
+                       CASE WHEN s1 >= 0.5 THEN (4.0 * s1 * s1 - 1.0) / 3.0
+                            ELSE (1.0 - 4.0 * (1.0 - s1) * (1.0 - s1)) / 3.0
+                       END AS u1,
+                       CASE WHEN t0 >= 0.5 THEN (4.0 * t0 * t0 - 1.0) / 3.0
+                            ELSE (1.0 - 4.0 * (1.0 - t0) * (1.0 - t0)) / 3.0
+                       END AS v0,
+                       CASE WHEN t1 >= 0.5 THEN (4.0 * t1 * t1 - 1.0) / 3.0
+                            ELSE (1.0 - 4.0 * (1.0 - t1) * (1.0 - t1)) / 3.0
+                       END AS v1
+                FROM stb
+            ),
+            ab AS (
+                SELECT s2_face, i6, j6, n_docs,
+                       (atan2(u1 * v1, sqrt(1.0 + u1 * u1 + v1 * v1))
+                      - atan2(u0 * v1, sqrt(1.0 + u0 * u0 + v1 * v1))
+                      - atan2(u1 * v0, sqrt(1.0 + u1 * u1 + v0 * v0))
+                      + atan2(u0 * v0, sqrt(1.0 + u0 * u0 + v0 * v0)))
+                       * (6371.0088 * 6371.0088) AS area
+                FROM uvb
+            )
+            SELECT s2_face, i6, j6, n_docs,
+                   round(area, 3) AS area_km2,
+                   round(n_docs / area * 1e6, 6) AS density_mkm2
+            FROM ab
+        """,
         "knn_s2_geodesic": """
             WITH pts AS (
                 SELECT doc_id,
@@ -2964,6 +3082,74 @@ def oracle_sql() -> dict[str, str]:
             FROM qa JOIN qb
               ON qa.u0 < qb.u1 AND qb.u0 < qa.u1
              AND qa.v0 < qb.v1 AND qb.v0 < qa.v1
+        """,
+        # geodesic_zone_area: the Spark side fan-triangulates the WKB rings
+        # (Van Oosterom & Strackee spherical excess); the oracle uses the
+        # pyramid solid-angle closed form of the SAME uv rect — two
+        # independent derivations of one exact quantity (measured agreement
+        # 3e-16 sr vs the 5e-10 rounding boundary). Membership is the
+        # pip_s2_zones uv-range arithmetic.
+        "geodesic_zone_area": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            xyz AS (
+                SELECT doc_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts
+            ),
+            fuv AS (
+                SELECT doc_id, x, y, z,
+                       CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                                THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                            WHEN abs(y) >= abs(z)
+                                THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                            ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END
+                       END AS face
+                FROM xyz
+            ),
+            uv AS (
+                SELECT doc_id, -x / z AS u, -y / z AS v
+                FROM fuv WHERE face = 2
+            ),
+            quads AS (
+                SELECT doc_id AS poly_id,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            ),
+            cnt AS (
+                SELECT q.poly_id, count(*) AS n
+                FROM uv p JOIN quads q
+                  ON p.u >= q.u0 AND p.u <= q.u1
+                 AND p.v >= q.v0 AND p.v <= q.v1
+                GROUP BY 1
+            ),
+            ar AS (
+                SELECT poly_id,
+                       atan2(u1 * v1, sqrt(1.0 + u1 * u1 + v1 * v1))
+                     - atan2(u0 * v1, sqrt(1.0 + u0 * u0 + v1 * v1))
+                     - atan2(u1 * v0, sqrt(1.0 + u1 * u1 + v0 * v0))
+                     + atan2(u0 * v0, sqrt(1.0 + u0 * u0 + v0 * v0)) AS sr
+                FROM quads
+            )
+            SELECT a.poly_id,
+                   round(a.sr, 9) AS area_sr,
+                   round(a.sr * (6371.0088 * 6371.0088), 3) AS area_km2,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_points,
+                   round(COALESCE(c.n, 0)
+                         / (a.sr * (6371.0088 * 6371.0088)) * 1e6,
+                         6) AS density_mkm2
+            FROM ar a LEFT JOIN cnt c USING (poly_id)
         """,
         "raster_to_s2_rollup": """
             WITH raster AS (

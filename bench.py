@@ -73,6 +73,8 @@ HEADLINE = [
     "s2_cells_to_poly",
     "raster_to_s2_rollup",
     "zones_intersect_s2",
+    "geodesic_zone_area",
+    "s2_cell_area_rollup",
 ]
 
 

@@ -34,7 +34,15 @@ __all__ = [
     "rings_to_arcs",
     "arcs_cross_pairs",
     "spherical_polygons_intersect",
+    "spherical_ring_area",
+    "spherical_polygon_area",
+    "spherical_multipolygon_area",
+    "solid_angle_uv_rect",
+    "EARTH_RADIUS_KM",
 ]
+
+#: mean Earth radius (IUGG R1), km — the steradian->km^2 scale factor
+EARTH_RADIUS_KM = 6371.0088
 
 
 def lonlat_to_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
@@ -89,6 +97,79 @@ def points_in_spherical_polygon(p: np.ndarray, rings_lonlat: list) -> np.ndarray
     for ring in rings_lonlat:
         inside ^= points_in_spherical_ring(p, ring_to_xyz(ring))
     return inside
+
+
+def spherical_ring_area(ring_xyz: np.ndarray) -> float:
+    """Signed solid angle (steradians) of one geodesic ring given as
+    (K, 3) unit vertices (open — no repeated closing vertex); positive
+    for counter-clockwise winding seen from outside the sphere.
+
+    Fan triangulation from vertex 0 with the Van Oosterom & Strackee /
+    Eriksson signed-triangle excess — for unit vectors (a, b, c):
+
+        omega = 2 * atan2( a . (b x c),  1 + a.b + b.c + c.a )
+
+    ("The solid angle of a plane triangle", IEEE Trans. Biomed. Eng.
+    BME-30, 1983 — public formula, also the basis of s2geometry's
+    S2::Area). Signed fan terms cancel outside the ring, so the sum is
+    exact for arbitrary (also non-convex) simple rings under the module's
+    hemisphere-bounded domain contract. Vectorized over the fan; no
+    Python loop.
+
+    Reference counterpart: the planar shoelace ``ring_signed_area``
+    (core/geometry.py) — this is its geodesic twin, replacing the
+    reference's delegation to GEOS/pyproj planar area after reprojection.
+    """
+    v = np.asarray(ring_xyz, np.float64)
+    if len(v) < 3:
+        return 0.0
+    a = v[0]
+    b = v[1:-1]
+    c = v[2:]
+    triple = np.cross(b, c) @ a
+    denom = 1.0 + b @ a + np.einsum("ij,ij->i", b, c) + c @ a
+    return float(np.sum(2.0 * np.arctan2(triple, denom)))
+
+
+def spherical_polygon_area(rings_lonlat: list) -> float:
+    """Even-odd area in steradians: |outer| minus the |holes| (the planar
+    kernel's ``polygon_area`` convention, core/geometry.py:48), clamped
+    at 0; rings as (K, 2) lon/lat arrays (WKB layout), any orientation."""
+    if not rings_lonlat:
+        return 0.0
+    area = abs(spherical_ring_area(ring_to_xyz(rings_lonlat[0])))
+    for hole in rings_lonlat[1:]:
+        area -= abs(spherical_ring_area(ring_to_xyz(hole)))
+    return max(area, 0.0)
+
+
+def spherical_multipolygon_area(polys: list) -> float:
+    """Sum of :func:`spherical_polygon_area` over a multipolygon's
+    polygons (list of lists of rings)."""
+    return float(sum(spherical_polygon_area(p) for p in polys))
+
+
+def solid_angle_uv_rect(u0, v0, u1, v1):
+    """EXACT solid angle (steradians) of the spherical quad that is the
+    central projection of the planar rect [u0,u1] x [v0,v1] on a unit-
+    distance tangent plane (an S2 cube-face gnomonic chart): the classic
+    pyramid solid-angle closed form, by inclusion-exclusion of
+
+        f(u, v) = atan2( u*v, sqrt(1 + u^2 + v^2) )
+
+    over the 4 corners. Pure scalar/numpy arithmetic — the same formula
+    ships as a Catalyst column expression (functions/s2.cell_area_sr) and
+    as the DuckDB oracle twin; sanity anchor: the full face [-1,1]^2
+    gives 4*atan2(1, sqrt(3)) = 2*pi/3."""
+    u0 = np.asarray(u0, np.float64)
+    v0 = np.asarray(v0, np.float64)
+    u1 = np.asarray(u1, np.float64)
+    v1 = np.asarray(v1, np.float64)
+
+    def f(u, v):
+        return np.arctan2(u * v, np.sqrt(1.0 + u * u + v * v))
+
+    return f(u1, v1) - f(u0, v1) - f(u1, v0) + f(u0, v0)
 
 
 def min_arc_dist(p: np.ndarray, ring_xyz: np.ndarray) -> np.ndarray:

@@ -101,6 +101,49 @@ def _st_to_uv_col(s: Column) -> Column:
     )
 
 
+def _solid_angle_f_col(u: Column, v: Column) -> Column:
+    """Corner term of the pyramid solid-angle closed form (see
+    core/sphere.solid_angle_uv_rect, the numpy twin)."""
+    return F.atan2(u * v, F.sqrt(1.0 + u * u + v * v))
+
+
+def cell_area_sr(i: Column, j: Column, level: int, km2: bool = False) -> Column:
+    """EXACT spherical area of a level-``level`` cell given its (i, j)
+    leaf coordinates at that level — a pure Catalyst column expression
+    (zero Python, stays inside WholeStageCodegen).
+
+    A cell is the central projection of an axis-aligned rect in the
+    face's gnomonic (u, v) chart, so its solid angle has the classic
+    closed form: inclusion-exclusion of atan2(u*v, sqrt(1+u^2+v^2)) over
+    the 4 corners (sanity anchor: a whole face is 2*pi/3). Face-
+    independent — every cube face has identical chart geometry. With
+    ``km2=True`` the result is scaled by the mean-Earth-radius sphere.
+
+    This is what makes density rollups equal-AREA-correct: S2's quadratic
+    st projection only approximately equalizes cells (max/min area ratio
+    ~2.1 across a face at fine levels), so `count(*) / cell_area_sr(...)`
+    is the honest
+    per-km^2 statistic where a bare count-per-cell is not.
+    """
+    _check_level(level)
+    inv = 1.0 / float(1 << level)
+    u0 = _st_to_uv_col(i.cast("double") * inv)
+    u1 = _st_to_uv_col((i.cast("double") + 1.0) * inv)
+    v0 = _st_to_uv_col(j.cast("double") * inv)
+    v1 = _st_to_uv_col((j.cast("double") + 1.0) * inv)
+    area = (
+        _solid_angle_f_col(u1, v1)
+        - _solid_angle_f_col(u0, v1)
+        - _solid_angle_f_col(u1, v0)
+        + _solid_angle_f_col(u0, v0)
+    )
+    if km2:
+        from pygridmap_spark.core.sphere import EARTH_RADIUS_KM
+
+        return area * (EARTH_RADIUS_KM * EARTH_RADIUS_KM)
+    return area
+
+
 def full_id(face: Column, pos: Column, level: int) -> Column:
     """S2-layout 64-bit id from (face, level-``level`` curve position).
 

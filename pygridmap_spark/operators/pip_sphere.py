@@ -464,3 +464,56 @@ def zones_intersect_s2(
 
     refined = cand.mapInPandas(_refine, f"{lkey} {dt}, {rkey} {dt}")
     return definite.unionByName(refined)
+
+
+def geodesic_area(
+    df: DataFrame,
+    wkb_col: str = "wkb",
+    out_col: str = "area_sr",
+    km2_col: str | None = None,
+) -> DataFrame:
+    """Append each geometry's EXACT geodesic area: ``out_col`` in
+    steradians (solid angle) and optionally ``km2_col`` scaled by the
+    mean-Earth-radius sphere (core/sphere.EARTH_RADIUS_KM ** 2).
+
+    Area is the spherical-excess sum over a fan triangulation
+    (core/sphere.spherical_ring_area — Van Oosterom & Strackee signed
+    triangles), even-odd over rings (|outer| - |holes|), summed over a
+    multipolygon's parts: the geodesic twin of the planar shoelace
+    ``multipolygon_area``, replacing the reference's GEOS ``.area`` after
+    pyproj reprojection (base.py) with sphere-true math that needs no
+    projection at all.
+
+    One Arrow projection pass, zero shuffles, zero joins — safe to call
+    on a billion-zone layer; NULL wkb yields NULL areas (SQL NULL, not
+    NaN, per the repo's Arrow-kernel contract).
+    """
+    from pygridmap_spark import util as _util
+    from pygridmap_spark.core.sphere import EARTH_RADIUS_KM
+
+    extra = [f"{out_col} double"] + ([f"{km2_col} double"] if km2_col else [])
+    schema = _util.schema_with(df, *extra)
+    scale = EARTH_RADIUS_KM * EARTH_RADIUS_KM
+
+    def _kernel(batches):
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        for pdf in batches:
+            sr = [
+                None
+                if buf is None
+                else SPH.spherical_multipolygon_area(
+                    WKB.decode_multipolygon(bytes(buf))
+                )
+                for buf in pdf[wkb_col]
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(sr, dtype="Float64")
+            if km2_col:
+                pdf[km2_col] = pdf[out_col] * scale
+            yield pdf
+
+    return df.mapInPandas(_kernel, schema)
