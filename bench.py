@@ -75,6 +75,7 @@ HEADLINE = [
     "zones_intersect_s2",
     "geodesic_zone_area",
     "s2_cell_area_rollup",
+    "geodesic_zone_perimeter",
 ]
 
 

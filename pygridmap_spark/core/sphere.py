@@ -38,6 +38,9 @@ __all__ = [
     "spherical_polygon_area",
     "spherical_multipolygon_area",
     "solid_angle_uv_rect",
+    "arc_lengths",
+    "ring_perimeter",
+    "multipolygon_perimeter",
     "EARTH_RADIUS_KM",
 ]
 
@@ -170,6 +173,44 @@ def solid_angle_uv_rect(u0, v0, u1, v1):
         return np.arctan2(u * v, np.sqrt(1.0 + u * u + v * v))
 
     return f(u1, v1) - f(u0, v1) - f(u1, v0) + f(u0, v0)
+
+
+def arc_lengths(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Great-circle angles (radians) between row-paired (N, 3) vectors —
+    atan2(|a x b|, a . b), which is norm-free (the two magnitudes cancel)
+    and stable at both the near-zero and near-antipodal ends where acos
+    of a dot product loses half the mantissa."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    cr = np.cross(a, b)
+    return np.arctan2(
+        np.sqrt(np.einsum("ij,ij->i", cr, cr)), np.einsum("ij,ij->i", a, b)
+    )
+
+
+def ring_perimeter(ring_xyz: np.ndarray) -> float:
+    """Geodesic boundary length (radians) of one ring given as (K, 3)
+    vectors, open or closed — the wrap edge of an already-closed ring is
+    a zero-length arc, so no special-casing. The geodesic twin of the
+    planar ring perimeter (GEOS ``.length`` semantics on the sphere)."""
+    v = np.asarray(ring_xyz, np.float64)
+    if len(v) < 2:
+        return 0.0
+    return float(np.sum(arc_lengths(v, np.roll(v, -1, axis=0))))
+
+
+def multipolygon_perimeter(polys: list) -> float:
+    """Total geodesic boundary length (radians) of a multipolygon (list
+    of lists of (K, 2) lon/lat rings): outer rings AND holes both bound
+    the region, so both count — the GEOS ``.length`` convention."""
+    return float(
+        sum(
+            ring_perimeter(ring_to_xyz(ring))
+            for poly in polys
+            for ring in poly
+            if len(ring) >= 2
+        )
+    )
 
 
 def min_arc_dist(p: np.ndarray, ring_xyz: np.ndarray) -> np.ndarray:

@@ -517,3 +517,50 @@ def geodesic_area(
             yield pdf
 
     return df.mapInPandas(_kernel, schema)
+
+
+def geodesic_length(
+    df: DataFrame,
+    wkb_col: str = "wkb",
+    out_col: str = "length_rad",
+    km_col: str | None = None,
+) -> DataFrame:
+    """Append each geometry's EXACT geodesic boundary length: ``out_col``
+    in radians (angle subtended) and optionally ``km_col`` scaled by the
+    mean Earth radius. Outer rings and holes both count (GEOS ``.length``
+    convention) — the sibling of :func:`geodesic_area`, replacing the
+    reference's planar ``.length`` after reprojection with per-edge
+    great-circle arcs (core/sphere.arc_lengths: atan2(|a x b|, a . b),
+    norm-free and stable near zero and antipodal).
+
+    Same plan shape as geodesic_area: one Arrow projection pass, zero
+    shuffles, zero joins; NULL wkb yields SQL NULL, never NaN.
+    """
+    from pygridmap_spark import util as _util
+    from pygridmap_spark.core.sphere import EARTH_RADIUS_KM
+
+    extra = [f"{out_col} double"] + ([f"{km_col} double"] if km_col else [])
+    schema = _util.schema_with(df, *extra)
+
+    def _kernel(batches):
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        for pdf in batches:
+            rad = [
+                None
+                if buf is None
+                else SPH.multipolygon_perimeter(
+                    WKB.decode_multipolygon(bytes(buf))
+                )
+                for buf in pdf[wkb_col]
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(rad, dtype="Float64")
+            if km_col:
+                pdf[km_col] = pdf[out_col] * EARTH_RADIUS_KM
+            yield pdf
+
+    return df.mapInPandas(_kernel, schema)
