@@ -1359,6 +1359,33 @@ def _q_geodesic_zone_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geodesic_zone_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact spherical centroid per zone
+    (operators/pip_sphere.geodesic_centroid): the direction of the
+    region's vector area int_S rhat dOmega, which Stokes collapses to
+    (1/2) sum theta_i * nhat_i over the great-circle edges — the label/
+    representative point the reference reads off GEOS ``.centroid``
+    after planar reprojection, misplaced at high latitude by the planar
+    chart. Oracle: the quad edges are gnomonic-straight, so each edge
+    term is atan2(|a x b|, a . b) / |a x b| * (a x b) between
+    unnormalized corner vectors (-u, -v, 1) — with az = bz = 1 the cross
+    collapses to (ay - by, bx - ax, ax*by - ay*bx); four terms of rect
+    arithmetic, then lon/lat from the summed vector. Two independent
+    derivations: WKB vertex edges vs corner closed form (measured
+    agreement 2e-12 deg vs 1.4e-2-of-a-unit rounding boundaries)."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    zones = _s2_quad_zones(spark, sf_dir)
+    out = _PIP.geodesic_centroid(
+        zones, wkb_col="wkb", lon_col="centroid_lon", lat_col="centroid_lat"
+    )
+    return out.select(
+        "poly_id",
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+    )
+
+
 def _q_s2_cell_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-area-corrected S2 density rollup (functions/s2.cell_area_sr):
     whole-sphere points -> level-12 index -> level-6 parent cell (i, j
@@ -1923,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zones_intersect_s2": _q_zones_intersect_s2,
         "geodesic_zone_area": _q_geodesic_zone_area,
         "geodesic_zone_perimeter": _q_geodesic_zone_perimeter,
+        "geodesic_zone_centroid": _q_geodesic_zone_centroid,
         "s2_cell_area_rollup": _q_s2_cell_area_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
@@ -3241,6 +3269,63 @@ def oracle_sql() -> dict[str, str]:
                    round(a.sr * (4.0 * pi() - a.sr) / (p.p * p.p), 6)
                        AS compactness
             FROM per p JOIN ar a USING (poly_id)
+        """,
+        # geodesic_zone_centroid: the Spark side runs the vector-area
+        # closed form over the decoded WKB vertices; the oracle restates
+        # it over the four gnomonic-straight edges between unnormalized
+        # corner vectors (-u, -v, 1): per edge, theta/|cross| * cross with
+        # cross = (ay - by, bx - ax, ax*by - ay*bx) and
+        # theta = atan2(|cross|, ax*bx + ay*by + 1). The summed vector's
+        # direction IS the exact centroid. Fixture orientation gives
+        # Vz > 0 for every quad (face 2), matching the kernel's
+        # sign-of-excess orientation with no flip.
+        "geodesic_zone_centroid": """
+            WITH quads AS (
+                SELECT doc_id AS poly_id,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            ),
+            edges AS (
+                SELECT poly_id, -u0 AS ax, -v0 AS ay, -u1 AS bx, -v0 AS by
+                FROM quads
+                UNION ALL
+                SELECT poly_id, -u1, -v0, -u1, -v1 FROM quads
+                UNION ALL
+                SELECT poly_id, -u1, -v1, -u0, -v1 FROM quads
+                UNION ALL
+                SELECT poly_id, -u0, -v1, -u0, -v0 FROM quads
+            ),
+            terms AS (
+                SELECT poly_id,
+                       ay - by AS cx, bx - ax AS cy,
+                       ax * by - ay * bx AS cz,
+                       sqrt((ay - by) * (ay - by) + (bx - ax) * (bx - ax)
+                            + (ax * by - ay * bx) * (ax * by - ay * bx))
+                           AS ncr,
+                       ax * bx + ay * by + 1.0 AS dot
+                FROM edges
+            ),
+            vec AS (
+                SELECT poly_id,
+                       sum(atan2(ncr, dot) / (CASE WHEN ncr = 0 THEN 1.0
+                                                   ELSE ncr END) * cx) AS vx,
+                       sum(atan2(ncr, dot) / (CASE WHEN ncr = 0 THEN 1.0
+                                                   ELSE ncr END) * cy) AS vy,
+                       sum(atan2(ncr, dot) / (CASE WHEN ncr = 0 THEN 1.0
+                                                   ELSE ncr END) * cz) AS vz
+                FROM terms GROUP BY 1
+            )
+            SELECT poly_id,
+                   round(degrees(atan2(vy, vx)), 6) AS centroid_lon,
+                   round(degrees(asin(vz / sqrt(vx * vx + vy * vy
+                                                + vz * vz))), 6)
+                       AS centroid_lat
+            FROM vec
         """,
         "raster_to_s2_rollup": """
             WITH raster AS (

@@ -76,6 +76,7 @@ HEADLINE = [
     "geodesic_zone_area",
     "s2_cell_area_rollup",
     "geodesic_zone_perimeter",
+    "geodesic_zone_centroid",
 ]
 
 

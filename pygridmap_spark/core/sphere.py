@@ -41,6 +41,8 @@ __all__ = [
     "arc_lengths",
     "ring_perimeter",
     "multipolygon_perimeter",
+    "ring_vector_area",
+    "multipolygon_centroid_xyz",
     "EARTH_RADIUS_KM",
 ]
 
@@ -211,6 +213,57 @@ def multipolygon_perimeter(polys: list) -> float:
             if len(ring) >= 2
         )
     )
+
+
+def ring_vector_area(ring_xyz: np.ndarray) -> np.ndarray:
+    """Signed VECTOR area of one geodesic ring — the integral of the unit
+    position over the enclosed spherical region. By Stokes,
+    ``int_S rhat dOmega = (1/2) oint r x dr`` (the classic vector-area
+    identity, surface-independent), and along a great-circle edge
+    ``r(t) x r'(t)`` is CONSTANT — the edge's unit normal — so the whole
+    line integral collapses to the exact per-edge closed form
+
+        V = (1/2) * sum_i theta_i * nhat_i
+          = (1/2) * sum_i atan2(|a x b|, a . b) / |a x b| * (a x b)
+
+    (norm-free in a and b like arc_lengths). Orientation-signed with the
+    same convention as :func:`spherical_ring_area`; open or closed rings
+    (a closed ring's wrap edge is a zero arc with zero cross). Sanity
+    anchor: the octant gives exactly (pi/4, pi/4, pi/4).
+    """
+    v = np.asarray(ring_xyz, np.float64)
+    if len(v) < 3:
+        return np.zeros(3)
+    b = np.roll(v, -1, axis=0)
+    cr = np.cross(v, b)
+    ncr = np.sqrt(np.einsum("ij,ij->i", cr, cr))
+    th = np.arctan2(ncr, np.einsum("ij,ij->i", v, b))
+    # theta/|cross| -> theta * nhat; a zero cross has theta == 0 (term 0)
+    w = th / np.where(ncr == 0.0, 1.0, ncr)
+    return 0.5 * np.einsum("i,ij->j", w, cr)
+
+
+def multipolygon_centroid_xyz(polys: list) -> np.ndarray | None:
+    """Exact spherical centroid (unit vector) of a multipolygon (list of
+    lists of (K, 2) lon/lat rings): the direction of the region's vector
+    area under the same even-odd |outer| - |holes| convention as
+    :func:`spherical_polygon_area` — each ring's vector area is oriented
+    positive by the sign of its own scalar excess, outers add, holes
+    subtract. ``None`` for empty input or a direction-degenerate region
+    (|V| ~ 0, e.g. the whole sphere), never a garbage direction."""
+    total = np.zeros(3)
+    for rings in polys:
+        for k, ring in enumerate(rings):
+            xyz = ring_to_xyz(ring)
+            a = spherical_ring_area(xyz)
+            if a == 0.0:
+                continue
+            vec = ring_vector_area(xyz) * np.sign(a)
+            total += vec if k == 0 else -vec
+    n = float(np.sqrt(total @ total))
+    if n < 1e-12:
+        return None
+    return total / n
 
 
 def min_arc_dist(p: np.ndarray, ring_xyz: np.ndarray) -> np.ndarray:

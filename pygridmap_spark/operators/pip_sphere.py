@@ -564,3 +564,57 @@ def geodesic_length(
             yield pdf
 
     return df.mapInPandas(_kernel, schema)
+
+
+def geodesic_centroid(
+    df: DataFrame,
+    wkb_col: str = "wkb",
+    lon_col: str = "centroid_lon",
+    lat_col: str = "centroid_lat",
+) -> DataFrame:
+    """Append each geometry's EXACT spherical centroid as lon/lat degrees
+    — the direction of the region's vector area ``int_S rhat dOmega``,
+    which collapses to the per-edge closed form
+    ``(1/2) sum theta_i * nhat_i`` over great-circle edges
+    (core/sphere.ring_vector_area; even-odd over rings like the area
+    kernel). The sphere-true replacement for the reference's GEOS
+    ``.centroid`` after planar reprojection (base.py) — the label/
+    representative point a planar centroid misplaces at high latitude.
+
+    Same plan shape as geodesic_area/geodesic_length: one Arrow
+    projection pass, zero shuffles, zero joins; NULL wkb or a
+    direction-degenerate region (|V| ~ 0) yields SQL NULL, never NaN.
+    """
+    from pygridmap_spark import util as _util
+
+    schema = _util.schema_with(df, f"{lon_col} double", f"{lat_col} double")
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        for pdf in batches:
+            lons, lats = [], []
+            for buf in pdf[wkb_col]:
+                c = (
+                    None
+                    if buf is None
+                    else SPH.multipolygon_centroid_xyz(
+                        WKB.decode_multipolygon(bytes(buf))
+                    )
+                )
+                if c is None:
+                    lons.append(None)
+                    lats.append(None)
+                else:
+                    lons.append(float(np.degrees(np.arctan2(c[1], c[0]))))
+                    lats.append(float(np.degrees(np.arcsin(c[2]))))
+            pdf = pdf.copy()
+            pdf[lon_col] = pd.array(lons, dtype="Float64")
+            pdf[lat_col] = pd.array(lats, dtype="Float64")
+            yield pdf
+
+    return df.mapInPandas(_kernel, schema)
