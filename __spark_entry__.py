@@ -1386,6 +1386,33 @@ def _q_geodesic_zone_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geodesic_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused one-pass zonal statistics
+    (operators/pip_sphere.geodesic_stats): exact area, boundary length,
+    centroid, and isoperimetric compactness from ONE WKB decode + ONE
+    unit-vector lift per ring (core/sphere.multipolygon_stats) — the
+    operator a lake-scale zonal-statistics pass should run instead of
+    chaining three kernels that each re-pay the decode (the dominant
+    per-zone cost; chained-vs-fused A/B in BENCH/BASELINE.md). Values
+    are bit-identical to the chained operators; the oracle is the union
+    of the three independent closed-form derivations (pyramid solid
+    angle, four edge arcs, summed edge-normal vector) in pure DuckDB
+    arithmetic."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    out = _PIP.geodesic_stats(_s2_quad_zones(spark, sf_dir), wkb_col="wkb")
+    return out.select(
+        "poly_id",
+        F.round("area_sr", 9).alias("area_sr"),
+        F.round("area_km2", 3).alias("area_km2"),
+        F.round("length_rad", 9).alias("length_rad"),
+        F.round("length_km", 3).alias("length_km"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("compactness", 6).alias("compactness"),
+    )
+
+
 def _q_s2_cell_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-area-corrected S2 density rollup (functions/s2.cell_area_sr):
     whole-sphere points -> level-12 index -> level-6 parent cell (i, j
@@ -1951,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_zone_area": _q_geodesic_zone_area,
         "geodesic_zone_perimeter": _q_geodesic_zone_perimeter,
         "geodesic_zone_centroid": _q_geodesic_zone_centroid,
+        "geodesic_zone_stats": _q_geodesic_zone_stats,
         "s2_cell_area_rollup": _q_s2_cell_area_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
@@ -3326,6 +3354,74 @@ def oracle_sql() -> dict[str, str]:
                                                 + vz * vz))), 6)
                        AS centroid_lat
             FROM vec
+        """,
+        # geodesic_zone_stats: the fused one-pass operator gated by the
+        # UNION of the three independent closed forms (pyramid solid
+        # angle for area, four edge arcs for length, summed edge-normal
+        # vector for the centroid) — same CTEs as the three single-stat
+        # oracles, joined on poly_id.
+        "geodesic_zone_stats": """
+            WITH quads AS (
+                SELECT doc_id AS poly_id,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            ),
+            ar AS (
+                SELECT poly_id,
+                       atan2(u1 * v1, sqrt(1.0 + u1 * u1 + v1 * v1))
+                     - atan2(u0 * v1, sqrt(1.0 + u0 * u0 + v1 * v1))
+                     - atan2(u1 * v0, sqrt(1.0 + u1 * u1 + v0 * v0))
+                     + atan2(u0 * v0, sqrt(1.0 + u0 * u0 + v0 * v0)) AS sr
+                FROM quads
+            ),
+            edges AS (
+                SELECT poly_id, -u0 AS ax, -v0 AS ay, -u1 AS bx, -v0 AS by
+                FROM quads
+                UNION ALL
+                SELECT poly_id, -u1, -v0, -u1, -v1 FROM quads
+                UNION ALL
+                SELECT poly_id, -u1, -v1, -u0, -v1 FROM quads
+                UNION ALL
+                SELECT poly_id, -u0, -v1, -u0, -v0 FROM quads
+            ),
+            terms AS (
+                SELECT poly_id,
+                       ay - by AS cx, bx - ax AS cy,
+                       ax * by - ay * bx AS cz,
+                       sqrt((ay - by) * (ay - by) + (bx - ax) * (bx - ax)
+                            + (ax * by - ay * bx) * (ax * by - ay * bx))
+                           AS ncr,
+                       ax * bx + ay * by + 1.0 AS dot
+                FROM edges
+            ),
+            agg AS (
+                SELECT poly_id,
+                       sum(atan2(ncr, dot)) AS p,
+                       sum(atan2(ncr, dot) / (CASE WHEN ncr = 0 THEN 1.0
+                                                   ELSE ncr END) * cx) AS vx,
+                       sum(atan2(ncr, dot) / (CASE WHEN ncr = 0 THEN 1.0
+                                                   ELSE ncr END) * cy) AS vy,
+                       sum(atan2(ncr, dot) / (CASE WHEN ncr = 0 THEN 1.0
+                                                   ELSE ncr END) * cz) AS vz
+                FROM terms GROUP BY 1
+            )
+            SELECT g.poly_id,
+                   round(a.sr, 9) AS area_sr,
+                   round(a.sr * (6371.0088 * 6371.0088), 3) AS area_km2,
+                   round(g.p, 9) AS length_rad,
+                   round(g.p * 6371.0088, 3) AS length_km,
+                   round(degrees(atan2(g.vy, g.vx)), 6) AS centroid_lon,
+                   round(degrees(asin(g.vz / sqrt(g.vx * g.vx + g.vy * g.vy
+                                                  + g.vz * g.vz))), 6)
+                       AS centroid_lat,
+                   round(a.sr * (4.0 * pi() - a.sr) / (g.p * g.p), 6)
+                       AS compactness
+            FROM agg g JOIN ar a USING (poly_id)
         """,
         "raster_to_s2_rollup": """
             WITH raster AS (

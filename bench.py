@@ -77,6 +77,7 @@ HEADLINE = [
     "s2_cell_area_rollup",
     "geodesic_zone_perimeter",
     "geodesic_zone_centroid",
+    "geodesic_zone_stats",
 ]
 
 

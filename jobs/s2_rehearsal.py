@@ -128,6 +128,10 @@ def main() -> None:
     ap.add_argument("--zz-level", type=int, default=9)
     ap.add_argument("--dissolve-level", type=int, default=10)
     ap.add_argument("--dissolve-parent", type=int, default=4)
+    ap.add_argument("--stats-zones", type=int, default=0,
+                    help="stage 9: geodesic zonal statistics at this zone "
+                    "count — fused one-pass geodesic_stats vs the chained "
+                    "area+length+centroid operators (0 = skip)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -433,6 +437,53 @@ def main() -> None:
                 "zones_per_sec_join": int(2 * args.zz_zones / t_zz),
                 "intersecting_pairs": n_pairs,
                 "join_shuffle_write_mb": round(wz1 - wz0, 1),
+            }
+
+        # ---- stage 9: fused vs chained geodesic zonal statistics ------
+        # the A/B this stage exists for: chaining area+length+centroid
+        # decodes the WKB and lifts every ring to unit vectors 3x; the
+        # fused kernel pays the transform once. Interleaved best-of-2
+        # per arm (CLAUDE.md: same-JVM A/B under CPU steal).
+        if args.stats_zones:
+            zs = (
+                make_zones(spark, args.stats_zones, mega=False)
+                .repartition(128)
+                .persist()
+            )
+            zs.count()
+
+            def _chained():
+                d = PIP.geodesic_area(zs, km2_col="area_km2")
+                d = PIP.geodesic_length(d, km_col="length_km")
+                d = PIP.geodesic_centroid(d)
+                return d.select(
+                    F.sum("area_sr"), F.sum("length_rad"),
+                    F.sum("centroid_lat"),
+                ).collect()
+
+            def _fused():
+                d = PIP.geodesic_stats(zs)
+                return d.select(
+                    F.sum("area_sr"), F.sum("length_rad"),
+                    F.sum("centroid_lat"),
+                ).collect()
+
+            best = {"chained": float("inf"), "fused": float("inf")}
+            sums = {}
+            for _ in range(2):
+                for name, fn in (("chained", _chained), ("fused", _fused)):
+                    t0 = time.time()
+                    rows = fn()
+                    best[name] = min(best[name], time.time() - t0)
+                    sums[name] = [round(float(x), 6) for x in rows[0]]
+            assert sums["chained"] == sums["fused"], sums
+            zs.unpersist()
+            report["geodesic_stats"] = {
+                "zones": args.stats_zones,
+                "chained_best_s": round(best["chained"], 2),
+                "fused_best_s": round(best["fused"], 2),
+                "fused_zones_per_sec": int(args.stats_zones / best["fused"]),
+                "speedup": round(best["chained"] / best["fused"], 2),
             }
     finally:
         print(json.dumps(report))

@@ -43,6 +43,7 @@ __all__ = [
     "multipolygon_perimeter",
     "ring_vector_area",
     "multipolygon_centroid_xyz",
+    "multipolygon_stats",
     "EARTH_RADIUS_KM",
 ]
 
@@ -264,6 +265,34 @@ def multipolygon_centroid_xyz(polys: list) -> np.ndarray | None:
     if n < 1e-12:
         return None
     return total / n
+
+
+def multipolygon_stats(polys: list) -> tuple:
+    """``(area_sr, perimeter_rad, centroid_xyz | None)`` in ONE pass:
+    each ring is lifted to unit vectors ONCE and feeds all three kernels
+    — at lake scale the WKB decode + lon/lat->xyz lift dominates the
+    per-zone cost, so chaining geodesic_area/length/centroid pays it
+    three times for nothing. Accumulation order mirrors
+    :func:`spherical_multipolygon_area` / :func:`multipolygon_perimeter`
+    / :func:`multipolygon_centroid_xyz` term for term, so the results
+    are bit-identical to the separate kernels (pinned in tests)."""
+    area = 0.0
+    perim = 0.0
+    total = np.zeros(3)
+    for rings in polys:
+        parea = 0.0
+        for k, ring in enumerate(rings):
+            xyz = ring_to_xyz(ring)
+            a = spherical_ring_area(xyz)
+            parea = abs(a) if k == 0 else parea - abs(a)
+            if len(xyz) >= 2:
+                perim += ring_perimeter(xyz)
+            if a != 0.0:
+                vec = ring_vector_area(xyz) * np.sign(a)
+                total += vec if k == 0 else -vec
+        area += max(parea, 0.0) if rings else 0.0
+    n = float(np.sqrt(total @ total))
+    return float(area), float(perim), (total / n if n >= 1e-12 else None)
 
 
 def min_arc_dist(p: np.ndarray, ring_xyz: np.ndarray) -> np.ndarray:
