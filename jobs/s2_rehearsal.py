@@ -261,7 +261,7 @@ def main() -> None:
             t0 = time.time()
             tagged = PIP.point_in_polygon_s2(
                 pts, zs, args.zone_level, candidates_partitions=256
-            )
+            ).persist()
             n_tag = tagged.count()
             t_pip = time.time() - t0
             wz2, _ = _shuffle_totals(spark)
@@ -271,6 +271,26 @@ def main() -> None:
                 "tagged_rows": n_tag,
                 "shuffle_write_mb": round(wz2 - wz1, 1),
             }
+            # 5c: border-depth enrichment on the tagged stream (one
+            # broadcast join + one Arrow pass; zero point-side shuffles)
+            t0 = time.time()
+            dep = PIP.zone_border_depth(tagged, zs, km_col="depth_km")
+            agg = dep.select(
+                F.count("*").alias("n"),
+                F.sum("border_depth_rad").alias("s"),
+                F.max("depth_km").alias("mx"),
+            ).collect()[0]
+            t_dep = time.time() - t0
+            wz3, _ = _shuffle_totals(spark)
+            report["border_depth"] = {
+                "wall_s": round(t_dep, 2),
+                "tagged_per_sec": int(n_tag / t_dep) if t_dep else None,
+                "rows": int(agg["n"]),
+                "max_depth_km": round(float(agg["mx"]), 1),
+                "shuffle_write_mb": round(wz3 - wz2, 1),
+            }
+            assert int(agg["n"]) == n_tag and agg["s"] > 0
+            tagged.unpersist()
             zs.unpersist()
 
         # ---- stage 6: scan-prune region filter (sorted lake table) ---

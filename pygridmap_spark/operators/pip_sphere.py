@@ -700,3 +700,82 @@ def geodesic_stats(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(_kernel, schema)
+
+
+def zone_border_depth(
+    tagged: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    wkb_col: str = "wkb",
+    poly_key: str = "poly_id",
+    out_col: str = "border_depth_rad",
+    km_col: str | None = None,
+) -> DataFrame:
+    """Append each tagged point's EXACT geodesic distance to its
+    containing zone's boundary (the "depth inside the border" — the
+    distance-to-coastline / distance-to-admin-border enrichment).
+    ``tagged`` is :func:`point_in_polygon_s2` output (point columns +
+    ``poly_key``); ``polygons`` is the zone layer (``poly_key``,
+    ``wkb_col``). Distance is the minimum over ALL boundary rings (outer
+    and holes) of the point-to-great-circle-arc distance
+    (core/sphere.min_arc_dist: perpendicular foot when it lies on the
+    arc, else the nearer endpoint — exact, not sampled).
+
+    Plan shape: ONE broadcast equi-join on ``poly_key`` (zone layers are
+    dimension-sized by the same contract as the grid/overlay family)
+    plus one Arrow projection pass — zero shuffles on the point stream.
+    The kernel decodes each distinct zone WKB ONCE per batch
+    (pd.factorize over the join-duplicated column) and runs the distance
+    vectorized over that zone's points, so the per-point cost is
+    O(boundary vertices) numpy with no per-row Python.
+    """
+    from pygridmap_spark import util as _util
+    from pygridmap_spark.core.sphere import EARTH_RADIUS_KM
+
+    if wkb_col in tagged.columns:
+        raise ValueError(
+            f"tagged frame already has a {wkb_col!r} column; rename one side"
+        )
+    extra = [f"{out_col} double"] + ([f"{km_col} double"] if km_col else [])
+    joined = tagged.join(
+        F.broadcast(polygons.select(poly_key, wkb_col)), poly_key
+    )
+    # schema order must match the yielded frames: joined order minus wkb
+    schema = _util.schema_with(joined.drop(wkb_col), *extra)
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pygridmap_spark.core import sphere as SPH
+        from pygridmap_spark.core import wkb as WKB
+
+        for pdf in batches:
+            rl = np.radians(pdf[lon].to_numpy(np.float64))
+            rp = np.radians(pdf[lat].to_numpy(np.float64))
+            cl = np.cos(rp)
+            p = np.column_stack(
+                [cl * np.cos(rl), cl * np.sin(rl), np.sin(rp)]
+            )
+            res = np.full(len(pdf), np.nan)
+            codes, uniq = pd.factorize(pdf[wkb_col])
+            for gi, buf in enumerate(uniq):
+                if buf is None:
+                    continue
+                sel = codes == gi
+                d = np.full(int(sel.sum()), np.pi)
+                for poly in WKB.decode_multipolygon(bytes(buf)):
+                    for ring in poly:
+                        xyz = SPH.ring_to_xyz(ring)
+                        if len(xyz) < 2:
+                            continue
+                        np.minimum(d, SPH.min_arc_dist(p[sel], xyz), out=d)
+                res[sel] = d
+            pdf = pdf.drop(columns=[wkb_col]).copy()
+            pdf[out_col] = pd.array(res, dtype="Float64")
+            if km_col:
+                pdf[km_col] = pdf[out_col] * EARTH_RADIUS_KM
+            yield pdf
+
+    return joined.mapInPandas(_kernel, schema)
