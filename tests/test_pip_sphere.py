@@ -378,6 +378,47 @@ def test_point_in_polygon_s2_streaming_matches_batch(spark, tmp_path):
     assert got == expect and len(got) > 0
 
 
+def test_zone_border_depth_streaming_matches_batch(spark, tmp_path):
+    """The border-depth enrichment runs unchanged under Structured
+    Streaming: PIP tagging + the broadcast zone join + the mapInPandas
+    distance kernel are all append-mode legal on a stream-static plan,
+    and the streamed depths equal the batch depths bit for bit."""
+    from pygridmap_spark.operators.pip_sphere import zone_border_depth
+
+    zone_rows = _zones()[:6]
+    zdf = _zone_df(spark, zone_rows)
+    lon, lat = _points(3_000, seed=33)
+    pdf = pd.DataFrame({"pt": np.arange(len(lon)), "lon": lon, "lat": lat})
+    src = str(tmp_path / "pts")
+    batch_pts = spark.createDataFrame(pdf)
+    batch_pts.repartition(3).write.parquet(src)
+    expect = {
+        (int(r["pt"]), int(r["poly_id"])): float(r["border_depth_rad"])
+        for r in zone_border_depth(
+            point_in_polygon_s2(batch_pts, zdf, LEVEL), zdf
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch_pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    depth = zone_border_depth(point_in_polygon_s2(stream, zdf, LEVEL), zdf)
+    q = (
+        depth.writeStream.format("memory")
+        .queryName("depth_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (int(r["pt"]), int(r["poly_id"])): float(r["border_depth_rad"])
+        for r in spark.sql("select * from depth_stream").collect()
+    }
+    assert got == expect and len(got) > 0  # keys AND values (exact ==)
+
+
 # --- zones_intersect_s2 --------------------------------------------------------
 
 def test_spherical_intersect_kernel_cases():
