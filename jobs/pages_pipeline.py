@@ -80,7 +80,12 @@ def main() -> None:
     # resumable). Domain features ride the PSL as ONE broadcast dimension
     # (--psl loads the real ~9k-rule list; same plan shape either way).
     rules = U.load_psl(spark, args.psl) if args.psl else None
-    feats = U.with_url_features(pages, rules=rules)
+    # default_rule=True is the PSL spec's prevailing "*" rule: a host
+    # under an unknown TLD is still registrable at depth 2. Without it a
+    # corpus of unlisted TLDs (the synthetic fixture's .example) maps
+    # every registered_domain to NULL and the per-zone/per-domain
+    # rollups count zero domains.
+    feats = U.with_url_features(pages, rules=rules, default_rule=True)
     enc = TF.with_tile_assignment(
         CI.with_cell_index(GEO.with_geolocation(feats), args.zoom),
         resolution=args.resolution,
@@ -93,12 +98,13 @@ def main() -> None:
         os.path.join(args.output, "stage_encoded"),
         stage="encoded",
         partition_cols=["xt"],
-        # the features tag invalidates pre-r5 checkpoints: a resumed run
+        # the features tag invalidates stale checkpoints: a resumed run
         # must not serve a stage_encoded parquet that lacks the URL/domain
-        # feature columns (lineage matches stage/inputs, not schema)
+        # feature columns or predates the default-rule semantics (lineage
+        # matches stage/inputs, not schema)
         inputs=[
             args.input or f"synthetic:{args.synthetic}",
-            f"features:urls-v1:psl={args.psl or 'standin'}",
+            f"features:urls-v2-default-rule:psl={args.psl or 'standin'}",
         ],
     )
 
@@ -144,9 +150,28 @@ def main() -> None:
                 f"geo:{args.geo_zones}@{args.geo_level}",
             ],
         )
-        zone_stats = tagged.groupBy("poly_id").agg(
-            F.count("*").alias("n_pages"),
-            F.approx_count_distinct("registered_domain").alias("n_domains"),
+        # per-zone rollup enriched with the fused geodesic statistics:
+        # area-TRUE page density (pages per million km^2 — the statistic
+        # a planar area misstates at high latitude) and the exact
+        # centroid as the zone's label point. geodesic_stats runs on the
+        # DIMENSION layer (one Arrow pass over the zones, not the pages)
+        # and rides the same broadcast the rollup join uses.
+        zone_dim = PIP.geodesic_stats(zones).select(
+            "poly_id", "area_km2", "centroid_lon", "centroid_lat"
+        )
+        zone_stats = (
+            tagged.groupBy("poly_id")
+            .agg(
+                F.count("*").alias("n_pages"),
+                F.approx_count_distinct("registered_domain").alias(
+                    "n_domains"
+                ),
+            )
+            .join(F.broadcast(zone_dim), "poly_id")
+            .withColumn(
+                "pages_per_mkm2",
+                F.col("n_pages") / F.col("area_km2") * F.lit(1e6),
+            )
         )
         zone_stats = lineage.checkpoint(
             zone_stats,

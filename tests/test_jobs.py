@@ -140,3 +140,65 @@ def test_package_pyfiles_zip_imports(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "14"
+
+
+def test_pages_pipeline_geo_zone_stage(spark, tmp_path, monkeypatch):
+    """pages_pipeline --geo-zones end-to-end: the per-zone rollup carries
+    the fused geodesic statistics (area-true density, centroid label
+    point) and the density column is exactly n_pages / area_km2 * 1e6."""
+    import numpy as np
+    import pandas as pd
+
+    from pygridmap_spark.core import wkb as WKB
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    # two sizeable zones (bounding caps well under the quarter-sphere
+    # fail-closed guard) inside the synthetic lat/lon range
+    rings = [
+        np.array([[-70.0, -30.0], [-5.0, -30.0], [-5.0, 30.0], [-70.0, 30.0]]),
+        np.array([[10.0, -30.0], [75.0, -30.0], [75.0, 30.0], [10.0, 30.0]]),
+    ]
+    zdir = str(tmp_path / "zones")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [0, 1],
+                "wkb": [WKB.encode_multipolygon([[r]]) for r in rings],
+            }
+        )
+    ).write.parquet(zdir)
+    out = str(tmp_path / "pp")
+    sys.path.insert(0, "/root/repo/jobs")
+    import importlib
+
+    import pages_pipeline
+
+    importlib.reload(pages_pipeline)
+    old = sys.argv
+    sys.argv = [
+        "pages_pipeline.py", "--synthetic", "4000", "--output", out,
+        "--geo-zones", zdir, "--geo-level", "8",
+    ]
+    try:
+        pages_pipeline.main()
+    finally:
+        sys.argv = old
+    zs = spark.read.parquet(os.path.join(out, "stage_zone_stats")).toPandas()
+    assert len(zs) == 2
+    assert {
+        "poly_id", "n_pages", "n_domains", "area_km2",
+        "centroid_lon", "centroid_lat", "pages_per_mkm2",
+    } <= set(zs.columns)
+    # density is exactly the rollup divided by the exact geodesic area
+    for _, r in zs.iterrows():
+        assert r["n_pages"] > 0 and r["area_km2"] > 0
+        # the PSL default "*" rule makes unlisted-TLD hosts registrable:
+        # synthetic .example domains must COUNT, not collapse to NULL
+        assert r["n_domains"] > 0
+        assert r["pages_per_mkm2"] == pytest.approx(
+            r["n_pages"] / r["area_km2"] * 1e6, rel=1e-12
+        )
+        # centroid label point lands inside the zone's lon/lat span
+        lo = rings[int(r["poly_id"])][:, 0]
+        assert lo.min() < r["centroid_lon"] < lo.max()
+        assert -40.0 < r["centroid_lat"] < 40.0
