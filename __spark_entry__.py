@@ -1445,6 +1445,32 @@ def _q_zone_border_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_geo_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group geographic dispersion (operators/domains.geo_dispersion):
+    the spherical mean direction, resultant length R and spherical
+    variance 1-R of each pseudo-domain's page positions — the
+    directional-statistics footprint of a domain's crawl, pure Catalyst
+    (one trig projection + one partial-aggregated hash agg, zero UDFs).
+    quantize=9 engages the repo's oracle-determinism idiom: unit-vector
+    components rounded to 9 decimals and summed as EXACT decimals, so
+    Spark's arbitrary partial-agg order and DuckDB's scan order cannot
+    diverge (float sums are order-dependent; decimal sums of pre-rounded
+    values are not). Oracle: identical arithmetic in DuckDB."""
+    from pygridmap_spark.operators import domains as _DOM
+
+    pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    grp = pts.withColumn("domain_key", F.col("doc_id") % F.lit(41))
+    out = _DOM.geo_dispersion(grp, "domain_key", quantize=9)
+    return out.select(
+        F.col("domain_key").cast("long").alias("domain_key"),
+        F.col("n").cast("long").alias("n"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("resultant_len", 9).alias("resultant_len"),
+        F.round("sph_variance", 9).alias("sph_variance"),
+    )
+
+
 def _q_s2_cell_area_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-area-corrected S2 density rollup (functions/s2.cell_area_sr):
     whole-sphere points -> level-12 index -> level-6 parent cell (i, j
@@ -2012,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_zone_centroid": _q_geodesic_zone_centroid,
         "geodesic_zone_stats": _q_geodesic_zone_stats,
         "zone_border_depth": _q_zone_border_depth,
+        "domain_geo_dispersion": _q_domain_geo_dispersion,
         "s2_cell_area_rollup": _q_s2_cell_area_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
@@ -3522,6 +3549,48 @@ def oracle_sql() -> dict[str, str]:
                    round(depth, 9) AS depth_rad,
                    round(depth * 6371.0088, 3) AS depth_km
             FROM d
+        """,
+        # domain_geo_dispersion: unit-vector components rounded to 9
+        # decimals then summed as EXACT decimals in both engines (the
+        # repo's decimal-accumulation idiom), so the sums are
+        # order-independent and identical; the dispersion stats derive
+        # from those exact sums in double.
+        "domain_geo_dispersion": """
+            WITH pts AS (
+                SELECT doc_id,
+                       doc_id % 41 AS domain_key,
+                       -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                       -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+                FROM documents
+            ),
+            q AS (
+                SELECT domain_key,
+                       CAST(round(cos(radians(lat)) * cos(radians(lon)), 9)
+                            AS DECIMAL(20,9)) AS x,
+                       CAST(round(cos(radians(lat)) * sin(radians(lon)), 9)
+                            AS DECIMAL(20,9)) AS y,
+                       CAST(round(sin(radians(lat)), 9)
+                            AS DECIMAL(20,9)) AS z
+                FROM pts
+            ),
+            s AS (
+                SELECT domain_key,
+                       count(*) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(z) AS DOUBLE) AS sz
+                FROM q GROUP BY 1
+            )
+            SELECT CAST(domain_key AS BIGINT) AS domain_key,
+                   CAST(n AS BIGINT) AS n,
+                   round(degrees(atan2(sy, sx)), 6) AS centroid_lon,
+                   round(degrees(asin(sz / sqrt(sx*sx + sy*sy + sz*sz))), 6)
+                       AS centroid_lat,
+                   round(sqrt(sx*sx + sy*sy + sz*sz) / n, 9)
+                       AS resultant_len,
+                   round(1.0 - sqrt(sx*sx + sy*sy + sz*sz) / n, 9)
+                       AS sph_variance
+            FROM s
         """,
         "raster_to_s2_rollup": """
             WITH raster AS (

@@ -79,6 +79,7 @@ HEADLINE = [
     "geodesic_zone_centroid",
     "geodesic_zone_stats",
     "zone_border_depth",
+    "domain_geo_dispersion",
 ]
 
 
