@@ -1830,6 +1830,16 @@ def _spread_sql(col: str) -> str:
     return e
 
 
+def _geohash_chars_sql(code: str, p: int) -> str:
+    # base-32 geohash digits of a 5*p-bit code, MSB group first — mirrors
+    # cellindex.geohash's conv+translate with explicit per-char indexing
+    alph = "0123456789bcdefghjkmnpqrstuvwxyz"
+    return " || ".join(
+        f"substr('{alph}', 1 + CAST((({code}) >> {5 * (p - 1 - i)}) & 31 AS INT), 1)"
+        for i in range(p)
+    )
+
+
 def _q_cell_index_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/quadtree cell encoding (the engine's H3/S2-analog) — oracle
     reproduces the bit-spreading in SQL."""
@@ -1849,6 +1859,21 @@ def _q_cell_index_morton_z20(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
     out = CI.with_cell_index(pts, 20, lon="lon", lat="lat")
     return out.select("doc_id", "cell_ix", "cell_iy", "cell_id")
+
+
+def _q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash base-32 cell key (Niemeyer 2008, public domain) at precision
+    7 (odd: asymmetric 18/17 lon/lat bit split) AND 6 (even split) — the
+    oracle rebuilds the bit interleave + alphabet in DuckDB SQL, so a hash
+    match proves both interleave parities and the alphabet end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+    return pts.select(
+        "doc_id",
+        CI.geohash(F.col("lon"), F.col("lat"), 7).alias("gh7"),
+        CI.geohash(F.col("lon"), F.col("lat"), 6).alias("gh6"),
+    )
 
 
 def _q_raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2053,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_rule_max": _q_overlay_rule_max,
         "cell_index_morton": _q_cell_index_morton,
         "cell_index_morton_z20": _q_cell_index_morton_z20,
+        "geohash_encode": _q_geohash_encode,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -3959,6 +3985,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cell_ix, cell_iy,
                    ({_spread_sql('cell_ix')} | ({_spread_sql('cell_iy')} << 1)) AS cell_id
             FROM cells
+        """,
+        "geohash_encode": f"""
+            {geo_cte},
+            cells AS (
+                SELECT doc_id,
+                       greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 262144.0) AS BIGINT), 262143)) AS ix7,
+                       greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 131072.0) AS BIGINT), 131071)) AS iy7,
+                       greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767)) AS ix6,
+                       greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767)) AS iy6
+                FROM pts
+            ),
+            codes AS (
+                SELECT doc_id,
+                       ({_spread_sql('ix7')} | ({_spread_sql('iy7')} << 1)) AS c7,
+                       (({_spread_sql('ix6')} << 1) | {_spread_sql('iy6')}) AS c6
+                FROM cells
+            )
+            SELECT doc_id,
+                   {_geohash_chars_sql('c7', 7)} AS gh7,
+                   {_geohash_chars_sql('c6', 6)} AS gh6
+            FROM codes
         """,
         "raster_point_sample": """
             WITH pts AS (

@@ -73,6 +73,99 @@ def quadkey(lon: Column, lat: Column, z: int) -> Column:
     return F.lpad(F.conv(cell_id(lon, lat, z).cast("string"), 10, 4), z, "0")
 
 
+def _compact_bits(v: Column) -> Column:
+    """Inverse of :func:`_spread_bits`: gather the even-position bits back
+    into the low 32 (6 shift/mask stages, all-JVM bitwise)."""
+    v = v.bitwiseAND(F.lit(0x5555555555555555))
+    v = v.bitwiseOR(F.shiftright(v, 1)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftright(v, 2)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftright(v, 4)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftright(v, 8)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftright(v, 16)).bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    return v
+
+
+# Geohash (Niemeyer 2008, public domain): lon/lat bit-interleave, lon bit
+# FIRST, base-32 encoded with this (non-contiguous) digit alphabet. The web's
+# lingua-franca cell key — check-ins, tile caches, ES/Lucene geo fields all
+# speak it, so a crawl-derived table is likely to carry one. Differences from
+# the engine's Morton id: interleave order (lon first vs y-high), asymmetric
+# bit counts at odd precisions, and the string form. Max precision 12 = 60
+# bits — the conventional ceiling, and it keeps the code positive in a
+# signed long.
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+# F.conv(_, 10, 32) emits digits 0-9 then A-V; translate those onto the
+# geohash alphabet (and back for decode).
+_CONV32_DIGITS = "abcdefghijklmnopqrstuv"
+_GEOHASH_TAIL = GEOHASH_ALPHABET[10:]
+MAX_GEOHASH_PRECISION = 12
+
+
+def _geohash_bits(precision: int) -> tuple[int, int]:
+    if not 1 <= precision <= MAX_GEOHASH_PRECISION:
+        raise ValueError(
+            f"precision must be in [1, {MAX_GEOHASH_PRECISION}], got {precision}"
+        )
+    total = 5 * precision
+    return (total + 1) // 2, total // 2  # (lon bits, lat bits)
+
+
+def geohash_code(lon: Column, lat: Column, precision: int) -> Column:
+    """The geohash's 5*precision-bit integer code (long) — the sortable /
+    joinable form; prefix-coarsen with ``shiftright(code, 5*k)``."""
+    lonbits, latbits = _geohash_bits(precision)
+    nx, ny = 1 << lonbits, 1 << latbits
+    clamp = lambda c, n: F.greatest(F.lit(0), F.least(c, F.lit(n - 1)))  # noqa: E731
+    ix = clamp(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nx))).cast("long"), nx)
+    iy = clamp(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(ny))).cast("long"), ny)
+    sx, sy = _spread_bits(ix), _spread_bits(iy)
+    if lonbits == latbits:  # even precision: lon takes the high bit of each pair
+        code = F.shiftleft(sx, 1).bitwiseOR(sy)
+    else:
+        code = sx.bitwiseOR(F.shiftleft(sy, 1))  # odd: lon holds the even positions
+    # greatest/least SKIP nulls (a null coord would silently clamp to the
+    # edge cell) — propagate null explicitly instead.
+    return F.when(lon.isNotNull() & lat.isNotNull(), code)
+
+
+def geohash(lon: Column, lat: Column, precision: int) -> Column:
+    """Base-32 geohash string of length ``precision`` (pure Catalyst:
+    bit-interleave + conv + alphabet translate; zero Python). Coordinates
+    outside the valid range clamp to the edge cell (lon=180 lands in the
+    easternmost cell rather than wrapping)."""
+    code = geohash_code(lon, lat, precision)
+    b32 = F.lower(F.conv(code.cast("string"), 10, 32))
+    return F.lpad(F.translate(b32, _CONV32_DIGITS, _GEOHASH_TAIL), precision, "0")
+
+
+def geohash_decode(gh: Column, precision: int) -> tuple[Column, Column]:
+    """(lon, lat) doubles of the geohash cell CENTER (so
+    ``geohash(*geohash_decode(g, p), p) == g``). ``precision`` must match
+    the string length; malformed digits yield null via ``conv``."""
+    lonbits, latbits = _geohash_bits(precision)
+    code = F.conv(F.translate(gh, _GEOHASH_TAIL, _CONV32_DIGITS), 32, 10).cast("long")
+    # CollapseProject re-inlines the conv/translate base 2^6 times through
+    # the compact stages (blows the 64 KiB codegen limit and re-runs conv
+    # per reference) — thread it in ONCE as a transform() argument so every
+    # compact stage reads a bound lambda variable instead.
+    def _axes(c: Column) -> Column:
+        if lonbits == latbits:
+            ix, iy = _compact_bits(F.shiftright(c, 1)), _compact_bits(c)
+        else:
+            ix, iy = _compact_bits(c), _compact_bits(F.shiftright(c, 1))
+        lon = (ix.cast("double") + F.lit(0.5)) / F.lit(float(1 << lonbits)) * F.lit(360.0) - F.lit(180.0)
+        lat = (iy.cast("double") + F.lit(0.5)) / F.lit(float(1 << latbits)) * F.lit(180.0) - F.lit(90.0)
+        return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    ll = F.element_at(F.transform(F.array(code), _axes), 1)
+    return ll["lon"], ll["lat"]
+
+
+def with_geohash(df, precision: int, lon: str = "lon", lat: str = "lat"):
+    """Append a ``geohash`` string column at the given precision."""
+    return df.withColumn("geohash", geohash(F.col(lon), F.col(lat), precision))
+
+
 def morton_prefix(code: Column, levels_up: int) -> Column:
     """Coarsen a Morton code by k levels — the salt/skew bucketing key."""
     return F.shiftright(code, 2 * levels_up)
@@ -129,6 +222,48 @@ def py_morton(ix: int, iy: int) -> int:
         return v
 
     return spread(ix) | (spread(iy) << 1)
+
+
+def py_geohash(lon: float, lat: float, precision: int) -> str:
+    """Scalar twin of :func:`geohash` (same clamp + interleave + alphabet)."""
+    import math
+
+    lonbits, latbits = _geohash_bits(precision)
+    nx, ny = 1 << lonbits, 1 << latbits
+    ix = min(max(int(math.floor((lon + 180.0) / 360.0 * nx)), 0), nx - 1)
+    iy = min(max(int(math.floor((lat + 90.0) / 180.0 * ny)), 0), ny - 1)
+    sx, sy = py_morton(ix, 0), py_morton(iy, 0)
+    code = (sx << 1) | sy if lonbits == latbits else sx | (sy << 1)
+    return "".join(
+        GEOHASH_ALPHABET[(code >> (5 * (precision - 1 - i))) & 31]
+        for i in range(precision)
+    )
+
+
+def py_geohash_decode(gh: str) -> tuple[float, float]:
+    """Scalar twin of :func:`geohash_decode` — cell-center (lon, lat)."""
+    precision = len(gh)
+    lonbits, latbits = _geohash_bits(precision)
+    code = 0
+    for ch in gh:
+        code = (code << 5) | GEOHASH_ALPHABET.index(ch)
+
+    def compact(v: int) -> int:
+        v &= 0x5555555555555555
+        v = (v | (v >> 1)) & 0x3333333333333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+        v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+        return v
+
+    if lonbits == latbits:
+        ix, iy = compact(code >> 1), compact(code)
+    else:
+        ix, iy = compact(code), compact(code >> 1)
+    lon = (ix + 0.5) / (1 << lonbits) * 360.0 - 180.0
+    lat = (iy + 0.5) / (1 << latbits) * 180.0 - 90.0
+    return lon, lat
 
 
 def hilbert_xy2d(ix, iy, z: int):
