@@ -1830,6 +1830,43 @@ def _spread_sql(col: str) -> str:
     return e
 
 
+def _geodesic_buffer_oracle_sql(geo_cte: str) -> str:
+    # Identical constant folding to _q_geodesic_point_buffer: d computed the
+    # same way from the same EARTH_RADIUS_KM, cos/sin folded in Python so
+    # both engines consume bit-identical literals; per-row trig differences
+    # (JVM vs libm, sub-ulp) vanish under the 1e-6-deg rounding.
+    from pygridmap_spark.core.sphere import EARTH_RADIUS_KM
+
+    d = 250_000.0 / (EARTH_RADIUS_KM * 1000.0)
+    cos_d, sin_d, two_pi = _math.cos(d), _math.sin(d), 2.0 * _math.pi
+    return f"""
+        {geo_cte},
+        v AS (
+            SELECT doc_id, lon, lat, r.k AS k,
+                   CAST(r.k AS DOUBLE) * {two_pi!r} / 12.0 AS th
+            FROM pts, range(0, 12) r(k)
+        ),
+        s AS (
+            SELECT doc_id, k, th,
+                   radians(lat) AS p1, radians(lon) AS l1,
+                   sin(radians(lat)) * {cos_d!r}
+                     + cos(radians(lat)) * {sin_d!r} * cos(th) AS slat2
+            FROM v
+        ),
+        o AS (
+            SELECT doc_id, k,
+                   degrees(asin(slat2)) AS vlat,
+                   degrees(l1 + atan2(sin(th) * {sin_d!r} * cos(p1),
+                                      {cos_d!r} - sin(p1) * slat2)) AS vlon0
+            FROM s
+        )
+        SELECT doc_id, k,
+               round(vlon0 - 360.0 * floor((vlon0 + 180.0) / 360.0), 6) AS vlon,
+               round(vlat, 6) AS vlat
+        FROM o
+    """
+
+
 def _geohash_chars_sql(code: str, p: int) -> str:
     # base-32 geohash digits of a 5*p-bit code, MSB group first — mirrors
     # cellindex.geohash's conv+translate with explicit per-char indexing
@@ -1873,6 +1910,28 @@ def _q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         CI.geohash(F.col("lon"), F.col("lat"), 7).alias("gh7"),
         CI.geohash(F.col("lon"), F.col("lat"), 6).alias("gh6"),
+    )
+
+
+def _q_geodesic_point_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic point buffer, vertex-rows form
+    (operators/pip_sphere.geodesic_buffer_vertices): the 12-gon
+    great-circle circle of radius 250 km around each document point via
+    the spherical direct-geodesic closed form — pure Catalyst trig, zero
+    exchanges. Oracle restates the identical formula (same constant
+    folding, same association order) in DuckDB SQL; coordinates rounded
+    to 1e-6 deg (~0.1 m) as in reproject_laea."""
+    from pygridmap_spark.operators import pip_sphere as _PIP
+
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+    out = _PIP.geodesic_buffer_vertices(pts, 250_000.0, 12)
+    return out.select(
+        "doc_id",
+        F.col("k").cast("long").alias("k"),
+        F.round("vlon", 6).alias("vlon"),
+        F.round("vlat", 6).alias("vlat"),
     )
 
 
@@ -2079,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_morton": _q_cell_index_morton,
         "cell_index_morton_z20": _q_cell_index_morton_z20,
         "geohash_encode": _q_geohash_encode,
+        "geodesic_point_buffer": _q_geodesic_point_buffer,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -4007,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
                    {_geohash_chars_sql('c6', 6)} AS gh6
             FROM codes
         """,
+        "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "raster_point_sample": """
             WITH pts AS (
                 SELECT event_id,
