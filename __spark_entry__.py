@@ -1867,6 +1867,50 @@ def _geodesic_buffer_oracle_sql(geo_cte: str) -> str:
     """
 
 
+def _travel_oracle_sql() -> str:
+    # Identical haversine shape to functions/geodesy.gc_distance_m (the
+    # 2R constant folded in Python; the >1 clamp as CASE — least() would
+    # swallow the first-ping NULL on both engines) and the identical
+    # DECIMAL(38,3) mm-rounded exact accumulation of trajectories.py.
+    from pygridmap_spark.functions.geodesy import EARTH_RADIUS_M
+
+    two_r = 2.0 * EARTH_RADIUS_M
+    hav = """
+        pow(sin((radians(lat) - radians(plat)) / 2.0), 2)
+        + cos(radians(plat)) * cos(radians(lat))
+          * pow(sin((radians(lon) - radians(plon)) / 2.0), 2)
+    """
+    return f"""
+        WITH pts AS (
+            SELECT event_id, user_id, ts,
+                   -60.0 + (event_id * 2654435761 % 1300000) / 10000.0 AS lat,
+                   -180.0 + (event_id * 2246822519 % 3600000) / 10000.0 AS lon
+            FROM events
+        ),
+        lagd AS (
+            SELECT user_id, lon, lat,
+                   lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hops AS (
+            SELECT user_id,
+                   {two_r!r} * asin(
+                       CASE WHEN sqrt({hav}) > 1.0 THEN 1.0
+                            ELSE sqrt({hav}) END) AS hop_m
+            FROM lagd
+        )
+        SELECT user_id,
+               count(*) AS n_pings,
+               count(hop_m) AS n_hops,
+               round(CAST(coalesce(sum(CAST(round(hop_m, 3) AS DECIMAL(38,3))),
+                                   0) AS DOUBLE), 3) AS travel_m,
+               round(max(round(hop_m, 3)), 3) AS max_hop_m
+        FROM hops
+        GROUP BY user_id
+    """
+
+
 def _geohash_chars_sql(code: str, p: int) -> str:
     # base-32 geohash digits of a 5*p-bit code, MSB group first — mirrors
     # cellindex.geohash's conv+translate with explicit per-char indexing
@@ -1932,6 +1976,28 @@ def _q_geodesic_point_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
         F.round("vlon", 6).alias("vlon"),
         F.round("vlat", 6).alias("vlat"),
+    )
+
+
+def _q_user_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory rollup (operators/trajectories.travel_stats):
+    lag-window great-circle hop distances (functions/geodesy.gc_distance_m,
+    pure Catalyst haversine) summed per user as EXACT mm-rounded
+    DECIMAL(38,3) (the repo-wide cross-engine sum invariant). One window
+    shuffle on user_id; the agg rides its co-partitioning. Oracle: the
+    identical lag + haversine + decimal sum in DuckDB SQL."""
+    from pygridmap_spark.operators import trajectories as _TJ
+
+    ev = _t(spark, sf_dir, "events")
+    lat, lon = GEO.lat_lon_from_id(F.col("event_id"))
+    pts = ev.select("event_id", "user_id", "ts", lat.alias("lat"), lon.alias("lon"))
+    out = _TJ.travel_stats(pts, tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "n_pings",
+        "n_hops",
+        F.round("travel_m", 3).alias("travel_m"),
+        F.round("max_hop_m", 3).alias("max_hop_m"),
     )
 
 
@@ -2139,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_morton_z20": _q_cell_index_morton_z20,
         "geohash_encode": _q_geohash_encode,
         "geodesic_point_buffer": _q_geodesic_point_buffer,
+        "user_travel_distance": _q_user_travel_distance,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -4068,6 +4135,7 @@ def oracle_sql() -> dict[str, str]:
             FROM codes
         """,
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
+        "user_travel_distance": _travel_oracle_sql(),
         "raster_point_sample": """
             WITH pts AS (
                 SELECT event_id,

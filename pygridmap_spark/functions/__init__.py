@@ -5,6 +5,7 @@ Everything here is built from ``pyspark.sql.functions`` — no Python UDFs.
 
 from pygridmap_spark.functions import (
     cellindex,
+    geodesy,
     geolocate,
     hexgrid,
     reproject,
@@ -17,6 +18,7 @@ from pygridmap_spark.functions import (
 
 __all__ = [
     "cellindex",
+    "geodesy",
     "geolocate",
     "hexgrid",
     "reproject",
