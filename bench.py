@@ -80,6 +80,10 @@ HEADLINE = [
     "geodesic_zone_stats",
     "zone_border_depth",
     "domain_geo_dispersion",
+    # round-5 tail additions
+    "geohash_encode",
+    "geodesic_point_buffer",
+    "user_travel_distance",
 ]
 
 

@@ -72,20 +72,24 @@ def run_once(master: str, n_events: int, n_users: int, shuffle_parts: int) -> di
             return stats.agg(
                 F.count(F.lit(1)).alias("users"),
                 F.sum("n_hops").alias("hops"),
-                F.round(F.sum("travel_m") / 1e9, 3).alias("gm_total"),
+                # exact decimal rollup of the (already mm-exact) per-user
+                # sums: bit-identical across parallelism levels, not
+                # rounding-masked
+                (F.sum(F.col("travel_m").cast("decimal(38,3)")).cast("double") / 1e9).alias("gm_total"),
             ).collect()[0]
 
         _job()  # full-job warmup: JIT + codegen compile, same-JVM (bench.py protocol)
+        w0, r0 = _rest_shuffle_totals(spark)  # delta-measure the TIMED pass only
         t0 = time.time()
         row = _job()
         wall = time.time() - t0
+        w1, r1 = _rest_shuffle_totals(spark)
         # host ceiling in the SAME session (same steal weather) — bench.py's
         # embarrassingly-parallel pure-JVM job, sized ~the same wall
         from bench import ceiling_job
 
         n_ceiling = int(os.environ.get("SPARK_GRAFT_CEILING_ROWS", "400000000"))
         ceil_s = ceiling_job(spark, n_ceiling, spark.sparkContext.defaultParallelism * 4)
-        sw, sr = _rest_shuffle_totals(spark)
         return {
             "master": master,
             "events": n_events,
@@ -94,8 +98,8 @@ def run_once(master: str, n_events: int, n_users: int, shuffle_parts: int) -> di
             "checksum_gm": float(row["gm_total"]),
             "wall_s": round(wall, 2),
             "events_per_sec": round(n_events / wall),
-            "shuffle_write_gb": round(sw, 3),
-            "shuffle_read_gb": round(sr, 3),
+            "shuffle_write_gb": round(w1 - w0, 3),
+            "shuffle_read_gb": round(r1 - r0, 3),
             "ceiling_s": round(ceil_s, 2),
         }
     finally:

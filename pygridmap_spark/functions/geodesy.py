@@ -26,6 +26,20 @@ from pygridmap_spark.core.sphere import EARTH_RADIUS_KM
 EARTH_RADIUS_M = EARTH_RADIUS_KM * 1000.0
 
 
+def _clamp_unit(c: Column) -> Column:
+    """Clamp a sine/cosine result to [-1, 1] against the 1+ulp rounding
+    that would NaN the downstream asin — while PROPAGATING null and NaN
+    inputs (a bare `when(c > 1, 1)` would capture NaN too, since NaN
+    compares greater than everything in Spark, fabricating a plausible
+    value from corrupt input)."""
+    return (
+        F.when(F.isnan(c), c)
+        .when(c > F.lit(1.0), F.lit(1.0))
+        .when(c < F.lit(-1.0), F.lit(-1.0))
+        .otherwise(c)
+    )
+
+
 def gc_distance_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     """Great-circle distance in meters (haversine — numerically stable at
     small separations where the xyz-chord acos form loses bits). The
@@ -36,12 +50,10 @@ def gc_distance_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Col
         F.pow(F.sin((p2 - p1) / F.lit(2.0)), 2)
         + F.cos(p1) * F.cos(p2) * F.pow(F.sin((F.radians(lon2) - F.radians(lon1)) / F.lit(2.0)), 2)
     )
-    s = F.sqrt(a)
     # NOT least(): least/greatest SKIP nulls, so a null coordinate would
-    # clamp to 1.0 (= pi*R) instead of propagating null
-    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(
-        F.when(s > F.lit(1.0), F.lit(1.0)).otherwise(s)
-    )
+    # clamp to 1.0 (= pi*R) instead of propagating null; _clamp_unit also
+    # keeps a NaN coordinate NaN instead of fabricating the antipode
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(_clamp_unit(F.sqrt(a)))
 
 
 def initial_bearing_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
@@ -70,7 +82,9 @@ def destination(
         sin_d, cos_d = F.lit(math.sin(dd)), F.lit(math.cos(dd))
     p1 = F.radians(lat)
     th = F.radians(bearing_deg)
-    sin_lat2 = F.sin(p1) * cos_d + F.cos(p1) * sin_d * F.cos(th)
+    # clamped: a destination landing exactly on a pole rounds sin_lat2 to
+    # 1+ulp and would NaN the asin
+    sin_lat2 = _clamp_unit(F.sin(p1) * cos_d + F.cos(p1) * sin_d * F.cos(th))
     lat2 = F.degrees(F.asin(sin_lat2))
     lon2 = F.degrees(
         F.radians(lon) + F.atan2(F.sin(th) * sin_d * F.cos(p1), cos_d - F.sin(p1) * sin_lat2)

@@ -821,10 +821,16 @@ def geodesic_buffer_vertices(
     if not 0.0 < radius_m < math.pi * EARTH_RADIUS_KM * 1000.0:
         raise ValueError("radius_m must be in (0, pi*R) meters")
     d = radius_m / (EARTH_RADIUS_KM * 1000.0)
+    from pygridmap_spark.functions.geodesy import _clamp_unit
+
     out = df.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(n_vertices - 1))))
     th = F.col("k").cast("double") * F.lit(2.0 * math.pi) / F.lit(float(n_vertices))
     p1 = F.radians(F.col(lat))
-    sin_lat2 = F.sin(p1) * F.lit(math.cos(d)) + F.cos(p1) * F.lit(math.sin(d)) * F.cos(th)
+    # clamped like the Arrow kernel's np.clip: a cap grazing a pole rounds
+    # sin_lat2 to 1+ulp and would NaN the asin (null/NaN inputs propagate)
+    sin_lat2 = _clamp_unit(
+        F.sin(p1) * F.lit(math.cos(d)) + F.cos(p1) * F.lit(math.sin(d)) * F.cos(th)
+    )
     vlat = F.degrees(F.asin(sin_lat2))
     vlon = F.degrees(
         F.radians(F.col(lon))
@@ -834,7 +840,12 @@ def geodesic_buffer_vertices(
         )
     )
     vlon = vlon - F.lit(360.0) * F.floor((vlon + F.lit(180.0)) / F.lit(360.0))
-    return out.withColumns({"vlon": vlon, "vlat": vlat})
+    # a row missing EITHER coordinate yields null for BOTH vertex coords
+    # (vlat alone doesn't depend on lon and would otherwise leak a value)
+    both = F.col(lon).isNotNull() & F.col(lat).isNotNull()
+    return out.withColumns(
+        {"vlon": F.when(both, vlon), "vlat": F.when(both, vlat)}
+    )
 
 
 def geodesic_point_buffer(
@@ -880,6 +891,10 @@ def geodesic_point_buffer(
                 continue
             p1 = np.radians(pdf[lat].to_numpy(dtype=np.float64))[:, None]
             l1 = np.radians(pdf[lon].to_numpy(dtype=np.float64))[:, None]
+            # null/NaN coords -> NULL buffer, never a NaN-vertex WKB (the
+            # family's NULL contract; NaN coords would otherwise feed
+            # garbage to every downstream spherical kernel)
+            ok = np.isfinite(p1[:, 0]) & np.isfinite(l1[:, 0])
             sin_lat2 = np.sin(p1) * cos_d + np.cos(p1) * sin_d * cos_th[None, :]
             vlat = np.degrees(np.arcsin(np.clip(sin_lat2, -1.0, 1.0)))
             vlon = np.degrees(
@@ -890,6 +905,8 @@ def geodesic_point_buffer(
             pdf = pdf.copy()
             pdf[out_col] = [
                 WKB.encode_multipolygon([[np.column_stack([vlon[r], vlat[r]])]])
+                if ok[r]
+                else None
                 for r in range(len(pdf))
             ]
             yield pdf

@@ -91,3 +91,35 @@ def test_buffer_plan_zero_shuffle(spark):
     assert "Exchange" not in plan
     plan_v = PS.geodesic_buffer_vertices(df, 50_000.0, 8)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_v
+
+
+def test_pole_grazing_cap_no_nan(spark):
+    # a cap whose rim touches the pole rounds sin_lat2 to 1+ulp: both forms
+    # must clamp (review finding), and they must still agree
+    import math as _m
+
+    radius = 250_000.0
+    graze_lat = 90.0 - _m.degrees(radius / R_M)
+    df = spark.createDataFrame(
+        [(1, 0.0, graze_lat), (2, 10.0, -graze_lat)], "pid long, lon double, lat double"
+    )
+    vs = PS.geodesic_buffer_vertices(df, radius, 8).collect()
+    assert all(not _m.isnan(r["vlat"]) and not _m.isnan(r["vlon"]) for r in vs)
+    assert any(abs(abs(r["vlat"]) - 90.0) < 1e-6 for r in vs)  # rim hits the pole
+    bufs = PS.geodesic_point_buffer(df, radius, 8).collect()
+    for r in bufs:
+        ring = WKB.decode_multipolygon(bytes(r["buffer_wkb"]))[0][0]
+        assert np.isfinite(ring).all()
+
+
+def test_null_coords_null_buffer(spark):
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, 10.0, None), (3, 10.0, 10.0)],
+        "pid long, lon double, lat double",
+    )
+    rows = {r["pid"]: r["buffer_wkb"] for r in PS.geodesic_point_buffer(df, 50_000.0, 8).collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] is not None
+    vs = PS.geodesic_buffer_vertices(df, 50_000.0, 8).collect()
+    for r in vs:
+        if r["pid"] in (1, 2):
+            assert r["vlat"] is None and r["vlon"] is None

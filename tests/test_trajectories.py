@@ -116,3 +116,29 @@ def test_travel_stats_single_exchange(spark):
     ex = TJ.travel_stats(df, tiebreak="event_id")._jdf.queryExecution().executedPlan().toString()
     assert ex.count("Exchange") <= 2  # window hash + (possibly reused) agg
     assert "pythonUDF" not in plan and "BatchEvalPython" not in ex
+
+
+def test_nan_coordinate_propagates_not_antipode(spark):
+    # review finding: NaN coords must yield NaN/absent distance, never a
+    # fabricated pi*R ~ 20,015 km hop (NaN compares greater than 1.0)
+    df = spark.createDataFrame(
+        [(1, float("nan"), 0.0, 10.0, 0.0), (2, 5.0, 5.0, 10.0, 5.0)],
+        "id long, lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", GD.gc_distance_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")
+        ).collect()
+    }
+    assert math.isnan(got[1])
+    assert 0 < got[2] < 1e6
+
+
+def test_destination_at_pole_no_nan(spark):
+    # landing exactly on the pole rounds sin_lat2 to 1+ulp
+    df = spark.createDataFrame([(1, 0.0, 89.0)], "id long, lon double, lat double")
+    d_m = math.radians(1.0) * R_M  # exactly reaches the pole
+    lon2, lat2 = GD.destination(F.col("lon"), F.col("lat"), F.lit(0.0), d_m)
+    r = df.withColumns({"lon2": lon2, "lat2": lat2}).collect()[0]
+    assert not math.isnan(r["lat2"]) and abs(r["lat2"] - 90.0) < 1e-6
