@@ -212,3 +212,108 @@ def stateful_url_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def stateful_hop_distance(
+    pings_stream: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    out_col: str = "hop_m",
+    ttl_minutes: int | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming great-circle hop distance — the stateful twin of
+    ``operators.trajectories.with_hop_distance`` via
+    ``applyInPandasWithState``: each entity carries (last event time, last
+    position) across micro-batches, so every arriving ping is emitted with
+    the haversine meters from its predecessor (null on the entity's first
+    ping ever), without re-reading history.
+
+    Ordering contract: within a micro-batch the group's rows are processed
+    in event-time order (out-of-order WITHIN a batch is handled exactly);
+    across batches the state's clock only moves forward — a ping arriving
+    in a later batch with an event time BEHIND the state (late beyond the
+    micro-batch boundary) is emitted with a NULL hop and does not regress
+    the state, never a fabricated negative-time hop. Pass ``watermark=``
+    to also bound how late such stragglers can arrive. The batch operator
+    is the exact-twin backfill for replays.
+
+    ``ttl_minutes`` bounds the state store on the PROCESSING clock (an
+    entity idle that long is evicted; its next ping restarts with a null
+    hop) — the unbounded default is wrong at web scale for the same
+    reason as ``stateful_url_dedup``.
+
+    State per entity: 24 bytes (ms timestamp + lon + lat)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pygridmap_spark import util as _util
+    from pygridmap_spark.functions.geodesy import EARTH_RADIUS_M
+
+    if ttl_minutes is not None and ttl_minutes <= 0:
+        raise ValueError(f"ttl_minutes must be positive, got {ttl_minutes}")
+    if watermark is not None:
+        pings_stream = pings_stream.withWatermark(ts_col, watermark)
+    out_schema = _util.schema_with(pings_stream, f"{out_col} double")
+
+    def _hav_m(plon, plat, clon, clat):
+        p1, p2 = np.radians(plat), np.radians(clat)
+        a = (
+            np.sin((p2 - p1) / 2.0) ** 2
+            + np.cos(p1) * np.cos(p2) * np.sin((np.radians(clon) - np.radians(plon)) / 2.0) ** 2
+        )
+        return 2.0 * EARTH_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+    def _hops(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if ttl_minutes is not None:
+                state.setTimeoutDuration(ttl_minutes * 60_000)
+            return iter(())
+        merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        merged = merged.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        ts_ms = (pd.to_datetime(merged[ts_col]).astype("int64") // 1_000_000).to_numpy()
+        lo = merged[lon].to_numpy(dtype=np.float64)
+        la = merged[lat].to_numpy(dtype=np.float64)
+        if state.exists:
+            s_ms, s_lon, s_lat = state.get
+        else:
+            s_ms, s_lon, s_lat = None, np.nan, np.nan
+        # stale prefix: event time behind the state's clock -> null hop,
+        # no state regression (the rows it would chain from are already
+        # emitted in earlier batches)
+        fresh0 = 0 if s_ms is None else int(np.searchsorted(ts_ms, s_ms, side="left"))
+        hops = np.full(len(merged), np.nan)
+        if fresh0 < len(merged):
+            plon = np.concatenate(([s_lon], lo[fresh0:-1]))
+            plat = np.concatenate(([s_lat], la[fresh0:-1]))
+            hops[fresh0:] = _hav_m(plon, plat, lo[fresh0:], la[fresh0:])
+            state.update((int(ts_ms[-1]), float(lo[-1]), float(la[-1])))
+        elif s_ms is not None:
+            state.update((int(s_ms), float(s_lon), float(s_lat)))  # keep alive
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60_000)
+        out = merged.copy()
+        # SQL NULL (nullable Float64 maps NaN -> NA), never NaN — the
+        # repo-wide Arrow kernel contract (NaN passes >= filters downstream)
+        out[out_col] = pd.array(hops, dtype="Float64")
+        return iter([out])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return pings_stream.groupBy(entity_col).applyInPandasWithState(
+        _hops,
+        outputStructType=out_schema,
+        stateStructType="last_ms long, last_lon double, last_lat double",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -482,3 +482,129 @@ def test_sessionize_streaming_state_stays_bounded_at_volume(spark, tmp_path):
     # emission completeness: all but the final (still-open) generation
     n_emitted = spark.sql("SELECT count(*) n FROM vol_sessions").collect()[0]["n"]
     assert n_emitted == (n_batches - 1) * n_keys
+
+
+def test_stateful_hop_distance_matches_batch_twin(spark, tmp_path):
+    """Streaming hop distance == operators.trajectories.with_hop_distance
+    when the stream replays in order: cross-batch state carries the last
+    position, so per-row hops are identical to the batch lag window."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from pygridmap_spark.operators import trajectories as TJ
+
+    src = str(tmp_path / "hop_src")
+    os.makedirs(src)
+    T = lambda m: pd.Timestamp("2026-01-01 10:00") + pd.Timedelta(minutes=m)  # noqa: E731
+    # 3 users x 6 pings split across 3 files (2 pings/user/file), strictly
+    # increasing ts -> every cross-file hop exercises the carried state
+    rows_all = []
+    for k in range(6):
+        for u in range(3):
+            rows_all.append((u * 100 + k, u, T(k * 7 + u), -100.0 + u * 31 + k * 7.3, -50.0 + u * 17 + k * 5.1))
+    files = [rows_all[0:6], rows_all[6:12], rows_all[12:18]]
+    for i, rows in enumerate(files):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "lon": pa.array([r[3] for r in rows], pa.float64()),
+            "lat": pa.array([r[4] for r in rows], pa.float64()),
+        })
+        p = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("user_id", LongType()),
+        StructField("ts", TimestampType()), StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    hops = SP.stateful_hop_distance(stream)
+    q = (
+        hops.writeStream.format("memory")
+        .queryName("hop_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_id: (None if r.hop_m is None else round(r.hop_m, 6))
+        for r in spark.sql("SELECT * FROM hop_out").collect()
+    }
+    batch = TJ.with_hop_distance(
+        spark.createDataFrame(
+            [(r[0], r[1], r[2].to_pydatetime(), r[3], r[4]) for r in rows_all], schema
+        )
+    )
+    want = {
+        r.event_id: (None if r.hop_m is None else round(r.hop_m, 6))
+        for r in batch.collect()
+    }
+    assert got == want  # 18 rows, 3 null first hops, 15 exact matches
+    assert sum(v is None for v in got.values()) == 3
+
+
+def test_stateful_hop_distance_late_event_null_no_state_regression(spark, tmp_path):
+    """A ping arriving in a later batch with event time BEHIND the state:
+    emitted with NULL hop, and the NEXT in-order ping still chains from
+    the pre-late state position (no regression, no negative-time hop)."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from pygridmap_spark.functions import geodesy as GD  # noqa: F401 (doc)
+
+    src = str(tmp_path / "late_hop_src")
+    os.makedirs(src)
+    T = lambda m: pd.Timestamp("2026-01-01 10:00") + pd.Timedelta(minutes=m)  # noqa: E731
+    files = [
+        [(0, 1, T(0), 0.0, 0.0), (1, 1, T(10), 1.0, 0.0)],   # state -> (1.0, 0.0)
+        [(2, 1, T(5), 50.0, 50.0)],                            # LATE: behind state
+        [(3, 1, T(20), 2.0, 0.0)],                             # chains from (1.0, 0.0)
+    ]
+    for i, rows in enumerate(files):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "lon": pa.array([r[3] for r in rows], pa.float64()),
+            "lat": pa.array([r[4] for r in rows], pa.float64()),
+        })
+        p = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("user_id", LongType()),
+        StructField("ts", TimestampType()), StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        SP.stateful_hop_distance(stream).writeStream.format("memory")
+        .queryName("late_hop_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_hop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.event_id: r.hop_m for r in spark.sql("SELECT * FROM late_hop_out").collect()}
+    assert got[0] is None                     # first ping ever
+    assert abs(got[1] - 111195.0) < 200       # 1 deg at the equator
+    assert got[2] is None                     # late: null, never negative-time
+    # event 3 chains from (1.0, 0.0), NOT from the late (50, 50) position
+    assert abs(got[3] - 111195.0) < 200
