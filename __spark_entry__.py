@@ -1950,11 +1950,16 @@ def _q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
     pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
-    return pts.select(
+    out = pts.select(
         "doc_id",
         CI.geohash(F.col("lon"), F.col("lat"), 7).alias("gh7"),
         CI.geohash(F.col("lon"), F.col("lat"), 6).alias("gh6"),
     )
+    # decode gated too: cell-center coords are pure integer compact + the
+    # same-order double arithmetic on both engines — bit-identical, no
+    # rounding needed (no trig anywhere)
+    dlon, dlat = CI.geohash_decode(F.col("gh7"), 7)
+    return out.withColumns({"dlon7": dlon, "dlat7": dlat})
 
 
 def _q_geodesic_point_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4128,11 +4133,20 @@ def oracle_sql() -> dict[str, str]:
                        ({_spread_sql('ix7')} | ({_spread_sql('iy7')} << 1)) AS c7,
                        (({_spread_sql('ix6')} << 1) | {_spread_sql('iy6')}) AS c6
                 FROM cells
+            ),
+            dec AS (
+                SELECT doc_id, c7, c6,
+                       CAST(sum(((c7 >> (2 * k)) & 1) << k) AS BIGINT) AS dix7,
+                       CAST(sum(((c7 >> (2 * k + 1)) & 1) << k) AS BIGINT) AS diy7
+                FROM codes CROSS JOIN (SELECT k FROM range(0, 18) t(k))
+                GROUP BY doc_id, c7, c6
             )
             SELECT doc_id,
                    {_geohash_chars_sql('c7', 7)} AS gh7,
-                   {_geohash_chars_sql('c6', 6)} AS gh6
-            FROM codes
+                   {_geohash_chars_sql('c6', 6)} AS gh6,
+                   (CAST(dix7 AS DOUBLE) + 0.5) / 262144.0 * 360.0 - 180.0 AS dlon7,
+                   (CAST(diy7 AS DOUBLE) + 0.5) / 131072.0 * 180.0 - 90.0 AS dlat7
+            FROM dec
         """,
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "user_travel_distance": _travel_oracle_sql(),
