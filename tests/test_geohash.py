@@ -93,3 +93,41 @@ def test_with_geohash_helper(spark):
     out = CI.with_geohash(df, 11)
     assert out.columns[-1] == "geohash"
     assert out.collect()[0]["geohash"] == "u4pruydqqvj"
+
+
+# --- property tests (scalar twins; no Spark) ----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+    st.integers(min_value=1, max_value=12),
+)
+def test_property_decode_center_reencodes(lon, lat, p):
+    gh = CI.py_geohash(lon, lat, p)
+    assert len(gh) == p and all(c in CI.GEOHASH_ALPHABET for c in gh)
+    clon, clat = CI.py_geohash_decode(gh)
+    assert CI.py_geohash(clon, clat, p) == gh
+    # the center never leaves the cell: within half a cell of the input
+    # along each axis (modulo the edge clamp)
+    lonbits = (5 * p + 1) // 2
+    latbits = 5 * p // 2
+    if -180.0 <= lon < 180.0:
+        assert abs(clon - lon) <= 360.0 / (1 << lonbits)
+    if -90.0 <= lat < 90.0:
+        assert abs(clat - lat) <= 180.0 / (1 << latbits)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=-179.999, max_value=179.999, allow_nan=False),
+    st.floats(min_value=-89.999, max_value=89.999, allow_nan=False),
+)
+def test_property_prefix_is_containment(lon, lat):
+    full = CI.py_geohash(lon, lat, 12)
+    for p in range(1, 12):
+        assert CI.py_geohash(lon, lat, p) == full[:p]
