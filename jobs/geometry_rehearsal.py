@@ -101,12 +101,7 @@ def make_layers(spark, n_polys: int, mega_cells: int):
     return cells, polys
 
 
-def _rest_stages(spark) -> list[dict]:
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    url = f"{ui}/api/v1/applications/{app}/stages?status=complete&details=false"
-    with urllib.request.urlopen(url, timeout=30) as r:
-        return json.loads(r.read())
+from jobs._metrics import rest_stages as _rest_stages  # noqa: E402
 
 
 def _skew_evidence(spark) -> dict:

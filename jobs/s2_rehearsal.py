@@ -27,25 +27,12 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _rest_stages(spark) -> list[dict]:
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    url = f"{ui}/api/v1/applications/{app}/stages?status=complete&details=false"
-    with urllib.request.urlopen(url, timeout=30) as r:
-        return json.loads(r.read())
-
-
-def _shuffle_totals(spark) -> tuple[float, float]:
-    st = _rest_stages(spark)
-    return (
-        sum(s.get("shuffleWriteBytes", 0) for s in st) / 1e6,
-        sum(s.get("shuffleReadBytes", 0) for s in st) / 1e6,
-    )
+from jobs._metrics import rest_stages as _rest_stages  # noqa: E402
+from jobs._metrics import shuffle_totals_mb as _shuffle_totals  # noqa: E402
 
 
 def make_points(spark, n: int):

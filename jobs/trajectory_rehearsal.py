@@ -18,20 +18,11 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _rest_shuffle_totals(spark) -> tuple[float, float]:
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    url = f"{ui}/api/v1/applications/{app}/stages?status=complete&details=false"
-    with urllib.request.urlopen(url, timeout=30) as r:
-        stages = json.loads(r.read())
-    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
-    return w / 1e9, rd / 1e9
+from jobs._metrics import shuffle_totals_gb as _rest_shuffle_totals  # noqa: E402
 
 
 def synth_pings(spark, n_events: int, n_users: int):
