@@ -25,12 +25,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _rest_stages(spark) -> list[dict]:
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    url = f"{ui}/api/v1/applications/{app}/stages?status=complete&details=false"
-    with urllib.request.urlopen(url, timeout=30) as r:
-        return json.loads(r.read())
+from jobs._metrics import rest_stages as _rest_stages  # noqa: E402
 
 
 def _totals(spark) -> tuple[float, int]:

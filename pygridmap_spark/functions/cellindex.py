@@ -124,8 +124,12 @@ def geohash_code(lon: Column, lat: Column, precision: int) -> Column:
     else:
         code = sx.bitwiseOR(F.shiftleft(sy, 1))  # odd: lon holds the even positions
     # greatest/least SKIP nulls (a null coord would silently clamp to the
-    # edge cell) — propagate null explicitly instead.
-    return F.when(lon.isNotNull() & lat.isNotNull(), code)
+    # edge cell) and NaN passes every >= comparison (it would land in the
+    # corner cell) — propagate null explicitly for both.
+    ok = (
+        lon.isNotNull() & lat.isNotNull() & ~F.isnan(lon) & ~F.isnan(lat)
+    )
+    return F.when(ok, code)
 
 
 def geohash(lon: Column, lat: Column, precision: int) -> Column:
@@ -141,7 +145,11 @@ def geohash(lon: Column, lat: Column, precision: int) -> Column:
 def geohash_decode(gh: Column, precision: int) -> tuple[Column, Column]:
     """(lon, lat) doubles of the geohash cell CENTER (so
     ``geohash(*geohash_decode(g, p), p) == g``). ``precision`` must match
-    the string length; malformed digits yield null via ``conv``."""
+    the string length. NOT a validator: the four letters absent from the
+    geohash alphabet (a, i, l, o) are still valid base-32 digits after the
+    translate, so a malformed key silently decodes as if it were the digit
+    sharing its position ('a…' == 'b…'); filter untrusted keys with
+    ``rlike('^[0-9b-hj-kmnp-z]+$')`` upstream."""
     lonbits, latbits = _geohash_bits(precision)
     code = F.conv(F.translate(gh, _GEOHASH_TAIL, _CONV32_DIGITS), 32, 10).cast("long")
     # CollapseProject re-inlines the conv/translate base 2^6 times through

@@ -53,9 +53,13 @@ def axial_coords(x: Column, y: Column, size: float) -> tuple[Column, Column]:
     dq = F.abs(rq - qf)
     dr = F.abs(rr - rf)
     ds = F.abs(rs - sf)
-    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq).cast("long")
-    r = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr).cast("long")
-    return q, r
+    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr)
+    # a NaN coordinate would CAST_OVERFLOW under ANSI mode and kill the
+    # whole stage on one bad row — yield NULL axials instead (null coords
+    # already propagate through the arithmetic)
+    ok = ~(F.isnan(x) | F.isnan(y))
+    return F.when(ok, q).cast("long"), F.when(ok, r).cast("long")
 
 
 def pack(q: Column, r: Column) -> Column:

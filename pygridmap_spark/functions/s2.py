@@ -186,10 +186,22 @@ def _with_face_ij(df: DataFrame, level: int, lon: str, lat: str) -> DataFrame:
     s = _uv_to_st_col(F.col("__s2u__"))
     t = _uv_to_st_col(F.col("__s2v__"))
     clamp = lambda c: F.greatest(F.lit(0).cast("long"), F.least(c, F.lit(n - 1).cast("long")))  # noqa: E731
+    # NULL/NaN coordinates must yield NULL face/i/j, not a fabricated cell:
+    # the face CaseWhen's otherwise() would turn a null comparison chain
+    # into face 5, greatest/least SKIP nulls (i/j -> n-1), and NaN passes
+    # every >= comparison (face 0 corner cell). Null keys then simply drop
+    # out of equi-joins/rollups instead of polluting a real cell.
+    ok = (
+        F.col(lon).isNotNull()
+        & F.col(lat).isNotNull()
+        & ~F.isnan(F.col(lon))
+        & ~F.isnan(F.col(lat))
+    )
     return df.withColumns(
         {
-            "__s2i__": clamp(F.floor(s * F.lit(float(n)))),
-            "__s2j__": clamp(F.floor(t * F.lit(float(n)))),
+            "__s2f__": F.when(ok, F.col("__s2f__")),
+            "__s2i__": F.when(ok, clamp(F.floor(s * F.lit(float(n))))),
+            "__s2j__": F.when(ok, clamp(F.floor(t * F.lit(float(n))))),
         }
     ).drop("__s2x__", "__s2y__", "__s2z__", "__s2u__", "__s2v__")
 
@@ -752,8 +764,12 @@ def covering(
     pass over the polygon rows — per-polygon work is O(max_cells x
     edges), distributed by polygon."""
     _check_level(max_level)
-    if max_cells < 6:
-        raise ValueError("max_cells must be >= 6 (the whole-sphere seed)")
+    if max_cells < 9:
+        # the cap seed is center + 8 cube-wrap neighbors: if all 9 come
+        # back as boundary cells on the very first round they are emitted
+        # as-is, so any smaller budget could be exceeded (the per-round
+        # split check only guards rounds AFTER the seed)
+        raise ValueError("max_cells must be >= 9 (the 9-cell cap seed)")
     id_field = f"{id_col} {dict(polys.dtypes)[id_col]}"
     schema = (
         f"{id_field}, {prefix}face int, {prefix}i long, {prefix}j long, "

@@ -111,10 +111,13 @@ def point_in_polygon_s2(
             px = batch[lon].to_numpy(dtype=np.float64)
             py = batch[lat].to_numpy(dtype=np.float64)
             p = SPH.lonlat_to_xyz(px, py)
-            pids = batch[poly_key].to_numpy()
+            # factorize once: int-code group masks instead of a whole-batch
+            # comparison per distinct zone (O(rows) vs O(rows x zones) —
+            # object-dtype ids make the latter Python-level comparisons)
+            codes, uniq = pd.factorize(batch[poly_key])
             keep = np.zeros(len(batch), dtype=bool)
-            for pid in pd.unique(pids):
-                sel = np.nonzero(pids == pid)[0]
+            for gi, pid in enumerate(uniq):
+                sel = np.nonzero(codes == gi)[0]
                 rxyz = cache.get(pid)
                 if rxyz is None:
                     mp = WKB.decode_multipolygon(

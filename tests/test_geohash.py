@@ -73,12 +73,16 @@ def test_geohash_truncation_prefix_property():
 
 def test_geohash_null_and_bounds(spark):
     df = spark.createDataFrame(
-        [(1, None, 10.0), (2, 10.0, None), (3, 10.0, 10.0)],
+        [(1, None, 10.0), (2, 10.0, None), (3, 10.0, 10.0),
+         (4, float("nan"), 10.0), (5, 10.0, float("nan"))],
         "id long, lon double, lat double",
     )
     out = df.select("id", CI.geohash(F.col("lon"), F.col("lat"), 6).alias("gh")).collect()
     vals = {r["id"]: r["gh"] for r in out}
     assert vals[1] is None and vals[2] is None
+    # NaN passes >= comparisons and would land in the (-180,-90) corner
+    # cell ('000000') — must be NULL like the null-coord case
+    assert vals[4] is None and vals[5] is None
     assert vals[3] == CI.py_geohash(10.0, 10.0, 6)
     import pytest
 

@@ -215,3 +215,18 @@ def test_polyfill_chunked_and_repartitioned(spark):
     key = lambda df: sorted(zip(df.hex_q, df.hex_r))
     assert key(chunked) == key(base)
     assert len(base) > 100
+
+
+def test_hex_index_nan_coords_yield_null_not_ansi_error(spark):
+    """Review finding: NaN -> cast('long') threw CAST_OVERFLOW under ANSI
+    mode, killing the stage on one bad row; now NULL axials/id."""
+    from pygridmap_spark.functions import hexgrid as HX
+
+    df = spark.createDataFrame(
+        [(1, float("nan"), 5.0), (2, 5.0, float("nan")), (3, None, 5.0), (4, 5.0, 5.0)],
+        "id long, x double, y double",
+    )
+    out = {r["id"]: r for r in HX.with_hex_index(df, 100.0).collect()}
+    for bad in (1, 2, 3):
+        assert out[bad]["hex_q"] is None and out[bad]["hex_id"] is None, bad
+    assert out[4]["hex_q"] is not None and out[4]["hex_id"] is not None

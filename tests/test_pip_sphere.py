@@ -224,9 +224,13 @@ def test_covering_budget_mixed_levels_and_containment(spark):
     ring = np.column_stack([10 + 4 * np.cos(ang), 45 + 3 * np.sin(ang)])
     ring = np.vstack([ring, ring[:1]])
     zdf = _zone_df(spark, [(0, [[ring]])])
-    for max_cells in (8, 32, 64, 256):
+    for max_cells in (9, 32, 64, 256):
         cov = S2.covering(zdf, max_cells=max_cells, max_level=14).toPandas()
         assert 0 < len(cov) <= max_cells
+    # budgets below the 9-cell cap seed cannot be guaranteed -> refused
+    # (review finding: an all-boundary seed round used to emit 9 > budget)
+    with pytest.raises(ValueError, match="9-cell cap seed"):
+        S2.covering(zdf, max_cells=8, max_level=14).count()
     cov = S2.covering(zdf, max_cells=64, max_level=14).toPandas()
     assert cov.s2_level.nunique() > 1  # mixed levels
     # boundary cells sit at finer levels than the coarsest interior cell

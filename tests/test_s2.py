@@ -273,3 +273,36 @@ def test_s2_cells_are_near_equal_area_vs_equirect():
     cv_eq = cnt_eq.std() / cnt_eq.mean()
     assert cv_s2 < 0.35  # quadratic-projection spread (~2.1x max/min area)
     assert cv_s2 < 0.6 * cv_eq  # the partition-skew win over the planar index
+
+
+def test_s2_index_null_and_nan_coords_yield_null_keys(spark):
+    """Review finding: NULL coords used to fabricate face 5 / (n-1, n-1)
+    (greatest/least skip nulls, the face CaseWhen otherwise fires) and NaN
+    coords landed on face 0 cell (0,0) — both must yield NULL face/i/j so
+    bad rows DROP from equi-joins instead of polluting a real cell."""
+    from pyspark.sql import functions as F
+
+    from pygridmap_spark.functions import s2 as S2
+
+    df = spark.createDataFrame(
+        [
+            (1, None, None),
+            (2, 10.0, None),
+            (3, None, 45.0),
+            (4, float("nan"), float("nan")),
+            (5, 10.0, float("nan")),
+            (6, 10.0, 45.0),
+        ],
+        "id long, lon double, lat double",
+    )
+    out = {r["id"]: r for r in S2.with_s2_index(df, 12).collect()}
+    for bad in (1, 2, 3, 4, 5):
+        r = out[bad]
+        assert r["s2_face"] is None and r["s2_i"] is None and r["s2_j"] is None, bad
+        assert r["s2_cell"] is None and r["s2_compact"] is None, bad
+    good = out[6]
+    assert good["s2_face"] is not None and good["s2_cell"] is not None
+    # face/ij-only variant too
+    fij = {r["id"]: r for r in S2.with_s2_face_ij(df, 12).collect()}
+    assert fij[1]["s2_face"] is None and fij[4]["s2_i"] is None
+    assert fij[6]["s2_face"] == good["s2_face"]
