@@ -216,7 +216,8 @@ def with_s2_face_ij(
     """Append only ``{prefix}face``, ``{prefix}i``, ``{prefix}j`` at
     ``level`` — the cheap equi-join key for spatial joins/kNN (the ij
     PREFIX is the ancestor: coarsening is a shiftright, no Hilbert
-    needed). Valid to level 30; pure Catalyst."""
+    needed). Valid to level 30; pure Catalyst. NULL/NaN coordinates
+    yield NULL keys (the row drops from any equi-join)."""
     _check_level(level)
     df = _with_face_ij(df, level, lon, lat)
     return df.withColumns(

@@ -27,7 +27,10 @@ QUARTER-sphere (polyfill raises otherwise — beyond that the cap
 restriction cannot exclude the antipodal winding mirror), great-circle
 edges < 180 deg, points exactly on an edge resolve either way (measure
 zero). A point inside several overlapping
-zones yields one output row per zone.
+zones yields one output row per zone. Points with NULL or NaN
+coordinates get NULL cover keys (functions/s2.py) and therefore appear
+in NO zone — they drop out of the equi-join rather than polluting a
+cell's interior path.
 
 Reference parity: pygridmap classifies planar grid cells against a mask
 polygon per tile (gridding.py prll_process_tile, gridtiler.py) — this is
