@@ -1962,6 +1962,26 @@ def _q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumns({"dlon7": dlon, "dlat7": dlat})
 
 
+def _q_geohash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash 8-neighbor probe set (functions/cellindex.geohash_neighbors):
+    the expansion a geohash-keyed radius join runs per key. Pure integer
+    cell-space arithmetic (compact -> step -> re-interleave -> base-32) on
+    both engines — exact string equality, antimeridian wrap and pole
+    clamp included (the fixed slot order pins k)."""
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
+    pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+    gh = pts.select("doc_id", CI.geohash(F.col("lon"), F.col("lat"), 7).alias("gh7"))
+    out = gh.select(
+        "doc_id",
+        "gh7",
+        F.posexplode(CI.geohash_neighbors(F.col("gh7"), 7)).alias("k", "ngh"),
+    )
+    return out.filter(F.col("ngh").isNotNull()).select(
+        "doc_id", F.col("k").cast("long").alias("k"), "ngh"
+    )
+
+
 def _q_geodesic_point_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic point buffer, vertex-rows form
     (operators/pip_sphere.geodesic_buffer_vertices): the 12-gon
@@ -2209,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_morton": _q_cell_index_morton,
         "cell_index_morton_z20": _q_cell_index_morton_z20,
         "geohash_encode": _q_geohash_encode,
+        "geohash_neighbors": _q_geohash_neighbors,
         "geodesic_point_buffer": _q_geodesic_point_buffer,
         "user_travel_distance": _q_user_travel_distance,
         "raster_point_sample": _q_raster_point_sample,
@@ -4147,6 +4168,32 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(dix7 AS DOUBLE) + 0.5) / 262144.0 * 360.0 - 180.0 AS dlon7,
                    (CAST(diy7 AS DOUBLE) + 0.5) / 131072.0 * 180.0 - 90.0 AS dlat7
             FROM dec
+        """,
+        "geohash_neighbors": f"""
+            {geo_cte},
+            cells AS (
+                SELECT doc_id,
+                       greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 262144.0) AS BIGINT), 262143)) AS ix7,
+                       greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 131072.0) AS BIGINT), 131071)) AS iy7
+                FROM pts
+            ),
+            nb AS (
+                SELECT doc_id, o.k AS k,
+                       (ix7 + o.dx + 262144) % 262144 AS nix,
+                       iy7 + o.dy AS niy
+                FROM cells CROSS JOIN (VALUES (0, -1, 0), (1, 1, 0), (2, 0, -1), (3, 0, 1),
+                                              (4, -1, -1), (5, -1, 1), (6, 1, -1), (7, 1, 1))
+                                      AS o(k, dx, dy)
+                WHERE iy7 + o.dy BETWEEN 0 AND 131071
+            ),
+            ncodes AS (
+                SELECT doc_id, k,
+                       ({_spread_sql('nix')} | ({_spread_sql('niy')} << 1)) AS nc
+                FROM nb
+            )
+            SELECT doc_id, CAST(k AS BIGINT) AS k,
+                   {_geohash_chars_sql('nc', 7)} AS ngh
+            FROM ncodes
         """,
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "user_travel_distance": _travel_oracle_sql(),

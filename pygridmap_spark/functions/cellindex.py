@@ -174,6 +174,57 @@ def with_geohash(df, precision: int, lon: str = "lon", lat: str = "lat"):
     return df.withColumn("geohash", geohash(F.col(lon), F.col(lat), precision))
 
 
+# Fixed neighbor slot order (dx=lon cells, dy=lat cells): W,E,S,N then the
+# four diagonals — pinned so the oracle's k index means the same slot.
+GEOHASH_NEIGHBOR_OFFSETS = (
+    (-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1),
+)
+
+
+def geohash_neighbors(gh: Column, precision: int) -> Column:
+    """The 8 adjacent cells as an ``array<string>`` in the fixed
+    ``GEOHASH_NEIGHBOR_OFFSETS`` slot order — the probe set a
+    geohash-keyed radius join expands each key into. East/west WRAP the
+    antimeridian (the grid is periodic in lon); a north/south step past a
+    pole has no cell and that slot is NULL (``array_compact`` the result
+    for join explodes). Pure integer cell-space arithmetic — compact the
+    base-32 code to (ix, iy), step ±1, re-interleave, re-encode — zero
+    trig; the conv base is threaded through ONE ``transform`` so the
+    compact stages read a bound variable (the CollapseProject hazard)."""
+    lonbits, latbits = _geohash_bits(precision)
+    nx, ny = 1 << lonbits, 1 << latbits
+    code = F.conv(F.translate(gh, _GEOHASH_TAIL, _CONV32_DIGITS), 32, 10).cast("long")
+
+    def _nbrs(c: Column) -> Column:
+        if lonbits == latbits:
+            ix, iy = _compact_bits(F.shiftright(c, 1)), _compact_bits(c)
+        else:
+            ix, iy = _compact_bits(c), _compact_bits(F.shiftright(c, 1))
+        out = []
+        for dx, dy in GEOHASH_NEIGHBOR_OFFSETS:
+            nix = (ix + F.lit(dx + nx)) % F.lit(nx)  # lon wraps
+            niy = iy + F.lit(dy)
+            sx, sy = _spread_bits(nix), _spread_bits(niy)
+            ncode = (
+                F.shiftleft(sx, 1).bitwiseOR(sy)
+                if lonbits == latbits
+                else sx.bitwiseOR(F.shiftleft(sy, 1))
+            )
+            valid = (niy >= F.lit(0)) & (niy < F.lit(ny))  # lat clamps
+            out.append(F.when(valid, ncode))
+        return F.array(*out)
+
+    codes = F.element_at(F.transform(F.array(code), _nbrs), 1)
+    return F.transform(
+        codes,
+        lambda nc: F.lpad(
+            F.translate(F.lower(F.conv(nc.cast("string"), 10, 32)), _CONV32_DIGITS, _GEOHASH_TAIL),
+            precision,
+            "0",
+        ),
+    )
+
+
 def morton_prefix(code: Column, levels_up: int) -> Column:
     """Coarsen a Morton code by k levels — the salt/skew bucketing key."""
     return F.shiftright(code, 2 * levels_up)
@@ -272,6 +323,34 @@ def py_geohash_decode(gh: str) -> tuple[float, float]:
     lon = (ix + 0.5) / (1 << lonbits) * 360.0 - 180.0
     lat = (iy + 0.5) / (1 << latbits) * 180.0 - 90.0
     return lon, lat
+
+
+def py_geohash_neighbors(gh: str) -> list[str | None]:
+    """Scalar twin of :func:`geohash_neighbors` (same slot order, same
+    wrap/clamp rules)."""
+    precision = len(gh)
+    lonbits, latbits = _geohash_bits(precision)
+    nx, ny = 1 << lonbits, 1 << latbits
+    clon, clat = py_geohash_decode(gh)
+    # recover integer cell indices from the center
+    ix = int((clon + 180.0) / 360.0 * nx)
+    iy = int((clat + 90.0) / 180.0 * ny)
+    out: list[str | None] = []
+    for dx, dy in GEOHASH_NEIGHBOR_OFFSETS:
+        niy = iy + dy
+        if not 0 <= niy < ny:
+            out.append(None)
+            continue
+        nix = (ix + dx + nx) % nx
+        sx, sy = py_morton(nix, 0), py_morton(niy, 0)
+        ncode = (sx << 1) | sy if lonbits == latbits else sx | (sy << 1)
+        out.append(
+            "".join(
+                GEOHASH_ALPHABET[(ncode >> (5 * (precision - 1 - i))) & 31]
+                for i in range(precision)
+            )
+        )
+    return out
 
 
 def hilbert_xy2d(ix, iy, z: int):

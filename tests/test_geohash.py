@@ -135,3 +135,55 @@ def test_property_prefix_is_containment(lon, lat):
     full = CI.py_geohash(lon, lat, 12)
     for p in range(1, 12):
         assert CI.py_geohash(lon, lat, p) == full[:p]
+
+
+# --- neighbors -----------------------------------------------------------------
+
+
+def test_py_neighbors_geometry():
+    # each neighbor's center is exactly one cell step away (wrapped in lon)
+    for gh in ("ezs42", "u4pruy", "s0000", "zzzzz"):
+        p = len(gh)
+        lonbits, latbits = (5 * p + 1) // 2, 5 * p // 2
+        w, h = 360.0 / (1 << lonbits), 180.0 / (1 << latbits)
+        clon, clat = CI.py_geohash_decode(gh)
+        for (dx, dy), ngh in zip(CI.GEOHASH_NEIGHBOR_OFFSETS, CI.py_geohash_neighbors(gh)):
+            if ngh is None:
+                continue
+            nlon, nlat = CI.py_geohash_decode(ngh)
+            dlon = (nlon - clon + 180.0) % 360.0 - 180.0
+            assert abs(dlon - dx * w) < 1e-9, (gh, dx, dy)
+            assert abs((nlat - clat) - dy * h) < 1e-9, (gh, dx, dy)
+
+
+def test_py_neighbors_symmetry_and_pole_clamp():
+    # adjacency is symmetric; the pole-adjacent row loses its 3 north slots
+    gh = CI.py_geohash(10.0, 45.0, 6)
+    for ngh in CI.py_geohash_neighbors(gh):
+        assert ngh is not None
+        assert gh in CI.py_geohash_neighbors(ngh)
+    top = CI.py_geohash(10.0, 89.999999, 5)
+    ns = CI.py_geohash_neighbors(top)
+    assert sum(n is None for n in ns) == 3  # N, NW, NE clamp at the pole
+    # antimeridian wrap: west of the westernmost column is the easternmost
+    west_edge = CI.py_geohash(-179.999999, 0.0, 5)
+    wn = CI.py_geohash_neighbors(west_edge)[0]  # slot 0 = W
+    assert wn is not None
+    nlon, _ = CI.py_geohash_decode(wn)
+    assert nlon > 179.0
+
+
+def test_catalyst_neighbors_match_twin(spark):
+    ghs = [
+        CI.py_geohash(-180.0 + (i * 77.7) % 360, -90.0 + (i * 37.3) % 180, 5 + i % 3)
+        for i in range(30)
+    ]
+    for p in (5, 6, 7):
+        sub = [g for g in ghs if len(g) == p]
+        df = spark.createDataFrame([(g,) for g in sub], "gh string")
+        got = {
+            r["gh"]: r["n"]
+            for r in df.select("gh", CI.geohash_neighbors(F.col("gh"), p).alias("n")).collect()
+        }
+        for g in sub:
+            assert list(got[g]) == CI.py_geohash_neighbors(g), (g, p)
