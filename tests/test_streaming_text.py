@@ -608,3 +608,68 @@ def test_stateful_hop_distance_late_event_null_no_state_regression(spark, tmp_pa
     assert got[2] is None                     # late: null, never negative-time
     # event 3 chains from (1.0, 0.0), NOT from the late (50, 50) position
     assert abs(got[3] - 111195.0) < 200
+
+
+def test_stateful_hop_distance_state_tracks_entities_not_events(spark, tmp_path):
+    """Scale contract: state rows == DISTINCT entities (24 bytes each),
+    flat across batches, while cumulative events grow linearly — the
+    store is bounded by the active-user set, never the ping volume."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    src = str(tmp_path / "vol_hop_src")
+    os.makedirs(src)
+    n_users, per_batch, n_batches = 150, 600, 8
+    t0 = pd.Timestamp("2026-01-01 00:00")
+    eid = 0
+    for b in range(n_batches):
+        rows = []
+        for j in range(per_batch):
+            u = (b * per_batch + j) % n_users
+            rows.append((eid, u, t0 + pd.Timedelta(seconds=eid),
+                         -100.0 + (u * 13 + b) % 200, -50.0 + (u * 7 + b) % 100))
+            eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "lon": pa.array([r[3] for r in rows], pa.float64()),
+            "lat": pa.array([r[4] for r in rows], pa.float64()),
+        })
+        p = os.path.join(src, f"f{b}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + b * 10, 1_700_000_000 + b * 10))
+
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("user_id", LongType()),
+        StructField("ts", TimestampType()), StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        SP.stateful_hop_distance(stream).writeStream.format("memory")
+        .queryName("vol_hop_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "vol_hop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators") and p["numInputRows"] > 0
+    ]
+    assert totals, "no state metrics captured"
+    # plateau at the entity count from the first batch on (every batch
+    # touches all 150 users), NEVER growing with cumulative events
+    assert max(totals) == n_users, totals
+    assert totals[-1] == n_users
+    out = spark.sql("SELECT count(*) c, count(hop_m) h FROM vol_hop_out").collect()[0]
+    assert out["c"] == n_users * (per_batch // n_users) * n_batches
+    assert out["h"] == out["c"] - n_users  # one null first-hop per entity
