@@ -28,7 +28,14 @@ MAX_Z = 31
 
 
 def lonlat_to_cell_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
-    """Equirectangular cell indices at zoom z, clamped to [0, 2^z - 1]."""
+    """Equirectangular cell indices at zoom z, clamped to [0, 2^z - 1].
+
+    NULL/NaN coordinates yield NULL indices (and so a NULL Morton code /
+    quadkey downstream): greatest/least SKIP nulls — without the guard a
+    null coord would silently clamp to the edge cell — and NaN passes
+    every comparison, landing in a corner cell. Same contract as the
+    S2/hex/geohash encoders: bad rows drop from equi-joins instead of
+    polluting a real cell's rollup."""
     if not 0 < z <= MAX_Z:
         raise ValueError(
             f"z must be in (0, {MAX_Z}]: the Morton bit-spreading masks to 31"
@@ -38,7 +45,8 @@ def lonlat_to_cell_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]
     ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
     iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))).cast("long")
     clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(n - 1)))  # noqa: E731
-    return clamp(ix), clamp(iy)
+    ok = lon.isNotNull() & lat.isNotNull() & ~F.isnan(lon) & ~F.isnan(lat)
+    return F.when(ok, clamp(ix)), F.when(ok, clamp(iy))
 
 
 def _spread_bits(v: Column) -> Column:

@@ -345,3 +345,42 @@ def test_zonal_stats_infers_resolution_from_xy(spark):
 
     with pytest.raises(ValueError, match="cannot infer"):
         RA.zonal_stats(one, polys, bands=("band1",))
+
+
+def test_morton_index_null_and_nan_coords_yield_null_keys(spark):
+    """Same contract the S2/hex/geohash encoders pinned in round 5, applied
+    to the original Morton family: NULL coords used to fabricate the max
+    cell (greatest/least skip nulls) and NaN the corner cell (NaN passes
+    every comparison) — cell_ix/cell_iy/cell_id/quadkey must all be NULL
+    so bad rows drop from equi-joins instead of polluting a real cell."""
+    from pyspark.sql import functions as F
+
+    from pygridmap_spark.functions import cellindex as CI
+
+    df = spark.createDataFrame(
+        [
+            (1, None, None),
+            (2, 10.0, None),
+            (3, None, 45.0),
+            (4, float("nan"), float("nan")),
+            (5, 10.0, float("nan")),
+            (6, 10.0, 45.0),
+        ],
+        "id long, lon double, lat double",
+    )
+    out = CI.with_cell_index(df, 8).withColumn(
+        "qk", CI.quadkey(F.col("lon"), F.col("lat"), 8)
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    for bad in (1, 2, 3, 4, 5):
+        r = rows[bad]
+        assert r["cell_ix"] is None and r["cell_iy"] is None, bad
+        assert r["cell_id"] is None and r["qk"] is None, bad
+    good = rows[6]
+    assert good["cell_ix"] is not None and good["cell_id"] is not None
+    assert len(good["qk"]) == 8
+    # out-of-range FINITE coords still clamp to the edge cell (unchanged)
+    edge = CI.with_cell_index(
+        spark.createDataFrame([(200.0, 100.0)], "lon double, lat double"), 8
+    ).collect()[0]
+    assert edge["cell_ix"] == 255 and edge["cell_iy"] == 255
