@@ -44,6 +44,7 @@ from pygridmap_spark.functions import reproject as RPJ
 from pygridmap_spark.functions import s2 as S2C
 from pygridmap_spark.functions import hexgrid as HX
 from pygridmap_spark.operators import knn_sphere as KS
+from pygridmap_spark.operators import hotspots as HS
 
 # chord threshold for the within_radius_s2 driver query (400 km), embedded
 # into the DuckDB oracle so both engines filter on the identical double
@@ -474,6 +475,47 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("doc_a") < F.col("doc_b")).distinct()
     out = DD.connected_components(pairs, max_iter=30)
     return out.select("doc_id", "component_id")
+
+
+def _hotspot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic clustered point field for the hotspot query: 84 'city'
+    blobs (centers on a 12x25-deg lon x 7x11-deg lat lattice via CRT on
+    event_id, +-4.5 x +-2.5 deg jitter) plus a uniform global noise floor
+    (every 37th event). Pure int64 hash arithmetic, restated verbatim in
+    the DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    blob_lon = (
+        F.lit(-150.0)
+        + (e % 12).cast("double") * F.lit(25.0)
+        + ((e * F.lit(2654435761)) % F.lit(9000)).cast("double") / F.lit(1000.0)
+        - F.lit(4.5)
+    )
+    blob_lat = (
+        F.lit(-33.0)
+        + (e % 7).cast("double") * F.lit(11.0)
+        + ((e * F.lit(40503)) % F.lit(5000)).cast("double") / F.lit(1000.0)
+        - F.lit(2.5)
+    )
+    noise_lon = F.lit(-180.0) + ((e * F.lit(1103515245)) % F.lit(360000)).cast("double") / F.lit(1000.0)
+    noise_lat = F.lit(-85.0) + ((e * F.lit(12345)) % F.lit(170000)).cast("double") / F.lit(1000.0)
+    is_noise = (e % 37) == F.lit(0)
+    return ev.select(
+        "event_id",
+        F.when(is_noise, noise_lon).otherwise(blob_lon).alias("lon"),
+        F.when(is_noise, noise_lat).otherwise(blob_lat).alias("lat"),
+    )
+
+
+def _q_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell hotspot clustering (operators/hotspots — DBSCAN-lite on
+    the Morton grid): core cells at z=6 with >= 3 points, labeled by the
+    min cell_id of their 8-neighbor connected component (antimeridian
+    wrap). Oracle rebuilds the cells in SQL and labels them with a
+    recursive min-reachable CTE — rows, schema, and hash must match."""
+    pts = _hotspot_points(spark, sf_dir)
+    out = HS.hotspot_cells(pts, z=6, min_points=3)
+    return out.select("cell_ix", "cell_iy", "cell_id", "n_points", "cluster_id")
 
 
 def _q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_maker_trim": _q_grid_maker_trim,
         "grid_maker_qtree": _q_grid_maker_qtree,
         "connected_components": _q_connected_components,
+        "grid_hotspots": _q_grid_hotspots,
         "raster_resample": _q_raster_resample,
         "dedup_exact": _q_dedup_exact,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2595,6 +2638,46 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
             )
             SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+        """,
+        "grid_hotspots": f"""
+            WITH RECURSIVE pts AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 37 = 0
+                            THEN -180.0 + (event_id * 1103515245 % 360000) / 1000.0
+                            ELSE -150.0 + (event_id % 12) * 25.0
+                                 + (event_id * 2654435761 % 9000) / 1000.0 - 4.5 END AS lon,
+                       CASE WHEN event_id % 37 = 0
+                            THEN -85.0 + (event_id * 12345 % 170000) / 1000.0
+                            ELSE -33.0 + (event_id % 7) * 11.0
+                                 + (event_id * 40503 % 5000) / 1000.0 - 2.5 END AS lat
+                FROM events
+            ),
+            cells0 AS (
+                SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63)) AS cell_ix,
+                       greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63)) AS cell_iy
+                FROM pts
+            ),
+            core AS (
+                SELECT cell_ix, cell_iy,
+                       ({_spread_sql('cell_ix')} | ({_spread_sql('cell_iy')} << 1)) AS cell_id,
+                       count(*) AS n_points
+                FROM cells0 GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            adj AS (
+                SELECT a.cell_id AS u, b.cell_id AS v
+                FROM core a JOIN core b
+                  ON abs(a.cell_iy - b.cell_iy) <= 1
+                 AND ((a.cell_ix - b.cell_ix + 64) % 64) IN (0, 1, 63)
+                 AND a.cell_id <> b.cell_id
+            ),
+            reach(node, r) AS (
+                SELECT cell_id, cell_id FROM core
+                UNION
+                SELECT reach.node, adj.v FROM reach JOIN adj ON reach.r = adj.u
+            ),
+            labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT core.cell_ix, core.cell_iy, core.cell_id, core.n_points, labels.cluster_id
+            FROM core JOIN labels ON core.cell_id = labels.node
         """,
         "grid_maker_trim": """
             SELECT r1.range AS cell_x, r2.range AS cell_y,

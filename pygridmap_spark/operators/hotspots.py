@@ -1,0 +1,146 @@
+"""Grid-cell hotspot clustering — DBSCAN-lite over the Morton cell grid.
+
+Dense-cell detection is the north star's own framing ("skew from dense
+cells: popular hosts, urban geocodes"): cluster the geolocated point mass
+into contiguous hotspots so downstream stages can treat urban blobs as
+units (salting targets, per-hotspot sampling quotas, map rendering). The
+classic density algorithm (DBSCAN, Ester et al. 1996, public) degrades to
+an exact grid variant when eps is the cell pitch: a cell is CORE when it
+holds >= min_points points, and clusters are the connected components of
+core cells under 8-neighbor adjacency. That formulation is exactly
+Spark-shaped:
+
+1. points -> cells: the Morton index (pure codegen) + ONE partially
+   aggregated ``groupBy(cell).count()`` — the map-side combine absorbs the
+   dense-cell skew this operator exists to find (a 10^9-point city block
+   arrives at the reducer as ~one row per upstream partition);
+2. core-cell adjacency: each core cell expands to its 8 neighbors
+   (integer cell arithmetic; east/west WRAPS the antimeridian, a step past
+   a pole has no cell — the ``geohash_neighbors`` contract) and equi-joins
+   back against the core set. The frame here is CELLS (<= 4^z, orders
+   below the point count), so AQE broadcasts it when small;
+3. components: the pointer-jumping kernel (``dedup.connected_components``,
+   O(log diameter) rounds, localCheckpoint per round) over the CELL graph
+   — never the point graph. Cluster id = min Morton cell_id reachable,
+   deterministic under any partitioning.
+
+Rows with NULL/NaN coordinates get NULL cell keys upstream
+(functions/cellindex.py) and fall out of the count — they can neither
+create nor join a hotspot.
+
+Reference parity: pygridmap has no clustering operator; this extends the
+family the same way the kNN cell-ring does (SURVEY §2.11), on the same
+cell index. Scale: stage 1 is the only pass over the facts; everything
+after runs on the (bounded) occupied-cell set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pygridmap_spark.functions import cellindex as CI
+from pygridmap_spark.operators.dedup import connected_components
+
+#: 8-neighbor offsets, same slot convention as GEOHASH_NEIGHBOR_OFFSETS.
+NEIGHBOR_OFFSETS = (
+    (-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1),
+)
+
+
+def core_cells(
+    points: DataFrame,
+    z: int,
+    min_points: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Occupied-cell counts at zoom ``z``, filtered to the core set:
+    ``(cell_ix, cell_iy, cell_id, n_points)`` with n_points >= min_points.
+    One partially-aggregated shuffle over the facts; NULL cells (bad
+    coordinates) are dropped."""
+    idx = CI.with_cell_index(points, z, lon=lon, lat=lat)
+    return (
+        idx.filter(F.col("cell_id").isNotNull())
+        .groupBy("cell_ix", "cell_iy", "cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") >= F.lit(min_points))
+    )
+
+
+def _neighbor_probes(cells: DataFrame, z: int) -> DataFrame:
+    """Explode each core cell into its 8 neighbor keys (lon wraps, lat
+    clamps): columns (cell_id, nix, niy)."""
+    n = 1 << z
+    probes = F.array(
+        *[
+            F.struct(
+                ((F.col("cell_ix") + F.lit(dx + n)) % F.lit(n)).alias("nix"),
+                (F.col("cell_iy") + F.lit(dy)).alias("niy"),
+            )
+            for dx, dy in NEIGHBOR_OFFSETS
+        ]
+    )
+    return (
+        cells.select("cell_id", F.explode(probes).alias("p"))
+        .select("cell_id", F.col("p.nix").alias("nix"), F.col("p.niy").alias("niy"))
+        .filter((F.col("niy") >= 0) & (F.col("niy") < F.lit(n)))
+    )
+
+
+def hotspot_cells(
+    points: DataFrame,
+    z: int,
+    min_points: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label core cells with their hotspot cluster: returns
+    ``(cell_ix, cell_iy, cell_id, n_points, cluster_id)`` where cluster_id
+    is the MIN Morton cell_id of the connected component (8-neighbor
+    adjacency, antimeridian wrap). Core cells with no core neighbor are
+    their own singleton cluster."""
+    cells = core_cells(points, z, min_points, lon=lon, lat=lat).localCheckpoint(
+        eager=True
+    )
+    right = cells.select(
+        F.col("cell_ix").alias("nix"),
+        F.col("cell_iy").alias("niy"),
+        F.col("cell_id").alias("nbr_id"),
+    )
+    # directed both ways by construction (each pair probes the other), so
+    # connected_components' own symmetrize/distinct sees every edge
+    edges = _neighbor_probes(cells, z).join(right, ["nix", "niy"]).select(
+        F.col("cell_id").alias("a"), F.col("nbr_id").alias("b")
+    )
+    labels = connected_components(edges, a="a", b="b", max_iter=max_iter).select(
+        F.col("doc_id").alias("cell_id"), F.col("component_id").alias("cluster_id")
+    )
+    return cells.join(labels, "cell_id", "left").select(
+        "cell_ix",
+        "cell_iy",
+        "cell_id",
+        "n_points",
+        F.coalesce(F.col("cluster_id"), F.col("cell_id")).alias("cluster_id"),
+    )
+
+
+def hotspot_stats(
+    points: DataFrame,
+    z: int,
+    min_points: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-hotspot rollup: ``(cluster_id, n_cells, n_points)`` sorted by
+    cluster_id — the headline 'where is the mass' table."""
+    cells = hotspot_cells(points, z, min_points, lon=lon, lat=lat)
+    return (
+        cells.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_points").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )
