@@ -84,6 +84,7 @@ HEADLINE = [
     "geohash_encode",
     "geodesic_point_buffer",
     "user_travel_distance",
+    "grid_hotspots",
 ]
 
 

@@ -104,6 +104,15 @@ def hotspot_cells(
     cells = core_cells(points, z, min_points, lon=lon, lat=lat).localCheckpoint(
         eager=True
     )
+    return label_cells(cells, z, max_iter=max_iter)
+
+
+def label_cells(cells: DataFrame, z: int, max_iter: int = 25) -> DataFrame:
+    """Cluster-label a precomputed (cell_ix, cell_iy, cell_id, n_points)
+    core-cell frame (the bounded <= 4^z tail of hotspot_cells — callers
+    that already hold a cell rollup skip the facts pass entirely). The
+    input should be materialized (checkpointed/cached): the iterative
+    labeling references it from several plans."""
     right = cells.select(
         F.col("cell_ix").alias("nix"),
         F.col("cell_iy").alias("niy"),
