@@ -518,6 +518,25 @@ def _q_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell_ix", "cell_iy", "cell_id", "n_points", "cluster_id")
 
 
+def _q_grid_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-score per occupied z=6 cell
+    (operators/hotspots.gi_star_cells, sparse-universe formulation) over
+    the same clustered point field as grid_hotspots. The oracle restates
+    the exact arithmetic (integer moment sums, then the identical double
+    expression tree) so round-6 values hash-match."""
+    pts = _hotspot_points(spark, sf_dir)
+    cells = HS.core_cells(pts, z=6, min_points=1)
+    out = HS.gi_star_cells(cells, z=6)
+    return out.select(
+        "cell_ix",
+        "cell_iy",
+        "cell_id",
+        "n_points",
+        "w_i",
+        F.round(F.col("gi_z"), 6).alias("gi_z"),
+    )
+
+
 def _q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/A5: synthetic raster -> coarsened grid roll-up (y-flip pinned)."""
     r = RA.synthetic_raster(spark, width=64, height=48, nodata_every=7)
@@ -1872,6 +1891,37 @@ def _spread_sql(col: str) -> str:
     return e
 
 
+def _hotspot_core_sql(min_points: int) -> str:
+    """CTE text (pts/cells0/core) shared by the grid_hotspots and
+    grid_gi_star oracles: the deterministic clustered point field of
+    `_hotspot_points` restated in SQL, rolled up to z=6 Morton cells."""
+    having = f"HAVING count(*) >= {min_points}" if min_points > 1 else ""
+    return f"""
+            pts AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 37 = 0
+                            THEN -180.0 + (event_id * 1103515245 % 360000) / 1000.0
+                            ELSE -150.0 + (event_id % 12) * 25.0
+                                 + (event_id * 2654435761 % 9000) / 1000.0 - 4.5 END AS lon,
+                       CASE WHEN event_id % 37 = 0
+                            THEN -85.0 + (event_id * 12345 % 170000) / 1000.0
+                            ELSE -33.0 + (event_id % 7) * 11.0
+                                 + (event_id * 40503 % 5000) / 1000.0 - 2.5 END AS lat
+                FROM events
+            ),
+            cells0 AS (
+                SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63)) AS cell_ix,
+                       greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63)) AS cell_iy
+                FROM pts
+            ),
+            core AS (
+                SELECT cell_ix, cell_iy,
+                       ({_spread_sql('cell_ix')} | ({_spread_sql('cell_iy')} << 1)) AS cell_id,
+                       count(*) AS n_points
+                FROM cells0 GROUP BY 1, 2 {having}
+            )"""
+
+
 def _geodesic_buffer_oracle_sql(geo_cte: str) -> str:
     # Identical constant folding to _q_geodesic_point_buffer: d computed the
     # same way from the same EARTH_RADIUS_KM, cos/sin folded in Python so
@@ -2217,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_maker_qtree": _q_grid_maker_qtree,
         "connected_components": _q_connected_components,
         "grid_hotspots": _q_grid_hotspots,
+        "grid_gi_star": _q_grid_gi_star,
         "raster_resample": _q_raster_resample,
         "dedup_exact": _q_dedup_exact,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2640,29 +2691,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
         """,
         "grid_hotspots": f"""
-            WITH RECURSIVE pts AS (
-                SELECT event_id,
-                       CASE WHEN event_id % 37 = 0
-                            THEN -180.0 + (event_id * 1103515245 % 360000) / 1000.0
-                            ELSE -150.0 + (event_id % 12) * 25.0
-                                 + (event_id * 2654435761 % 9000) / 1000.0 - 4.5 END AS lon,
-                       CASE WHEN event_id % 37 = 0
-                            THEN -85.0 + (event_id * 12345 % 170000) / 1000.0
-                            ELSE -33.0 + (event_id % 7) * 11.0
-                                 + (event_id * 40503 % 5000) / 1000.0 - 2.5 END AS lat
-                FROM events
-            ),
-            cells0 AS (
-                SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63)) AS cell_ix,
-                       greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63)) AS cell_iy
-                FROM pts
-            ),
-            core AS (
-                SELECT cell_ix, cell_iy,
-                       ({_spread_sql('cell_ix')} | ({_spread_sql('cell_iy')} << 1)) AS cell_id,
-                       count(*) AS n_points
-                FROM cells0 GROUP BY 1, 2 HAVING count(*) >= 3
-            ),
+            WITH RECURSIVE {_hotspot_core_sql(3)},
             adj AS (
                 SELECT a.cell_id AS u, b.cell_id AS v
                 FROM core a JOIN core b
@@ -2678,6 +2707,48 @@ def oracle_sql() -> dict[str, str]:
             labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
             SELECT core.cell_ix, core.cell_iy, core.cell_id, core.n_points, labels.cluster_id
             FROM core JOIN labels ON core.cell_id = labels.node
+        """,
+        "grid_gi_star": f"""
+            WITH {_hotspot_core_sql(1)},
+            g AS (
+                SELECT count(*) AS n, sum(n_points) AS sx,
+                       sum(n_points * n_points) AS sxx
+                FROM core
+            ),
+            nbr AS (
+                SELECT a.cell_id AS cell_id,
+                       sum(b.n_points) AS nbr_sum, count(*) AS nbr_cnt
+                FROM core a JOIN core b
+                  ON abs(a.cell_iy - b.cell_iy) <= 1
+                 AND ((a.cell_ix - b.cell_ix + 64) % 64) IN (0, 1, 63)
+                 AND a.cell_id <> b.cell_id
+                GROUP BY a.cell_id
+            ),
+            j AS (
+                SELECT core.cell_ix, core.cell_iy, core.cell_id, core.n_points,
+                       coalesce(nbr.nbr_sum, 0) AS nbr_sum,
+                       coalesce(nbr.nbr_cnt, 0) AS nbr_cnt,
+                       g.n, g.sx, g.sxx
+                FROM core LEFT JOIN nbr ON core.cell_id = nbr.cell_id, g
+            ),
+            sc AS (
+                SELECT cell_ix, cell_iy, cell_id, n_points, n,
+                       1 + nbr_cnt AS w_i,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                       CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS s2,
+                       CAST(1 + nbr_cnt AS DOUBLE) AS w,
+                       CAST(n_points + nbr_sum AS DOUBLE) AS gx
+                FROM j
+            )
+            SELECT cell_ix, cell_iy, cell_id, n_points, w_i,
+                   round(CASE WHEN n > 1 AND s2 > 0 AND den > 0
+                              THEN (gx - xbar * w) / den END, 6) AS gi_z
+            FROM (SELECT sc.*,
+                         sqrt(s2) * sqrt((nd * w - w * w) / (nd - 1.0)) AS den
+                  FROM sc)
         """,
         "grid_maker_trim": """
             SELECT r1.range AS cell_x, r2.range AS cell_y,

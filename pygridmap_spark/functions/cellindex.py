@@ -239,9 +239,20 @@ def morton_prefix(code: Column, levels_up: int) -> Column:
 
 
 def with_cell_index(df, z: int, lon: str = "lon", lat: str = "lat"):
-    """Append (cell_ix, cell_iy, cell_id) at zoom z."""
+    """Append (cell_ix, cell_iy, cell_id) at zoom z.
+
+    Two projection steps on purpose: the Morton spread references its
+    input ~2^6 times (each shift/mask stage doubles the fan-out), so
+    inlining the clamped CASE WHEN coordinate expressions — worse, any
+    big caller-side lon/lat expression underneath them — multiplies the
+    codegen source past Janino's 64KB method cap and the whole stage
+    silently falls back to interpreted. Staging (cell_ix, cell_iy) as
+    columns first keeps them single-evaluation locals in the fused
+    WholeStageCodegen (CollapseProject will not re-inline a non-cheap
+    expression used more than once)."""
     ix, iy = lonlat_to_cell_xy(F.col(lon), F.col(lat), z)
-    return df.withColumns({"cell_ix": ix, "cell_iy": iy, "cell_id": morton(ix, iy)})
+    df = df.withColumns({"cell_ix": ix, "cell_iy": iy})
+    return df.withColumn("cell_id", morton(F.col("cell_ix"), F.col("cell_iy")))
 
 
 def ring_offsets(radius: int) -> list[tuple[int, int]]:

@@ -60,8 +60,12 @@ def core_cells(
     One partially-aggregated shuffle over the facts; NULL cells (bad
     coordinates) are dropped."""
     idx = CI.with_cell_index(points, z, lon=lon, lat=lat)
+    # filter on cell_ix, not cell_id: NULL under exactly the same guard,
+    # but the predicate-pushed copy of the condition stays a few clamp ops
+    # instead of the 64x-fanout Morton spread (which blows the fused
+    # stage past Janino's 64 KB method cap -> silent interpreted fallback)
     return (
-        idx.filter(F.col("cell_id").isNotNull())
+        idx.filter(F.col("cell_ix").isNotNull())
         .groupBy("cell_ix", "cell_iy", "cell_id")
         .agg(F.count(F.lit(1)).alias("n_points"))
         .filter(F.col("n_points") >= F.lit(min_points))
@@ -152,4 +156,83 @@ def hotspot_stats(
             F.sum("n_points").alias("n_points"),
         )
         .orderBy("cluster_id")
+    )
+
+
+def gi_star_cells(
+    cells: DataFrame,
+    z: int,
+    value: str = "n_points",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-score per occupied cell (Ord & Getis 1995,
+    "Local Spatial Autocorrelation Statistics", public formula) with binary
+    8-neighbor + self weights on the Morton grid.
+
+    The universe is the OCCUPIED cell set (the sparse formulation): n, the
+    mean and the deviance are taken over cells that hold mass, and a
+    neighbor slot only contributes weight when that neighbor is occupied.
+    That is the only formulation whose cost is bounded by the occupied
+    set — zero-filling the 4^z ocean at z=20+ is a non-starter — and it
+    answers the sharper question "is this cell hot AMONG the populated
+    cells". Empty-as-zero semantics, when wanted, are one zero-fill union
+    away on a caller-bounded extent.
+
+        Gi*_i = (sum_j w_ij x_j - xbar * W_i)
+                / (s * sqrt((n * W_i - W_i^2) / (n - 1)))
+
+    with W_i = 1 + #occupied neighbors, xbar/s the global mean/population
+    stddev. NULL when the deviance is zero (all cells equal) or n == 1 —
+    never Infinity/NaN.
+
+    Plan shape: the input is a cell rollup (bounded <= 4^z, orders below
+    the fact table it came from — ``core_cells`` is the one facts pass).
+    Global moments are ONE tiny agg crossJoined back (single-row broadcast,
+    exact integer sums). The neighbor gather is the ``_neighbor_probes``
+    explode (x8) + one equi-join + one partial agg on the cell frame, so
+    the whole statistic never reshuffles the facts. East/west wraps the
+    antimeridian; a step past a pole has no cell (same contract as the
+    cluster labeling above).
+    """
+    x = F.col(value).cast("long")
+    base = cells.select("cell_ix", "cell_iy", "cell_id", x.alias("__x__"))
+    glob = base.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__x__").alias("__sx__"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"),
+    )
+    nbr_vals = base.select(
+        F.col("cell_ix").alias("nix"),
+        F.col("cell_iy").alias("niy"),
+        F.col("__x__").alias("__nx__"),
+    )
+    gathered = (
+        _neighbor_probes(base, z)
+        .join(nbr_vals, ["nix", "niy"])
+        .groupBy("cell_id")
+        .agg(
+            F.sum("__nx__").alias("__nbr_sum__"),
+            F.count(F.lit(1)).alias("__nbr_cnt__"),
+        )
+    )
+    j = (
+        base.join(gathered, "cell_id", "left")
+        .withColumn("__nbr_sum__", F.coalesce(F.col("__nbr_sum__"), F.lit(0)))
+        .withColumn("__nbr_cnt__", F.coalesce(F.col("__nbr_cnt__"), F.lit(0)))
+        .crossJoin(F.broadcast(glob))
+    )
+    n = F.col("__n__").cast("double")
+    xbar = F.col("__sx__").cast("double") / n
+    # population variance from exact integer sums: E[x^2] - E[x]^2
+    s2 = F.col("__sxx__").cast("double") / n - xbar * xbar
+    w = (F.lit(1) + F.col("__nbr_cnt__")).cast("double")
+    num = (F.col("__x__") + F.col("__nbr_sum__")).cast("double") - xbar * w
+    den = F.sqrt(s2) * F.sqrt((n * w - w * w) / (n - F.lit(1.0)))
+    gi = F.when((F.col("__n__") > 1) & (s2 > 0) & (den > 0), num / den)
+    return j.select(
+        "cell_ix",
+        "cell_iy",
+        "cell_id",
+        F.col("__x__").alias(value),
+        (F.lit(1) + F.col("__nbr_cnt__")).alias("w_i"),
+        gi.alias("gi_z"),
     )
