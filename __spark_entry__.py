@@ -45,6 +45,7 @@ from pygridmap_spark.functions import s2 as S2C
 from pygridmap_spark.functions import hexgrid as HX
 from pygridmap_spark.operators import knn_sphere as KS
 from pygridmap_spark.operators import hotspots as HS
+from pygridmap_spark.operators import spacetime as ST
 
 # chord threshold for the within_radius_s2 driver query (400 km), embedded
 # into the DuckDB oracle so both engines filter on the identical double
@@ -502,6 +503,7 @@ def _hotspot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_noise = (e % 37) == F.lit(0)
     return ev.select(
         "event_id",
+        "ts",
         F.when(is_noise, noise_lon).otherwise(blob_lon).alias("lon"),
         F.when(is_noise, noise_lat).otherwise(blob_lat).alias("lat"),
     )
@@ -534,6 +536,43 @@ def _q_grid_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
         "w_i",
         F.round(F.col("gi_z"), 6).alias("gi_z"),
+    )
+
+
+def _q_cell_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend per z=6 cell over the zero-filled daily
+    space-time cube (operators/spacetime) of the clustered point field —
+    exact integer S / tie sums, so the oracle hash-matches bit-for-bit."""
+    pts = _hotspot_points(spark, sf_dir)
+    cube = ST.zero_fill_cube(ST.space_time_cube(pts, z=6))
+    out = ST.mann_kendall_trend(cube)
+    return out.select(
+        "cell_id",
+        "t_bins",
+        "s_stat",
+        F.round(F.col("var_s"), 6).alias("var_s"),
+        F.round(F.col("mk_z"), 6).alias("mk_z"),
+    )
+
+
+def _q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArcGIS-style emerging-hotspot classification: per-slice Gi* on the
+    zero-filled cube, Mann-Kendall over each cell's gi_z series, final
+    slice decides current heat. The oracle restates the full composition
+    (cube -> per-bin Gi* -> MK -> classify) with identical double
+    expression trees; classification compares UNROUNDED scores on both
+    sides, rounding only the displayed columns."""
+    pts = _hotspot_points(spark, sf_dir)
+    out = ST.emerging_hotspots(pts, z=6)
+    return out.select(
+        "cell_ix",
+        "cell_iy",
+        "cell_id",
+        "t_bins",
+        F.round(F.col("mk_z"), 6).alias("mk_z"),
+        F.round(F.col("gi_last"), 6).alias("gi_last"),
+        "trend",
+        "category",
     )
 
 
@@ -1891,14 +1930,9 @@ def _spread_sql(col: str) -> str:
     return e
 
 
-def _hotspot_core_sql(min_points: int) -> str:
-    """CTE text (pts/cells0/core) shared by the grid_hotspots and
-    grid_gi_star oracles: the deterministic clustered point field of
-    `_hotspot_points` restated in SQL, rolled up to z=6 Morton cells."""
-    having = f"HAVING count(*) >= {min_points}" if min_points > 1 else ""
-    return f"""
+_HOTSPOT_PTS_SQL = """
             pts AS (
-                SELECT event_id,
+                SELECT event_id, ts,
                        CASE WHEN event_id % 37 = 0
                             THEN -180.0 + (event_id * 1103515245 % 360000) / 1000.0
                             ELSE -150.0 + (event_id % 12) * 25.0
@@ -1908,7 +1942,15 @@ def _hotspot_core_sql(min_points: int) -> str:
                             ELSE -33.0 + (event_id % 7) * 11.0
                                  + (event_id * 40503 % 5000) / 1000.0 - 2.5 END AS lat
                 FROM events
-            ),
+            )"""
+
+
+def _hotspot_core_sql(min_points: int) -> str:
+    """CTE text (pts/cells0/core) shared by the grid_hotspots and
+    grid_gi_star oracles: the deterministic clustered point field of
+    `_hotspot_points` restated in SQL, rolled up to z=6 Morton cells."""
+    having = f"HAVING count(*) >= {min_points}" if min_points > 1 else ""
+    return f"""{_HOTSPOT_PTS_SQL},
             cells0 AS (
                 SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63)) AS cell_ix,
                        greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63)) AS cell_iy
@@ -1919,6 +1961,68 @@ def _hotspot_core_sql(min_points: int) -> str:
                        ({_spread_sql('cell_ix')} | ({_spread_sql('cell_iy')} << 1)) AS cell_id,
                        count(*) AS n_points
                 FROM cells0 GROUP BY 1, 2 {having}
+            )"""
+
+
+def _spacetime_cube_sql() -> str:
+    """CTE text (pts/cube0/g/bins/cells/cube) for the space-time oracles:
+    daily-binned z=6 cell counts over the clustered point field, then the
+    zero-filled dense cube (every ever-occupied cell x every bin)."""
+    return f"""{_HOTSPOT_PTS_SQL},
+            cube0 AS (
+                SELECT cell_ix, cell_iy,
+                       ({_spread_sql('cell_ix')} | ({_spread_sql('cell_iy')} << 1)) AS cell_id,
+                       t_bin, count(*) AS n
+                FROM (
+                    SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63)) AS cell_ix,
+                           greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63)) AS cell_iy,
+                           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t_bin
+                    FROM pts WHERE ts IS NOT NULL
+                ) GROUP BY 1, 2, 3, 4
+            ),
+            bspan AS (SELECT min(t_bin) AS b0, max(t_bin) AS b1 FROM cube0),
+            bins(t_bin) AS (
+                SELECT b0 FROM bspan
+                UNION ALL
+                SELECT t_bin + 1 FROM bins, bspan WHERE t_bin < b1
+            ),
+            cellsd AS (SELECT DISTINCT cell_ix, cell_iy, cell_id FROM cube0),
+            cube AS (
+                SELECT c.cell_ix, c.cell_iy, c.cell_id, b.t_bin,
+                       coalesce(cube0.n, 0) AS n
+                FROM cellsd c CROSS JOIN bins b
+                LEFT JOIN cube0 ON cube0.cell_id = c.cell_id AND cube0.t_bin = b.t_bin
+            )"""
+
+
+def _mk_sql(src: str, x: str, rounded: bool = True) -> str:
+    """Mann-Kendall CTE tail over ``src(cell_id, t_bin, {x})`` — mirrors
+    operators/spacetime.mann_kendall_trend exactly (integer S and tie
+    sums; NULL scores pair to 0 and tie-group together)."""
+    mk = f"""CASE WHEN p.s_stat > 0 THEN CAST(p.s_stat - 1 AS DOUBLE) / sqrt(CAST(t.t_bins*(t.t_bins-1)*(2*t.t_bins+5) - t.tie_sum AS DOUBLE) / 18.0)
+                  WHEN p.s_stat < 0 THEN CAST(p.s_stat + 1 AS DOUBLE) / sqrt(CAST(t.t_bins*(t.t_bins-1)*(2*t.t_bins+5) - t.tie_sum AS DOUBLE) / 18.0)
+                  ELSE 0.0 END"""
+    return f"""
+            pairs AS (
+                SELECT a.cell_id,
+                       sum(CASE WHEN b.{x} > a.{x} THEN 1
+                                WHEN b.{x} < a.{x} THEN -1 ELSE 0 END) AS s_stat
+                FROM {src} a JOIN {src} b
+                  ON a.cell_id = b.cell_id AND a.t_bin < b.t_bin
+                GROUP BY 1
+            ),
+            ties AS (
+                SELECT cell_id, sum(tg) AS t_bins,
+                       sum(tg * (tg - 1) * (2 * tg + 5)) AS tie_sum
+                FROM (SELECT cell_id, {x}, count(*) AS tg FROM {src} GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            mk AS (
+                SELECT p.cell_id, t.t_bins, p.s_stat,
+                       CAST(t.t_bins*(t.t_bins-1)*(2*t.t_bins+5) - t.tie_sum AS DOUBLE) / 18.0 AS var_s,
+                       CASE WHEN t.t_bins*(t.t_bins-1)*(2*t.t_bins+5) - t.tie_sum > 0
+                            THEN {f'round({mk}, 6)' if rounded else mk} END AS mk_z
+                FROM pairs p JOIN ties t ON p.cell_id = t.cell_id
             )"""
 
 
@@ -2268,6 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "grid_hotspots": _q_grid_hotspots,
         "grid_gi_star": _q_grid_gi_star,
+        "cell_trend_mk": _q_cell_trend_mk,
+        "emerging_hotspots": _q_emerging_hotspots,
         "raster_resample": _q_raster_resample,
         "dedup_exact": _q_dedup_exact,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2707,6 +2813,76 @@ def oracle_sql() -> dict[str, str]:
             labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
             SELECT core.cell_ix, core.cell_iy, core.cell_id, core.n_points, labels.cluster_id
             FROM core JOIN labels ON core.cell_id = labels.node
+        """,
+        "cell_trend_mk": f"""
+            WITH RECURSIVE {_spacetime_cube_sql()},
+            {_mk_sql('cube', 'n', rounded=True)}
+            SELECT cell_id, t_bins, s_stat,
+                   round(var_s, 6) AS var_s, mk_z
+            FROM mk
+        """,
+        "emerging_hotspots": f"""
+            WITH RECURSIVE {_spacetime_cube_sql()},
+            gg AS (
+                SELECT t_bin, count(*) AS n_c, sum(n) AS sx,
+                       sum(n * n) AS sxx
+                FROM cube GROUP BY 1
+            ),
+            nbr AS (
+                SELECT a.t_bin AS t_bin, a.cell_id AS cell_id,
+                       sum(b.n) AS nbr_sum, count(*) AS nbr_cnt
+                FROM cube a JOIN cube b
+                  ON a.t_bin = b.t_bin
+                 AND abs(a.cell_iy - b.cell_iy) <= 1
+                 AND ((a.cell_ix - b.cell_ix + 64) % 64) IN (0, 1, 63)
+                 AND a.cell_id <> b.cell_id
+                GROUP BY 1, 2
+            ),
+            gj AS (
+                SELECT cube.cell_ix, cube.cell_iy, cube.cell_id, cube.t_bin, cube.n,
+                       coalesce(nbr.nbr_sum, 0) AS nbr_sum,
+                       coalesce(nbr.nbr_cnt, 0) AS nbr_cnt,
+                       gg.n_c, gg.sx, gg.sxx
+                FROM cube
+                LEFT JOIN nbr ON cube.cell_id = nbr.cell_id AND cube.t_bin = nbr.t_bin
+                JOIN gg ON cube.t_bin = gg.t_bin
+            ),
+            gsc AS (
+                SELECT cell_ix, cell_iy, cell_id, t_bin, n, n_c,
+                       CAST(n_c AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) / CAST(n_c AS DOUBLE) AS xbar,
+                       CAST(sxx AS DOUBLE) / CAST(n_c AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n_c AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n_c AS DOUBLE)) AS s2,
+                       CAST(1 + nbr_cnt AS DOUBLE) AS w,
+                       CAST(n + nbr_sum AS DOUBLE) AS gx
+                FROM gj
+            ),
+            gi AS (
+                SELECT cell_ix, cell_iy, cell_id, t_bin,
+                       CASE WHEN n_c > 1 AND s2 > 0 AND den > 0
+                            THEN (gx - xbar * w) / den END AS gi_z
+                FROM (SELECT gsc.*,
+                             sqrt(s2) * sqrt((nd * w - w * w) / (nd - 1.0)) AS den
+                      FROM gsc)
+            ),
+            {_mk_sql('gi', 'gi_z', rounded=False)},
+            lastb AS (SELECT max(t_bin) AS lb FROM gi),
+            glast AS (
+                SELECT gi.cell_ix, gi.cell_iy, gi.cell_id, gi.gi_z AS gi_last
+                FROM gi, lastb WHERE gi.t_bin = lastb.lb
+            )
+            SELECT g.cell_ix, g.cell_iy, g.cell_id, mk.t_bins,
+                   round(mk.mk_z, 6) AS mk_z, round(g.gi_last, 6) AS gi_last,
+                   CASE WHEN mk.mk_z >= 1.645 THEN 'up'
+                        WHEN mk.mk_z <= -1.645 THEN 'down'
+                        ELSE 'flat' END AS trend,
+                   CASE WHEN g.gi_last >= 1.645 AND mk.mk_z >= 1.645 THEN 'intensifying'
+                        WHEN g.gi_last >= 1.645 AND mk.mk_z <= -1.645 THEN 'diminishing'
+                        WHEN g.gi_last >= 1.645 THEN 'persistent'
+                        WHEN mk.mk_z >= 1.645 THEN 'emerging'
+                        ELSE 'none' END AS category
+            FROM glast g JOIN mk ON g.cell_id = mk.cell_id
         """,
         "grid_gi_star": f"""
             WITH {_hotspot_core_sql(1)},

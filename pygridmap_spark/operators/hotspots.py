@@ -72,9 +72,9 @@ def core_cells(
     )
 
 
-def _neighbor_probes(cells: DataFrame, z: int) -> DataFrame:
+def _neighbor_probes(cells: DataFrame, z: int, extra: tuple = ()) -> DataFrame:
     """Explode each core cell into its 8 neighbor keys (lon wraps, lat
-    clamps): columns (cell_id, nix, niy)."""
+    clamps): columns (*extra, cell_id, nix, niy)."""
     n = 1 << z
     probes = F.array(
         *[
@@ -86,8 +86,13 @@ def _neighbor_probes(cells: DataFrame, z: int) -> DataFrame:
         ]
     )
     return (
-        cells.select("cell_id", F.explode(probes).alias("p"))
-        .select("cell_id", F.col("p.nix").alias("nix"), F.col("p.niy").alias("niy"))
+        cells.select(*extra, "cell_id", F.explode(probes).alias("p"))
+        .select(
+            *extra,
+            "cell_id",
+            F.col("p.nix").alias("nix"),
+            F.col("p.niy").alias("niy"),
+        )
         .filter((F.col("niy") >= 0) & (F.col("niy") < F.lit(n)))
     )
 
@@ -163,6 +168,7 @@ def gi_star_cells(
     cells: DataFrame,
     z: int,
     value: str = "n_points",
+    by: str | None = None,
 ) -> DataFrame:
     """Getis-Ord Gi* hotspot z-score per occupied cell (Ord & Getis 1995,
     "Local Spatial Autocorrelation Statistics", public formula) with binary
@@ -192,34 +198,42 @@ def gi_star_cells(
     the whole statistic never reshuffles the facts. East/west wraps the
     antimeridian; a step past a pole has no cell (same contract as the
     cluster labeling above).
+
+    ``by`` partitions the statistic: the universe, moments and neighbor
+    gather are all scoped per distinct ``by`` value (e.g. the time-bin
+    column of a space-time cube — each slice gets its own Gi* field; the
+    moments frame is |by|-rows and stays a broadcast).
     """
+    keys = [by] if by else []
     x = F.col(value).cast("long")
-    base = cells.select("cell_ix", "cell_iy", "cell_id", x.alias("__x__"))
-    glob = base.agg(
+    base = cells.select(*keys, "cell_ix", "cell_iy", "cell_id", x.alias("__x__"))
+    aggs = [
         F.count(F.lit(1)).alias("__n__"),
         F.sum("__x__").alias("__sx__"),
         F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"),
-    )
+    ]
+    glob = base.groupBy(*keys).agg(*aggs) if keys else base.agg(*aggs)
     nbr_vals = base.select(
+        *keys,
         F.col("cell_ix").alias("nix"),
         F.col("cell_iy").alias("niy"),
         F.col("__x__").alias("__nx__"),
     )
     gathered = (
-        _neighbor_probes(base, z)
-        .join(nbr_vals, ["nix", "niy"])
-        .groupBy("cell_id")
+        _neighbor_probes(base, z, extra=tuple(keys))
+        .join(nbr_vals, keys + ["nix", "niy"])
+        .groupBy(*keys, "cell_id")
         .agg(
             F.sum("__nx__").alias("__nbr_sum__"),
             F.count(F.lit(1)).alias("__nbr_cnt__"),
         )
     )
     j = (
-        base.join(gathered, "cell_id", "left")
+        base.join(gathered, keys + ["cell_id"], "left")
         .withColumn("__nbr_sum__", F.coalesce(F.col("__nbr_sum__"), F.lit(0)))
         .withColumn("__nbr_cnt__", F.coalesce(F.col("__nbr_cnt__"), F.lit(0)))
-        .crossJoin(F.broadcast(glob))
     )
+    j = j.join(F.broadcast(glob), keys) if keys else j.crossJoin(F.broadcast(glob))
     n = F.col("__n__").cast("double")
     xbar = F.col("__sx__").cast("double") / n
     # population variance from exact integer sums: E[x^2] - E[x]^2
@@ -229,6 +243,7 @@ def gi_star_cells(
     den = F.sqrt(s2) * F.sqrt((n * w - w * w) / (n - F.lit(1.0)))
     gi = F.when((F.col("__n__") > 1) & (s2 > 0) & (den > 0), num / den)
     return j.select(
+        *keys,
         "cell_ix",
         "cell_iy",
         "cell_id",
