@@ -2107,6 +2107,75 @@ def _travel_oracle_sql() -> str:
     """
 
 
+def _stay_points_oracle_sql() -> str:
+    # Mirrors _q_stay_points end-to-end: the planted anchor-block field,
+    # the gc_distance_m haversine (same shape as _travel_oracle_sql), the
+    # break-flag running sum, and the exact micro-degree decimal centroid.
+    from pygridmap_spark.functions.geodesy import EARTH_RADIUS_M
+
+    two_r = 2.0 * EARTH_RADIUS_M
+    hav = """
+        pow(sin((radians(lat) - radians(plat)) / 2.0), 2)
+        + cos(radians(plat)) * cos(radians(lat))
+          * pow(sin((radians(lon) - radians(plon)) / 2.0), 2)
+    """
+    return f"""
+        WITH pts AS (
+            SELECT user_id, event_id, ts,
+                   -170.0 + ((user_id * 2654435761
+                              + CAST(floor(epoch(ts) / 432000) AS BIGINT) * 131)
+                             % 3400000) / 10000.0
+                          + ((event_id * 1103515245) % 200) / 1000000.0 AS lon,
+                   -60.0 + ((user_id * 40503
+                             + CAST(floor(epoch(ts) / 432000) AS BIGINT) * 97)
+                            % 1200000) / 10000.0
+                         + ((event_id * 12345) % 200) / 1000000.0 AS lat
+            FROM events
+        ),
+        lagd AS (
+            SELECT user_id, event_id, ts, lon, lat,
+                   lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hops AS (
+            SELECT user_id, event_id, ts, lon, lat, gap_s,
+                   {two_r!r} * asin(
+                       CASE WHEN sqrt({hav}) > 1.0 THEN 1.0
+                            ELSE sqrt({hav}) END) AS hop_m
+            FROM lagd
+        ),
+        segs AS (
+            SELECT user_id, ts, lon, lat,
+                   sum(CASE WHEN hop_m IS NULL OR hop_m > 200.0
+                                 OR gap_s > 172800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS seg_id
+            FROM hops
+        ),
+        agg AS (
+            SELECT user_id, seg_id, count(*) AS n_pings,
+                   min(ts) AS t_start, max(ts) AS t_end,
+                   sum(CAST(round(lon, 6) AS DECIMAL(21,6))) AS slon,
+                   sum(CAST(round(lat, 6) AS DECIMAL(21,6))) AS slat
+            FROM segs GROUP BY 1, 2
+        )
+        SELECT user_id, seg_id, n_pings,
+               CAST(floor(epoch(t_start)) AS BIGINT) AS t_start_epoch,
+               CAST(floor(epoch(t_end)) AS BIGINT) AS t_end_epoch,
+               CAST(floor(epoch(t_end)) AS BIGINT)
+                 - CAST(floor(epoch(t_start)) AS BIGINT) AS dwell_s,
+               round(CAST(slon AS DOUBLE) / n_pings, 6) AS ctr_lon,
+               round(CAST(slat AS DOUBLE) / n_pings, 6) AS ctr_lat
+        FROM agg
+        WHERE CAST(floor(epoch(t_end)) AS BIGINT)
+                 - CAST(floor(epoch(t_start)) AS BIGINT) >= 43200
+    """
+
+
 def _geohash_chars_sql(code: str, p: int) -> str:
     # base-32 geohash digits of a 5*p-bit code, MSB group first — mirrors
     # cellindex.geohash's conv+translate with explicit per-char indexing
@@ -2219,6 +2288,47 @@ def _q_user_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hops",
         F.round("travel_m", 3).alias("travel_m"),
         F.round("max_hop_m", 3).alias("max_hop_m"),
+    )
+
+
+def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (operators/trajectories.stay_points) over a
+    planted anchor-block trajectory field: each user dwells near a
+    deterministic anchor for a 5-day epoch block (metre-scale jitter per
+    event), teleporting between blocks — so stays are real and breaks are
+    real. The oracle restates the identical haversine, segmentation
+    cumsum, and exact decimal centroid in DuckDB window SQL."""
+    from pygridmap_spark.operators import trajectories as _TJ
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(432000)).cast("long")
+    u, e = F.col("user_id"), F.col("event_id")
+    lat = (
+        F.lit(-60.0)
+        + ((u * F.lit(40503) + a * F.lit(97)) % F.lit(1200000)).cast("double")
+        / F.lit(10000.0)
+        + ((e * F.lit(12345)) % F.lit(200)).cast("double") / F.lit(1000000.0)
+    )
+    lon = (
+        F.lit(-170.0)
+        + ((u * F.lit(2654435761) + a * F.lit(131)) % F.lit(3400000)).cast("double")
+        / F.lit(10000.0)
+        + ((e * F.lit(1103515245)) % F.lit(200)).cast("double") / F.lit(1000000.0)
+    )
+    pts = ev.select("user_id", "event_id", "ts", lon.alias("lon"), lat.alias("lat"))
+    out = _TJ.stay_points(
+        pts, radius_m=200.0, max_gap_s=172800, min_dwell_s=43200,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "seg_id",
+        "n_pings",
+        F.unix_timestamp(F.col("t_start")).alias("t_start_epoch"),
+        F.unix_timestamp(F.col("t_end")).alias("t_end_epoch"),
+        "dwell_s",
+        F.round(F.col("ctr_lon"), 6).alias("ctr_lon"),
+        F.round(F.col("ctr_lat"), 6).alias("ctr_lat"),
     )
 
 
@@ -2432,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_neighbors": _q_geohash_neighbors,
         "geodesic_point_buffer": _q_geodesic_point_buffer,
         "user_travel_distance": _q_user_travel_distance,
+        "stay_points": _q_stay_points,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -4527,6 +4638,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "user_travel_distance": _travel_oracle_sql(),
+        "stay_points": _stay_points_oracle_sql(),
         "raster_point_sample": """
             WITH pts AS (
                 SELECT event_id,

@@ -71,3 +71,76 @@ def travel_stats(
         .alias("travel_m"),
         F.max(F.round(F.col("hop_m"), 3)).alias("max_hop_m"),
     )
+
+
+def stay_points(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    radius_m: float = 200.0,
+    max_gap_s: int = 3600,
+    min_dwell_s: int = 900,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Stay-point / dwell detection: maximal runs of consecutive pings
+    where every hop stays within ``radius_m`` and no time gap exceeds
+    ``max_gap_s``, kept when the run spans at least ``min_dwell_s``.
+    Returns per (entity, seg_id): ``n_pings, t_start, t_end, dwell_s,
+    ctr_lon, ctr_lat`` (the centroid via exact micro-degree-rounded
+    decimal sums — the repo-wide cross-engine invariant).
+
+    This is the successive-hop variant of the classic stay-point scan
+    (Li et al. 2008, "Mining user similarity based on location history" —
+    public; their anchor-distance variant is order-sequential and
+    anti-Spark): a segment breaks on the FIRST ping that moved more than
+    the radius since the previous one. For dwell detection at sensible
+    ping rates the two agree; the hop form is one lag + one running sum
+    in the SAME entity/ts window the hop distance already shuffled for —
+    so the whole operator is still exactly ONE exchange at any scale,
+    and the per-segment rollup rides the window's co-partitioning.
+
+    Rows with NULL/NaN coordinates produce NULL hops, which BREAK the
+    segment (a blind spot is not evidence of staying); filter them
+    upstream if they should be transparent. seg_id numbers every raw
+    segment 1..k per entity — gaps in the surviving ids reveal discarded
+    travel segments, deliberately.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    hops = with_hop_distance(df, entity_col, ts_col, lon, lat, tiebreak)
+    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    is_break = (
+        F.col("hop_m").isNull()
+        | (F.col("hop_m") > F.lit(float(radius_m)))
+        | (gap_s > F.lit(int(max_gap_s)))
+    )
+    segd = hops.withColumn(
+        "seg_id", F.sum(F.when(is_break, 1).otherwise(0)).over(w)
+    )
+    dec6 = lambda c: F.round(F.col(c), 6).cast("decimal(21,6)")  # noqa: E731
+    out = segd.groupBy(entity_col, "seg_id").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+        F.sum(dec6(lon)).alias("__slon__"),
+        F.sum(dec6(lat)).alias("__slat__"),
+    )
+    dwell = F.unix_timestamp(F.col("t_end")) - F.unix_timestamp(F.col("t_start"))
+    return (
+        out.withColumn("dwell_s", dwell)
+        .filter(F.col("dwell_s") >= F.lit(int(min_dwell_s)))
+        .select(
+            entity_col,
+            "seg_id",
+            "n_pings",
+            "t_start",
+            "t_end",
+            "dwell_s",
+            (F.col("__slon__").cast("double") / F.col("n_pings")).alias("ctr_lon"),
+            (F.col("__slat__").cast("double") / F.col("n_pings")).alias("ctr_lat"),
+        )
+    )
