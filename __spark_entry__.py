@@ -2291,6 +2291,24 @@ def _q_user_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_s2_compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-set compaction (functions/s2.compact_cells — the H3
+    compactCells / S2 CellUnion.Normalize analog) over a level-8 set on
+    face 2: a dense aligned block (event_id % 1024 — fuses up 5 levels
+    wherever coverage is complete) plus a sparse tail (mostly survives at
+    level 8, with incidental sibling fusions). The oracle restates the
+    non-iterative coarsest-complete-ancestor formulation in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    base = F.lit(2 << 16)
+    block = ev.select((base + (e % F.lit(1024))).alias("compact"))
+    sparse = ev.filter(e % 5 == F.lit(0)).select(
+        (base + F.lit(1024) + (e * F.lit(7919)) % F.lit(60000)).alias("compact")
+    )
+    out = S2C.compact_cells(block.unionByName(sparse), level=8)
+    return out.select(F.col("level").cast("long").alias("level"), "compact")
+
+
 def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stay-point detection (operators/trajectories.stay_points) over a
     planted anchor-block trajectory field: each user dwells near a
@@ -2543,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_point_buffer": _q_geodesic_point_buffer,
         "user_travel_distance": _q_user_travel_distance,
         "stay_points": _q_stay_points,
+        "s2_compact_cells": _q_s2_compact_cells,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -4639,6 +4658,35 @@ def oracle_sql() -> dict[str, str]:
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "user_travel_distance": _travel_oracle_sql(),
         "stay_points": _stay_points_oracle_sql(),
+        "s2_compact_cells": """
+            WITH cells AS (
+                SELECT DISTINCT compact FROM (
+                    SELECT 131072 + (event_id % 1024) AS compact FROM events
+                    UNION ALL
+                    SELECT 131072 + 1024 + (event_id * 7919) % 60000 AS compact
+                    FROM events WHERE event_id % 5 = 0
+                )
+            ),
+            lv AS (SELECT range AS lvl FROM range(0, 9)),
+            cand AS (
+                SELECT c.compact, l.lvl,
+                       c.compact >> CAST(2 * (8 - l.lvl) AS INTEGER) AS anc
+                FROM cells c, lv l
+            ),
+            complete AS (
+                SELECT lvl, anc FROM cand GROUP BY lvl, anc
+                HAVING count(*) = (CAST(1 AS BIGINT) << CAST(2 * (8 - lvl) AS INTEGER))
+            ),
+            best AS (
+                SELECT cand.compact AS c, min(cand.lvl) AS level
+                FROM cand JOIN complete
+                  ON cand.lvl = complete.lvl AND cand.anc = complete.anc
+                GROUP BY 1
+            )
+            SELECT DISTINCT level,
+                   c >> CAST(2 * (8 - level) AS INTEGER) AS compact
+            FROM best
+        """,
         "raster_point_sample": """
             WITH pts AS (
                 SELECT event_id,

@@ -1555,3 +1555,101 @@ def polyfill(
                 yield pd.concat(parts, ignore_index=True)
 
     return joined.mapInPandas(_containment_classify, cls_schema)
+
+
+# --- cell-set compaction (the H3 compactCells / S2 CellUnion.Normalize
+#     analog) -----------------------------------------------------------------
+
+
+def compact_cells(
+    cells: DataFrame,
+    level: int,
+    min_level: int = 0,
+    compact_col: str = "compact",
+) -> DataFrame:
+    """Compact a set of level-``level`` cells: replace every COMPLETE
+    sibling subtree by its ancestor, as coarsely as possible. Returns
+    ``(level, compact)`` rows — the minimal mixed-level cover of exactly
+    the input set (``uncompact_cells`` is the exact inverse; the
+    round-trip is property-tested).
+
+    Non-iterative formulation (no 30-round loop): with all inputs at one
+    level, the level-``a`` ancestor of a cell is complete iff EXACTLY
+    ``4^(level-a)`` distinct input cells share it — and completeness is
+    monotone (a full subtree has full child subtrees), so each cell's
+    answer is its COARSEST complete ancestor. That is: one explode by
+    the (level - min_level + 1) candidate levels, one count per
+    ancestor, one semi-join back, one min per cell — four bounded
+    shuffles on the CELL set, zero driver-side rounds, no
+    localCheckpoint chain. ``min_level`` bounds the explode (and how
+    coarse the output may get); the default 0 allows whole-face fusion.
+
+    Input cells must be distinct and level-homogeneous (enforced with
+    ``.distinct()``; mixed-level inputs need uncompact-to-max first).
+    """
+    if not 0 <= min_level <= level:
+        raise ValueError("need 0 <= min_level <= level")
+    src = cells.select(F.col(compact_col).alias("__c__")).distinct()
+    anc = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("lvl"),
+                F.shiftright(F.col("__c__"), 2 * (level - a)).alias("anc"),
+            )
+            for a in range(min_level, level + 1)
+        ]
+    )
+    cand = src.select("__c__", F.explode(anc).alias("p")).select(
+        "__c__", F.col("p.lvl").alias("lvl"), F.col("p.anc").alias("anc")
+    )
+    full = F.lit(None).cast("long")
+    for a in range(min_level, level + 1):
+        full = F.when(F.col("lvl") == a, F.lit(1 << (2 * (level - a)))).otherwise(full)
+    complete = (
+        cand.groupBy("lvl", "anc")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") == full)
+        .select("lvl", "anc")
+    )
+    best = (
+        cand.join(complete, ["lvl", "anc"])
+        .groupBy("__c__")
+        .agg(F.min("lvl").alias("level"))
+    )
+    # variable shift as a bounded CASE chain (the shiftright wrapper takes
+    # only literal amounts; the level domain is <= 31 branches)
+    anc_at = F.lit(None).cast("long")
+    for a in range(min_level, level + 1):
+        anc_at = F.when(
+            F.col("level") == a, F.shiftright(F.col("__c__"), 2 * (level - a))
+        ).otherwise(anc_at)
+    out = best.select("level", anc_at.alias(compact_col))
+    return out.distinct()
+
+
+def uncompact_cells(
+    df: DataFrame,
+    level: int,
+    level_col: str = "level",
+    compact_col: str = "compact",
+) -> DataFrame:
+    """Expand a mixed-level ``(level, compact)`` cell set to uniform
+    ``level``: each cell explodes to its ``4^(level - cell_level)``
+    descendants (``(compact << 2d) + k``). Pure Catalyst sequence/explode;
+    the fan-out is the caller's contract (a level-0 face at level 15 is a
+    billion rows — uncompact at the level you mean to join at)."""
+    n = F.lit(None).cast("long")
+    base = F.lit(None).cast("long")
+    for a in range(0, level + 1):
+        d = level - a
+        n = F.when(F.col(level_col) == a, F.lit(1 << (2 * d)).cast("long")).otherwise(n)
+        base = F.when(
+            F.col(level_col) == a, F.shiftleft(F.col(compact_col), 2 * d)
+        ).otherwise(base)
+    return (
+        df.select(
+            base.alias("__b__"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("__k__"),
+        )
+        .select((F.col("__b__") + F.col("__k__")).alias(compact_col))
+    )
