@@ -2107,6 +2107,59 @@ def _travel_oracle_sql() -> str:
     """
 
 
+def _idw_oracle_sql() -> str:
+    # Mirrors _q_idw_interpolation: hashed sample field, z=7 Morton cells,
+    # 3x3 disk gather with antimeridian wrap, gc_distance_m haversine
+    # floored at 1 mm, inverse-square weights, round-6 estimate.
+    from pygridmap_spark.functions.geodesy import EARTH_RADIUS_M
+
+    two_r = 2.0 * EARTH_RADIUS_M
+    hav = """
+        pow(sin((radians(slat) - radians(clat)) / 2.0), 2)
+        + cos(radians(clat)) * cos(radians(slat))
+          * pow(sin((radians(slon) - radians(clon)) / 2.0), 2)
+    """
+    return f"""
+        WITH pts AS (
+            SELECT -20.0 + (event_id * 48271 % 400000) / 10000.0 AS lon,
+                   -15.0 + (event_id * 69621 % 300000) / 10000.0 AS lat
+            FROM events
+        ),
+        s AS (
+            SELECT greatest(0, least(CAST(floor((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 127)) AS nix,
+                   greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * 128.0) AS BIGINT), 127)) AS niy,
+                   lon AS slon, lat AS slat,
+                   lon * 0.5 + lat * lat * 0.1 AS v
+            FROM pts
+        ),
+        tg AS (SELECT DISTINCT nix AS cell_ix, niy AS cell_iy FROM s),
+        probes AS (
+            SELECT cell_ix, cell_iy,
+                   (cell_ix + dx.d + 128) % 128 AS nix,
+                   cell_iy + dy.d AS niy
+            FROM tg, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+            WHERE cell_iy + dy.d BETWEEN 0 AND 127
+        ),
+        g AS (
+            SELECT p.cell_ix, p.cell_iy, s.slon, s.slat, s.v,
+                   -180.0 + (p.cell_ix + 0.5) * 360.0 / 128.0 AS clon,
+                   -90.0 + (p.cell_iy + 0.5) * 180.0 / 128.0 AS clat
+            FROM probes p JOIN s ON s.nix = p.nix AND s.niy = p.niy
+        ),
+        wts AS (
+            SELECT cell_ix, cell_iy, v,
+                   1.0 / pow(greatest(
+                       {two_r!r} * asin(CASE WHEN sqrt({hav}) > 1.0 THEN 1.0
+                                             ELSE sqrt({hav}) END),
+                       0.001), 2.0) AS w
+            FROM g
+        )
+        SELECT cell_ix, cell_iy, count(*) AS n_samples,
+               round(sum(w * v) / sum(w), 6) AS est
+        FROM wts GROUP BY 1, 2
+    """
+
+
 def _stay_points_oracle_sql() -> str:
     # Mirrors _q_stay_points end-to-end: the planted anchor-block field,
     # the gc_distance_m haversine (same shape as _travel_oracle_sql), the
@@ -2288,6 +2341,30 @@ def _q_user_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hops",
         F.round("travel_m", 3).alias("travel_m"),
         F.round("max_hop_m", 3).alias("max_hop_m"),
+    )
+
+
+def _q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW grid interpolation (operators/interpolate) of a smooth
+    deterministic field sampled at hashed points in a [-20,20)x[-15,15)
+    region, estimated at every occupied z=7 cell from its 3x3 disk.
+    Oracle restates the gather join, haversine, floor, and
+    inverse-square weights; round-6 on the estimate absorbs summation
+    order."""
+    from pygridmap_spark.operators import interpolate as _IDW
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    lon = F.lit(-20.0) + ((e * F.lit(48271)) % F.lit(400000)).cast("double") / F.lit(10000.0)
+    lat = F.lit(-15.0) + ((e * F.lit(69621)) % F.lit(300000)).cast("double") / F.lit(10000.0)
+    pts = ev.select(lon.alias("lon"), lat.alias("lat")).select(
+        "lon",
+        "lat",
+        (F.col("lon") * F.lit(0.5) + F.col("lat") * F.col("lat") * F.lit(0.1)).alias("v"),
+    )
+    out = _IDW.idw_interpolate(pts, z=7, ring=1, power=2.0)
+    return out.select(
+        "cell_ix", "cell_iy", "n_samples", F.round(F.col("est"), 6).alias("est")
     )
 
 
@@ -2562,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_travel_distance": _q_user_travel_distance,
         "stay_points": _q_stay_points,
         "s2_compact_cells": _q_s2_compact_cells,
+        "idw_interpolation": _q_idw_interpolation,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -4658,6 +4736,7 @@ def oracle_sql() -> dict[str, str]:
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "user_travel_distance": _travel_oracle_sql(),
         "stay_points": _stay_points_oracle_sql(),
+        "idw_interpolation": _idw_oracle_sql(),
         "s2_compact_cells": """
             WITH cells AS (
                 SELECT DISTINCT compact FROM (
