@@ -1829,6 +1829,21 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 retrieval (operators/textstats.bm25_topk) for a fixed
+    4-term query over the documents corpus. Oracle restates the token
+    pipeline, Lucene idf, and length normalization with identical folded
+    constants; ranks come from unrounded scores on both engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TS.bm25_topk(docs, ["hash", "join", "vector", "broadcast"], k=25)
+    return out.select(
+        "doc_id",
+        "n_terms",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate line removal (MassiveText line dedup):
     every even doc gets an injected 'SHARED HEADER' first line, which
@@ -2626,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
+        "bm25_topk": _q_bm25_topk,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -4619,6 +4635,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
             FROM toks GROUP BY term
             ORDER BY tf DESC, term LIMIT 200
+        """,
+        "bm25_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, t AS term
+                FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+                     unnest(ts) AS u(t)
+                WHERE t != ''
+            ),
+            dt AS (SELECT doc_id, term, count(*) AS tf_dt FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf_dt) AS dl FROM dt GROUP BY 1),
+            g AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+            qt AS (SELECT * FROM dt
+                   WHERE term IN ('hash', 'join', 'vector', 'broadcast')),
+            dfq AS (SELECT term, count(*) AS dft FROM qt GROUP BY 1),
+            sc AS (
+                SELECT qt.doc_id,
+                       ln((CAST(n AS DOUBLE) - CAST(dft AS DOUBLE) + 0.5)
+                          / (CAST(dft AS DOUBLE) + 0.5) + 1.0)
+                       * CAST(tf_dt AS DOUBLE)
+                       / (CAST(tf_dt AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                   / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+                       AS contrib
+                FROM qt JOIN dfq ON qt.term = dfq.term
+                JOIN dl ON qt.doc_id = dl.doc_id, g
+            ),
+            scores AS (
+                SELECT doc_id, count(*) AS n_terms, sum(contrib) AS score
+                FROM sc GROUP BY 1
+            ),
+            top AS (
+                SELECT doc_id, n_terms, score
+                FROM scores ORDER BY score DESC, doc_id LIMIT 25
+            )
+            SELECT doc_id, n_terms, round(score, 6) AS score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM top
         """,
         "overlay_rule_max": """
             WITH base AS (
