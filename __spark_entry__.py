@@ -544,7 +544,8 @@ def _q_cell_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-time cube (operators/spacetime) of the clustered point field —
     exact integer S / tie sums, so the oracle hash-matches bit-for-bit."""
     pts = _hotspot_points(spark, sf_dir)
-    cube = ST.zero_fill_cube(ST.space_time_cube(pts, z=6))
+    # MK consumes the cube twice (pairs + ties): materialize the bounded frame
+    cube = ST.zero_fill_cube(ST.space_time_cube(pts, z=6)).localCheckpoint(eager=True)
     out = ST.mann_kendall_trend(cube)
     return out.select(
         "cell_id",

@@ -85,6 +85,13 @@ HEADLINE = [
     "geodesic_point_buffer",
     "user_travel_distance",
     "grid_hotspots",
+    # round-5 continuation: grid analytics + retrieval family
+    "grid_gi_star",
+    "emerging_hotspots",
+    "stay_points",
+    "s2_compact_cells",
+    "idw_interpolation",
+    "bm25_topk",
 ]
 
 

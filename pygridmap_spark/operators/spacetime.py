@@ -61,13 +61,20 @@ def space_time_cube(
     )
 
 
-def zero_fill_cube(cube: DataFrame) -> DataFrame:
+def zero_fill_cube(cube: DataFrame, materialize: bool = True) -> DataFrame:
     """Densify: every (ever-occupied cell) x (every bin in [min, max])
     gets a row, absent combinations with n = 0. A trend test without the
     zero slices is blind to exactly the cells that emerge (their early
     bins are missing, not zero). Cost: |cells| x |bins| rows — the cube's
     own bound; both dimension frames are tiny aggregates/distincts and
-    the fill is a broadcastable cross of the two."""
+    the fill is a broadcastable cross of the two.
+
+    The input feeds THREE plan branches (cell dim, bin span, the join
+    back); ``materialize`` (default) localCheckpoints it so the facts
+    pass underneath runs once, not three times — pass False only if the
+    input is already materialized."""
+    if materialize:
+        cube = cube.localCheckpoint(eager=True)
     cells = cube.select("cell_ix", "cell_iy", "cell_id").distinct()
     bins = (
         cube.agg(F.min("t_bin").alias("b0"), F.max("t_bin").alias("b1"))
@@ -186,10 +193,14 @@ def emerging_hotspots(
     pairs as no-evidence (sign comparisons with NULL are NULL -> summed
     as 0) and the tie correction groups NULLs together, so degenerate
     slices dilute rather than poison the trend."""
+    # both frames are bounded (|cells| x |bins|) and multi-consumer: the
+    # cube feeds the per-bin Gi* three ways (moments, neighbor gather,
+    # base) and gi feeds MK pairs + ties + the last slice — materialize
+    # once instead of re-running the facts pass per consumer
     cube = zero_fill_cube(
         space_time_cube(points, z, ts=ts, bin_seconds=bin_seconds, lon=lon, lat=lat)
-    )
-    gi = HS.gi_star_cells(cube, z, value="n", by="t_bin")
+    ).localCheckpoint(eager=True)
+    gi = HS.gi_star_cells(cube, z, value="n", by="t_bin").localCheckpoint(eager=True)
     trend = mann_kendall_trend(gi, cell="cell_id", t="t_bin", x="gi_z")
     last_bin = gi.agg(F.max("t_bin").alias("__lb__"))
     gi_last = (
