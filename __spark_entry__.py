@@ -2402,6 +2402,31 @@ def _q_s2_compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("level").cast("long").alias("level"), "compact")
 
 
+def _q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.asof_join): every 'page event'
+    (event_id % 7 != 0) enriched with the latest 'snapshot' row
+    (event_id % 7 == 0) at-or-before it for the same user, within a
+    7-day tolerance. The oracle is DuckDB's NATIVE ASOF JOIN — a fully
+    independent implementation of the same semantics."""
+    from pygridmap_spark.operators import temporal as _TMP
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 7 != 0).select("user_id", "event_id", "ts")
+    right = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("ref_id")
+    )
+    out = _TMP.asof_join(left, right, on="ts", by="user_id", tolerance_s=604800)
+    age = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("ts_r"))
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts")).alias("ts_epoch"),
+        "ref_id",
+        F.unix_timestamp(F.col("ts_r")).alias("ref_ts_epoch"),
+        age.alias("age_s"),
+    )
+
+
 def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stay-point detection (operators/trajectories.stay_points) over a
     planted anchor-block trajectory field: each user dwells near a
@@ -2657,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": _q_stay_points,
         "s2_compact_cells": _q_s2_compact_cells,
         "idw_interpolation": _q_idw_interpolation,
+        "asof_enrich": _q_asof_enrich,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -4791,6 +4817,29 @@ def oracle_sql() -> dict[str, str]:
         "user_travel_distance": _travel_oracle_sql(),
         "stay_points": _stay_points_oracle_sql(),
         "idw_interpolation": _idw_oracle_sql(),
+        "asof_enrich": """
+            WITH l AS (
+                SELECT user_id, event_id, ts FROM events WHERE event_id % 7 != 0
+            ),
+            r AS (
+                SELECT user_id, ts, event_id AS ref_id FROM events
+                WHERE event_id % 7 = 0
+            ),
+            m AS (
+                SELECT l.user_id, l.event_id, l.ts AS lts, r.ts AS rts, r.ref_id,
+                       CAST(floor(epoch(l.ts)) AS BIGINT)
+                         - CAST(floor(epoch(r.ts)) AS BIGINT) AS age_s
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts
+            )
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(lts)) AS BIGINT) AS ts_epoch,
+                   CASE WHEN age_s >= 0 AND age_s <= 604800 THEN ref_id END AS ref_id,
+                   CASE WHEN age_s >= 0 AND age_s <= 604800
+                        THEN CAST(floor(epoch(rts)) AS BIGINT) END AS ref_ts_epoch,
+                   CASE WHEN age_s >= 0 AND age_s <= 604800 THEN age_s END AS age_s
+            FROM m
+        """,
         "s2_compact_cells": """
             WITH cells AS (
                 SELECT DISTINCT compact FROM (

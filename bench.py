@@ -92,6 +92,7 @@ HEADLINE = [
     "s2_compact_cells",
     "idw_interpolation",
     "bm25_topk",
+    "asof_enrich",
 ]
 
 
