@@ -2427,6 +2427,43 @@ def _q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/temporal.interval_join): two
+    deterministic interval tables derived from `events` (multiplicative-
+    hash starts over a 1M domain, data-dependent lengths, a 3-way equi
+    key) joined on closed-interval overlap. The operator runs the BINNED
+    range join (explode-to-bins + first-overlap-bin dedup); the oracle is
+    DuckDB's planner running the raw inequality predicate — fully
+    independent physical strategies, same relation."""
+    from pygridmap_spark.operators import temporal as _TMP
+
+    ev = _t(spark, sf_dir, "events")
+    e, u = F.col("event_id"), F.col("user_id")
+    left = ev.filter(e % 17 == 0).select(
+        e.alias("lid"),
+        (u % 3).alias("k"),
+        ((e * F.lit(2654435761)) % F.lit(1000000)).alias("l_start"),
+        ((e * F.lit(2654435761)) % F.lit(1000000) + 1 + e % 900).alias("l_end"),
+    )
+    right = ev.filter(e % 19 == 1).select(
+        e.alias("rid"),
+        (u % 3).alias("k"),
+        ((e * F.lit(2246822519)) % F.lit(1000000)).alias("r_start"),
+        ((e * F.lit(2246822519)) % F.lit(1000000) + 1 + e % 700).alias("r_end"),
+    )
+    out = _TMP.interval_join(
+        left, right, bin_width=512,
+        l_start="l_start", l_end="l_end", r_start="r_start", r_end="r_end",
+        by="k",
+    )
+    return out.select(
+        "lid", "rid", "k", "l_start", "l_end", "r_start", "r_end",
+        (F.least("l_end", "r_end") - F.greatest("l_start", "r_start")).alias(
+            "overlap_len"
+        ),
+    )
+
+
 def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stay-point detection (operators/trajectories.stay_points) over a
     planted anchor-block trajectory field: each user dwells near a
@@ -2683,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_compact_cells": _q_s2_compact_cells,
         "idw_interpolation": _q_idw_interpolation,
         "asof_enrich": _q_asof_enrich,
+        "interval_overlap": _q_interval_overlap,
         "raster_point_sample": _q_raster_point_sample,
         "raster_zonal_stats": _q_raster_zonal_stats,
         "multimodal_featurize": _q_multimodal_featurize,
@@ -4839,6 +4877,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(floor(epoch(rts)) AS BIGINT) END AS ref_ts_epoch,
                    CASE WHEN age_s >= 0 AND age_s <= 604800 THEN age_s END AS age_s
             FROM m
+        """,
+        "interval_overlap": """
+            WITH l AS (
+                SELECT event_id AS lid, user_id % 3 AS k,
+                       (event_id * 2654435761) % 1000000 AS l_start,
+                       (event_id * 2654435761) % 1000000
+                           + 1 + event_id % 900 AS l_end
+                FROM events WHERE event_id % 17 = 0
+            ),
+            r AS (
+                SELECT event_id AS rid, user_id % 3 AS k,
+                       (event_id * 2246822519) % 1000000 AS r_start,
+                       (event_id * 2246822519) % 1000000
+                           + 1 + event_id % 700 AS r_end
+                FROM events WHERE event_id % 19 = 1
+            )
+            SELECT lid, rid, l.k AS k, l_start, l_end, r_start, r_end,
+                   least(l_end, r_end) - greatest(l_start, r_start)
+                       AS overlap_len
+            FROM l JOIN r
+              ON l.k = r.k AND l_start <= r_end AND r_start <= l_end
         """,
         "s2_compact_cells": """
             WITH cells AS (

@@ -93,6 +93,7 @@ HEADLINE = [
     "idw_interpolation",
     "bm25_topk",
     "asof_enrich",
+    "interval_overlap",
 ]
 
 

@@ -108,3 +108,70 @@ def asof_join(
         F.col(f"__m__.__rts__").alias(on + suffix),
         *[F.col(f"__m__.{renames[c]}").alias(renames[c]) for c in right_cols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bin_width: int,
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    by: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-overlap join (closed intervals, numeric bounds): all
+    (left, right) pairs with ``l_start <= r_end AND r_start <= l_end``,
+    optionally equi-keyed by ``by``. This is the classic BINNED range
+    join (the technique behind Databricks' range-join hints and genomics
+    overlap joins, public): Spark's own planner would run the inequality
+    predicate as a broadcast-nested-loop — quadratic; here both sides
+    explode to the ``bin_width``-wide bins their interval covers and meet
+    in an ordinary shuffled equi-join on (by, bin).
+
+    De-duplication without a distinct: a qualifying pair co-occurs in
+    every shared bin, so the join keeps only the FIRST overlap bin
+    (``bin == floor(max(l_start, r_start) / bin_width)``) — each pair
+    emitted exactly once, no post-shuffle dedup pass.
+
+    ``bin_width`` is the scale knob: per-row explode cost is
+    ``interval_length / bin_width + 1`` and per-bin join fan-in is the
+    number of intervals alive in that bin — pick it near the typical
+    interval length. Rows with NULL bounds or ``end < start`` vanish
+    (an empty sequence explodes to nothing), matching the predicate.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    keys = [by] if by else []
+    w = F.lit(int(bin_width))
+
+    def binned(df, start, end, side):
+        b0 = F.floor(F.col(start) / w).cast("long")
+        b1 = F.floor(F.col(end) / w).cast("long")
+        return df.withColumn(f"__bin{side}__", F.explode(F.sequence(b0, b1)))
+
+    clash = [c for c in right.columns if c in left.columns and c not in keys]
+    r = right
+    for c in clash:
+        r = r.withColumnRenamed(c, c + suffix)
+    rs, re = (
+        (r_start + suffix if r_start in clash else r_start),
+        (r_end + suffix if r_end in clash else r_end),
+    )
+    lb = binned(left, l_start, l_end, "L")
+    rb = binned(r, rs, re, "R")
+    cond = [lb[k] == rb[k] for k in keys] + [
+        lb["__binL__"] == rb["__binR__"],
+        lb[l_start] <= rb[re],
+        rb[rs] <= lb[l_end],
+        lb["__binL__"]
+        == F.floor(F.greatest(lb[l_start], rb[rs]) / w).cast("long"),
+    ]
+    out = lb.join(rb, cond, "inner")
+    keep = (
+        [lb[k] for k in keys]
+        + [lb[c] for c in left.columns if c not in keys]
+        + [rb[c] for c in r.columns if c not in keys]
+    )
+    return out.select(*keep)
