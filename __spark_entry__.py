@@ -2176,6 +2176,109 @@ def _idw_oracle_sql() -> str:
     """
 
 
+def _simplify_oracle_sql() -> str:
+    # Mirrors _q_simplify_trajectory end-to-end: the planted piecewise-
+    # linear field (identical integer expressions, ONE double division),
+    # then the ENTIRE Douglas-Peucker recursion as a recursive CTE —
+    # each iteration splits every active segment at its max-deviation
+    # point (ties -> earliest via ORDER BY d2 DESC, k) when the squared
+    # point-to-segment distance exceeds tol^2. The d2 expression tree is
+    # operation-for-operation the numpy kernel's
+    # (operators/trajectories._dp_keep_mask), so near-threshold splits
+    # cannot diverge by a ULP. Kept points = all segment endpoints.
+    tol2 = repr(0.01 * 0.01)
+    d2 = """
+        CASE WHEN (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) = 0
+             THEN (p.x-a.x)*(p.x-a.x) + (p.y-a.y)*(p.y-a.y)
+             ELSE (p.x - (a.x + greatest(0.0, least(1.0,
+                      ((p.x-a.x)*(b.x-a.x) + (p.y-a.y)*(b.y-a.y))
+                      / ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))))
+                      * (b.x-a.x)))
+                * (p.x - (a.x + greatest(0.0, least(1.0,
+                      ((p.x-a.x)*(b.x-a.x) + (p.y-a.y)*(b.y-a.y))
+                      / ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))))
+                      * (b.x-a.x)))
+                + (p.y - (a.y + greatest(0.0, least(1.0,
+                      ((p.x-a.x)*(b.x-a.x) + (p.y-a.y)*(b.y-a.y))
+                      / ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))))
+                      * (b.y-a.y)))
+                * (p.y - (a.y + greatest(0.0, least(1.0,
+                      ((p.x-a.x)*(b.x-a.x) + (p.y-a.y)*(b.y-a.y))
+                      / ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))))
+                      * (b.y-a.y)))
+        END
+    """
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+                       AS seq
+            FROM events
+        ),
+        pts AS (
+            SELECT user_id, event_id, seq,
+                   -170.0 + (
+                       (user_id * 2654435761 + ((seq-1)//20) * 12345)
+                           % 3300000
+                       + ((seq-1) % 20)
+                         * (((user_id * 43 + ((seq-1)//20) * 29) % 2001)
+                            - 1000)
+                       + (event_id * 12345) % 41 - 20
+                   ) / 10000.0 AS x,
+                   -60.0 + (
+                       (user_id * 40503 + ((seq-1)//20) * 9973) % 1200000
+                       + ((seq-1) % 20)
+                         * (((user_id * 31 + ((seq-1)//20) * 17) % 2001)
+                            - 1000)
+                       + (event_id * 1103515245) % 41 - 20
+                   ) / 10000.0 AS y
+            FROM base
+        ),
+        bounds AS (
+            SELECT user_id, min(seq) AS i0, max(seq) AS j0
+            FROM pts GROUP BY 1
+        ),
+        segs(user_id, i, j) AS (
+            SELECT user_id, i0, j0 FROM bounds
+            UNION ALL
+            SELECT g.user_id,
+                   CASE WHEN s.side = 0 THEN g.i ELSE g.k END,
+                   CASE WHEN s.side = 0 THEN g.k ELSE g.j END
+            FROM (
+                SELECT user_id, i, j, k FROM (
+                    SELECT c.user_id, c.i, c.j, c.k, c.d2,
+                           row_number() OVER (
+                               PARTITION BY c.user_id, c.i, c.j
+                               ORDER BY c.d2 DESC, c.k) AS rn
+                    FROM (
+                        SELECT segs.user_id, segs.i, segs.j, p.seq AS k,
+                               {d2} AS d2
+                        FROM segs
+                        JOIN pts p ON p.user_id = segs.user_id
+                                  AND p.seq > segs.i AND p.seq < segs.j
+                        JOIN pts a ON a.user_id = segs.user_id
+                                  AND a.seq = segs.i
+                        JOIN pts b ON b.user_id = segs.user_id
+                                  AND b.seq = segs.j
+                    ) c
+                ) WHERE rn = 1 AND d2 > {tol2}
+            ) g CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1 AS side) s
+        ),
+        kept AS (
+            SELECT DISTINCT user_id, seq FROM (
+                SELECT user_id, i AS seq FROM segs
+                UNION ALL
+                SELECT user_id, j AS seq FROM segs
+            )
+        )
+        SELECT p.user_id, p.event_id, p.seq,
+               round(p.x, 6) AS lon, round(p.y, 6) AS lat
+        FROM kept k2
+        JOIN pts p ON p.user_id = k2.user_id AND p.seq = k2.seq
+    """
+
+
 def _stay_points_oracle_sql() -> str:
     # Mirrors _q_stay_points end-to-end: the planted anchor-block field,
     # the gc_distance_m haversine (same shape as _travel_oracle_sql), the
@@ -2464,6 +2567,60 @@ def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simplify_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker trajectory simplification
+    (operators/trajectories.simplify_trajectory) over a planted
+    piecewise-linear-with-noise trajectory field: per user, 20-ping
+    phases walk a hash-chosen linear drift with ±0.002° hash noise, so
+    at tolerance 0.01° the interior noise is removable and the phase
+    turns are not. The oracle restates the ENTIRE recursive DP (identical
+    squared point-to-segment expression tree, earliest-point tie split)
+    as a DuckDB recursive CTE — independent control flow (set-recursive
+    splitting vs the operator's iterative numpy stack)."""
+    from pygridmap_spark.operators import trajectories as _TJ
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    u, e = F.col("user_id"), F.col("event_id")
+    base = ev.select(
+        "user_id", "event_id", F.row_number().over(w).cast("long").alias("seq")
+    )
+    s = F.col("seq")
+    ph = F.floor((s - 1) / F.lit(20)).cast("long")
+    rem = (s - 1) % 20
+    lat = (
+        F.lit(-60.0)
+        + (
+            (u * F.lit(40503) + ph * F.lit(9973)) % F.lit(1200000)
+            + rem * (((u * F.lit(31) + ph * F.lit(17)) % F.lit(2001)) - F.lit(1000))
+            + (e * F.lit(1103515245)) % F.lit(41)
+            - F.lit(20)
+        )
+        / F.lit(10000.0)
+    )
+    lon = (
+        F.lit(-170.0)
+        + (
+            (u * F.lit(2654435761) + ph * F.lit(12345)) % F.lit(3300000)
+            + rem * (((u * F.lit(43) + ph * F.lit(29)) % F.lit(2001)) - F.lit(1000))
+            + (e * F.lit(12345)) % F.lit(41)
+            - F.lit(20)
+        )
+        / F.lit(10000.0)
+    )
+    pts = base.select(
+        "user_id", "event_id", "seq", lon.alias("lon"), lat.alias("lat")
+    )
+    out = _TJ.simplify_trajectory(pts, 0.01, entity_col="user_id", ts_col="seq")
+    return out.select(
+        "user_id",
+        "event_id",
+        "seq",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+    )
+
+
 def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stay-point detection (operators/trajectories.stay_points) over a
     planted anchor-block trajectory field: each user dwells near a
@@ -2717,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_point_buffer": _q_geodesic_point_buffer,
         "user_travel_distance": _q_user_travel_distance,
         "stay_points": _q_stay_points,
+        "simplify_trajectory": _q_simplify_trajectory,
         "s2_compact_cells": _q_s2_compact_cells,
         "idw_interpolation": _q_idw_interpolation,
         "asof_enrich": _q_asof_enrich,
@@ -4854,6 +5012,7 @@ def oracle_sql() -> dict[str, str]:
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "user_travel_distance": _travel_oracle_sql(),
         "stay_points": _stay_points_oracle_sql(),
+        "simplify_trajectory": _simplify_oracle_sql(),
         "idw_interpolation": _idw_oracle_sql(),
         "asof_enrich": """
             WITH l AS (

@@ -94,6 +94,7 @@ HEADLINE = [
     "bm25_topk",
     "asof_enrich",
     "interval_overlap",
+    "simplify_trajectory",
 ]
 
 
