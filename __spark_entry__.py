@@ -1830,6 +1830,34 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketches.cm_sketch family):
+    per-shard (doc_id % 4) sketches over the shared normalized token
+    stream, cm_merge'd to a global sketch, point-queried for the exact
+    top-50 terms. The oracle rebuilds the IDENTICAL sketch in DuckDB
+    (same md5 probe arithmetic, 60-bit hex prefix mod width) and takes
+    the same min-over-rows — the merge algebra and the overestimate
+    property are hash-gated, not tolerance-checked, because the whole
+    pipeline is integer."""
+    from pygridmap_spark.operators import sketches as _SK
+
+    depth, width = 4, 2048
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalized(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    sharded = toks.withColumn("shard", F.col("doc_id") % 4)
+    per_shard = _SK.cm_sketch(
+        sharded, "term", depth=depth, width=width, by=["shard"]
+    )
+    merged = _SK.cm_merge(per_shard)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    cand = exact.orderBy(F.col("tf").desc(), "term").limit(50)
+    est = _SK.cm_lookup(merged, cand.select("term"), "term", depth, width)
+    return cand.join(est, "term").select("term", "tf", "cm_est")
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 retrieval (operators/textstats.bm25_topk) for a fixed
     4-term query over the documents corpus. Oracle restates the token
@@ -2862,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
+        "cm_heavy_hitters": _q_cm_heavy_hitters,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -4858,6 +4887,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
             FROM toks GROUP BY term
             ORDER BY tf DESC, term LIMIT 200
+        """,
+        "cm_heavy_hitters": f"""
+            WITH toks AS (
+                SELECT doc_id, t AS term
+                FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+                     unnest(ts) AS u(t)
+                WHERE t != ''
+            ),
+            rs AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+            probes AS (
+                SELECT doc_id % 4 AS shard, rw,
+                       CAST(CAST(concat('0x', substr(md5(concat('cm',
+                                CAST(rw AS VARCHAR), ':', term)), 1, 15))
+                            AS UBIGINT) % 2048 AS INTEGER) AS cl
+                FROM toks, rs
+            ),
+            shard_sk AS (
+                SELECT shard, rw, cl, CAST(count(*) AS BIGINT) AS cnt
+                FROM probes GROUP BY 1, 2, 3
+            ),
+            sk AS (
+                SELECT rw, cl, CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM shard_sk GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY 1
+            ),
+            cand AS (SELECT term, tf FROM exact ORDER BY tf DESC, term LIMIT 50),
+            cp AS (
+                SELECT cand.term, cand.tf, rs.rw,
+                       CAST(CAST(concat('0x', substr(md5(concat('cm',
+                                CAST(rs.rw AS VARCHAR), ':', cand.term)), 1, 15))
+                            AS UBIGINT) % 2048 AS INTEGER) AS cl
+                FROM cand, rs
+            )
+            SELECT cp.term, cp.tf,
+                   CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
+            FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
+            GROUP BY 1, 2
         """,
         "bm25_topk": f"""
             WITH toks AS (

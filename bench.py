@@ -95,6 +95,7 @@ HEADLINE = [
     "asof_enrich",
     "interval_overlap",
     "simplify_trajectory",
+    "cm_heavy_hitters",
 ]
 
 
