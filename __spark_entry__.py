@@ -1830,6 +1830,26 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull (operators/hulls.convex_hull_points) over 20
+    integer point clouds derived from events (multiplicative-hash coords
+    in ±50000 — int64 orientation tests exact on both engines). The
+    operator runs Andrew's monotone chain; the oracle gift-wraps the same
+    clouds in a DuckDB recursive CTE — two different hull algorithms that
+    must agree vertex-for-vertex, position-for-position (canonical CCW
+    from the smallest (x, y), collinear edge points excluded)."""
+    from pygridmap_spark.operators import hulls as _HL
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        (F.col("user_id") % 20).alias("g"),
+        ((e * F.lit(2654435761)) % F.lit(100001) - F.lit(50000)).alias("x"),
+        ((e * F.lit(1103515245)) % F.lit(100001) - F.lit(50000)).alias("y"),
+    )
+    return _HL.convex_hull_points(pts, "g", x="x", y="y")
+
+
 def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters (operators/sketches.cm_sketch family):
     per-shard (doc_id % 4) sketches over the shared normalized token
@@ -2891,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
+        "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
@@ -4887,6 +4908,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
             FROM toks GROUP BY term
             ORDER BY tf DESC, term LIMIT 200
+        """,
+        "convex_hull": """
+            WITH RECURSIVE pts AS (
+                SELECT DISTINCT user_id % 20 AS g,
+                       (event_id * 2654435761) % 100001 - 50000 AS x,
+                       (event_id * 1103515245) % 100001 - 50000 AS y
+                FROM events
+            ),
+            st AS (
+                SELECT g, x, y FROM (
+                    SELECT g, x, y,
+                           row_number() OVER (PARTITION BY g ORDER BY x, y)
+                               AS rn
+                    FROM pts
+                ) WHERE rn = 1
+            ),
+            hull(g, pos, vx, vy) AS (
+                SELECT g, 0, x, y FROM st
+                UNION ALL
+                SELECT h.g, h.pos + 1, p.x, p.y
+                FROM hull h
+                JOIN pts p ON p.g = h.g AND NOT (p.x = h.vx AND p.y = h.vy)
+                JOIN st s ON s.g = h.g
+                WHERE NOT (p.x = s.x AND p.y = s.y)
+                  AND NOT EXISTS (
+                    SELECT 1 FROM pts q
+                    WHERE q.g = h.g AND NOT (q.x = h.vx AND q.y = h.vy)
+                      AND ( (p.x - h.vx) * (q.y - h.vy)
+                              - (p.y - h.vy) * (q.x - h.vx) < 0
+                         OR ( (p.x - h.vx) * (q.y - h.vy)
+                                - (p.y - h.vy) * (q.x - h.vx) = 0
+                              AND (q.x - h.vx) * (q.x - h.vx)
+                                    + (q.y - h.vy) * (q.y - h.vy)
+                                  > (p.x - h.vx) * (p.x - h.vx)
+                                    + (p.y - h.vy) * (p.y - h.vy) ) )
+                  )
+            )
+            SELECT g, CAST(pos AS INTEGER) AS pos, vx AS x, vy AS y
+            FROM hull
         """,
         "cm_heavy_hitters": f"""
             WITH toks AS (

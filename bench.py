@@ -96,6 +96,7 @@ HEADLINE = [
     "interval_overlap",
     "simplify_trajectory",
     "cm_heavy_hitters",
+    "convex_hull",
 ]
 
 
