@@ -85,3 +85,34 @@ def test_null_coordinate_raises(spark):
     )
     with pytest.raises(Exception, match="NULL/NaN"):
         HL.convex_hull_points(df, "g", x="x", y="y").collect()
+
+
+def test_prereduce_bit_identical(spark):
+    rows = []
+    for g in range(6):
+        rows += [
+            (g,
+             ((g + 1) * 7919 * i) % 2001 - 1000,
+             ((g + 3) * 104729 * i) % 2001 - 1000)
+            for i in range(1, 400)
+        ]
+    df = spark.createDataFrame(rows, "g long, x long, y long").repartition(7)
+    a = sorted(map(tuple, HL.convex_hull_points(df, "g").collect()))
+    b = sorted(
+        map(tuple, HL.convex_hull_points(df, "g", prereduce=True).collect())
+    )
+    assert a == b and len(a) > 6 * 3
+
+
+def test_prereduce_null_group_key_and_big_keys(spark):
+    big = 2**53
+    rows = [(None, 0, 0), (None, 9, 0), (None, 9, 9), (None, 4, 4),
+            (big, 0, 0), (big, 3, 3), (big + 1, 0, 1), (big + 1, 2, 1)]
+    df = spark.createDataFrame(rows, "g long, x long, y long").repartition(3)
+    out = HL.convex_hull_points(df, "g", prereduce=True).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (str(r.g), r.pos)):
+        got.setdefault(r.g, []).append((r.x, r.y))
+    assert got[None] == [(0, 0), (9, 0), (9, 9)]
+    assert got[big] == [(0, 0), (3, 3)]
+    assert got[big + 1] == [(0, 1), (2, 1)]
