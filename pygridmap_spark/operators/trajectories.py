@@ -191,7 +191,7 @@ def _dp_keep_mask(xs, ys, tol2):
 def simplify_trajectory(
     df: DataFrame,
     tolerance: float,
-    entity_col: str = "user_id",
+    entity_col: str | list[str] = "user_id",
     ts_col: str = "ts",
     x: str = "lon",
     y: str = "lat",
@@ -200,7 +200,10 @@ def simplify_trajectory(
     """Per-entity Douglas-Peucker polyline simplification: keep the
     subset of each entity's pings (ordered by ``ts_col``) whose polyline
     stays within ``tolerance`` of the original everywhere — the classic
-    trajectory-compression pass before storage or map rendering. Returns
+    trajectory-compression pass before storage or map rendering.
+    ``entity_col`` may be a list for composite polyline keys (e.g.
+    ``["poly_id", "ring"]`` — the vertex-rows path under
+    operators/simplify.simplify_wkb). Returns
     the KEPT original rows, all columns intact (a per-group filter).
 
     Distance is planar Euclidean point-to-segment in coordinate units:
@@ -229,6 +232,7 @@ def simplify_trajectory(
 
     from pygridmap_spark import util
 
+    keys = [entity_col] if isinstance(entity_col, str) else list(entity_col)
     tol2 = float(tolerance) * float(tolerance)
     if not tol2 >= 0.0:  # NaN-proof
         raise ValueError("simplify_trajectory: tolerance must be a number >= 0")
@@ -239,11 +243,11 @@ def simplify_trajectory(
         if np.isnan(xs).any() or np.isnan(ys).any():
             raise ValueError(
                 "simplify_trajectory: NULL/NaN coordinates in entity "
-                f"{sub[entity_col].iloc[0]!r} — filter or segment upstream"
+                f"{sub[keys[0]].iloc[0]!r} — filter or segment upstream"
             )
         return sub.iloc[_dp_keep_mask(xs, ys, tol2)]
 
     order = [ts_col] + ([tiebreak] if tiebreak else [])
     return util.grouped_frames_sorted(
-        df, [entity_col], _kern, util.schema_with(df), order_by=order
+        df, keys, _kern, util.schema_with(df), order_by=order
     )
