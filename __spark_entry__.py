@@ -2388,8 +2388,15 @@ def _stay_points_oracle_sql() -> str:
                CAST(floor(epoch(t_end)) AS BIGINT) AS t_end_epoch,
                CAST(floor(epoch(t_end)) AS BIGINT)
                  - CAST(floor(epoch(t_start)) AS BIGINT) AS dwell_s,
-               round(CAST(slon AS DOUBLE) / n_pings, 6) AS ctr_lon,
-               round(CAST(slat AS DOUBLE) / n_pings, 6) AS ctr_lat
+               -- floor(x*1e6 + 0.5)/1e6, NOT round(): the quotient double
+               -- is identical on both engines, but round() implementations
+               -- disagree on representation-boundary ties (two rows at
+               -- sf0.01 flipped by 1e-6); the floor form is pure IEEE ops,
+               -- bit-identical everywhere
+               floor(CAST(slon AS DOUBLE) / n_pings * 1000000.0 + 0.5)
+                   / 1000000.0 AS ctr_lon,
+               floor(CAST(slat AS DOUBLE) / n_pings * 1000000.0 + 0.5)
+                   / 1000000.0 AS ctr_lat
         FROM agg
         WHERE CAST(floor(epoch(t_end)) AS BIGINT)
                  - CAST(floor(epoch(t_start)) AS BIGINT) >= 43200
@@ -2705,8 +2712,10 @@ def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("t_start")).alias("t_start_epoch"),
         F.unix_timestamp(F.col("t_end")).alias("t_end_epoch"),
         "dwell_s",
-        F.round(F.col("ctr_lon"), 6).alias("ctr_lon"),
-        F.round(F.col("ctr_lat"), 6).alias("ctr_lat"),
+        # floor-based half-up: bit-identical to the oracle's expression
+        # (round() disagrees across engines on representation-boundary ties)
+        (F.floor(F.col("ctr_lon") * 1e6 + 0.5) / 1e6).alias("ctr_lon"),
+        (F.floor(F.col("ctr_lat") * 1e6 + 0.5) / 1e6).alias("ctr_lat"),
     )
 
 
