@@ -23,7 +23,7 @@ from collections.abc import Callable
 # the driver may import this file by path; make the package resolvable
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pygridmap_spark.functions import geolocate as GEO
@@ -536,6 +536,48 @@ def _q_grid_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
         "w_i",
         F.round(F.col("gi_z"), 6).alias("gi_z"),
+    )
+
+
+def _r6(c: Column) -> Column:
+    """floor-based half-up 6-dp rounding — bit-identical across engines
+    (round() disagrees on representation-boundary ties; see stay_points)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def _q_grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (operators/hotspots.morans_i_cells — Moran 1950
+    with Cliff & Ord normality moments, binary 8-neighbor weights on the
+    occupied z=6 cell set) over the clustered point field. All moments are
+    exact integer sums; the oracle restates the identical double
+    expression tree, so the single-row result hash-matches."""
+    pts = _hotspot_points(spark, sf_dir)
+    cells = HS.core_cells(pts, z=6, min_points=1)
+    out = HS.morans_i_cells(cells, z=6)
+    return out.select(
+        "n_cells",
+        "s0",
+        _r6(F.col("morans_i")).alias("morans_i"),
+        _r6(F.col("e_i")).alias("e_i"),
+        _r6(F.col("z_i")).alias("z_i"),
+    )
+
+
+def _q_grid_local_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA (operators/hotspots.local_morans_cells —
+    Anselin 1995) per occupied z=6 cell with Moran-scatterplot quadrant
+    labels; isolates carry NULL lisa/quadrant (no spatial lag exists)."""
+    pts = _hotspot_points(spark, sf_dir)
+    cells = HS.core_cells(pts, z=6, min_points=1)
+    out = HS.local_morans_cells(cells, z=6)
+    return out.select(
+        "cell_ix",
+        "cell_iy",
+        "cell_id",
+        "n_points",
+        "w_i",
+        _r6(F.col("lisa_i")).alias("lisa_i"),
+        "quadrant",
     )
 
 
@@ -2869,6 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "grid_hotspots": _q_grid_hotspots,
         "grid_gi_star": _q_grid_gi_star,
+        "grid_morans_i": _q_grid_morans_i,
+        "grid_local_morans": _q_grid_local_morans,
         "cell_trend_mk": _q_cell_trend_mk,
         "emerging_hotspots": _q_emerging_hotspots,
         "raster_resample": _q_raster_resample,
@@ -3431,6 +3475,113 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT sc.*,
                          sqrt(s2) * sqrt((nd * w - w * w) / (nd - 1.0)) AS den
                   FROM sc)
+        """,
+        "grid_morans_i": f"""
+            WITH {_hotspot_core_sql(1)},
+            nbr AS (
+                SELECT a.cell_id AS cell_id,
+                       sum(b.n_points) AS nbr_sum, count(*) AS nbr_cnt
+                FROM core a JOIN core b
+                  ON abs(a.cell_iy - b.cell_iy) <= 1
+                 AND ((a.cell_ix - b.cell_ix + 64) % 64) IN (0, 1, 63)
+                 AND a.cell_id <> b.cell_id
+                GROUP BY a.cell_id
+            ),
+            g AS (
+                SELECT core.n_points AS x,
+                       coalesce(nbr.nbr_sum, 0) AS ns,
+                       coalesce(nbr.nbr_cnt, 0) AS nc
+                FROM core LEFT JOIN nbr ON core.cell_id = nbr.cell_id
+            ),
+            m AS (
+                SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+                       sum(nc) AS s0, sum(nc * nc) AS swsq,
+                       sum(x * ns) AS sxnx, sum(x * nc) AS sxw
+                FROM g
+            ),
+            -- the double expression tree below restates
+            -- hotspots.morans_i_cells verbatim (same associativity), so
+            -- the values hash-match bit-for-bit after floor-rounding
+            d1 AS (
+                SELECT n, s0,
+                       CAST(n AS DOUBLE) AS nd, CAST(s0 AS DOUBLE) AS s0d,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(sxw AS DOUBLE) AS sxwd,
+                       CAST(sxnx AS DOUBLE) AS sxnxd,
+                       CAST(swsq AS DOUBLE) AS swsqd
+                FROM m
+            ),
+            d2 AS (
+                SELECT *,
+                       sxnxd - 2.0 * xbar * sxwd + xbar * xbar * s0d AS num,
+                       sxxd - nd * xbar * xbar AS den,
+                       -1.0 / (nd - 1.0) AS e_i
+                FROM d1
+            ),
+            d3 AS (
+                SELECT *,
+                       (nd / s0d) * num / den AS morans,
+                       (nd * nd * (2.0 * s0d) - nd * (4.0 * swsqd)
+                          + 3.0 * s0d * s0d)
+                         / ((nd * nd - 1.0) * s0d * s0d)
+                         - e_i * e_i AS var_i,
+                       (n > 2 AND s0 > 0 AND den > 0) AS ok
+                FROM d2
+            )
+            SELECT n AS n_cells, s0,
+                   floor((CASE WHEN ok THEN morans END) * 1e6 + 0.5) / 1e6
+                       AS morans_i,
+                   floor((CASE WHEN n > 1 THEN e_i END) * 1e6 + 0.5) / 1e6
+                       AS e_i,
+                   floor((CASE WHEN ok AND var_i > 0
+                               THEN (morans - e_i) / sqrt(var_i) END)
+                         * 1e6 + 0.5) / 1e6 AS z_i
+            FROM d3
+        """,
+        "grid_local_morans": f"""
+            WITH {_hotspot_core_sql(1)},
+            nbr AS (
+                SELECT a.cell_id AS cell_id,
+                       sum(b.n_points) AS nbr_sum, count(*) AS nbr_cnt
+                FROM core a JOIN core b
+                  ON abs(a.cell_iy - b.cell_iy) <= 1
+                 AND ((a.cell_ix - b.cell_ix + 64) % 64) IN (0, 1, 63)
+                 AND a.cell_id <> b.cell_id
+                GROUP BY a.cell_id
+            ),
+            g AS (
+                SELECT count(*) AS n, sum(n_points) AS sx,
+                       sum(n_points * n_points) AS sxx
+                FROM core
+            ),
+            j AS (
+                SELECT core.cell_ix, core.cell_iy, core.cell_id,
+                       core.n_points, nbr.nbr_sum, nbr.nbr_cnt, g.n, g.sx, g.sxx
+                FROM core LEFT JOIN nbr ON core.cell_id = nbr.cell_id, g
+            ),
+            sc AS (
+                SELECT *,
+                       CAST(n_points AS DOUBLE)
+                         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS dev,
+                       CAST(nbr_sum AS DOUBLE)
+                         - CAST(nbr_cnt AS DOUBLE)
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS lag_dev,
+                       CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS m2
+                FROM j
+            )
+            SELECT cell_ix, cell_iy, cell_id, n_points,
+                   coalesce(nbr_cnt, 0) AS w_i,
+                   floor((CASE WHEN nbr_cnt IS NOT NULL AND m2 > 0
+                               THEN dev * lag_dev / m2 END) * 1e6 + 0.5) / 1e6
+                       AS lisa_i,
+                   CASE WHEN nbr_cnt IS NOT NULL AND m2 > 0 THEN
+                       concat(CASE WHEN dev >= 0 THEN 'H' ELSE 'L' END,
+                              CASE WHEN lag_dev >= 0 THEN 'H' ELSE 'L' END)
+                   END AS quadrant
+            FROM sc
         """,
         "grid_maker_trim": """
             SELECT r1.range AS cell_x, r2.range AS cell_y,

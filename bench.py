@@ -97,6 +97,8 @@ HEADLINE = [
     "simplify_trajectory",
     "cm_heavy_hitters",
     "convex_hull",
+    "grid_morans_i",
+    "grid_local_morans",
 ]
 
 

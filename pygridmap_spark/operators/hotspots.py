@@ -164,6 +164,168 @@ def hotspot_stats(
     )
 
 
+def _neighbor_gather(cells: DataFrame, z: int, value: str, keys: list) -> DataFrame:
+    """Shared 8-neighbor gather for the autocorrelation statistics: for
+    each occupied cell, the sum of ``value`` over its OCCUPIED neighbors
+    and the occupied-neighbor count (binary weights, no self). One explode
+    (x8) + one equi-join + one partial agg, all on the bounded cell frame
+    — the facts never reshuffle. East/west wraps the antimeridian; a step
+    past a pole has no cell (the geohash_neighbors contract)."""
+    nbr_vals = cells.select(
+        *keys,
+        F.col("cell_ix").alias("nix"),
+        F.col("cell_iy").alias("niy"),
+        F.col(value).alias("__nx__"),
+    )
+    return (
+        _neighbor_probes(cells, z, extra=tuple(keys))
+        .join(nbr_vals, keys + ["nix", "niy"])
+        .groupBy(*keys, "cell_id")
+        .agg(
+            F.sum("__nx__").alias("__nbr_sum__"),
+            F.count(F.lit(1)).alias("__nbr_cnt__"),
+        )
+    )
+
+
+def morans_i_cells(
+    cells: DataFrame,
+    z: int,
+    value: str = "n_points",
+    by: str | None = None,
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (Moran 1950, "Notes on
+    Continuous Stochastic Phenomena", public formula) over the occupied
+    cell set with binary 8-neighbor weights (no self) — the global twin of
+    ``gi_star_cells``: one number answering "is the field clustered at
+    all" before the per-cell scores say where.
+
+        I = (n / S0) * sum_ij w_ij (x_i - xbar)(x_j - xbar)
+                     / sum_i (x_i - xbar)^2
+
+    plus the normality z-score E[I] = -1/(n-1),
+    Var[I] = (n^2 S1 - n S2 + 3 S0^2) / ((n^2 - 1) S0^2) - E[I]^2 with
+    S1 = 2 S0 and S2 = 4 sum_i w_i^2 for symmetric binary weights (Cliff &
+    Ord 1981 moments, public).
+
+    Exactness/portability: every accumulated moment is an exact integer —
+    the cross product expands as sum_ij w_ij x_i x_j - 2 xbar sum_i w_i x_i
+    + xbar^2 S0, so the only doubles are the final few expressions, which
+    the DuckDB oracle restates verbatim and hash-matches.
+
+    Plan shape: the neighbor gather is the shared explode+equi-join on the
+    bounded cell frame; the statistic itself is ONE tiny aggregate (one
+    row per ``by`` group, or a single row). Cost is bounded by the
+    occupied-cell set, never the fact table. Returns
+    ``(by?, n_cells, s0, morans_i, e_i, z_i)``; morans_i/z_i NULL when the
+    deviance or S0 is zero (constant field / no adjacent pair).
+    """
+    keys = [by] if by else []
+    x = F.col(value).cast("long")
+    base = cells.select(*keys, "cell_ix", "cell_iy", "cell_id", x.alias("__x__"))
+    g = base.join(
+        _neighbor_gather(base, z, "__x__", keys), keys + ["cell_id"], "left"
+    ).select(
+        *keys,
+        "__x__",
+        F.coalesce(F.col("__nbr_sum__"), F.lit(0)).alias("__ns__"),
+        F.coalesce(F.col("__nbr_cnt__"), F.lit(0)).alias("__nc__"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__x__").alias("__sx__"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"),
+        F.sum("__nc__").alias("__s0__"),
+        F.sum(F.col("__nc__") * F.col("__nc__")).alias("__swsq__"),
+        F.sum(F.col("__x__") * F.col("__ns__")).alias("__sxnx__"),
+        F.sum(F.col("__x__") * F.col("__nc__")).alias("__sxw__"),
+    ]
+    m = g.groupBy(*keys).agg(*aggs) if keys else g.agg(*aggs)
+    n = F.col("__n__").cast("double")
+    s0 = F.col("__s0__").cast("double")
+    xbar = F.col("__sx__").cast("double") / n
+    num = (
+        F.col("__sxnx__").cast("double")
+        - F.lit(2.0) * xbar * F.col("__sxw__").cast("double")
+        + xbar * xbar * s0
+    )
+    den = F.col("__sxx__").cast("double") - n * xbar * xbar
+    morans = (n / s0) * num / den
+    e_i = F.lit(-1.0) / (n - F.lit(1.0))
+    s1 = F.lit(2.0) * s0
+    s2 = F.lit(4.0) * F.col("__swsq__").cast("double")
+    var_i = (n * n * s1 - n * s2 + F.lit(3.0) * s0 * s0) / (
+        (n * n - F.lit(1.0)) * s0 * s0
+    ) - e_i * e_i
+    ok = (F.col("__n__") > 2) & (F.col("__s0__") > 0) & (den > 0)
+    return m.select(
+        *keys,
+        F.col("__n__").alias("n_cells"),
+        F.col("__s0__").alias("s0"),
+        F.when(ok, morans).alias("morans_i"),
+        F.when(F.col("__n__") > 1, e_i).alias("e_i"),
+        F.when(ok & (var_i > 0), (morans - e_i) / F.sqrt(var_i)).alias("z_i"),
+    )
+
+
+def local_morans_cells(
+    cells: DataFrame,
+    z: int,
+    value: str = "n_points",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995, "Local Indicators of Spatial
+    Association — LISA", public formula) per occupied cell with binary
+    8-neighbor weights: I_i = ((x_i - xbar) / m2) * sum_j w_ij (x_j - xbar)
+    with m2 the population variance. Classifies each cell into the Moran
+    scatterplot quadrant (``HH``/``LL``/``HL``/``LH`` — high surrounded by
+    high, etc., by the sign of the deviation and of the neighbor-mean
+    deviation); cells with no occupied neighbor get NULL lisa/quadrant (no
+    spatial lag exists — distinct from a zero score).
+
+    Same plan shape as ``gi_star_cells``: one cell-frame neighbor gather +
+    one single-row moment broadcast; returns
+    ``(cell_ix, cell_iy, cell_id, value, w_i, lisa_i, quadrant)``.
+    """
+    x = F.col(value).cast("long")
+    base = cells.select("cell_ix", "cell_iy", "cell_id", x.alias("__x__"))
+    glob = base.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__x__").alias("__sx__"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"),
+    )
+    j = (
+        base.join(_neighbor_gather(base, z, "__x__", []), ["cell_id"], "left")
+        .crossJoin(F.broadcast(glob))
+    )
+    n = F.col("__n__").cast("double")
+    xbar = F.col("__sx__").cast("double") / n
+    m2 = F.col("__sxx__").cast("double") / n - xbar * xbar
+    dev = F.col("__x__").cast("double") - xbar
+    lag_dev = (
+        F.col("__nbr_sum__").cast("double")
+        - F.col("__nbr_cnt__").cast("double") * xbar
+    )
+    lisa = F.when(
+        F.col("__nbr_cnt__").isNotNull() & (m2 > 0), dev * lag_dev / m2
+    )
+    quad = F.when(
+        F.col("__nbr_cnt__").isNotNull() & (m2 > 0),
+        F.concat(
+            F.when(dev >= 0, F.lit("H")).otherwise(F.lit("L")),
+            F.when(lag_dev >= 0, F.lit("H")).otherwise(F.lit("L")),
+        ),
+    )
+    return j.select(
+        "cell_ix",
+        "cell_iy",
+        "cell_id",
+        F.col("__x__").alias(value),
+        F.coalesce(F.col("__nbr_cnt__"), F.lit(0)).alias("w_i"),
+        lisa.alias("lisa_i"),
+        quad.alias("quadrant"),
+    )
+
+
 def gi_star_cells(
     cells: DataFrame,
     z: int,
