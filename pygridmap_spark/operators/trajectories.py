@@ -251,3 +251,54 @@ def simplify_trajectory(
     return util.grouped_frames_sorted(
         df, keys, _kern, util.schema_with(df), order_by=order
     )
+
+
+def od_flows(
+    stays: DataFrame,
+    z: int,
+    entity_col: str = "user_id",
+    t_col: str = "t_start",
+    lon: str = "ctr_lon",
+    lat: str = "ctr_lat",
+    drop_self: bool = False,
+) -> DataFrame:
+    """Origin-destination flow matrix from a stay-point table: assign each
+    stay's centroid to a zoom-``z`` Morton cell, pair consecutive stays
+    per entity (ordered by ``t_col``), and count trips per (origin cell,
+    destination cell) — the canonical trajectory-mining composition
+    (Zheng 2015, "Trajectory Data Mining", public): raw pings ->
+    ``stay_points`` -> flows.
+
+    Returns ``(o_ix, o_iy, o_cell, d_ix, d_iy, d_cell, n_trips,
+    n_entities)``; ``drop_self=True`` removes same-cell flows (returns to
+    the same place). Stays with NULL/NaN centroids get NULL cells and are
+    dropped (they can neither originate nor receive a trip).
+
+    Scale shape: the stays frame is already orders below the ping count;
+    the pairing is ONE window exchange on the entity key (lead over the
+    per-entity timeline — stay intervals are disjoint, so ``t_col`` is a
+    strict order), and the matrix rollup is a partially-aggregated hash
+    agg on the (o, d) key. n_entities is count(DISTINCT entity) per pair
+    — the expand-distinct rides the same exchange.
+    """
+    from pygridmap_spark.functions import cellindex as CI
+
+    idx = CI.with_cell_index(stays, z, lon=lon, lat=lat).filter(
+        F.col("cell_ix").isNotNull()
+    )
+    w = Window.partitionBy(entity_col).orderBy(t_col)
+    paired = idx.select(
+        F.col(entity_col).alias("__e__"),
+        F.col("cell_ix").alias("o_ix"),
+        F.col("cell_iy").alias("o_iy"),
+        F.col("cell_id").alias("o_cell"),
+        F.lead("cell_ix").over(w).alias("d_ix"),
+        F.lead("cell_iy").over(w).alias("d_iy"),
+        F.lead("cell_id").over(w).alias("d_cell"),
+    ).filter(F.col("d_cell").isNotNull())
+    if drop_self:
+        paired = paired.filter(F.col("o_cell") != F.col("d_cell"))
+    return paired.groupBy("o_ix", "o_iy", "o_cell", "d_ix", "d_iy", "d_cell").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.count_distinct(F.col("__e__")).alias("n_entities"),
+    )
