@@ -2369,10 +2369,11 @@ def _simplify_oracle_sql() -> str:
     """
 
 
-def _stay_points_oracle_sql() -> str:
-    # Mirrors _q_stay_points end-to-end: the planted anchor-block field,
-    # the gc_distance_m haversine (same shape as _travel_oracle_sql), the
-    # break-flag running sum, and the exact micro-degree decimal centroid.
+def _stays_cte_sql() -> str:
+    # Shared pts..agg CTE chain for the stay_points and od_flows oracles:
+    # the planted anchor-block field, the gc_distance_m haversine (same
+    # shape as _travel_oracle_sql), the break-flag running sum, and the
+    # exact micro-degree decimal centroid sums.
     from pygridmap_spark.functions.geodesy import EARTH_RADIUS_M
 
     two_r = 2.0 * EARTH_RADIUS_M
@@ -2382,7 +2383,7 @@ def _stay_points_oracle_sql() -> str:
           * pow(sin((radians(lon) - radians(plon)) / 2.0), 2)
     """
     return f"""
-        WITH pts AS (
+        pts AS (
             SELECT user_id, event_id, ts,
                    -170.0 + ((user_id * 2654435761
                               + CAST(floor(epoch(ts) / 432000) AS BIGINT) * 131)
@@ -2425,6 +2426,13 @@ def _stay_points_oracle_sql() -> str:
                    sum(CAST(round(lat, 6) AS DECIMAL(21,6))) AS slat
             FROM segs GROUP BY 1, 2
         )
+    """
+
+
+def _stay_points_oracle_sql() -> str:
+    # Mirrors _q_stay_points end-to-end over the shared stays CTE chain.
+    return f"""
+        WITH {_stays_cte_sql()}
         SELECT user_id, seg_id, n_pings,
                CAST(floor(epoch(t_start)) AS BIGINT) AS t_start_epoch,
                CAST(floor(epoch(t_end)) AS BIGINT) AS t_end_epoch,
@@ -2442,6 +2450,54 @@ def _stay_points_oracle_sql() -> str:
         FROM agg
         WHERE CAST(floor(epoch(t_end)) AS BIGINT)
                  - CAST(floor(epoch(t_start)) AS BIGINT) >= 43200
+    """
+
+
+def _od_flows_oracle_sql() -> str:
+    # Mirrors _q_od_flows: the shared stays chain, the RAW centroid
+    # quotient (CAST(decimal AS DOUBLE)/n — one IEEE division of identical
+    # operands on both engines, bit-identical; proven by the stay_points
+    # hash), the z=6 Morton cell twin, lead over (t_start, seg_id), and
+    # the (o, d) rollup with count(DISTINCT user_id).
+    return f"""
+        WITH {_stays_cte_sql()},
+        stays AS (
+            SELECT user_id, seg_id, t_start,
+                   CAST(slon AS DOUBLE) / n_pings AS ctr_lon,
+                   CAST(slat AS DOUBLE) / n_pings AS ctr_lat
+            FROM agg
+            WHERE CAST(floor(epoch(t_end)) AS BIGINT)
+                     - CAST(floor(epoch(t_start)) AS BIGINT) >= 43200
+        ),
+        cells AS (
+            SELECT user_id, seg_id, t_start,
+                   greatest(0, least(CAST(floor((ctr_lon + 180.0) / 360.0
+                       * 64.0) AS BIGINT), 63)) AS cell_ix,
+                   greatest(0, least(CAST(floor((ctr_lat + 90.0) / 180.0
+                       * 64.0) AS BIGINT), 63)) AS cell_iy
+            FROM stays
+        ),
+        ids AS (
+            SELECT user_id, seg_id, t_start, cell_ix, cell_iy,
+                   ({_spread_sql('cell_ix')}
+                    | ({_spread_sql('cell_iy')} << 1)) AS cell_id
+            FROM cells
+        ),
+        paired AS (
+            SELECT user_id,
+                   cell_ix AS o_ix, cell_iy AS o_iy, cell_id AS o_cell,
+                   lead(cell_ix) OVER w AS d_ix,
+                   lead(cell_iy) OVER w AS d_iy,
+                   lead(cell_id) OVER w AS d_cell
+            FROM ids
+            WINDOW w AS (PARTITION BY user_id ORDER BY t_start, seg_id)
+        )
+        SELECT o_ix, o_iy, o_cell, d_ix, d_iy, d_cell,
+               count(*) AS n_trips,
+               count(DISTINCT user_id) AS n_entities
+        FROM paired
+        WHERE d_cell IS NOT NULL
+        GROUP BY 1, 2, 3, 4, 5, 6
     """
 
 
@@ -2761,6 +2817,38 @@ def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/trajectories.od_flows):
+    the _q_stay_points planted anchor-block field -> stay_points -> z=6
+    Morton cells -> consecutive-stay pairing -> (o, d) trip counts. Users
+    teleport between 5-day anchors, so the flows are real. The oracle
+    restates the whole chain (shared stays CTE, raw centroid quotient,
+    Morton twin, lead window, distinct-entity rollup) in DuckDB SQL."""
+    from pygridmap_spark.operators import trajectories as _TJ
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(432000)).cast("long")
+    u, e = F.col("user_id"), F.col("event_id")
+    lat = (
+        F.lit(-60.0)
+        + ((u * F.lit(40503) + a * F.lit(97)) % F.lit(1200000)).cast("double")
+        / F.lit(10000.0)
+        + ((e * F.lit(12345)) % F.lit(200)).cast("double") / F.lit(1000000.0)
+    )
+    lon = (
+        F.lit(-170.0)
+        + ((u * F.lit(2654435761) + a * F.lit(131)) % F.lit(3400000)).cast("double")
+        / F.lit(10000.0)
+        + ((e * F.lit(1103515245)) % F.lit(200)).cast("double") / F.lit(1000000.0)
+    )
+    pts = ev.select("user_id", "event_id", "ts", lon.alias("lon"), lat.alias("lat"))
+    stays = _TJ.stay_points(
+        pts, radius_m=200.0, max_gap_s=172800, min_dwell_s=43200,
+        tiebreak="event_id",
+    )
+    return _TJ.od_flows(stays, z=6, tiebreak="seg_id")
+
+
 def _q_raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 raster point sampling: events-derived points equi-joined onto the
     synthetic raster's computed (col, row) keys (y-flip pinned)."""
@@ -2977,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_point_buffer": _q_geodesic_point_buffer,
         "user_travel_distance": _q_user_travel_distance,
         "stay_points": _q_stay_points,
+        "od_flows": _q_od_flows,
         "simplify_trajectory": _q_simplify_trajectory,
         "s2_compact_cells": _q_s2_compact_cells,
         "idw_interpolation": _q_idw_interpolation,
@@ -5301,6 +5390,7 @@ def oracle_sql() -> dict[str, str]:
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "user_travel_distance": _travel_oracle_sql(),
         "stay_points": _stay_points_oracle_sql(),
+        "od_flows": _od_flows_oracle_sql(),
         "simplify_trajectory": _simplify_oracle_sql(),
         "idw_interpolation": _idw_oracle_sql(),
         "asof_enrich": """

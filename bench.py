@@ -99,6 +99,7 @@ HEADLINE = [
     "convex_hull",
     "grid_morans_i",
     "grid_local_morans",
+    "od_flows",
 ]
 
 

@@ -261,11 +261,14 @@ def od_flows(
     lon: str = "ctr_lon",
     lat: str = "ctr_lat",
     drop_self: bool = False,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Origin-destination flow matrix from a stay-point table: assign each
     stay's centroid to a zoom-``z`` Morton cell, pair consecutive stays
     per entity (ordered by ``t_col``), and count trips per (origin cell,
-    destination cell) — the canonical trajectory-mining composition
+    destination cell; ``tiebreak`` breaks equal-``t_col`` ordering
+    deterministically, e.g. ``seg_id``) — the canonical
+    trajectory-mining composition
     (Zheng 2015, "Trajectory Data Mining", public): raw pings ->
     ``stay_points`` -> flows.
 
@@ -286,7 +289,8 @@ def od_flows(
     idx = CI.with_cell_index(stays, z, lon=lon, lat=lat).filter(
         F.col("cell_ix").isNotNull()
     )
-    w = Window.partitionBy(entity_col).orderBy(t_col)
+    order = [F.col(t_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
     paired = idx.select(
         F.col(entity_col).alias("__e__"),
         F.col("cell_ix").alias("o_ix"),
