@@ -1920,6 +1920,24 @@ def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(est, "term").select("term", "tf", "cm_est")
 
 
+def _q_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR quantile sketch (operators/quantiles — the quantile member of
+    the sketch triad next to HLL and count-min): per-(lang, source)
+    shard sketches over document n_chars, hdr_merge'd per lang, then
+    p50/p90/p99 extracted. Pure-integer bucketing (length(bin(v)) — no
+    libm anywhere), so the oracle rebuilds the identical sketch, cumsum
+    and rank pick in DuckDB and the result hash-gates; values below
+    2^(p+1) sit in the identity regime where the estimate IS the exact
+    discrete quantile."""
+    from pygridmap_spark.operators import quantiles as _Q
+
+    p = 6
+    docs = _t(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    shards = _Q.hdr_sketch(docs, "n_chars", by=["lang", "source"], p=p)
+    merged = _Q.hdr_merge(shards.drop("source"), by=["lang"])
+    return _Q.hdr_quantiles(merged, [0.5, 0.9, 0.99], by=["lang"], p=p)
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 retrieval (operators/textstats.bm25_topk) for a fixed
     4-term query over the documents corpus. Oracle restates the token
@@ -3052,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
+        "hdr_quantile_sketch": _q_hdr_quantile_sketch,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -5196,6 +5215,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g, CAST(pos AS INTEGER) AS pos, vx AS x, vy AS y
             FROM hull
+        """,
+        "hdr_quantile_sketch": """
+            WITH vals AS (
+                SELECT lang, source, n_chars AS v FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars >= 0
+            ),
+            bk AS (
+                -- p=6: s = max(0, floor(log2 v) - 6) via the minimal
+                -- binary string (pure integer, no libm);
+                -- bucket = s*128 + (v >> s)
+                SELECT lang, source,
+                       s * 128 + (v >> CAST(s AS INTEGER)) AS bucket
+                FROM (SELECT lang, source, v,
+                             greatest(0, length(bin(v)) - 1 - 6) AS s
+                      FROM vals)
+            ),
+            shard AS (
+                SELECT lang, source, bucket, count(*) AS cnt
+                FROM bk GROUP BY 1, 2, 3
+            ),
+            merged AS (
+                SELECT lang, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM shard GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT lang, bucket,
+                       CAST(sum(cnt) OVER (PARTITION BY lang
+                                           ORDER BY bucket) AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+                FROM merged
+            ),
+            qv AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                  CAST(0.99 AS DOUBLE)]) AS q),
+            picked AS (
+                SELECT lang, q, n, min(bucket) AS bucket
+                FROM cum, qv
+                WHERE cum >= ceil(q * CAST(n AS DOUBLE))
+                GROUP BY 1, 2, 3
+            )
+            SELECT lang, q,
+                   ((bucket % 128 + 1) << CAST(bucket // 128 AS INTEGER))
+                       - 1 AS est,
+                   n
+            FROM picked
         """,
         "cm_heavy_hitters": f"""
             WITH toks AS (

@@ -100,6 +100,7 @@ HEADLINE = [
     "grid_morans_i",
     "grid_local_morans",
     "od_flows",
+    "hdr_quantile_sketch",
 ]
 
 
