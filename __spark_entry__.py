@@ -40,6 +40,7 @@ from pygridmap_spark.operators import tiler as TL
 from pygridmap_spark.sources import polygons as PG
 from pygridmap_spark.operators import curation as CU
 from pygridmap_spark.operators import domains as DMN
+from pygridmap_spark.functions import pii as PI
 from pygridmap_spark.functions import reproject as RPJ
 from pygridmap_spark.functions import s2 as S2C
 from pygridmap_spark.functions import hexgrid as HX
@@ -1938,6 +1939,46 @@ def _q_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _Q.hdr_quantiles(merged, [0.5, 0.9, 0.99], by=["lang"], p=p)
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (functions/pii): detection counts + redacted text
+    over documents with deterministically planted PII (emails / IPv4s /
+    international phones synthesized from doc_id — exact int64 + string
+    concat arithmetic reproducible in SQL). Pure Catalyst regexp, zero
+    shuffle, zero Python; patterns restricted to the Java-regex/RE2
+    agreement subset so the oracle re-runs the identical three-pass
+    count + redact in DuckDB and the md5 of the redacted text hash-gates
+    byte identity."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = (F.col("doc_id") % 50).cast("string")
+    cc = (F.col("doc_id") % 30 + 20).cast("string")
+    kind = F.col("doc_id") % 5
+    base = F.substring(F.col("text"), 1, 30)
+    ptext = (
+        F.when(kind == 0, F.concat(
+            base, F.lit(" contact user"), m, F.lit("@example"), m,
+            F.lit(".com for details")))
+        .when(kind == 1, F.concat(
+            base, F.lit(" origin 10."), m, F.lit(".0."), m,
+            F.lit(" call +44 "), cc, F.lit(" 7946 0958")))
+        .when(kind == 2, F.col("text"))
+        .when(kind == 3, F.concat(
+            F.lit("dual a"), m, F.lit("@b"), m, F.lit(".org and 192.168."),
+            m, F.lit(".9 plus c"), m, F.lit("@d"), m, F.lit(".net")))
+        .otherwise(F.concat(
+            F.lit("ref "), m, F.lit(" phone +1 800-555-0199 end")))
+    )
+    df = docs.select("doc_id", ptext.alias("text"))
+    out = PI.with_pii_redacted(PI.with_pii_stats(df))
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "has_pii",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 retrieval (operators/textstats.bm25_topk) for a fixed
     4-term query over the documents corpus. Oracle restates the token
@@ -3066,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
+        "pii_redact": _q_pii_redact,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
@@ -3174,6 +3216,7 @@ _S2_ORACLE_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     score_cols, lang_case = _lang_scores_sql()
+    _em, _ip, _ph = PI.EMAIL_PATTERN, PI.IPV4_PATTERN, PI.PHONE_PATTERN
     geo_cte = f"WITH pts AS (SELECT doc_id, {_GEO_SQL} FROM documents)"
     return {
         "tile_assignment": f"""
@@ -5125,6 +5168,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n_chars <= 0 THEN 0
                         ELSE floor((cum + n_chars - 1) / 2048) - floor(cum / 2048) + 1
                         END AS BIGINT) AS n_seqs
+            FROM c
+        """,
+        "pii_redact": f"""
+            WITH h AS (
+                SELECT doc_id, text,
+                       CAST(doc_id % 50 AS VARCHAR) AS m,
+                       CAST(doc_id % 30 + 20 AS VARCHAR) AS cc,
+                       doc_id % 5 AS kind,
+                       substr(text, 1, 30) AS base
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CASE kind
+                           WHEN 0 THEN base || ' contact user' || m
+                                || '@example' || m || '.com for details'
+                           WHEN 1 THEN base || ' origin 10.' || m || '.0.'
+                                || m || ' call +44 ' || cc || ' 7946 0958'
+                           WHEN 2 THEN text
+                           WHEN 3 THEN 'dual a' || m || '@b' || m
+                                || '.org and 192.168.' || m || '.9 plus c'
+                                || m || '@d' || m || '.net'
+                           ELSE 'ref ' || m || ' phone +1 800-555-0199 end'
+                       END AS ptext
+                FROM h
+            ), c AS (
+                SELECT doc_id, ptext,
+                       CAST(len(regexp_extract_all(ptext, '{_em}')) AS BIGINT) AS n_emails,
+                       CAST(len(regexp_extract_all(ptext, '{_ip}')) AS BIGINT) AS n_ipv4,
+                       CAST(len(regexp_extract_all(ptext, '{_ph}')) AS BIGINT) AS n_phones
+                FROM s
+            )
+            SELECT doc_id, n_emails, n_ipv4, n_phones,
+                   (n_emails + n_ipv4 + n_phones) > 0 AS has_pii,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       ptext, '{_em}', '<EMAIL>', 'g'), '{_ip}', '<IP>', 'g'),
+                       '{_ph}', '<PHONE>', 'g')) AS redacted_md5
             FROM c
         """,
         "line_dedup": """

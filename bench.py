@@ -101,6 +101,8 @@ HEADLINE = [
     "grid_local_morans",
     "od_flows",
     "hdr_quantile_sketch",
+    # round-5 continuation: webtext curation family
+    "pii_redact",
 ]
 
 

@@ -8,6 +8,7 @@ from pygridmap_spark.functions import (
     geodesy,
     geolocate,
     hexgrid,
+    pii,
     reproject,
     s2,
     text,
@@ -21,6 +22,7 @@ __all__ = [
     "geodesy",
     "geolocate",
     "hexgrid",
+    "pii",
     "reproject",
     "s2",
     "text",
