@@ -1979,6 +1979,42 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL dedup (functions/urls.canonical_url +
+    dedup_by_canonical_url): URLs synthesized from doc_id with planted
+    duplicate groups that only canonicalization collapses (case/default
+    port/fragment/tracking-param variants of the same resource). The
+    operator keys its one exchange on xxhash64(canonical); the oracle
+    groups on the canonical STRING — equivalent up to a 2^-64 collision,
+    the same equivalence the minhash oracle uses. Output: surviving
+    doc_id + canonical form, hash-gated."""
+    from pygridmap_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 50).cast("string")
+    k = F.col("doc_id") % 7
+    url = (
+        F.when(k == 0, F.concat(
+            F.lit("HTTPS://WWW.Example"), m, F.lit(".COM:443/Path/"), m,
+            F.lit("?utm_source=x&id="), m, F.lit("#frag")))
+        .when(k == 1, F.concat(
+            F.lit("https://www.example"), m, F.lit(".com/Path/"), m,
+            F.lit("?id="), m))
+        .when(k == 2, F.concat(
+            F.lit("http://Site"), m, F.lit(".org:80/a/b?utm_campaign=c")))
+        .when(k == 3, F.concat(F.lit("http://site"), m, F.lit(".org/a/b")))
+        .when(k == 4, F.concat(
+            F.lit("https://example"), m, F.lit(".com/?gclid=abc"), m))
+        .when(k == 5, F.concat(F.lit("https://example"), m, F.lit(".com/")))
+        .otherwise(F.concat(
+            F.lit("ftp://Files.example"), m, F.lit(".net/x"),
+            F.col("doc_id").cast("string")))
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    out = U.dedup_by_canonical_url(df)
+    return out.select("doc_id", "canonical_url")
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 retrieval (operators/textstats.bm25_topk) for a fixed
     4-term query over the documents corpus. Oracle restates the token
@@ -3108,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
+        "canonical_url_dedup": _q_canonical_url_dedup,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
@@ -3217,6 +3254,8 @@ _S2_ORACLE_CTE = """
 def oracle_sql() -> dict[str, str]:
     score_cols, lang_case = _lang_scores_sql()
     _em, _ip, _ph = PI.EMAIL_PATTERN, PI.IPV4_PATTERN, PI.PHONE_PATTERN
+    from pygridmap_spark.functions import urls as _U
+    _uhead, _utrack = _U._URL_HEAD_PATTERN, _U.TRACKING_PARAM_PATTERN
     geo_cte = f"WITH pts AS (SELECT doc_id, {_GEO_SQL} FROM documents)"
     return {
         "tile_assignment": f"""
@@ -5205,6 +5244,63 @@ def oracle_sql() -> dict[str, str]:
                        ptext, '{_em}', '<EMAIL>', 'g'), '{_ip}', '<IP>', 'g'),
                        '{_ph}', '<PHONE>', 'g')) AS redacted_md5
             FROM c
+        """,
+        "canonical_url_dedup": f"""
+            WITH d AS (
+                SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS m,
+                       doc_id % 7 AS k
+                FROM documents
+            ), u AS (
+                SELECT doc_id,
+                       CASE k
+                           WHEN 0 THEN 'HTTPS://WWW.Example' || m
+                                || '.COM:443/Path/' || m
+                                || '?utm_source=x&id=' || m || '#frag'
+                           WHEN 1 THEN 'https://www.example' || m
+                                || '.com/Path/' || m || '?id=' || m
+                           WHEN 2 THEN 'http://Site' || m
+                                || '.org:80/a/b?utm_campaign=c'
+                           WHEN 3 THEN 'http://site' || m || '.org/a/b'
+                           WHEN 4 THEN 'https://example' || m
+                                || '.com/?gclid=abc' || m
+                           WHEN 5 THEN 'https://example' || m || '.com/'
+                           ELSE 'ftp://Files.example' || m || '.net/x'
+                                || CAST(doc_id AS VARCHAR)
+                       END AS url
+                FROM d
+            ), a AS (
+                SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1 FROM u
+            ), b AS (
+                SELECT doc_id, u1,
+                       regexp_extract(u1, '{_uhead}') AS head
+                FROM a
+            ), c AS (
+                SELECT doc_id,
+                       CASE
+                           WHEN lower(head) LIKE 'http://%'
+                                AND lower(head) LIKE '%:80'
+                               THEN substr(lower(head), 1, length(head) - 3)
+                           WHEN lower(head) LIKE 'https://%'
+                                AND lower(head) LIKE '%:443'
+                               THEN substr(lower(head), 1, length(head) - 4)
+                           ELSE lower(head)
+                       END || substr(u1, length(head) + 1) AS u2
+                FROM b
+            ), t AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(u2, '{_utrack}', '', 'g'),
+                               '^([^?]*?)&', '\\1?'),
+                           '[?&]$', '') AS canonical_url
+                FROM c
+            ), r AS (
+                SELECT doc_id, canonical_url,
+                       row_number() OVER (PARTITION BY canonical_url
+                                          ORDER BY doc_id) AS rn
+                FROM t
+            )
+            SELECT doc_id, canonical_url FROM r WHERE rn = 1
         """,
         "line_dedup": """
             WITH corpus AS (

@@ -103,6 +103,7 @@ HEADLINE = [
     "hdr_quantile_sketch",
     # round-5 continuation: webtext curation family
     "pii_redact",
+    "canonical_url_dedup",
 ]
 
 

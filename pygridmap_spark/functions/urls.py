@@ -24,7 +24,7 @@ Two registered-domain implementations:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # longest-match-first; each entry is a suffix whose "registered domain" is
@@ -286,3 +286,91 @@ def with_url_features(
         feats, host_col="host", rules=rules,
         max_labels=max_labels, default_rule=default_rule,
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl dedup keys)
+# ---------------------------------------------------------------------------
+
+# scheme://authority prefix (everything before the first /, ? or #)
+_URL_HEAD_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+# tracking parameters removed by canonical_url (each match consumes its own
+# leading separator, so removing several in one global pass never leaves
+# doubled separators)
+TRACKING_PARAM_PATTERN = r"[?&](utm_[A-Za-z]+|gclid|fbclid|msclkid)=[^&#]*"
+
+
+def canonical_url(url: Column, strip_tracking: bool = True) -> Column:
+    """Canonical form of a URL for crawl dedup — pure Catalyst string ops
+    (zero Python, zero shuffle, oracle-checkable: the regex subset used
+    here behaves identically under Java regex and RE2, pinned in
+    tests/test_urls.py):
+
+    1. fragment dropped (``#...``),
+    2. scheme + authority lowercased (path/query case is significant and
+       kept),
+    3. default ports stripped (``http://...:80``, ``https://...:443``),
+    4. tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
+       ``msclkid``) with the query-string punctuation repaired (first
+       surviving ``&`` promoted to ``?``, trailing separators dropped).
+
+    Deliberately NOT done: www-stripping, trailing-slash removal, or
+    query-parameter sorting — each conflates URLs that real servers may
+    serve differently; dedup on content (dedup_exact / MinHash) catches
+    those."""
+    u1 = F.regexp_replace(url, "#.*$", "")
+    head = F.regexp_extract(u1, _URL_HEAD_PATTERN, 0)
+    rest = F.substr(u1, F.length(head) + F.lit(1))
+    lh = F.lower(head)
+    lh = (
+        F.when(
+            lh.startswith("http://") & lh.endswith(":80"),
+            F.substr(lh, F.lit(1), F.length(lh) - 3),
+        )
+        .when(
+            lh.startswith("https://") & lh.endswith(":443"),
+            F.substr(lh, F.lit(1), F.length(lh) - 4),
+        )
+        .otherwise(lh)
+    )
+    out = F.concat(lh, rest)
+    if strip_tracking:
+        out = F.regexp_replace(out, TRACKING_PARAM_PATTERN, "")
+        # a kept param that followed a removed leading '?...' needs its
+        # '&' promoted to '?': replace the FIRST '&' not preceded by '?'
+        out = F.regexp_replace(out, r"^([^?]*?)&", "$1?")
+        out = F.regexp_replace(out, r"[?&]$", "")
+    return out
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url",
+    strip_tracking: bool = True,
+) -> DataFrame:
+    return df.withColumn(
+        out_col, canonical_url(F.col(url_col), strip_tracking=strip_tracking)
+    )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep_canonical_col: str | None = "canonical_url",
+) -> DataFrame:
+    """Keep one representative (min ``id_col``) per canonical URL. The
+    exchange is keyed on ``xxhash64(canonical)`` — 8 bytes per row instead
+    of the URL string, the line_dedup hashed-key discipline (collision
+    odds 2^-64, same accepted trade as every other hashed dedup key in
+    the engine). One shuffle; survivors keep all input columns."""
+    canon = canonical_url(F.col(url_col))
+    keyed = df.withColumn("__ck__", F.xxhash64(canon))
+    w = Window.partitionBy("__ck__").orderBy(F.col(id_col).asc())
+    out = (
+        keyed.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__ck__", "__rn__")
+    )
+    if keep_canonical_col:
+        out = out.withColumn(keep_canonical_col, canon)
+    return out

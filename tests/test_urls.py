@@ -271,3 +271,104 @@ def test_temp_name_clash_raises(spark):
 
     with _pt.raises(ValueError, match="clash"):
         U.with_registered_domain(hosts)
+
+
+# ---------------------------------------------------------------------------
+# canonical_url family
+# ---------------------------------------------------------------------------
+
+CANON_CASES = [
+    # (input, expected canonical)
+    ("HTTPS://WWW.Example7.COM:443/Path/7?utm_source=x&id=7#frag",
+     "https://www.example7.com/Path/7?id=7"),
+    ("https://www.example7.com/Path/7?id=7",
+     "https://www.example7.com/Path/7?id=7"),
+    ("http://Site3.org:80/a/b?utm_campaign=c", "http://site3.org/a/b"),
+    ("https://example9.com/?gclid=abc9", "https://example9.com/"),
+    # :8080 is NOT a default port; '080' tail must not be stripped
+    ("https://h.com:8080/p?utm_a=1&utm_b=2", "https://h.com:8080/p"),
+    # mid-query tracking param: '&' punctuation survives correctly
+    ("https://h.com/p?a=1&utm_x=2&b=3#z", "https://h.com/p?a=1&b=3"),
+    # authority-only URL with default port
+    ("http://h.com:80", "http://h.com"),
+    # non-http scheme: head lowercased, no port logic
+    ("ftp://Files.example2.net/x", "ftp://files.example2.net/x"),
+    # path case is significant and preserved
+    ("https://a.com/CaseSensitive/Path", "https://a.com/CaseSensitive/Path"),
+    # not a URL at all: passes through
+    ("nourl text", "nourl text"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [
+        r.c
+        for r in df.select(U.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_canonical_url_matches_duckdb(spark):
+    import duckdb
+
+    urls = [u for u, _ in CANON_CASES] + [None]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.c
+        for r in df.select(U.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("create table t(i int, url varchar)")
+    con.executemany("insert into t values (?,?)", list(enumerate(urls)))
+    head, track = U._URL_HEAD_PATTERN, U.TRACKING_PARAM_PATTERN
+    oracle = [r[0] for r in con.execute(f"""
+        with a as (select i, regexp_replace(url, '#.*$', '') u1 from t),
+        b as (select i, u1, regexp_extract(u1, '{head}') head from a),
+        c as (select i, case
+                when lower(head) like 'http://%' and lower(head) like '%:80'
+                     then substr(lower(head), 1, length(head) - 3)
+                when lower(head) like 'https://%' and lower(head) like '%:443'
+                     then substr(lower(head), 1, length(head) - 4)
+                else lower(head) end || substr(u1, length(head) + 1) u2
+              from b),
+        d as (select i, regexp_replace(u2, '{track}', '', 'g') u3 from c),
+        e as (select i, regexp_replace(u3, '^([^?]*?)&', '\\1?') u4 from d)
+        select regexp_replace(u4, '[?&]$', '') from e order by i
+    """).fetchall()]
+    assert got == oracle
+
+
+def test_canonical_url_no_tracking_strip(spark):
+    df = spark.createDataFrame(
+        [("HTTP://A.com:80/p?utm_x=1",)], "url string"
+    )
+    r = df.select(
+        U.canonical_url(F.col("url"), strip_tracking=False).alias("c")
+    ).first()
+    assert r.c == "http://a.com/p?utm_x=1"
+
+
+def test_dedup_by_canonical_url(spark):
+    rows = [
+        (0, "HTTPS://A.com:443/x?utm_s=1"),
+        (1, "https://a.com/x"),          # dup of 0 after canonicalization
+        (2, "https://a.com/x?id=2"),     # distinct
+        (3, "https://a.com/X"),          # path case differs: distinct
+        (4, "https://a.com/x#frag"),     # dup of 0/1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = U.dedup_by_canonical_url(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [0, 2, 3]
+    assert out[0].canonical_url == "https://a.com/x"
+    # survivors keep original url column untouched
+    assert out[0].url == "HTTPS://A.com:443/x?utm_s=1"
+
+
+def test_canonical_url_zero_shuffle(spark):
+    df = spark.createDataFrame([("https://a.com/x",)], "url string")
+    plan = (
+        U.with_canonical_url(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
