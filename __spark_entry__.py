@@ -2015,6 +2015,37 @@ def _q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "canonical_url")
 
 
+def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link-graph extraction (operators/linkgraph.host_link_graph):
+    HTML synthesized from doc_id (two cross-host links per page, plus a
+    same-host nav link on every 4th page that drop_self must remove);
+    pair aggregation with n_links + distinct n_pages. Oracle re-runs the
+    identical href regex via unnest(regexp_extract_all) in DuckDB and the
+    same group-by — hash-gated."""
+    from pygridmap_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    s = (F.col("doc_id") % 30).cast("string")
+    a = ((F.col("doc_id") * 3 + 1) % 40).cast("string")
+    b = ((F.col("doc_id") * 7 + 2) % 40).cast("string")
+    url = F.concat(
+        F.lit("https://s"), s, F.lit(".example/p"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://t'), a, F.lit('.example/x'),
+        F.col("doc_id").cast("string"), F.lit('">1</a> mid '),
+        F.lit('<a href="http://t'), b, F.lit('.example/y">2</a>'),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(' <a href="https://s'), s,
+                     F.lit('.example/self">nav</a>')),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return LG.host_link_graph(pages)
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 retrieval (operators/textstats.bm25_topk) for a fixed
     4-term query over the documents corpus. Oracle restates the token
@@ -3145,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
         "canonical_url_dedup": _q_canonical_url_dedup,
+        "host_link_graph": _q_host_link_graph,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
@@ -5301,6 +5333,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, canonical_url FROM r WHERE rn = 1
+        """,
+        "host_link_graph": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(doc_id % 30 AS VARCHAR) AS s,
+                       CAST((doc_id * 3 + 1) % 40 AS VARCHAR) AS a,
+                       CAST((doc_id * 7 + 2) % 40 AS VARCHAR) AS b
+                FROM documents
+            ), pages AS (
+                SELECT 'https://s' || s || '.example/p'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       '<a href="https://t' || a || '.example/x'
+                           || CAST(doc_id AS VARCHAR) || '">1</a> mid '
+                           || '<a href="http://t' || b
+                           || '.example/y">2</a>'
+                           || CASE WHEN doc_id % 4 = 0
+                                   THEN ' <a href="https://s' || s
+                                        || '.example/self">nav</a>'
+                                   ELSE '' END AS html
+                FROM d
+            ), links AS (
+                SELECT url,
+                       lower(regexp_extract(
+                           url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1
+                       )) AS src_host,
+                       lower(regexp_extract(
+                           link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1
+                       )) AS dst_host
+                FROM (
+                    SELECT url,
+                           unnest(regexp_extract_all(
+                               html, 'href="(https?://[^"]+)"', 1
+                           )) AS link
+                    FROM pages
+                )
+            )
+            SELECT src_host, dst_host,
+                   count(*) AS n_links,
+                   count(DISTINCT url) AS n_pages
+            FROM links
+            WHERE src_host <> '' AND dst_host <> ''
+              AND src_host <> dst_host
+            GROUP BY src_host, dst_host
         """,
         "line_dedup": """
             WITH corpus AS (

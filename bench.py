@@ -104,6 +104,7 @@ HEADLINE = [
     # round-5 continuation: webtext curation family
     "pii_redact",
     "canonical_url_dedup",
+    "host_link_graph",
 ]
 
 

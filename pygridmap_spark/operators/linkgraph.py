@@ -1,0 +1,114 @@
+"""Host-level link graph extraction from crawled HTML — the web-graph
+side of a crawl pipeline (per-host outlink edges, degree rollups, crawl
+frontier seeds).
+
+Not a reference feature (eurostat/pygridmap is geospatial-only); part of
+the LLM-training-data family. Extraction is pure Catalyst
+(``regexp_extract_all`` + ``explode`` — JVM-side, no Python), with the
+href/host regexes held to the Java-regex/RE2 agreement subset so the
+driver oracle re-runs the identical extraction in DuckDB.
+
+Scale shape (100 TB):
+
+- ``host_link_graph`` explodes hrefs then aggregates on (src_host,
+  dst_host) in ONE shuffle with map-side partial aggregation — the
+  exploded rows never ride the exchange at full width, only partial
+  (src, dst, count) triples do. Mega-hub destinations (google.com) are
+  NOT skew keys here because the key is the PAIR.
+- Degree rollups (``host_degrees``) run over the already-aggregated EDGE
+  table, not the raw explode — the hub-dst skew lands on a frame that is
+  orders of magnitude smaller than the corpus (bounded by distinct
+  pairs), and the count/sum aggs partial-aggregate besides.
+- Registered-domain collapsing composes with the broadcast PSL dimension
+  (``functions.urls.with_registered_domain``) BEFORE the pair agg, so the
+  graph can be built at domain granularity with zero extra exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href attribute values with an absolute http(s) target. Deliberately
+# literal-minded (lowercase href, double quotes) — crawl HTML is usually
+# normalized upstream; the pattern is a contract, not a parser.
+HREF_PATTERN = r'href="(https?://[^"]+)"'
+# authority host (no port / userinfo handling beyond the ':' stop)
+HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+
+
+def link_host(url: Column) -> Column:
+    """Lowercased host of an absolute URL via the oracle-parity regex
+    (``functions.urls.host`` uses the JVM ``parse_url`` — equivalent on
+    well-formed absolute URLs; this one is restateable in DuckDB)."""
+    h = F.lower(F.regexp_extract(url, HOST_PATTERN, 1))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def extract_outlinks(
+    df: DataFrame, html_col: str = "html", out_col: str = "outlink"
+) -> DataFrame:
+    """One row per absolute http(s) href in ``html_col`` (rows with no
+    links drop — ``explode``, not ``explode_outer``; NULL html drops)."""
+    return df.withColumn(
+        out_col,
+        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)),
+    )
+
+
+def host_link_graph(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """(src_host, dst_host, n_links, n_pages) edge table: every absolute
+    outlink in the corpus, aggregated to host pairs. ``n_links`` counts
+    href occurrences; ``n_pages`` counts distinct source pages (by
+    ``url_col``). ``drop_self`` removes same-host (navigation) edges.
+
+    Plan shape (pinned in tests): the exploded rows never ride a shuffle
+    raw — Spark plans the mixed count / count(distinct) as partial-agg on
+    (src, dst, page) -> exchange of those triples -> partial distinct ->
+    exchange on (src, dst). Two exchanges, both post-partial-agg, bounded
+    by DISTINCT key combinations rather than corpus link volume; no
+    Expand node."""
+    links = extract_outlinks(
+        df.select(
+            F.col(url_col).alias("__page__"),
+            link_host(F.col(url_col)).alias("src_host"),
+            F.col(html_col),
+        ),
+        html_col=html_col,
+    )
+    edges = links.select(
+        "src_host",
+        link_host(F.col("outlink")).alias("dst_host"),
+        "__page__",
+    ).filter(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if drop_self:
+        edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("__page__").alias("n_pages"),
+    )
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Per-host degree summary from an edge table (the output of
+    :func:`host_link_graph`): out_degree / in_degree = distinct neighbor
+    counts, out_links / in_links = total href counts. Runs on the edge
+    frame (already collapsed to pairs), so hub skew never touches
+    corpus-sized data; the two rollups are a full outer join on host."""
+    out_d = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("n_links").alias("out_links"),
+    )
+    in_d = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("n_links").alias("in_links"),
+    )
+    return (
+        out_d.join(in_d, "host", "full_outer")
+        .fillna(0, ["out_degree", "out_links", "in_degree", "in_links"])
+    )
