@@ -2046,6 +2046,31 @@ def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LG.host_link_graph(pages)
 
 
+def _q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language top-fraction selection (operators/selection.
+    topfrac_by_group — histogram + threshold-bucket refine, no per-group
+    global sort). Scores are an exact integer-derived quotient
+    ((doc_id*7919 % 37)/37.0 — bit-identical IEEE both engines, heavy
+    ties so the doc_id tie-break is really exercised); the heuristic
+    quality_score formula itself is gated separately by quality_scores.
+    Oracle: plain window row_number selection in DuckDB. Display rounding
+    via floor(x*1e6+0.5)/1e6 (the cross-engine-safe form — pure IEEE ops,
+    no engine rounding library)."""
+    from pygridmap_spark.operators import selection as _SEL
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        ((F.col("doc_id") * 7919 % 37) / F.lit(37.0)).alias("q"),
+    )
+    out = _SEL.topfrac_by_group(
+        docs, 0.6, by="lang", score_col="q", id_col="doc_id", buckets=16
+    )
+    return out.select(
+        "doc_id", "lang",
+        (F.floor(F.col("q") * 1e6 + F.lit(0.5)) / 1e6).alias("quality"),
+    )
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 retrieval (operators/textstats.bm25_topk) for a fixed
     4-term query over the documents corpus. Oracle restates the token
@@ -3177,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "host_link_graph": _q_host_link_graph,
+        "quality_topfrac": _q_quality_topfrac,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
@@ -5376,6 +5402,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE src_host <> '' AND dst_host <> ''
               AND src_host <> dst_host
             GROUP BY src_host, dst_host
+        """,
+        "quality_topfrac": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       (doc_id * 7919 % 37) / 37.0 AS q
+                FROM documents
+            ), r AS (
+                SELECT doc_id, lang, q,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY q DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM d
+            )
+            SELECT doc_id, lang,
+                   floor(q * 1e6 + 0.5) / 1e6 AS quality
+            FROM r
+            WHERE rn <= ceil(0.6 * n)
         """,
         "line_dedup": """
             WITH corpus AS (

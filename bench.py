@@ -105,6 +105,7 @@ HEADLINE = [
     "pii_redact",
     "canonical_url_dedup",
     "host_link_graph",
+    "quality_topfrac",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Exact per-group top-fraction selection — "keep the best frac of each
+language by quality score" — without sorting any group on one partition.
+
+The naive exact implementation is a row_number window per group: every
+row of a group must land in ONE task, so the biggest language (en, ~half
+a web corpus) serializes onto a single core and the operator dies at
+scale. This operator gets the same EXACT answer with a histogram +
+refine selection:
+
+1. per-group stats (n, min, max) — one partial-aggregated shuffle with
+   one row per group;
+2. per-(group, bucket) histogram over the score range — one
+   partial-aggregated shuffle bounded by groups x buckets keys, however
+   big the corpus is;
+3. driver-side threshold pick on the tiny histogram (groups x buckets
+   rows): the bucket where the from-the-top cumulative count crosses
+   k = ceil(frac * n), and how many rows are still needed inside it;
+4. rows in buckets strictly above the threshold bucket pass with NO
+   further work; ONLY threshold-bucket rows (expected n/buckets per
+   group) go through an exact (score desc, id asc) row_number window.
+
+Total ordering: ties on the score are broken by the unique ``id_col``,
+so the kept set is deterministic and oracle-checkable (the driver query
+gates it against a plain window row_number in DuckDB).
+
+Contracts / bounds:
+- ``by`` must be dimension-sized (a histogram row per (group, bucket) is
+  collected driver-side) — languages, sources, shards; NOT urls.
+- NULL and NaN scores are dropped (a NaN would poison the bucket math;
+  Spark NaN-sorts above every double, DuckDB differs — excluding them is
+  the only cross-engine-sane contract).
+- Degenerate distributions (all scores equal -> one bucket) fall back to
+  the full-group window for THAT group only — correct, with the skew the
+  histogram can't help; raise ``buckets`` for heavy-tailed scores.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def topfrac_by_group(
+    df: DataFrame,
+    frac: float,
+    by: str = "lang",
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+    buckets: int = 512,
+) -> DataFrame:
+    """Keep, per ``by`` group, the top ``ceil(frac * n)`` rows ordered by
+    (``score_col`` desc, ``id_col`` asc). Exact; two bounded-key shuffles
+    over the corpus plus a window over threshold-bucket rows only."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    if frac == 0.0:
+        return df.limit(0)
+    s = F.col(score_col)
+    is_float = df.schema[score_col].dataType.typeName() in ("double", "float")
+    clean = df.filter(
+        s.isNotNull() & ~F.isnan(s) if is_float else s.isNotNull()
+    )
+    if frac == 1.0:
+        return clean
+
+    stats = (
+        clean.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.min(score_col).alias("__mn__"),
+            F.max(score_col).alias("__mx__"),
+        )
+    )
+    # bucket id: equal-width over [mn, mx]; the mx row clamps into the top
+    # bucket; a zero-width range (all equal) puts everything in bucket 0
+    b = F.lit(buckets)
+    width = F.col("__mx__") - F.col("__mn__")
+    bucket = F.when(width > 0,
+                    F.least(F.floor((s - F.col("__mn__")) / width * b),
+                            b - 1)
+                    ).otherwise(F.lit(0)).cast("int")
+    bucketed = clean.join(F.broadcast(stats), on=by).withColumn("__b__", bucket)
+
+    hist = {
+        (r[by], r["__b__"]): r["cnt"]
+        for r in bucketed.groupBy(by, "__b__")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    groups = {r[by]: r["__n__"] for r in stats.collect()}
+
+    # per group: threshold bucket t and the residual rank r needed in it
+    thresholds: dict[object, tuple[int, int]] = {}
+    for g, n in groups.items():
+        k = math.ceil(frac * n)
+        remaining = k
+        t = 0
+        for bi in range(buckets - 1, -1, -1):
+            c = hist.get((g, bi), 0)
+            if c >= remaining:
+                t = bi
+                break
+            remaining -= c
+        thresholds[g] = (t, remaining)
+
+    spark = df.sparkSession
+    thr = F.broadcast(
+        spark.createDataFrame(
+            [(g, t, r) for g, (t, r) in thresholds.items()],
+            # __r__ is a residual ROW COUNT (can exceed int32 at lake
+            # scale even though the bucket index never does)
+            schema=stats.select(by).schema
+            .add("__t__", "integer").add("__r__", "long"),
+        )
+    )
+    joined = bucketed.join(thr, on=by)
+    above = joined.filter(F.col("__b__") > F.col("__t__"))
+    # ONLY threshold-bucket rows ride the window exchange
+    in_bucket = joined.filter(F.col("__b__") == F.col("__t__"))
+    w = Window.partitionBy(by).orderBy(s.desc(), F.col(id_col).asc())
+    picked = (
+        in_bucket.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= F.col("__r__"))
+        .drop("__rn__")
+    )
+    helper = ["__n__", "__mn__", "__mx__", "__b__", "__t__", "__r__"]
+    return above.unionByName(picked).drop(*helper)
