@@ -2046,6 +2046,28 @@ def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LG.host_link_graph(pages)
 
 
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer PageRank (operators/linkgraph.pagerank_int,
+    3 iterations) over a 40-host graph whose weighted edges come from
+    doc_id arithmetic. Every operation is int64 (rank DIV out_w * w;
+    base + 85%*sum DIV 100), so the oracle unrolls the identical three
+    iterations as DuckDB CTEs and the ranks hash-gate EXACTLY — the
+    reproducibility-by-construction contract the float formulation
+    cannot give."""
+    from pygridmap_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        (F.col("doc_id") % 40).alias("s"),
+        ((F.col("doc_id") * 3 + 1) % 40).alias("d"),
+    )
+    edges = raw.groupBy("s", "d").agg(F.count(F.lit(1)).alias("w"))
+    out = LG.pagerank_int(
+        edges, iterations=3, src_col="s", dst_col="d", weight_col="w"
+    )
+    return out.select(F.col("host").cast("long").alias("host"), "rank")
+
+
 def _q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language top-fraction selection (operators/selection.
     topfrac_by_group — histogram + threshold-bucket refine, no per-group
@@ -3203,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "host_link_graph": _q_host_link_graph,
         "quality_topfrac": _q_quality_topfrac,
+        "host_pagerank_int": _q_host_pagerank,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
@@ -5402,6 +5425,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE src_host <> '' AND dst_host <> ''
               AND src_host <> dst_host
             GROUP BY src_host, dst_host
+        """,
+        "host_pagerank_int": """
+            WITH raw AS (
+                SELECT doc_id % 40 AS s, (doc_id * 3 + 1) % 40 AS d
+                FROM documents
+            ),
+            e AS (SELECT s, d, count(*) AS w FROM raw GROUP BY s, d),
+            ow AS (SELECT s, sum(w) AS ow FROM e GROUP BY s),
+            nodes AS (
+                SELECT DISTINCT s AS h FROM e
+                UNION
+                SELECT DISTINCT d AS h FROM e
+            ),
+            r0 AS (SELECT h, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+            c1 AS (
+                SELECT e.d AS h, SUM((r0.r // ow.ow) * e.w) AS c
+                FROM e JOIN r0 ON e.s = r0.h JOIN ow ON e.s = ow.s
+                GROUP BY e.d
+            ),
+            r1 AS (
+                SELECT n.h,
+                       CAST(150000000 + (85 * COALESCE(c1.c, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN c1 ON n.h = c1.h
+            ),
+            c2 AS (
+                SELECT e.d AS h, SUM((r1.r // ow.ow) * e.w) AS c
+                FROM e JOIN r1 ON e.s = r1.h JOIN ow ON e.s = ow.s
+                GROUP BY e.d
+            ),
+            r2 AS (
+                SELECT n.h,
+                       CAST(150000000 + (85 * COALESCE(c2.c, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN c2 ON n.h = c2.h
+            ),
+            c3 AS (
+                SELECT e.d AS h, SUM((r2.r // ow.ow) * e.w) AS c
+                FROM e JOIN r2 ON e.s = r2.h JOIN ow ON e.s = ow.s
+                GROUP BY e.d
+            ),
+            r3 AS (
+                SELECT n.h,
+                       CAST(150000000 + (85 * COALESCE(c3.c, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN c3 ON n.h = c3.h
+            )
+            SELECT h AS host, r AS rank FROM r3
         """,
         "quality_topfrac": """
             WITH d AS (

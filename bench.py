@@ -106,6 +106,7 @@ HEADLINE = [
     "canonical_url_dedup",
     "host_link_graph",
     "quality_topfrac",
+    "host_pagerank_int",
 ]
 
 

@@ -112,3 +112,85 @@ def host_degrees(edges: DataFrame) -> DataFrame:
         out_d.join(in_d, "host", "full_outer")
         .fillna(0, ["out_degree", "out_links", "in_degree", "in_links"])
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> DataFrame:
+    """Deterministic integer PageRank over a weighted edge table (the
+    output of :func:`host_link_graph`): ranks live in units of
+    ``scale`` and EVERY operation is int64 —
+
+        contrib(u->v) = (rank[u] DIV out_w[u]) * w(u,v)
+        rank'[v]      = ((100-d)*scale) DIV 100
+                        + (d * sum_in(contrib)) DIV 100
+
+    Why integer: float PageRank depends on the reduction order of the
+    incoming-contribution sum, which a distributed engine cannot pin —
+    two runs of the same job can disagree in the last ulp and a rank
+    SORT on those values is then nondeterministic. The integer
+    formulation is bit-reproducible run-to-run, partitioning-to-
+    partitioning, and engine-to-engine (the driver oracle re-runs the
+    identical arithmetic as unrolled DuckDB CTEs). The DIV truncation
+    deliberately leaks a sub-ulp of mass per edge; dangling-node mass is
+    dropped (the standard simplification). Overflow bound: the total
+    mass stays <= nodes*scale, so ``damping_pct * nodes * scale`` must
+    stay below 2^63 (~1e8 hosts at the default scale; raise/lower
+    ``scale`` to trade precision against headroom).
+
+    Scale shape: the edge table is joined with its precomputed
+    out-weight once, repartitioned on src and persisted; each iteration
+    then shuffles ONLY the (host, rank) frame — one join exchange plus
+    one partial-aggregated sum by dst — and localCheckpoints the new
+    ranks to keep the plan flat (the iterative-loop discipline from
+    connected_components)."""
+    e = edges.select(
+        F.col(src_col).alias("__src__"),
+        F.col(dst_col).alias("__dst__"),
+        F.col(weight_col).cast("long").alias("__w__"),
+    )
+    out_w = e.groupBy("__src__").agg(F.sum("__w__").alias("__ow__"))
+    e = e.join(out_w, "__src__").repartition("__src__").persist()
+    nodes = (
+        e.select(F.col("__src__").alias("host"))
+        .unionByName(e.select(F.col("__dst__").alias("host")))
+        .distinct()
+        .persist()
+    )
+    base = ((100 - damping_pct) * scale) // 100
+    ranks = nodes.select("host", F.lit(scale).cast("long").alias("rank"))
+    try:
+        for _ in range(iterations):
+            contrib = (
+                e.join(ranks, e["__src__"] == ranks["host"])
+                .select(
+                    F.col("__dst__").alias("host"),
+                    (F.expr("rank DIV __ow__") * F.col("__w__")).alias("__c__"),
+                )
+                .groupBy("host")
+                .agg(F.sum("__c__").alias("__s__"))
+            )
+            ranks = (
+                nodes.join(contrib, "host", "left")
+                .select(
+                    "host",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"CAST({damping_pct} AS BIGINT)"
+                            " * coalesce(__s__, CAST(0 AS BIGINT)) DIV 100"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+    finally:
+        e.unpersist()
+        nodes.unpersist()

@@ -80,3 +80,66 @@ def test_plan_no_expand_and_partial_agg(spark):
     # top-down plan text the map-side partial_count sits BELOW (after)
     # the last Exchange
     assert "partial_count" in plan.split("Exchange")[-1]
+
+
+# ---------------------------------------------------------------------------
+# pagerank_int
+# ---------------------------------------------------------------------------
+
+_PR_EDGES = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1),
+             ("d", "a", 3)]
+
+
+def _pr_python(iterations, scale=10**9, d=85):
+    ow = {}
+    for s, _, w in _PR_EDGES:
+        ow[s] = ow.get(s, 0) + w
+    nodes = sorted({x for e in _PR_EDGES for x in e[:2]})
+    rk = {h: scale for h in nodes}
+    base = ((100 - d) * scale) // 100
+    for _ in range(iterations):
+        inc = {}
+        for s, t, w in _PR_EDGES:
+            inc[t] = inc.get(t, 0) + (rk[s] // ow[s]) * w
+        rk = {h: base + d * inc.get(h, 0) // 100 for h in nodes}
+    return rk
+
+
+def _pr_df(spark):
+    return spark.createDataFrame(
+        _PR_EDGES, "src_host string, dst_host string, n_links long"
+    )
+
+
+def test_pagerank_matches_reference_arithmetic(spark):
+    got = {r.host: r.rank for r in
+           LG.pagerank_int(_pr_df(spark), iterations=3).collect()}
+    assert got == _pr_python(3)
+
+
+def test_pagerank_partitioning_independent(spark):
+    df = _pr_df(spark)
+    a = {r.host: r.rank for r in
+         LG.pagerank_int(df.repartition(1), iterations=4).collect()}
+    b = {r.host: r.rank for r in
+         LG.pagerank_int(df.repartition(7), iterations=4).collect()}
+    assert a == b  # bit-identical, the whole point of the integer form
+
+
+def test_pagerank_dangling_and_sink(spark):
+    rk = _pr_python(2)
+    got = {r.host: r.rank for r in
+           LG.pagerank_int(_pr_df(spark), iterations=2).collect()}
+    # d has no inbound links: exactly the base after any iteration
+    assert got["d"] == ((100 - 85) * 10**9) // 100 == rk["d"]
+    # total mass never exceeds n*scale (DIV only leaks mass)
+    assert sum(got.values()) <= 4 * 10**9
+
+
+def test_pagerank_composes_with_host_link_graph(spark):
+    edges = LG.host_link_graph(_df(spark))
+    out = LG.pagerank_int(edges, iterations=2)
+    got = {r.host: r.rank for r in out.collect()}
+    assert set(got) == {"s1.com", "s2.com", "d1.com", "d2.com"}
+    # d1 has all the inbound mass -> strictly the largest rank
+    assert got["d1.com"] == max(got.values())

@@ -102,3 +102,41 @@ def test_zero_shuffle_plan(spark):
         pii.with_pii_stats(_df(spark))
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_scrub_matches_batch(spark, tmp_path):
+    # the scrub is a stateless projection, so it must be usable unchanged
+    # on a stream and emit EXACTLY the batch result (no watermark, no state)
+    from pygridmap_spark.functions import pii
+
+    src = str(tmp_path / "pii_src")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} mail u{i}@ex{i % 5}.com at 10.0.{i % 256}.7")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    scrubbed = pii.with_pii_redacted(pii.with_pii_stats(stream))
+    q = (
+        scrubbed.writeStream.format("memory")
+        .queryName("pii_scrub")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, n_emails, n_ipv4, n_phones, text_redacted "
+            "FROM pii_scrub"
+        ).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_emails, r.n_ipv4, r.n_phones, r.text_redacted)
+        for r in pii.with_pii_redacted(
+            pii.with_pii_stats(spark.read.parquet(src))
+        ).collect()
+    }
+    assert got == batch and len(got) == 200
