@@ -2068,6 +2068,31 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("host").cast("long").alias("host"), "rank")
 
 
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/text.html_to_text): each doc's
+    text wrapped in a synthetic page (title, style, script, entities,
+    comment); the extraction must strip the chrome and preserve the
+    original single-spaced text VERBATIM inside the output
+    (contains_text gates the byte-identity story through intake).
+    Zero-shuffle regexp chain; oracle re-runs the identical chain in
+    DuckDB, md5 hash-gated."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>D"), F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><script>var a="<b>junk</b>";</script>'),
+        F.lit("<div>tail &amp; end</div><!-- note --></body></html>"),
+    )
+    extracted = TX.html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.md5(extracted).alias("extract_md5"),
+        F.length(extracted).cast("long").alias("n_chars"),
+        (F.instr(extracted, F.col("text")) > 0).alias("contains_text"),
+    )
+
+
 def _q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language top-fraction selection (operators/selection.
     topfrac_by_group — histogram + threshold-bucket refine, no per-group
@@ -3226,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": _q_host_link_graph,
         "quality_topfrac": _q_quality_topfrac,
         "host_pagerank_int": _q_host_pagerank,
+        "html_extract": _q_html_extract,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
@@ -5473,6 +5499,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM nodes n LEFT JOIN c3 ON n.h = c3.h
             )
             SELECT h AS host, r AS rank FROM r3
+        """,
+        "html_extract": f"""
+            WITH pages AS (
+                SELECT doc_id, text,
+                       '<html><head><title>D' || CAST(doc_id AS VARCHAR)
+                       || '</title><style>p{{color:red}}</style></head><body><p>'
+                       || text
+                       || '</p><script>var a="<b>junk</b>";</script>'
+                       || '<div>tail &amp; end</div><!-- note --></body></html>'
+                           AS html
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               regexp_replace(regexp_replace(
+                               regexp_replace(regexp_replace(html,
+                                   '{TX.HTML_SCRIPT_PATTERN}', ' ', 'g'),
+                                   '{TX.HTML_STYLE_PATTERN}', ' ', 'g'),
+                                   '{TX.HTML_COMMENT_PATTERN}', ' ', 'g'),
+                                   '{TX.HTML_TAG_PATTERN}', ' ', 'g'),
+                               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                               '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                           '\\s+', ' ', 'g')) AS extracted
+                FROM pages
+            )
+            SELECT doc_id,
+                   md5(extracted) AS extract_md5,
+                   CAST(length(extracted) AS BIGINT) AS n_chars,
+                   strpos(extracted, text) > 0 AS contains_text
+            FROM ex
         """,
         "quality_topfrac": """
             WITH d AS (

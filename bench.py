@@ -107,6 +107,7 @@ HEADLINE = [
     "host_link_graph",
     "quality_topfrac",
     "host_pagerank_int",
+    "html_extract",
 ]
 
 

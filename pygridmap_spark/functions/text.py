@@ -153,3 +153,40 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.flatten(F.transform(F.array(toks), _shingles_of))
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (crawl intake)
+# ---------------------------------------------------------------------------
+
+# Backreference-free (RE2 has no backrefs — the oracle runs these verbatim
+# in DuckDB) and non-greedy; (?is) = dotall + case-insensitive so
+# <SCRIPT> bodies strip like <script>.
+HTML_SCRIPT_PATTERN = r"(?is)<script\b[^>]*>.*?</script>"
+HTML_STYLE_PATTERN = r"(?is)<style\b[^>]*>.*?</style>"
+HTML_COMMENT_PATTERN = r"(?s)<!--.*?-->"
+HTML_TAG_PATTERN = r"(?s)<[^>]+>"
+# the handful of entities that dominate crawl text; anything rarer is
+# left verbatim (an entity decoder is a tokenizer concern, not a scan
+# concern)
+HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML document: script/style/comment blocks out,
+    tags out, common entities decoded, whitespace squeezed + trimmed.
+    Pure Catalyst regexp/replace chain — zero Python, zero shuffle; a
+    contract, not a browser (unclosed <script> eats to end of document;
+    CDATA and exotic entities pass through verbatim). Every pattern is
+    in the Java-regex/RE2 agreement subset, so the driver oracle re-runs
+    the identical chain in DuckDB."""
+    out = F.regexp_replace(html, HTML_SCRIPT_PATTERN, " ")
+    out = F.regexp_replace(out, HTML_STYLE_PATTERN, " ")
+    out = F.regexp_replace(out, HTML_COMMENT_PATTERN, " ")
+    out = F.regexp_replace(out, HTML_TAG_PATTERN, " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

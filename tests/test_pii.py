@@ -140,3 +140,61 @@ def test_streaming_scrub_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) == 200
+
+
+# ---------------------------------------------------------------------------
+# html_to_text (lives in functions/text; tested here with the other
+# crawl-intake scrubbers)
+# ---------------------------------------------------------------------------
+
+HTML_CASES = [
+    ("<html><head><title>T</title><style>p{c:red}</style></head>"
+     "<body><p>Hello <b>world</b></p><script>var x='<p>no</p>';</script>"
+     "<div>bye &amp; hi &lt;3 a&nbsp;b</div><!-- c --></body></html>",
+     'T Hello world bye & hi <3 a b'),
+    ("plain text no tags", "plain text no tags"),
+    ("<p>multi\nline <script>\nvar y=1;\n</script>tail</p>", "multi line tail"),
+    ("<SCRIPT>UPPER body strips too</SCRIPT> kept", "kept"),
+    ("<a href='x'>link</a> <br/> tailing", "link tailing"),
+]
+
+
+def test_html_to_text_cases(spark):
+    from pygridmap_spark.functions import text as TX
+
+    df = spark.createDataFrame([(h,) for h, _ in HTML_CASES], "html string")
+    got = [r.t for r in df.select(TX.html_to_text(F.col("html")).alias("t")).collect()]
+    assert got == [want for _, want in HTML_CASES]
+
+
+def test_html_to_text_matches_duckdb(spark):
+    import duckdb
+    from pygridmap_spark.functions import text as TX
+
+    htmls = [h for h, _ in HTML_CASES] + [None, "<script>unclosed eats rest"]
+    df = spark.createDataFrame([(h,) for h in htmls], "html string")
+    got = [r.t for r in df.select(TX.html_to_text(F.col("html")).alias("t")).collect()]
+    con = duckdb.connect()
+    con.execute("create table t(i int, html varchar)")
+    con.executemany("insert into t values (?,?)", list(enumerate(htmls)))
+    sc, st = TX.HTML_SCRIPT_PATTERN, TX.HTML_STYLE_PATTERN
+    cm, tg = TX.HTML_COMMENT_PATTERN, TX.HTML_TAG_PATTERN
+    ora = [r[0] for r in con.execute(f"""
+        select trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+               '{sc}', ' ', 'g'), '{st}', ' ', 'g'),
+               '{cm}', ' ', 'g'), '{tg}', ' ', 'g'),
+            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''),
+          '\\s+', ' ', 'g')) from t order by i""").fetchall()]
+    assert got == ora
+
+
+def test_html_to_text_zero_shuffle(spark):
+    from pygridmap_spark.functions import text as TX
+
+    df = spark.createDataFrame([("<p>x</p>",)], "html string")
+    plan = df.select(TX.html_to_text(F.col("html")).alias("t")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
