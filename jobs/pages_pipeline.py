@@ -2,7 +2,10 @@
 """Production pipeline job: geolocate -> cell-index -> tile-assign ->
 PIP region join -> tiled sink, with per-stage lineage checkpoints; opt-in
 GEODESIC zone tagging (--geo-zones: WKB polygons joined exactly on the
-sphere via the classified S2 cover) with a per-zone rollup stage.
+sphere via the classified S2 cover) with a per-zone rollup stage; opt-in
+intake scrub (--scrub: PII stats + redacted-text column ahead of stage 1
+— zero-shuffle, rides the stage_encoded checkpoint; the redaction goes to
+a NEW column so the byte-identical `text` invariant holds regardless).
 
 Submit (cluster):
     spark-submit --py-files pygridmap_spark.zip jobs/pages_pipeline.py \
@@ -49,6 +52,10 @@ def main() -> None:
         "edges; correct at poles/antimeridian where rect regions are not)",
     )
     ap.add_argument("--geo-level", type=int, default=11, help="S2 cover level for --geo-zones")
+    ap.add_argument(
+        "--scrub", action="store_true",
+        help="add PII stats + text_redacted ahead of stage 1 (zero-shuffle)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--zoom", type=int, default=7)
     ap.add_argument("--resolution", type=float, default=0.01)
@@ -75,6 +82,14 @@ def main() -> None:
         pages = spark.read.parquet(args.input)
     else:
         ap.error("one of --input / --synthetic is required")
+
+    # stage 0 (opt-in): PII scrub — pure-codegen columns appended before
+    # the first checkpoint so the stats and redacted text persist with
+    # stage_encoded and resumed runs never recompute the regex passes
+    if args.scrub:
+        from pygridmap_spark.functions import pii as PII
+
+        pages = PII.with_pii_redacted(PII.with_pii_stats(pages))
 
     # stage 1: URL/domain features + geolocate + encode (checkpointed,
     # resumable). Domain features ride the PSL as ONE broadcast dimension
@@ -105,6 +120,7 @@ def main() -> None:
         inputs=[
             args.input or f"synthetic:{args.synthetic}",
             f"features:urls-v2-default-rule:psl={args.psl or 'standin'}",
+            f"scrub:{'on' if args.scrub else 'off'}",
         ],
     )
 

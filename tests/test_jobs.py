@@ -202,3 +202,33 @@ def test_pages_pipeline_geo_zone_stage(spark, tmp_path, monkeypatch):
         lo = rings[int(r["poly_id"])][:, 0]
         assert lo.min() < r["centroid_lon"] < lo.max()
         assert -40.0 < r["centroid_lat"] < 40.0
+
+
+def test_pages_pipeline_scrub_stage(spark, tmp_path, monkeypatch):
+    """--scrub: PII stat columns + text_redacted persist through the
+    stage_encoded checkpoint; the original text column is untouched."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = str(tmp_path / "pp_scrub")
+    sys.path.insert(0, "/root/repo/jobs")
+    import importlib
+
+    import pages_pipeline
+
+    importlib.reload(pages_pipeline)
+    old = sys.argv
+    sys.argv = [
+        "pages_pipeline.py", "--synthetic", "3000", "--output", out,
+        "--scrub",
+    ]
+    try:
+        pages_pipeline.main()
+    finally:
+        sys.argv = old
+    enc = spark.read.parquet(os.path.join(out, "stage_encoded"))
+    assert {"n_emails", "n_ipv4", "n_phones", "has_pii", "text_redacted"} \
+        <= set(enc.columns)
+    from pygridmap_spark.sources import pages as P
+
+    orig = P.pages(spark, 3000).select("url", "text")
+    back = enc.select("url", "text")
+    assert back.exceptAll(orig).count() == 0  # text byte-identical
