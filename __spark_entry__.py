@@ -5393,14 +5393,23 @@ def oracle_sql() -> dict[str, str]:
                            ELSE lower(head)
                        END || substr(u1, length(head) + 1) AS u2
                 FROM b
+            ), s AS (
+                SELECT doc_id, u2,
+                       regexp_extract(u2, '^[^?]*') AS base
+                FROM c
             ), t AS (
                 SELECT doc_id,
-                       regexp_replace(
-                           regexp_replace(
-                               regexp_replace(u2, '{_utrack}', '', 'g'),
-                               '^([^?]*?)&', '\\1?'),
-                           '[?&]$', '') AS canonical_url
-                FROM c
+                       CASE WHEN q = '' THEN base
+                            ELSE base || '?' || q END AS canonical_url
+                FROM (
+                    SELECT doc_id, base,
+                           regexp_replace(regexp_replace(
+                               CASE WHEN length(u2) > length(base)
+                                    THEN substr(u2, length(base) + 2)
+                                    ELSE '' END,
+                               '{_utrack}', '', 'g'), '^&+', '') AS q
+                    FROM s
+                )
             ), r AS (
                 SELECT doc_id, canonical_url,
                        row_number() OVER (PARTITION BY canonical_url
@@ -5520,8 +5529,8 @@ def oracle_sql() -> dict[str, str]:
                                    '{TX.HTML_STYLE_PATTERN}', ' ', 'g'),
                                    '{TX.HTML_COMMENT_PATTERN}', ' ', 'g'),
                                    '{TX.HTML_TAG_PATTERN}', ' ', 'g'),
-                               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                               '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                            '\\s+', ' ', 'g')) AS extracted
                 FROM pages
             )

@@ -135,8 +135,15 @@ def run_canon(master: str, n: int, shuffle_parts: int) -> dict:
     spark = _session(master, shuffle_parts, "curation-rehearsal-canon")
     try:
         e = F.col("id")
-        m = (e % (max(n // 4, 1))).cast("string")  # ~4 variants per resource
-        k = e % 4
+        q = max(n // 4, 1)
+        # resource id m repeats across the 4 quarters of the id range and
+        # the KIND comes from the quarter (id DIV q), so every resource
+        # gets all 4 canonicalization variants — k = id % 4 would give
+        # each m a single kind whenever 4 divides q and the "dedup" would
+        # measure exact-string collapse, not canonicalization (review
+        # finding)
+        m = (e % q).cast("string")
+        k = (e / F.lit(q)).cast("long")
         url = (
             F.when(k == 0, F.concat(
                 F.lit("HTTPS://WWW.Site"), m, F.lit(".COM:443/p/"), m,
@@ -242,15 +249,6 @@ def run_topfrac(master: str, n: int, shuffle_parts: int) -> dict:
         )
         out = {}
 
-        def _measure(fn):
-            fn()  # warmup
-            w0, r0 = shuffle_totals_gb(spark)
-            t0 = time.time()
-            row = fn()
-            wall = time.time() - t0
-            w1, r1 = shuffle_totals_gb(spark)
-            return row, wall, w1 - w0, r1 - r0
-
         def _hist():
             kept = SEL.topfrac_by_group(
                 df, 0.3, by="lang", score_col="q", id_col="doc_id"
@@ -278,8 +276,22 @@ def run_topfrac(master: str, n: int, shuffle_parts: int) -> dict:
                 F.sum("doc_id").alias("checksum"),
             ).collect()[0]
 
-        for name, fn in (("histogram", _hist), ("naive_window", _naive)):
-            row, wall, dw, dr = _measure(fn)
+        # interleaved best-of-2 in ONE JVM (CLAUDE.md protocol: back-to-back
+        # single reps on this shared VM differ 2-3x from steal alone)
+        arms = (("histogram", _hist), ("naive_window", _naive))
+        for _, fn in arms:
+            fn()  # same-JVM warmup per arm
+        samples: dict[str, list] = {name: [] for name, _ in arms}
+        for _rep in range(2):
+            for name, fn in arms:
+                w0, r0 = shuffle_totals_gb(spark)
+                t0 = time.time()
+                row = fn()
+                wall = time.time() - t0
+                w1, r1 = shuffle_totals_gb(spark)
+                samples[name].append((wall, row, w1 - w0, r1 - r0))
+        for name, _ in arms:
+            wall, row, dw, dr = min(samples[name], key=lambda x: x[0])
             out[name] = {
                 "kept": int(row["kept"]), "checksum": int(row["checksum"]),
                 "wall_s": round(wall, 2), "rows_per_sec": round(n / wall),

@@ -168,10 +168,12 @@ HTML_COMMENT_PATTERN = r"(?s)<!--.*?-->"
 HTML_TAG_PATTERN = r"(?s)<[^>]+>"
 # the handful of entities that dominate crawl text; anything rarer is
 # left verbatim (an entity decoder is a tokenizer concern, not a scan
-# concern)
+# concern). '&amp;' MUST decode LAST: decoding it first would turn the
+# escaped display text '&amp;lt;' into '&lt;' and then into '<' —
+# double-decoding that corrupts pages showing code samples.
 HTML_ENTITIES = (
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
 )
 
 

@@ -294,10 +294,11 @@ def with_url_features(
 
 # scheme://authority prefix (everything before the first /, ? or #)
 _URL_HEAD_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
-# tracking parameters removed by canonical_url (each match consumes its own
-# leading separator, so removing several in one global pass never leaves
-# doubled separators)
-TRACKING_PARAM_PATTERN = r"[?&](utm_[A-Za-z]+|gclid|fbclid|msclkid)=[^&#]*"
+# tracking parameters removed by canonical_url; applied to the QUERY
+# SECTION only (never the path — '&' is a legal path character), anchored
+# at the section start or a '&' separator, which each match consumes so a
+# global pass never leaves doubled separators
+TRACKING_PARAM_PATTERN = r"(^|&)(utm_[A-Za-z]+|gclid|fbclid|msclkid)=[^&]*"
 
 
 def canonical_url(url: Column, strip_tracking: bool = True) -> Column:
@@ -311,8 +312,10 @@ def canonical_url(url: Column, strip_tracking: bool = True) -> Column:
        kept),
     3. default ports stripped (``http://...:80``, ``https://...:443``),
     4. tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
-       ``msclkid``) with the query-string punctuation repaired (first
-       surviving ``&`` promoted to ``?``, trailing separators dropped).
+       ``msclkid``) from the QUERY SECTION only — the URL is split at
+       its first ``?`` and only the query side is rewritten, so a
+       literal ``&`` in the path (legal per RFC 3986) is never touched;
+       a fully-consumed query drops its ``?``.
 
     Deliberately NOT done: www-stripping, trailing-slash removal, or
     query-parameter sorting — each conflates URLs that real servers may
@@ -335,11 +338,17 @@ def canonical_url(url: Column, strip_tracking: bool = True) -> Column:
     )
     out = F.concat(lh, rest)
     if strip_tracking:
-        out = F.regexp_replace(out, TRACKING_PARAM_PATTERN, "")
-        # a kept param that followed a removed leading '?...' needs its
-        # '&' promoted to '?': replace the FIRST '&' not preceded by '?'
-        out = F.regexp_replace(out, r"^([^?]*?)&", "$1?")
-        out = F.regexp_replace(out, r"[?&]$", "")
+        base = F.regexp_extract(out, r"^[^?]*", 0)
+        query = F.when(
+            F.length(out) > F.length(base),
+            F.substr(out, F.length(base) + F.lit(2)),
+        ).otherwise(F.lit(""))
+        cleaned = F.regexp_replace(
+            F.regexp_replace(query, TRACKING_PARAM_PATTERN, ""), r"^&+", ""
+        )
+        out = F.when(cleaned == "", base).otherwise(
+            F.concat(base, F.lit("?"), cleaned)
+        )
     return out
 
 

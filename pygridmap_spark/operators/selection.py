@@ -28,7 +28,12 @@ Contracts / bounds:
   collected driver-side) — languages, sources, shards; NOT urls.
 - NULL and NaN scores are dropped (a NaN would poison the bucket math;
   Spark NaN-sorts above every double, DuckDB differs — excluding them is
-  the only cross-engine-sane contract).
+  the only cross-engine-sane contract). A NULL GROUP KEY is kept — it is
+  its own group, exactly as a window's partitionBy treats it (all joins
+  are null-safe).
+- The corpus is scanned twice (histogram pass, then the filter/refine
+  pass when the caller acts) — the price of exactness without a sort;
+  persist the input upstream if the scan is expensive.
 - Degenerate distributions (all scores equal -> one bucket) fall back to
   the full-group window for THAT group only — correct, with the skew the
   histogram can't help; raise ``buckets`` for heavy-tailed scores.
@@ -66,13 +71,16 @@ def topfrac_by_group(
     if frac == 1.0:
         return clean
 
+    # NULL is a legitimate group key (lang=NULL docs are a real web-corpus
+    # population): every join below is null-safe (<=>) so the NULL group
+    # flows through exactly like the naive window's NULL partition would
     stats = (
         clean.groupBy(by)
         .agg(
-            F.count(F.lit(1)).alias("__n__"),
             F.min(score_col).alias("__mn__"),
             F.max(score_col).alias("__mx__"),
         )
+        .withColumnRenamed(by, "__g__")
     )
     # bucket id: equal-width over [mn, mx]; the mx row clamps into the top
     # bucket; a zero-width range (all equal) puts everything in bucket 0
@@ -82,7 +90,11 @@ def topfrac_by_group(
                     F.least(F.floor((s - F.col("__mn__")) / width * b),
                             b - 1)
                     ).otherwise(F.lit(0)).cast("int")
-    bucketed = clean.join(F.broadcast(stats), on=by).withColumn("__b__", bucket)
+    bucketed = (
+        clean.join(F.broadcast(stats), F.col(by).eqNullSafe(F.col("__g__")))
+        .drop("__g__")
+        .withColumn("__b__", bucket)
+    )
 
     hist = {
         (r[by], r["__b__"]): r["cnt"]
@@ -90,7 +102,10 @@ def topfrac_by_group(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    groups = {r[by]: r["__n__"] for r in stats.collect()}
+    # group sizes fall out of the histogram — no second corpus action
+    groups: dict[object, int] = {}
+    for (g, _bi), c in hist.items():
+        groups[g] = groups.get(g, 0) + c
 
     # per group: threshold bucket t and the residual rank r needed in it
     thresholds: dict[object, tuple[int, int]] = {}
@@ -112,11 +127,13 @@ def topfrac_by_group(
             [(g, t, r) for g, (t, r) in thresholds.items()],
             # __r__ is a residual ROW COUNT (can exceed int32 at lake
             # scale even though the bucket index never does)
-            schema=stats.select(by).schema
+            schema=df.select(F.col(by).alias("__g__")).schema
             .add("__t__", "integer").add("__r__", "long"),
         )
     )
-    joined = bucketed.join(thr, on=by)
+    joined = bucketed.join(
+        thr, F.col(by).eqNullSafe(F.col("__g__"))
+    ).drop("__g__")
     above = joined.filter(F.col("__b__") > F.col("__t__"))
     # ONLY threshold-bucket rows ride the window exchange
     in_bucket = joined.filter(F.col("__b__") == F.col("__t__"))
@@ -126,5 +143,5 @@ def topfrac_by_group(
         .filter(F.col("__rn__") <= F.col("__r__"))
         .drop("__rn__")
     )
-    helper = ["__n__", "__mn__", "__mx__", "__b__", "__t__", "__r__"]
+    helper = ["__mn__", "__mx__", "__b__", "__t__", "__r__"]
     return above.unionByName(picked).drop(*helper)

@@ -156,6 +156,10 @@ HTML_CASES = [
     ("<p>multi\nline <script>\nvar y=1;\n</script>tail</p>", "multi line tail"),
     ("<SCRIPT>UPPER body strips too</SCRIPT> kept", "kept"),
     ("<a href='x'>link</a> <br/> tailing", "link tailing"),
+    # escaped entity text must decode ONCE: a page DISPLAYING '&lt;'
+    # (writes '&amp;lt;') extracts to '&lt;', never '<'
+    ("<p>code sample: &amp;lt; and &amp;amp;</p>",
+     "code sample: &lt; and &amp;"),
 ]
 
 
@@ -185,8 +189,8 @@ def test_html_to_text_matches_duckdb(spark):
             regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
                '{sc}', ' ', 'g'), '{st}', ' ', 'g'),
                '{cm}', ' ', 'g'), '{tg}', ' ', 'g'),
-            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-            '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
           '\\s+', ' ', 'g')) from t order by i""").fetchall()]
     assert got == ora
 

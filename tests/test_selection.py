@@ -90,3 +90,23 @@ def test_per_group_counts(spark):
 def test_output_columns_clean(spark):
     out = SEL.topfrac_by_group(_corpus(spark), 0.5)
     assert set(out.columns) == {"doc_id", "lang", "quality"}
+
+
+def test_null_group_key_kept(spark):
+    # NULL lang is its own group, exactly like the naive window treats it
+    df = spark.createDataFrame(
+        [(0, None, 0.9), (1, None, 0.5), (2, None, 0.1),
+         (3, "en", 0.8), (4, "en", 0.2)],
+        "doc_id long, lang string, quality double",
+    )
+    got = sorted(
+        ((r.lang, r.doc_id)
+         for r in SEL.topfrac_by_group(df, 0.5).collect()),
+        key=lambda p: (p[0] or "", p[1]),
+    )
+    want = sorted(
+        ((r.lang, r.doc_id) for r in _naive(df, 0.5).collect()),
+        key=lambda p: (p[0] or "", p[1]),
+    )
+    # ceil(0.5*3)=2 of the NULL group, ceil(0.5*2)=1 of en
+    assert got == want == [(None, 0), (None, 1), ("en", 3)]

@@ -297,6 +297,15 @@ CANON_CASES = [
     ("https://a.com/CaseSensitive/Path", "https://a.com/CaseSensitive/Path"),
     # not a URL at all: passes through
     ("nourl text", "nourl text"),
+    # literal '&' in the PATH is legal (RFC 3986) and must survive
+    ("https://x.com/a&b", "https://x.com/a&b"),
+    ("https://x.com/a&b?c=1", "https://x.com/a&b?c=1"),
+    ("https://x.com/a&b?utm_z=9", "https://x.com/a&b"),
+    # interleaved keep/strip params
+    ("https://h.com/p?utm_a=1&keep=2&utm_b=3&k2=4",
+     "https://h.com/p?keep=2&k2=4"),
+    # bare '?' drops
+    ("https://h.com/p?", "https://h.com/p"),
 ]
 
 
@@ -332,9 +341,13 @@ def test_canonical_url_matches_duckdb(spark):
                      then substr(lower(head), 1, length(head) - 4)
                 else lower(head) end || substr(u1, length(head) + 1) u2
               from b),
-        d as (select i, regexp_replace(u2, '{track}', '', 'g') u3 from c),
-        e as (select i, regexp_replace(u3, '^([^?]*?)&', '\\1?') u4 from d)
-        select regexp_replace(u4, '[?&]$', '') from e order by i
+        d as (select i, u2, regexp_extract(u2, '^[^?]*') base from c),
+        e as (select i, base, regexp_replace(regexp_replace(
+                case when length(u2) > length(base)
+                     then substr(u2, length(base) + 2) else '' end,
+                '{track}', '', 'g'), '^&+', '') q from d)
+        select case when q = '' then base else base || '?' || q end
+        from e order by i
     """).fetchall()]
     assert got == oracle
 
