@@ -2154,6 +2154,63 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText PARAGRAPH dedup — line_dedup with sep='\\n\\n': every
+    even doc gets an injected shared promo paragraph, which crosses the
+    min_docs threshold and is stripped everywhere; odd docs (and paragraph
+    structure inside kept docs) survive byte-identically. Oracle: the
+    same frequency/filter/reassembly with the two-newline separator."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("SHARED PROMO PARAGRAPH\n\n"), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = CU.line_dedup(docs, min_docs=10, sep="\n\n")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.col("n_lines_removed").cast("long").alias("n_paras_removed"),
+    )
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line + page cleaning (operators/curation.c4_clean) over
+    documents with planted defects: doc_id%4==1 appends a no-punctuation
+    line plus a good sentence, %4==2 prepends a javascript line, %4==3
+    appends ' { lorem ipsum' (tripping both page blacklists). The oracle
+    restates the identical line predicate with DuckDB list lambdas
+    (literal last-char test — not '$', which diverges across regex
+    engines on final '\\r')."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit("\nbad line no punct\nGood sentence with many words here."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("Uses javascript heavily everywhere today.\n"), F.col("text")),
+        )
+        .when(F.col("doc_id") % 4 == 3, F.concat(F.col("text"), F.lit(" { lorem ipsum")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = CU.c4_clean(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_removed",
+        "sentence_count",
+        "keep_doc",
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Oracle (round 3): per-doc signatures
     from the independent fixture twin (fixtures/gen_oracle_fixtures.py),
@@ -3246,6 +3303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "c4_clean": _q_c4_clean,
         "pii_redact": _q_pii_redact,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "host_link_graph": _q_host_link_graph,
@@ -5583,6 +5642,91 @@ def oracle_sql() -> dict[str, str]:
                             x -> list_contains(b.bl, x))) AS BIGINT)
                        AS n_lines_removed
             FROM corpus c CROSS JOIN boiler b
+        """,
+        "paragraph_dedup": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN concat('SHARED PROMO PARAGRAPH',
+                                        chr(10), chr(10), text)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            exploded AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10) || chr(10))) AS para
+                FROM corpus
+            ),
+            freq AS (
+                SELECT para FROM exploded WHERE para != ''
+                GROUP BY para HAVING count(DISTINCT doc_id) >= 10
+            ),
+            boiler AS (SELECT coalesce(list(para), []) AS bl FROM freq)
+            SELECT c.doc_id,
+                   md5(array_to_string(
+                       list_filter(string_split(c.text, chr(10) || chr(10)),
+                                   x -> NOT list_contains(b.bl, x)),
+                       chr(10) || chr(10))) AS clean_md5,
+                   CAST(len(list_filter(
+                            string_split(c.text, chr(10) || chr(10)),
+                            x -> list_contains(b.bl, x))) AS BIGINT)
+                       AS n_paras_removed
+            FROM corpus c CROSS JOIN boiler b
+        """,
+        "c4_clean": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 1
+                            THEN text || chr(10) || 'bad line no punct'
+                                 || chr(10)
+                                 || 'Good sentence with many words here.'
+                            WHEN doc_id % 4 = 2
+                            THEN 'Uses javascript heavily everywhere today.'
+                                 || chr(10) || text
+                            WHEN doc_id % 4 = 3
+                            THEN text || ' { lorem ipsum'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            cleaned AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(coalesce(text, ''), chr(10)),
+                           x -> right(x, 1) IN ('.', '!', '?', '"')
+                                AND len(string_split_regex(trim(x), '\\s+'))
+                                    >= 5
+                                AND NOT contains(lower(x), 'javascript'))
+                           AS kept,
+                       string_split(coalesce(text, ''), chr(10)) AS segs
+                FROM corpus
+            ),
+            feats AS (
+                SELECT doc_id, text,
+                       -- array_to_string([]) is NULL in DuckDB, '' in
+                       -- Spark's array_join: normalize to ''
+                       coalesce(array_to_string(kept, chr(10)), '')
+                           AS clean,
+                       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                       CAST(len(segs) - len(kept) AS BIGINT)
+                           AS n_lines_removed
+                FROM cleaned
+            )
+            SELECT doc_id,
+                   md5(CASE WHEN text IS NULL THEN NULL
+                            ELSE clean END) AS clean_md5,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE n_lines_kept END AS n_lines_kept,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE n_lines_removed END AS n_lines_removed,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE CAST(len(regexp_extract_all(clean, '[.!?]'))
+                                  AS BIGINT) END AS sentence_count,
+                   coalesce(
+                       CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+                           >= 3
+                       AND NOT contains(text, '{')
+                       AND NOT contains(lower(text), 'lorem ipsum'),
+                       false) AS keep_doc
+            FROM feats
         """,
         "chunk_documents": """
             SELECT doc_id,

@@ -108,6 +108,8 @@ HEADLINE = [
     "quality_topfrac",
     "host_pagerank_int",
     "html_extract",
+    "paragraph_dedup",
+    "c4_clean",
 ]
 
 

@@ -354,6 +354,7 @@ def _line_dedup_broadcast(
     id_col: str,
     text_col: str,
     broadcast_limit: int,
+    sep: str = "\n",
 ) -> DataFrame | None:
     """Zero-corpus-shuffle line dedup (see :func:`line_dedup`). Returns
     None when the boilerplate set exceeds ``broadcast_limit`` (caller
@@ -380,8 +381,8 @@ def _line_dedup_broadcast(
             ok = texts.notna()
             if not ok.any():
                 continue
-            ex = texts[ok].str.split("\n").explode()
-            ex = ex[ex != ""]  # blank lines are structure, never boilerplate
+            ex = texts[ok].str.split(sep, regex=False).explode()
+            ex = ex[ex != ""]  # blank units are structure, never boilerplate
             if not len(ex):
                 continue
             h = pd.util.hash_array(ex.to_numpy(dtype=object)).view("int64")
@@ -437,7 +438,7 @@ def _line_dedup_broadcast(
             removed = np.zeros(n, dtype="int64")
             out_text = pd.Series([None] * n, dtype=object)
             if ok.any():
-                ex = texts[ok].str.split("\n").explode()
+                ex = texts[ok].str.split(sep, regex=False).explode()
                 vals = ex.to_numpy(dtype=object)
                 doc_pos = ex.index.to_numpy()
                 nonblank = vals != ""
@@ -453,7 +454,7 @@ def _line_dedup_broadcast(
                 rebuilt = (
                     pd.Series(vals[keep], index=doc_pos[keep])
                     .groupby(level=0)
-                    .agg("\n".join)
+                    .agg(sep.join)
                 )
                 out_text[ok.to_numpy()] = ""  # fully-emptied docs keep ''
                 out_text[rebuilt.index] = rebuilt
@@ -471,6 +472,7 @@ def line_dedup(
     hash_lines: bool = True,
     strategy: str = "broadcast",
     broadcast_limit: int = 5_000_000,
+    sep: str = "\n",
 ) -> DataFrame:
     """Cross-document boilerplate line removal (the MassiveText line-dedup
     stage): a line occurring in at least ``min_docs`` DISTINCT documents
@@ -504,15 +506,28 @@ def line_dedup(
     Both hashed paths share the collision caveat: a 64-bit collision could
     over-remove one innocent line corpus-wide (P ~ n_distinct^2 / 2^64 —
     negligible next to the heuristic itself).
+
+    ``sep`` picks the dedup unit: the default ``"\\n"`` is the
+    MassiveText line stage; ``"\\n\\n"`` is its PARAGRAPH stage (remove
+    paragraphs repeated across >= min_docs documents). The separator is
+    treated as a LITERAL string and reassembly joins with the same
+    separator, so ``sep.join(text.split(sep)) == text`` holds for any
+    input — unit boundaries (and byte-identity for untouched documents)
+    are exact, never regex-approximated.
     """
     if strategy == "broadcast":
-        out = _line_dedup_broadcast(df, min_docs, id_col, text_col, broadcast_limit)
+        out = _line_dedup_broadcast(
+            df, min_docs, id_col, text_col, broadcast_limit, sep
+        )
         if out is not None:
             return out
     elif strategy != "shuffle":
         raise ValueError(f"unknown line_dedup strategy {strategy!r}")
+    # \Q..\E: the literal-separator contract under Java regex split
+    sep_pat = "\\Q" + sep + "\\E"
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_pat)).alias("pos", "line"),
     )
     if hash_lines:
         lines = lines.withColumn("__lk__", F.xxhash64(F.col("line")))
@@ -543,7 +558,7 @@ def line_dedup(
                 ),
                 lambda s: s.getField("line"),
             ),
-            "\n",
+            sep,
         ).alias("__clean__"),
         F.sum(F.when(F.col("__boiler__") == 1, 1).otherwise(0)).alias("n_lines_removed"),
     )
@@ -583,3 +598,73 @@ def repetition_filter(
         (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= max_dup_line_frac)
         & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac)
     ).drop("n_lines", "dup_line_frac", "dup_line_char_frac", "top_bigram_frac")
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line and page cleaning (Raffel et al. 2020, the
+    "Colossal Clean Crawled Corpus" heuristics), as one zero-shuffle
+    projection.
+
+    Line rules — a line survives iff ALL of:
+
+    - it ends in a terminal punctuation mark (``.`` ``!`` ``?`` ``"``);
+      tested as a literal last-character membership, NOT a ``$`` regex
+      (Java ``$`` matches before a final ``\\r`` line terminator, RE2
+      does not — the suffix test is the cross-engine-identical form),
+    - it has at least ``min_words`` whitespace-separated words,
+    - it does not contain ``javascript`` (case-insensitive).
+
+    Page rules (``keep_doc``):
+
+    - the CLEANED text has at least ``min_sentences`` sentences
+      (terminal-punct occurrences — the standard reimplementation
+      proxy), and
+    - the ORIGINAL page contains neither ``{`` (code) nor the phrase
+      ``lorem ipsum`` (case-insensitive), per the paper's page-level
+      blacklist.
+
+    Returns the input columns with ``text_col`` rewritten to the kept
+    lines joined by ``\\n``, plus ``n_lines_kept``, ``n_lines_removed``
+    (counted over raw newline-split segments, so blank segments count as
+    removed), ``sentence_count``, and ``keep_doc``. The caller filters on
+    ``keep_doc`` (kept separate so rejected pages can be audited). NULL
+    text stays NULL with zero counts and ``keep_doc = false``.
+
+    Scale shape: a single narrow projection — split / HOF filter /
+    rejoin run inside the scan stage, no exchange, no Python. The HOF
+    lambda touches only its own element (the known interpreted-HOF
+    hazard concerns free heavy subexpressions; every term here depends
+    on ``x``)."""
+    t = F.col(text_col)
+    lines = F.split(F.coalesce(t, F.lit("")), "\n")
+    kept = F.filter(
+        lines,
+        lambda x: F.substring(x, -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= F.lit(min_words))
+        & ~F.lower(x).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    keep = (
+        (sentences >= F.lit(min_sentences))
+        & ~t.contains("{")
+        & ~F.lower(t).contains("lorem ipsum")
+    )
+    others = [c for c in df.columns if c != text_col]
+    return df.select(
+        *others,
+        F.when(t.isNull(), F.lit(None).cast("string")).otherwise(clean).alias(text_col),
+        F.when(t.isNull(), F.lit(0)).otherwise(F.size(kept)).cast("long").alias("n_lines_kept"),
+        F.when(t.isNull(), F.lit(0))
+        .otherwise(F.size(lines) - F.size(kept))
+        .cast("long")
+        .alias("n_lines_removed"),
+        F.when(t.isNull(), F.lit(0)).otherwise(sentences).cast("long").alias("sentence_count"),
+        F.coalesce(keep, F.lit(False)).alias("keep_doc"),
+    )

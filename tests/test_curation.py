@@ -225,3 +225,94 @@ def test_repetition_stats_plan_has_no_exchange(spark, docs):
     plan = CU.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_paragraph_dedup_sep(spark):
+    """sep='\\n\\n' = the MassiveText PARAGRAPH dedup stage: repeated
+    paragraphs removed, single newlines inside paragraphs untouched,
+    join(split(x, sep), sep) byte-identity below threshold."""
+    docs = spark.createDataFrame(
+        [(i, f"SHARED PROMO\n\nbody {i}\nsecond line\n\ntail {i}") for i in range(3)]
+        + [(10, "free\n\nstanding"), (11, None)],
+        "doc_id long, text string",
+    )
+    for strategy in ("shuffle", "broadcast"):
+        got = {
+            r.doc_id: (r.text, r.n_lines_removed)
+            for r in CU.line_dedup(
+                docs, min_docs=3, sep="\n\n", strategy=strategy
+            ).collect()
+        }
+        assert got[0] == ("body 0\nsecond line\n\ntail 0", 1), (strategy, got[0])
+        assert got[10] == ("free\n\nstanding", 0)
+        assert got[11] == (None, 0)
+    # below threshold: byte-identical round trip (separator structure kept)
+    untouched = {
+        r.doc_id: r.text
+        for r in CU.line_dedup(docs, min_docs=5, sep="\n\n").collect()
+    }
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert untouched == src
+
+
+def test_paragraph_dedup_consecutive_separators_roundtrip(spark):
+    """'\\n\\n\\n' splits to a unit with a leading '\\n' — reassembly must
+    still be byte-exact (join(split(x, sep), sep) == x)."""
+    docs = spark.createDataFrame(
+        [(1, "a\n\n\nb"), (2, "x\n\n\n\ny")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in CU.line_dedup(docs, min_docs=9, sep="\n\n").collect()}
+    assert got == {1: "a\n\n\nb", 2: "x\n\n\n\ny"}
+
+
+def test_c4_clean_line_rules(spark):
+    """C4 line heuristics: terminal punctuation, min words, javascript."""
+    pages = spark.createDataFrame(
+        [
+            (1, "This is a perfectly good sentence here.\nshort.\n"
+                "no terminal punctuation on this line\n"
+                "This line mentions JavaScript libraries everywhere sadly.\n"
+                'He said "stop right there now."'),
+        ],
+        "doc_id long, text string",
+    )
+    r = CU.c4_clean(pages).collect()[0]
+    assert r.text == (
+        'This is a perfectly good sentence here.\nHe said "stop right there now."'
+    )
+    assert r.n_lines_kept == 2 and r.n_lines_removed == 3
+
+
+def test_c4_clean_page_rules(spark):
+    pages = spark.createDataFrame(
+        [
+            # 3 sentences, clean -> kept
+            (1, "One good long sentence right here. Two more decent words "
+                "follow now. Three sentences close the page."),
+            # curly brace page
+            (2, "Code pages { get dropped entirely. Even with sentences "
+                "aplenty right here. And a third one too."),
+            # lorem ipsum page (case-insensitive)
+            (3, "LOREM IPSUM filler text goes here. Second sentence is "
+                "also present now. Third sentence finishes it off."),
+            # too few sentences after cleaning
+            (4, "Just one surviving sentence stands here."),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.keep_doc for r in CU.c4_clean(pages).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_c4_clean_trailing_cr_not_terminal(spark):
+    """A line ending '\\r' after the punctuation must NOT count as
+    terminal-punct (the literal last-char test — Java '$' would sneak
+    past a final \\r, RE2 would not; we do neither)."""
+    pages = spark.createDataFrame(
+        [(1, "This would otherwise be kept fine.\r\nAnother good sentence stays here.")],
+        "doc_id long, text string",
+    )
+    r = CU.c4_clean(pages, min_sentences=1).collect()[0]
+    assert r.text == "Another good sentence stays here."
+    assert r.n_lines_kept == 1
