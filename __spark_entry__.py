@@ -2211,6 +2211,47 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (operators/curation.gopher_quality)
+    over documents with planted rule-trippers: doc_id%7==1 word-count
+    fail, %7==2 '#'-symbol flood, %7==3 bullet-line flood, %7==4
+    ellipsis-line flood, %7==5 digit-only words (alpha + stop-word
+    fail). Every ratio is a single int/int division, so the oracle
+    (identical list-lambda arithmetic in DuckDB) hash-matches the
+    doubles bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 1, F.lit("short."))
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.repeat(F.lit("# "), 100), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.repeat(F.lit("• item\n"), 40), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 4,
+            F.concat(F.repeat(F.lit("more...\n"), 40), F.col("text")),
+        )
+        .when(F.col("doc_id") % 7 == 5, F.repeat(F.lit("12345 67890 "), 60))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = CU.gopher_quality(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stop_hits",
+        "keep_doc",
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. Oracle (round 3): per-doc signatures
     from the independent fixture twin (fixtures/gen_oracle_fixtures.py),
@@ -3305,6 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "c4_clean": _q_c4_clean,
+        "gopher_quality": _q_gopher_quality,
         "pii_redact": _q_pii_redact,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "host_link_graph": _q_host_link_graph,
@@ -5727,6 +5769,123 @@ def oracle_sql() -> dict[str, str]:
                        AND NOT contains(lower(text), 'lorem ipsum'),
                        false) AS keep_doc
             FROM feats
+        """,
+        "gopher_quality": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 1 THEN 'short.'
+                            WHEN doc_id % 7 = 2
+                            THEN repeat('# ', 100) || text
+                            WHEN doc_id % 7 = 3
+                            THEN repeat('• item' || chr(10), 40) || text
+                            WHEN doc_id % 7 = 4
+                            THEN repeat('more...' || chr(10), 40) || text
+                            WHEN doc_id % 7 = 5
+                            THEN repeat('12345 67890 ', 60)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           string_split_regex(trim(coalesce(text, '')),
+                                              '\\s+'),
+                           w -> w != '') AS words,
+                       list_filter(
+                           list_transform(
+                               string_split(coalesce(text, ''), chr(10)),
+                               x -> trim(x)),
+                           x -> x != '') AS lines
+                FROM corpus
+            ),
+            m AS (
+                SELECT doc_id, text,
+                       len(words) AS n_words,
+                       len(lines) AS n_lines,
+                       CAST(coalesce(list_sum(
+                           list_transform(words, w -> length(w))), 0)
+                           AS BIGINT) AS sum_len,
+                       length(coalesce(text, ''))
+                           - length(replace(coalesce(text, ''), '#', ''))
+                           AS n_hash,
+                       (length(coalesce(text, ''))
+                           - length(replace(coalesce(text, ''), '...', '')))
+                           / 3 AS n_ellip,
+                       len(list_filter(lines,
+                           x -> left(x, 1) IN ('•', '-', '*'))) AS n_bullet,
+                       len(list_filter(lines,
+                           x -> ends_with(x, '...') OR right(x, 1) = '…'))
+                           AS n_ell_end,
+                       len(list_filter(words,
+                           w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+                       (CAST(list_contains(list_transform(words,
+                            w -> lower(w)), 'the') AS INT)
+                        + CAST(list_contains(list_transform(words,
+                            w -> lower(w)), 'be') AS INT)
+                        + CAST(list_contains(list_transform(words,
+                            w -> lower(w)), 'to') AS INT)
+                        + CAST(list_contains(list_transform(words,
+                            w -> lower(w)), 'of') AS INT)
+                        + CAST(list_contains(list_transform(words,
+                            w -> lower(w)), 'and') AS INT)
+                        + CAST(list_contains(list_transform(words,
+                            w -> lower(w)), 'that') AS INT)
+                        + CAST(list_contains(list_transform(words,
+                            w -> lower(w)), 'have') AS INT)
+                        + CAST(list_contains(list_transform(words,
+                            w -> lower(w)), 'with') AS INT)) AS stop_hits
+                FROM feat
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE CAST(n_words AS BIGINT) END AS n_words,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN n_words > 0
+                        THEN CAST(sum_len AS DOUBLE)
+                             / CAST(n_words AS DOUBLE)
+                        END AS mean_word_len,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN n_words > 0
+                        THEN CAST(n_hash + n_ellip AS DOUBLE)
+                             / CAST(n_words AS DOUBLE)
+                        END AS symbol_ratio,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN n_lines > 0
+                        THEN CAST(n_bullet AS DOUBLE)
+                             / CAST(n_lines AS DOUBLE)
+                        END AS bullet_line_frac,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN n_lines > 0
+                        THEN CAST(n_ell_end AS DOUBLE)
+                             / CAST(n_lines AS DOUBLE)
+                        END AS ellipsis_line_frac,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN n_words > 0
+                        THEN CAST(n_alpha AS DOUBLE)
+                             / CAST(n_words AS DOUBLE)
+                        END AS alpha_word_frac,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE CAST(stop_hits AS INT) END AS stop_hits,
+                   coalesce(
+                       text IS NOT NULL
+                       AND n_words BETWEEN 50 AND 100000
+                       AND (CAST(sum_len AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)) BETWEEN 3.0 AND 10.0
+                       AND (CAST(n_hash + n_ellip AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)) <= 0.1
+                       AND coalesce(CASE WHEN n_lines > 0
+                               THEN CAST(n_bullet AS DOUBLE)
+                                    / CAST(n_lines AS DOUBLE) END, 0.0)
+                           <= 0.9
+                       AND coalesce(CASE WHEN n_lines > 0
+                               THEN CAST(n_ell_end AS DOUBLE)
+                                    / CAST(n_lines AS DOUBLE) END, 0.0)
+                           <= 0.3
+                       AND (CAST(n_alpha AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)) >= 0.8
+                       AND stop_hits >= 2,
+                       false) AS keep_doc
+            FROM m
         """,
         "chunk_documents": """
             SELECT doc_id,

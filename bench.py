@@ -110,6 +110,7 @@ HEADLINE = [
     "html_extract",
     "paragraph_dedup",
     "c4_clean",
+    "gopher_quality",
 ]
 
 

@@ -668,3 +668,120 @@ def c4_clean(
         F.when(t.isNull(), F.lit(0)).otherwise(sentences).cast("long").alias("sentence_count"),
         F.coalesce(keep, F.lit(False)).alias("keep_doc"),
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A —
+    MassiveWeb filtering) as one zero-shuffle projection. A document is
+    kept (``keep_doc``) iff ALL of:
+
+    - word count in ``[min_words, max_words]`` (whitespace tokens),
+    - mean word length in ``[min_mean_word_len, max_mean_word_len]``,
+    - symbol-to-word ratio ``<= max_symbol_ratio`` (symbols: ``#``
+      occurrences plus non-overlapping ``...`` occurrences, counted via
+      replace-length arithmetic — identical left-to-right semantics in
+      Java and RE2-free on both engines),
+    - at most ``max_bullet_line_frac`` of non-empty trimmed lines start
+      with a bullet (``•`` ``-`` ``*``),
+    - at most ``max_ellipsis_line_frac`` of non-empty trimmed lines end
+      with ``...`` or ``…``,
+    - at least ``min_alpha_word_frac`` of words contain an alphabetic
+      character,
+    - at least ``min_stop_hits`` DISTINCT words from the paper's 8-word
+      stop list {the, be, to, of, and, that, have, with} occur (matched
+      against lowercased whitespace tokens — a trailing-punctuation
+      token like ``the,`` deliberately does not match, exactly as in
+      the common reimplementations).
+
+    All ratios are single int/int divisions (bit-identical across
+    engines — no float accumulation); line fractions are NULL when the
+    document has no non-empty lines (and such a document fails the word
+    count anyway). NULL text yields zero counts, NULL ratios,
+    ``keep_doc = false``.
+
+    Scale shape: one narrow projection, split / HOF filter / aggregate
+    inside the scan stage, no exchange, no Python; every HOF lambda
+    term depends on its element (no free heavy subexpressions)."""
+    t = F.col(text_col)
+    raw = F.coalesce(t, F.lit(""))
+    words = F.filter(F.split(F.trim(raw), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    )
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellip = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellip).cast("double") / n_words.cast("double")
+    )
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.substring(x, 1, 1).isin("•", "-", "*"))
+    )
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            # endswith, not substring(x,-3,3): negative-pos substring on a
+            # string shorter than |pos| has engine-specific semantics
+            lambda x: x.endswith("...") | (F.substring(x, -1, 1) == "…"),
+        )
+    )
+    bullet_line_frac = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+    )
+    ellipsis_line_frac = F.when(
+        n_lines > 0, n_ell_end.cast("double") / n_lines.cast("double")
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_word_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    )
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = sum(
+        F.array_contains(lowered, sw).cast("int")
+        for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= F.lit(max_symbol_ratio))
+        & (F.coalesce(bullet_line_frac, F.lit(0.0)) <= F.lit(max_bullet_line_frac))
+        & (F.coalesce(ellipsis_line_frac, F.lit(0.0)) <= F.lit(max_ellipsis_line_frac))
+        & (alpha_word_frac >= F.lit(min_alpha_word_frac))
+        & (stop_hits >= F.lit(min_stop_hits))
+    )
+    null_text = t.isNull()
+    dnull = F.lit(None).cast("double")
+    return df.select(
+        *df.columns,
+        F.when(null_text, F.lit(0)).otherwise(n_words).cast("long").alias("n_words"),
+        F.when(null_text, dnull).otherwise(mean_word_len).alias("mean_word_len"),
+        F.when(null_text, dnull).otherwise(symbol_ratio).alias("symbol_ratio"),
+        F.when(null_text, dnull).otherwise(bullet_line_frac).alias("bullet_line_frac"),
+        F.when(null_text, dnull).otherwise(ellipsis_line_frac).alias("ellipsis_line_frac"),
+        F.when(null_text, dnull).otherwise(alpha_word_frac).alias("alpha_word_frac"),
+        F.when(null_text, F.lit(0)).otherwise(stop_hits).cast("int").alias("stop_hits"),
+        F.coalesce(F.when(~null_text, keep), F.lit(False)).alias("keep_doc"),
+    )

@@ -316,3 +316,43 @@ def test_c4_clean_trailing_cr_not_terminal(spark):
     r = CU.c4_clean(pages, min_sentences=1).collect()[0]
     assert r.text == "Another good sentence stays here."
     assert r.n_lines_kept == 1
+
+
+GOOD_GOPHER = (
+    "The quick brown fox jumps over the lazy dog and then runs off "
+    "to be with all of that pack that have lived with other foxes. "
+) * 3
+
+
+def test_gopher_quality_rules(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, GOOD_GOPHER),                      # keep
+            (2, "too few words here."),            # word count
+            (3, "# " * 100 + GOOD_GOPHER),         # symbol ratio
+            (4, "• b\n" * 19 + GOOD_GOPHER),       # bullet flood
+            (5, "preview goes on...\n" * 7 + GOOD_GOPHER),  # ellipsis
+            (6, "12345 67890 " * 60),              # alpha + stopwords
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in CU.gopher_quality(pages).collect()}
+    assert r[1].keep_doc
+    assert not r[2].keep_doc and r[2].n_words == 4
+    assert not r[3].keep_doc and r[3].symbol_ratio > 0.1
+    assert not r[4].keep_doc and r[4].bullet_line_frac > 0.9
+    assert not r[5].keep_doc and r[5].ellipsis_line_frac > 0.3
+    assert not r[6].keep_doc and r[6].alpha_word_frac == 0.0 and r[6].stop_hits == 0
+    assert not r[7].keep_doc and r[7].n_words == 0 and r[7].mean_word_len is None
+
+
+def test_gopher_quality_ratio_exactness(spark):
+    """Ratios are single int/int divisions — check an exactly
+    representable case end to end (3 bullet lines of 4)."""
+    pages = spark.createDataFrame(
+        [(1, "• a\n• b\n• c\n" + GOOD_GOPHER)], "doc_id long, text string"
+    )
+    r = CU.gopher_quality(pages).collect()[0]
+    assert r.bullet_line_frac == 0.75
+    assert r.keep_doc  # 0.75 <= 0.9
