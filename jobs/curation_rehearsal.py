@@ -307,11 +307,81 @@ def run_topfrac(master: str, n: int, shuffle_parts: int) -> dict:
         spark.stop()
 
 
+def run_quality(master: str, n: int, shuffle_parts: int) -> dict:
+    """c4_clean + gopher_quality chained — both zero-shuffle projections,
+    so the stage is scan/regex-bound like pii: the second north-rule
+    scaling sample for the family. Planted trippers: id%11==0 short page
+    (C4 min-sentences + Gopher word count), ==1 '#' flood (symbol
+    ratio), ==2 bullet flood, ==3 a javascript line (C4 line rule only —
+    page survives)."""
+    from pyspark.sql import functions as F
+
+    from pygridmap_spark.operators import curation as CU
+
+    spark = _session(master, shuffle_parts, "curation-rehearsal-quality")
+    try:
+        e = F.col("id")
+        sent = F.concat(
+            F.lit("The quick brown fox number "), (e % 997).cast("string"),
+            F.lit(" jumps over the lazy dog and then runs off to be with "
+                  "all of that pack that have lived with other foxes. "),
+        )
+        # rtrim: C4's terminal-punct test reads the line's LAST char — a
+        # trailing space would fail every body line
+        body = F.rtrim(F.concat(sent, sent, sent))
+        text = (
+            F.when(e % 11 == 0, F.lit("tiny page."))
+            .when(e % 11 == 1, F.concat(F.repeat(F.lit("# "), 120), body))
+            .when(e % 11 == 2, F.concat(F.repeat(F.lit("• b\n"), 50), body))
+            .when(e % 11 == 3, F.concat(
+                F.lit("this line mentions javascript badly\n"), body))
+            .otherwise(body)
+        )
+        docs = spark.range(n).select(e.alias("doc_id"), text.alias("text"))
+
+        def _job():
+            c4 = CU.c4_clean(docs).filter("keep_doc").select("doc_id", "text")
+            out = CU.gopher_quality(c4)
+            return out.agg(
+                F.sum(F.col("keep_doc").cast("long")).alias("kept"),
+                F.sum("n_words").alias("words"),
+                F.sum("stop_hits").alias("stop_checksum"),
+                F.sum(F.length("text")).alias("len_checksum"),
+            ).collect()[0]
+
+        _job()  # same-JVM warmup
+        w0, r0 = shuffle_totals_gb(spark)
+        t0 = time.time()
+        row = _job()
+        wall = time.time() - t0
+        w1, r1 = shuffle_totals_gb(spark)
+        from bench import ceiling_job
+
+        n_ceiling = int(os.environ.get("SPARK_GRAFT_CEILING_ROWS", "400000000"))
+        ceil_s = ceiling_job(
+            spark, n_ceiling, spark.sparkContext.defaultParallelism * 4
+        )
+        return {
+            "stage": "quality", "master": master, "docs": n,
+            "kept": int(row["kept"]), "words": int(row["words"]),
+            "stop_checksum": int(row["stop_checksum"]),
+            "len_checksum": int(row["len_checksum"]),
+            "wall_s": round(wall, 2),
+            "docs_per_sec": round(n / wall),
+            "shuffle_write_gb": round(w1 - w0, 4),
+            "shuffle_read_gb": round(r1 - r0, 4),
+            "ceiling_s": round(ceil_s, 2),
+        }
+    finally:
+        spark.stop()
+
+
 STAGES = {
     "pii": run_pii,
     "canon": run_canon,
     "graph": run_graph,
     "topfrac": run_topfrac,
+    "quality": run_quality,
 }
 
 
@@ -342,7 +412,8 @@ def main() -> None:
             "scaling_efficiency_raw": round(eff, 4),
             "checksums_identical": all(
                 a.get(k) == b.get(k)
-                for k in ("len_checksum", "checksum", "pages_checksum")
+                for k in ("len_checksum", "checksum", "pages_checksum",
+                          "stop_checksum", "kept")
                 if k in a
             ),
         }))

@@ -642,14 +642,24 @@ def c4_clean(
     hazard concerns free heavy subexpressions; every term here depends
     on ``x``)."""
     t = F.col(text_col)
-    lines = F.split(F.coalesce(t, F.lit("")), "\n")
-    kept = F.filter(
-        lines,
-        lambda x: F.substring(x, -1, 1).isin(".", "!", "?", '"')
-        & (F.size(F.split(F.trim(x), r"\s+")) >= F.lit(min_words))
-        & ~F.lower(x).contains("javascript"),
-    )
-    clean = F.array_join(kept, "\n")
+    # materialize the split and the filtered array as projection columns:
+    # HOFs evaluate interpreted with no subexpression elimination, so a
+    # multi-referenced array expression would re-split/re-filter the text
+    # once PER REFERENCE. CollapseProject keeps multi-use non-cheap
+    # producer columns materialized, so each array is computed once/row.
+    lines_c, kept_c, clean_c = "__c4_lines__", "__c4_kept__", "__c4_clean__"
+    staged = df.select(
+        "*", F.split(F.coalesce(t, F.lit("")), "\n").alias(lines_c)
+    ).select(
+        "*",
+        F.filter(
+            F.col(lines_c),
+            lambda x: F.substring(x, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(F.split(F.trim(x), r"\s+")) >= F.lit(min_words))
+            & ~F.lower(x).contains("javascript"),
+        ).alias(kept_c),
+    ).select("*", F.array_join(F.col(kept_c), "\n").alias(clean_c))
+    lines, kept, clean = F.col(lines_c), F.col(kept_c), F.col(clean_c)
     sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
     keep = (
         (sentences >= F.lit(min_sentences))
@@ -657,7 +667,7 @@ def c4_clean(
         & ~F.lower(t).contains("lorem ipsum")
     )
     others = [c for c in df.columns if c != text_col]
-    return df.select(
+    return staged.select(
         *others,
         F.when(t.isNull(), F.lit(None).cast("string")).otherwise(clean).alias(text_col),
         F.when(t.isNull(), F.lit(0)).otherwise(F.size(kept)).cast("long").alias("n_lines_kept"),
@@ -717,51 +727,79 @@ def gopher_quality(
     term depends on its element (no free heavy subexpressions)."""
     t = F.col(text_col)
     raw = F.coalesce(t, F.lit(""))
-    words = F.filter(F.split(F.trim(raw), r"\s+"), lambda w: w != F.lit(""))
-    n_words = F.size(words)
-    sum_len = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    mean_word_len = F.when(
-        n_words > 0, sum_len.cast("double") / n_words.cast("double")
-    )
-    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
-    n_ellip = (
-        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
-    symbol_ratio = F.when(
-        n_words > 0, (n_hash + n_ellip).cast("double") / n_words.cast("double")
-    )
-    lines = F.filter(
-        F.transform(F.split(raw, "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
-    )
-    n_lines = F.size(lines)
-    n_bullet = F.size(
-        F.filter(lines, lambda x: F.substring(x, 1, 1).isin("•", "-", "*"))
-    )
-    n_ell_end = F.size(
+    # Stage every array (and every HOF-derived count) as its own
+    # projection column so each HOF runs EXACTLY ONCE per row: HOFs
+    # evaluate interpreted with no subexpression elimination, and the
+    # naive formulation referenced the words array from ~12 expressions
+    # (8 of them the stop-word probes) — each reference re-splitting and
+    # re-filtering the text. CollapseProject keeps multi-use non-cheap
+    # producer columns materialized. Measured ~4x on the 20M-doc
+    # rehearsal (BENCH/BASELINE.md, quality stage).
+    w_c, l_c, lw_c = "__gq_w__", "__gq_l__", "__gq_lw__"
+    s1 = df.select(
+        "*",
         F.filter(
-            lines,
-            # endswith, not substring(x,-3,3): negative-pos substring on a
-            # string shorter than |pos| has engine-specific semantics
-            lambda x: x.endswith("...") | (F.substring(x, -1, 1) == "…"),
+            F.split(F.trim(raw), r"\s+"), lambda w: w != F.lit("")
+        ).alias(w_c),
+        F.filter(
+            F.transform(F.split(raw, "\n"), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        ).alias(l_c),
+    )
+    words, lines = F.col(w_c), F.col(l_c)
+    s2 = s1.select(
+        "*", F.transform(words, lambda w: F.lower(w)).alias(lw_c)
+    )
+    lowered = F.col(lw_c)
+    counts = {
+        "__gq_nw__": F.size(words),
+        "__gq_sl__": F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ),
+        "__gq_na__": F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))),
+        "__gq_nl__": F.size(lines),
+        "__gq_nb__": F.size(
+            F.filter(lines, lambda x: F.substring(x, 1, 1).isin("•", "-", "*"))
+        ),
+        "__gq_ne__": F.size(
+            F.filter(
+                lines,
+                # endswith, not substring(x,-3,3): negative-pos substring
+                # on a string shorter than |pos| is engine-specific
+                lambda x: x.endswith("...") | (F.substring(x, -1, 1) == "…"),
+            )
+        ),
+        "__gq_sh__": sum(
+            F.array_contains(lowered, sw).cast("int")
+            for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+        ),
+        "__gq_nhash__": F.length(raw)
+        - F.length(F.replace(raw, F.lit("#"), F.lit(""))),
+        "__gq_nellip__": (
+            F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
         )
+        / F.lit(3),
+    }
+    s3 = s2.select("*", *(c.alias(n) for n, c in counts.items()))
+    n_words = F.col("__gq_nw__")
+    n_lines = F.col("__gq_nl__")
+    stop_hits = F.col("__gq_sh__")
+    mean_word_len = F.when(
+        n_words > 0, F.col("__gq_sl__").cast("double") / n_words.cast("double")
+    )
+    symbol_ratio = F.when(
+        n_words > 0,
+        (F.col("__gq_nhash__") + F.col("__gq_nellip__")).cast("double")
+        / n_words.cast("double"),
     )
     bullet_line_frac = F.when(
-        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+        n_lines > 0, F.col("__gq_nb__").cast("double") / n_lines.cast("double")
     )
     ellipsis_line_frac = F.when(
-        n_lines > 0, n_ell_end.cast("double") / n_lines.cast("double")
+        n_lines > 0, F.col("__gq_ne__").cast("double") / n_lines.cast("double")
     )
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     alpha_word_frac = F.when(
-        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
-    )
-    lowered = F.transform(words, lambda w: F.lower(w))
-    stop_hits = sum(
-        F.array_contains(lowered, sw).cast("int")
-        for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+        n_words > 0, F.col("__gq_na__").cast("double") / n_words.cast("double")
     )
     keep = (
         n_words.between(min_words, max_words)
@@ -774,7 +812,7 @@ def gopher_quality(
     )
     null_text = t.isNull()
     dnull = F.lit(None).cast("double")
-    return df.select(
+    return s3.select(
         *df.columns,
         F.when(null_text, F.lit(0)).otherwise(n_words).cast("long").alias("n_words"),
         F.when(null_text, dnull).otherwise(mean_word_len).alias("mean_word_len"),
