@@ -5,7 +5,12 @@ GEODESIC zone tagging (--geo-zones: WKB polygons joined exactly on the
 sphere via the classified S2 cover) with a per-zone rollup stage; opt-in
 intake scrub (--scrub: PII stats + redacted-text column ahead of stage 1
 — zero-shuffle, rides the stage_encoded checkpoint; the redaction goes to
-a NEW column so the byte-identical `text` invariant holds regardless).
+a NEW column so the byte-identical `text` invariant holds regardless);
+opt-in quality tagging (--quality: Gopher document-quality features +
+C4 line/page cleaning ahead of stage 1 — both zero-shuffle; the C4
+rewrite goes to a NEW `text_c4` column and the page verdicts land in
+`keep_doc_c4` / `keep_doc_gopher`, so `text` stays byte-identical and
+downstream consumers choose their own filter policy).
 
 Submit (cluster):
     spark-submit --py-files pygridmap_spark.zip jobs/pages_pipeline.py \
@@ -53,6 +58,11 @@ def main() -> None:
     )
     ap.add_argument("--geo-level", type=int, default=11, help="S2 cover level for --geo-zones")
     ap.add_argument(
+        "--quality", action="store_true",
+        help="append Gopher quality features + C4 cleaning columns "
+        "(text_c4, keep_doc_c4, keep_doc_gopher) ahead of stage 1",
+    )
+    ap.add_argument(
         "--scrub", action="store_true",
         help="add PII stats + text_redacted ahead of stage 1 (zero-shuffle)",
     )
@@ -91,6 +101,21 @@ def main() -> None:
 
         pages = PII.with_pii_redacted(PII.with_pii_stats(pages))
 
+    # stage 0b (opt-in): quality tagging — both zero-shuffle projections;
+    # the C4 rewrite targets a COPY column (text_c4) and gopher passes
+    # text through untouched, so the byte-identical `text` invariant
+    # holds; verdicts are appended, never filtered here (policy belongs
+    # to the consumer, and a dropped page can't be audited)
+    if args.quality:
+        from pygridmap_spark.operators import curation as CU
+
+        pages = CU.c4_clean(
+            pages.withColumn("text_c4", F.col("text")), text_col="text_c4"
+        ).withColumnRenamed("keep_doc", "keep_doc_c4")
+        pages = CU.gopher_quality(pages).withColumnRenamed(
+            "keep_doc", "keep_doc_gopher"
+        )
+
     # stage 1: URL/domain features + geolocate + encode (checkpointed,
     # resumable). Domain features ride the PSL as ONE broadcast dimension
     # (--psl loads the real ~9k-rule list; same plan shape either way).
@@ -121,6 +146,7 @@ def main() -> None:
             args.input or f"synthetic:{args.synthetic}",
             f"features:urls-v2-default-rule:psl={args.psl or 'standin'}",
             f"scrub:{'on' if args.scrub else 'off'}",
+            f"quality:{'on' if args.quality else 'off'}",
         ],
     )
 
