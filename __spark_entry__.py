@@ -1921,6 +1921,45 @@ def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(est, "term").select("term", "tf", "cm_est")
 
 
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch (operators/sketches.bloom_sketch family —
+    the MEMBERSHIP member of the sketch family next to HLL / count-min /
+    HDR): per-shard (doc_id % 4) 16128-bit filters over the shared
+    normalized token stream, bloom_merge'd word-wise, then probed with
+    the exact top-100 terms (all must verdict TRUE — no false negatives)
+    plus 50 never-seen terms. The oracle rebuilds the IDENTICAL filter in
+    DuckDB (same md5 probe arithmetic, 63-bit words so the signed shift
+    stays in range on both engines) — the merge algebra and every verdict
+    are hash-gated, not tolerance-checked, because the whole pipeline is
+    integer bit-ops."""
+    from pygridmap_spark.operators import sketches as _SK
+
+    words, k = 256, 4
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalized(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    sharded = toks.withColumn("shard", F.col("doc_id") % 4)
+    per_shard = _SK.bloom_sketch(sharded, "term", words=words, k=k, by=["shard"])
+    merged = _SK.bloom_merge(per_shard)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    present = (
+        exact.orderBy(F.col("tf").desc(), "term")
+        .limit(100)
+        .select("term", F.lit(True).alias("expected_present"))
+    )
+    absent = docs.filter(F.col("doc_id") < 50).select(
+        F.concat(F.lit("absent-"), F.col("doc_id")).alias("term"),
+        F.lit(False).alias("expected_present"),
+    )
+    cand = present.unionByName(absent)
+    got = _SK.bloom_contains(merged, cand, "term", words=words, k=k)
+    return cand.join(got, "term").select(
+        "term", "expected_present", "maybe_present"
+    )
+
+
 def _q_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HDR quantile sketch (operators/quantiles — the quantile member of
     the sketch triad next to HLL and count-min): per-(lang, source)
@@ -3358,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "hdr_quantile_sketch": _q_hdr_quantile_sketch,
+        "bloom_membership": _q_bloom_membership,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -6031,6 +6071,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT cp.term, cp.tf,
                    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
             FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
+            GROUP BY 1, 2
+        """,
+        "bloom_membership": f"""
+            WITH toks AS (
+                SELECT doc_id, t AS term
+                FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+                     unnest(ts) AS u(t)
+                WHERE t != ''
+            ),
+            rs AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+            -- 256 words * 63 bits = 16128; bit 63 stays clear (signed
+            -- shift bound), matching operators/sketches.BLOOM_WORD_BITS
+            bits AS (
+                SELECT doc_id % 4 AS shard,
+                       CAST(CAST(concat('0x', substr(md5(concat('bf',
+                                CAST(rw AS VARCHAR), ':', term)), 1, 15))
+                            AS UBIGINT) % 16128 AS BIGINT) AS bit
+                FROM toks, rs
+            ),
+            shard_sk AS (
+                SELECT shard, bit // 63 AS word,
+                       bit_or(CAST(1 AS BIGINT)
+                              << CAST(bit % 63 AS INTEGER)) AS bits
+                FROM bits GROUP BY 1, 2
+            ),
+            sk AS (SELECT word, bit_or(bits) AS bits FROM shard_sk GROUP BY 1),
+            exact AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+            present AS (
+                SELECT term, TRUE AS expected_present
+                FROM exact ORDER BY tf DESC, term LIMIT 100
+            ),
+            absent AS (
+                SELECT 'absent-' || CAST(doc_id AS VARCHAR) AS term,
+                       FALSE AS expected_present
+                FROM documents WHERE doc_id < 50
+            ),
+            cand AS (
+                SELECT * FROM present UNION ALL SELECT * FROM absent
+            ),
+            cp AS (
+                SELECT cand.term, cand.expected_present,
+                       CAST(CAST(concat('0x', substr(md5(concat('bf',
+                                CAST(rs.rw AS VARCHAR), ':', cand.term)),
+                                1, 15))
+                            AS UBIGINT) % 16128 AS BIGINT) AS bit
+                FROM cand, rs
+            )
+            SELECT cp.term, cp.expected_present,
+                   bool_and(
+                       (COALESCE(sk.bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(cp.bit % 63 AS INTEGER)))
+                       = (CAST(1 AS BIGINT) << CAST(cp.bit % 63 AS INTEGER))
+                   ) AS maybe_present
+            FROM cp LEFT JOIN sk ON sk.word = cp.bit // 63
             GROUP BY 1, 2
         """,
         "bm25_topk": f"""

@@ -120,6 +120,124 @@ def cm_merge(
     return sketches.groupBy(*by, "row", "col").agg(F.sum("cnt").alias("cnt"))
 
 
+# Bloom words carry 63 usable bits (positions 0..62): bit 63 stays clear
+# because a signed 64-bit left shift by 63 overflows in DuckDB (the oracle
+# engine), and the sketch contract is bit-for-bit cross-engine parity.
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_bit_cols(item, k: int, n_bits: int):
+    """The k probe BIT POSITIONS of the Bloom filter: 60-bit md5 prefix of
+    ``'bf{r}:{item}'`` mod n_bits — the same oracle-checkable-hash idiom
+    as the count-min probes (md5 + conv exist in both Spark and DuckDB,
+    15 hex chars keep the value inside a signed long on every engine)."""
+    cols = []
+    for r in range(k):
+        hx = F.md5(F.concat(F.lit(f"bf{r}:"), item))
+        cols.append(
+            F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(n_bits)
+        )
+    return cols
+
+
+def bloom_sketch(
+    df: DataFrame,
+    item_col: str,
+    words: int = 1024,
+    k: int = 4,
+    by: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Bloom filter (Bloom 1970, public) of the ``item_col`` value SET as
+    a ``(*by, word, bits)`` table — the MEMBERSHIP member of the sketch
+    family next to HLL (distinct counts), count-min (frequencies) and HDR
+    (quantiles). m = words*63 bits, k probes per item; no false
+    negatives ever, false positives at the standard (1-e^(-kn/m))^k rate.
+
+    Scale shape: ONE partial-aggregated shuffle whose key space is AT
+    MOST ``words`` per group — map-side ``bit_or`` collapses any corpus
+    to a fixed-size exchange, and the stored sketch is a broadcast-sized
+    dimension for later membership probes (the crawl-frontier /
+    seen-URL-set pattern: yesterday's sketch filters today's candidates
+    without re-reading yesterday's corpus). The whole algebra is integer
+    bit-ops, so the driver oracle hash-gates it rather than
+    tolerance-checks it. NULL items are dropped (a NULL probes NULL)."""
+    n_bits = words * BLOOM_WORD_BITS
+    it = F.col(item_col)
+    bits = df.filter(it.isNotNull()).select(
+        *by,
+        F.explode(F.array(*_bloom_bit_cols(it, k, n_bits))).alias("bit"),
+    )
+    return (
+        bits.select(
+            *by,
+            F.expr(f"bit DIV {BLOOM_WORD_BITS}").alias("word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("bit") % BLOOM_WORD_BITS).cast("int"),
+            ).alias("__m__"),
+        )
+        .groupBy(*by, "word")
+        .agg(F.bit_or("__m__").alias("bits"))
+    )
+
+
+def bloom_merge(
+    sketches: DataFrame, by: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Union stored Bloom sketches to a coarser grouping (per-shard ->
+    global, per-day -> per-month): word-wise ``bit_or`` — exact,
+    associative, commutative, so ``bloom_merge(per_shard) ==
+    bloom_sketch(whole input)`` row-for-row (pinned in tests). Merged
+    sketches MUST share ``words``/``k`` (they are the sketch's identity,
+    stored alongside it in any catalog)."""
+    return sketches.groupBy(*by, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    words: int,
+    k: int,
+    by: list[str] | tuple[str, ...] = (),
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """Membership-probe ``items`` against a Bloom sketch: TRUE iff ALL k
+    probe bits are set (maybe present — FP rate per the build's n/m/k),
+    FALSE means definitely absent; a NULL item verdicts NULL. Absent
+    words count as zero bits, so probing an empty/partial sketch is
+    well-defined. The sketch side is dimension-sized (<= ``words`` rows
+    per group), so this is a broadcast join against any number of probe
+    items — the scan-side pre-filter shape (join pruning without a
+    shuffle)."""
+    n_bits = words * BLOOM_WORD_BITS
+    probes = items.select(
+        *by,
+        F.col(item_col),
+        F.explode(
+            F.array(*_bloom_bit_cols(F.col(item_col), k, n_bits))
+        ).alias("bit"),
+    ).select(
+        *by,
+        item_col,
+        F.expr(f"bit DIV {BLOOM_WORD_BITS}").alias("word"),
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (F.col("bit") % BLOOM_WORD_BITS).cast("int"),
+        ).alias("__m__"),
+    )
+    keys = [*by, "word"]
+    j = probes.join(F.broadcast(sketch), on=keys, how="left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+        .bitwiseAND(F.col("__m__"))
+        == F.col("__m__")
+    )
+    return j.groupBy(*by, item_col).agg(F.bool_and(hit).alias(out_col))
+
+
 def cm_lookup(
     sketch: DataFrame,
     items: DataFrame,
