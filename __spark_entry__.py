@@ -2107,6 +2107,31 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("host").cast("long").alias("host"), "rank")
 
 
+def _q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer HITS (operators/linkgraph.hits_int, 2
+    iterations) over a 37-host graph whose weighted edges come from
+    doc_id arithmetic. Every operation is int64 (hub*w sums, then
+    (x*scale) DIV max(total, 1) L1 normalization), so the oracle unrolls
+    the identical two iterations as DuckDB CTEs with scalar-subquery
+    totals and the (hub, auth) scores hash-gate EXACTLY — the same
+    reproducibility-by-construction contract as host_pagerank_int, for
+    the other classic link-analysis algorithm."""
+    from pygridmap_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        (F.col("doc_id") % 37).alias("s"),
+        ((F.col("doc_id") * 5 + 2) % 37).alias("d"),
+    )
+    edges = raw.groupBy("s", "d").agg(F.count(F.lit(1)).alias("w"))
+    out = LG.hits_int(
+        edges, iterations=2, src_col="s", dst_col="d", weight_col="w"
+    )
+    return out.select(
+        F.col("host").cast("long").alias("host"), "hub", "auth"
+    )
+
+
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (functions/text.html_to_text): each doc's
     text wrapped in a synthetic page (title, style, script, entities,
@@ -3391,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": _q_host_link_graph,
         "quality_topfrac": _q_quality_topfrac,
         "host_pagerank_int": _q_host_pagerank,
+        "host_hits_int": _q_host_hits,
         "html_extract": _q_html_extract,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
@@ -5649,6 +5675,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM nodes n LEFT JOIN c3 ON n.h = c3.h
             )
             SELECT h AS host, r AS rank FROM r3
+        """,
+        "host_hits_int": """
+            WITH raw AS (
+                SELECT doc_id % 37 AS s, (doc_id * 5 + 2) % 37 AS d
+                FROM documents
+            ),
+            e AS (SELECT s, d, count(*) AS w FROM raw GROUP BY s, d),
+            nodes AS (
+                SELECT DISTINCT s AS h FROM e
+                UNION
+                SELECT DISTINCT d AS h FROM e
+            ),
+            h0 AS (SELECT h, CAST(1000000 AS BIGINT) AS v FROM nodes),
+            ar1 AS (
+                SELECT e.d AS h, SUM(h0.v * e.w) AS r
+                FROM e JOIN h0 ON e.s = h0.h GROUP BY e.d
+            ),
+            a1 AS (
+                SELECT n.h,
+                       CAST((COALESCE(ar1.r, 0) * 1000000)
+                            // greatest((SELECT COALESCE(SUM(r), 0) FROM ar1),
+                                        1) AS BIGINT) AS v
+                FROM nodes n LEFT JOIN ar1 ON n.h = ar1.h
+            ),
+            hr1 AS (
+                SELECT e.s AS h, SUM(a1.v * e.w) AS r
+                FROM e JOIN a1 ON e.d = a1.h GROUP BY e.s
+            ),
+            h1 AS (
+                SELECT n.h,
+                       CAST((COALESCE(hr1.r, 0) * 1000000)
+                            // greatest((SELECT COALESCE(SUM(r), 0) FROM hr1),
+                                        1) AS BIGINT) AS v
+                FROM nodes n LEFT JOIN hr1 ON n.h = hr1.h
+            ),
+            ar2 AS (
+                SELECT e.d AS h, SUM(h1.v * e.w) AS r
+                FROM e JOIN h1 ON e.s = h1.h GROUP BY e.d
+            ),
+            a2 AS (
+                SELECT n.h,
+                       CAST((COALESCE(ar2.r, 0) * 1000000)
+                            // greatest((SELECT COALESCE(SUM(r), 0) FROM ar2),
+                                        1) AS BIGINT) AS v
+                FROM nodes n LEFT JOIN ar2 ON n.h = ar2.h
+            ),
+            hr2 AS (
+                SELECT e.s AS h, SUM(a2.v * e.w) AS r
+                FROM e JOIN a2 ON e.d = a2.h GROUP BY e.s
+            ),
+            h2 AS (
+                SELECT n.h,
+                       CAST((COALESCE(hr2.r, 0) * 1000000)
+                            // greatest((SELECT COALESCE(SUM(r), 0) FROM hr2),
+                                        1) AS BIGINT) AS v
+                FROM nodes n LEFT JOIN hr2 ON n.h = hr2.h
+            )
+            SELECT n.h AS host, h2.v AS hub, a2.v AS auth
+            FROM nodes n
+            JOIN h2 ON n.h = h2.h
+            JOIN a2 ON n.h = a2.h
         """,
         "html_extract": f"""
             WITH pages AS (

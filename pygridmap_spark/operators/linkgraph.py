@@ -114,6 +114,107 @@ def host_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def hits_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**6,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> DataFrame:
+    """Deterministic integer HITS (Kleinberg 1999, public) over a
+    weighted edge table (the output of :func:`host_link_graph`):
+    ``(host, hub, auth)`` scores in units of ``scale`` and EVERY
+    operation is int64 —
+
+        auth_raw[v] = sum_{u->v} hub[u] * w(u,v)
+        auth[v]     = (auth_raw[v] * scale) DIV max(total_auth_raw, 1)
+        hub_raw[u]  = sum_{u->v} auth[v] * w(u,v)
+        hub[u]      = (hub_raw[u] * scale) DIV max(total_hub_raw, 1)
+
+    The classical algorithm L2-normalizes each half-step; L1 (sum)
+    normalization keeps the SAME fixed point direction (both are scalar
+    rescalings of the power iteration on A^T A / A A^T) while staying in
+    integer arithmetic — which is what makes the scores bit-reproducible
+    run-to-run, partitioning-to-partitioning, and engine-to-engine (the
+    driver oracle re-runs the identical arithmetic as unrolled DuckDB
+    CTEs with scalar-subquery totals). The same reason pagerank_int
+    exists: float HITS depends on the reduction order of distributed
+    sums, so a rank sort on its scores is nondeterministic. The DIV
+    truncation leaks sub-ulp mass per node, identically on every engine.
+
+    Overflow bound: after each normalization every score <= scale and
+    their sum <= scale, so the next raw sums are <= scale *
+    total_edge_weight and the scaled numerator <= scale^2 * W — keep
+    ``scale**2 * sum(w) < 2**63`` (~9e6 total weight at the default
+    scale; lower ``scale`` for heavier graphs).
+
+    Scale shape: the edge frame is projected once, repartitioned on src
+    and persisted; each iteration shuffles ONLY (host, score) frames —
+    two partial-aggregated sums + two broadcast 1-row totals — and
+    localCheckpoints both halves to keep the plan flat (the
+    iterative-loop discipline from connected_components / pagerank_int).
+    """
+    e = edges.select(
+        F.col(src_col).alias("__src__"),
+        F.col(dst_col).alias("__dst__"),
+        F.col(weight_col).cast("long").alias("__w__"),
+    ).repartition("__src__").persist()
+    nodes = (
+        e.select(F.col("__src__").alias("host"))
+        .unionByName(e.select(F.col("__dst__").alias("host")))
+        .distinct()
+        .persist()
+    )
+
+    def _norm(raw: DataFrame, out: str) -> DataFrame:
+        filled = nodes.join(raw, "host", "left").select(
+            "host",
+            F.coalesce(F.col("__r__"), F.lit(0).cast("long")).alias("__x__"),
+        )
+        total = filled.agg(F.sum("__x__").alias("__t__"))
+        return (
+            filled.crossJoin(F.broadcast(total))
+            .select(
+                "host",
+                F.expr(
+                    f"(__x__ * CAST({scale} AS BIGINT))"
+                    " DIV greatest(__t__, CAST(1 AS BIGINT))"
+                ).cast("long").alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
+    auth = nodes.select("host", F.lit(0).cast("long").alias("auth"))
+    try:
+        for _ in range(iterations):
+            araw = (
+                e.join(hub, e["__src__"] == hub["host"])
+                .select(
+                    F.col("__dst__").alias("host"),
+                    (F.col("hub") * F.col("__w__")).alias("__c__"),
+                )
+                .groupBy("host")
+                .agg(F.sum("__c__").alias("__r__"))
+            )
+            auth = _norm(araw, "auth")
+            hraw = (
+                e.join(auth, e["__dst__"] == auth["host"])
+                .select(
+                    F.col("__src__").alias("host"),
+                    (F.col("auth") * F.col("__w__")).alias("__c__"),
+                )
+                .groupBy("host")
+                .agg(F.sum("__c__").alias("__r__"))
+            )
+            hub = _norm(hraw, "hub")
+        return hub.join(auth, "host")
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+
+
 def pagerank_int(
     edges: DataFrame,
     iterations: int = 5,

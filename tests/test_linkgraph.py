@@ -143,3 +143,65 @@ def test_pagerank_composes_with_host_link_graph(spark):
     assert set(got) == {"s1.com", "s2.com", "d1.com", "d2.com"}
     # d1 has all the inbound mass -> strictly the largest rank
     assert got["d1.com"] == max(got.values())
+
+
+def _hits_python(iterations, scale=10**6):
+    nodes = sorted({x for e in _PR_EDGES for x in e[:2]})
+    hub = {h: scale for h in nodes}
+    auth = {h: 0 for h in nodes}
+
+    def norm(raw):
+        t = max(sum(raw.get(h, 0) for h in nodes), 1)
+        return {h: (raw.get(h, 0) * scale) // t for h in nodes}
+
+    for _ in range(iterations):
+        araw = {}
+        for s, t, w in _PR_EDGES:
+            araw[t] = araw.get(t, 0) + hub[s] * w
+        auth = norm(araw)
+        hraw = {}
+        for s, t, w in _PR_EDGES:
+            hraw[s] = hraw.get(s, 0) + auth[t] * w
+        hub = norm(hraw)
+    return hub, auth
+
+
+def test_hits_matches_reference_arithmetic(spark):
+    hub, auth = _hits_python(3)
+    got = LG.hits_int(_pr_df(spark), iterations=3).collect()
+    assert {r.host: r.hub for r in got} == hub
+    assert {r.host: r.auth for r in got} == auth
+
+
+def test_hits_partitioning_independent(spark):
+    df = _pr_df(spark)
+    a = sorted(map(tuple, LG.hits_int(df.repartition(1), iterations=4).collect()))
+    b = sorted(map(tuple, LG.hits_int(df.repartition(7), iterations=4).collect()))
+    assert a == b  # bit-identical, the whole point of the integer form
+
+
+def test_hits_pure_hub_and_authority_roles(spark):
+    # star graph: h points at a1..a3; h is all hub, the a's all authority
+    edges = spark.createDataFrame(
+        [("h", "a1", 1), ("h", "a2", 1), ("h", "a3", 2)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r.host: (r.hub, r.auth) for r in
+           LG.hits_int(edges, iterations=2).collect()}
+    assert got["h"][0] == max(v[0] for v in got.values())  # top hub
+    assert got["h"][1] == 0                                # zero authority
+    assert all(got[a][0] == 0 for a in ("a1", "a2", "a3"))  # pure sinks
+    # the double-weighted edge concentrates authority on a3
+    assert got["a3"][1] == max(v[1] for v in got.values())
+    # L1 normalization: each half sums to <= scale (DIV only leaks mass)
+    assert sum(v[0] for v in got.values()) <= 10**6
+    assert sum(v[1] for v in got.values()) <= 10**6
+
+
+def test_hits_composes_with_host_link_graph(spark):
+    edges = LG.host_link_graph(_df(spark))
+    got = {r.host: (r.hub, r.auth) for r in
+           LG.hits_int(edges, iterations=2).collect()}
+    assert set(got) == {"s1.com", "s2.com", "d1.com", "d2.com"}
+    # d1 takes all inbound links -> the dominant authority
+    assert got["d1.com"][1] == max(v[1] for v in got.values())
