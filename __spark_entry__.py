@@ -1873,6 +1873,32 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ripley_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K pair counts + K-hat (operators/pointpattern) over 4
+    point clouds derived from events (multiplicative-hash coords in a
+    100001^2 window). The operator runs the cell-bucketed 3x3-ring
+    candidate equi-join with one conditional-agg pass for all radii; the
+    oracle brute-forces the identical all-pairs counts in DuckDB — an
+    asymptotically different algorithm that must agree count-for-count.
+    All-integer squared-distance tests, so counts hash-gate; K-hat is
+    one pinned IEEE expression over exact integers (same op order both
+    engines)."""
+    from pygridmap_spark.operators import pointpattern as _PP
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    e = F.col("event_id")
+    pts = ev.select(
+        (F.col("user_id") % 4).alias("g"),
+        F.col("event_id").alias("id"),
+        ((e * F.lit(2654435761)) % F.lit(100001)).alias("x"),
+        ((e * F.lit(1103515245)) % F.lit(100001)).alias("y"),
+    )
+    out = _PP.ripley_k(
+        pts, [500, 2000, 10000], area=100001 * 100001, by=["g"]
+    )
+    return out.select("g", "r", "n_pairs", "n_points", "k_hat")
+
+
 def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group convex hull (operators/hulls.convex_hull_points) over 20
     integer point clouds derived from events (multiplicative-hash coords
@@ -3424,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "hdr_quantile_sketch": _q_hdr_quantile_sketch,
         "bloom_membership": _q_bloom_membership,
+        "ripley_pair_counts": _q_ripley_pair_counts,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -6159,6 +6186,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
             FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
             GROUP BY 1, 2
+        """,
+        "ripley_pair_counts": """
+            WITH pts AS (
+                SELECT user_id % 4 AS g, event_id AS id,
+                       (event_id * 2654435761) % 100001 AS x,
+                       (event_id * 1103515245) % 100001 AS y
+                FROM events
+            ),
+            rr AS (SELECT unnest([500, 2000, 10000]) AS r),
+            pairs AS (
+                SELECT a.g,
+                       (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS d2
+                FROM pts a JOIN pts b ON a.g = b.g AND a.id < b.id
+            ),
+            cnt AS (
+                SELECT g, r,
+                       CAST(sum(CASE WHEN d2 <= CAST(r AS BIGINT) * r
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+                FROM pairs, rr GROUP BY 1, 2
+            ),
+            np AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n_points
+                FROM pts GROUP BY 1
+            )
+            SELECT cnt.g, CAST(cnt.r AS BIGINT) AS r, cnt.n_pairs,
+                   np.n_points,
+                   CASE WHEN np.n_points >= 2 THEN
+                       ((CAST(10000200001 AS DOUBLE) * 2.0)
+                        * CAST(cnt.n_pairs AS DOUBLE))
+                       / (CAST(np.n_points AS DOUBLE)
+                          * (CAST(np.n_points AS DOUBLE) - 1.0))
+                   END AS k_hat
+            FROM cnt JOIN np ON cnt.g = np.g
         """,
         "bloom_membership": f"""
             WITH toks AS (
