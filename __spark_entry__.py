@@ -1873,6 +1873,55 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse + URL allow/deny (operators/robots): 20 hosts
+    with three robots.txt shapes (star-only, star + specific 'bot'
+    group, inapplicable-group), urls in five path shapes per doc. Pins
+    RFC 9309 group selection (specific beats '*'), longest-literal-
+    prefix precedence, allow-wins-ties, and allowed-by-default — the
+    oracle restates the ENTIRE parse (line explode, comment strip,
+    UA-run block windows, group selection) and the match (prefix join +
+    precedence window) in DuckDB, hash-gated."""
+    from pygridmap_spark.operators import robots as RB
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 20
+    hosts = docs.select(h.alias("h")).distinct()
+    content = (
+        F.when(
+            F.col("h") % 3 == 0,
+            F.lit("User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+        )
+        .when(
+            F.col("h") % 3 == 1,
+            F.lit(
+                "User-agent: *\nDisallow: /\n\nUser-agent: bot\n"
+                "Disallow: /beta\nAllow: /beta/docs"
+            ),
+        )
+        .otherwise(F.lit("# closed\nUser-agent: other\nDisallow: /"))
+    )
+    rob = hosts.select(
+        F.concat(F.lit("h"), F.col("h"), F.lit(".com")).alias("host"),
+        content.alias("robots_txt"),
+    )
+    kind = F.col("doc_id") % 5
+    path = (
+        F.when(kind == 0, F.concat(F.lit("/private/a"), F.col("doc_id")))
+        .when(kind == 1, F.lit("/private/ok/b"))
+        .when(kind == 2, F.lit("/beta/x"))
+        .when(kind == 3, F.lit("/beta/docs/y"))
+        .otherwise(F.lit(""))
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://h"), h, F.lit(".com"), path).alias("url")
+    )
+    rules = RB.parse_robots(rob, "bot")
+    return RB.check_urls(urls, rules).select(
+        "url", "host", "allowed", "rule_path"
+    )
+
+
 def _q_ripley_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ripley's K pair counts + K-hat (operators/pointpattern) over 4
     point clouds derived from events (multiplicative-hash coords in a
@@ -3451,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantile_sketch": _q_hdr_quantile_sketch,
         "bloom_membership": _q_bloom_membership,
         "ripley_pair_counts": _q_ripley_pair_counts,
+        "robots_allow": _q_robots_allow,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -6186,6 +6236,122 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
             FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
             GROUP BY 1, 2
+        """,
+        "robots_allow": """
+            WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),
+            rob AS (
+                SELECT 'h' || CAST(h AS VARCHAR) || '.com' AS host,
+                       CASE h % 3
+                         WHEN 0 THEN 'User-agent: *' || chr(10)
+                              || 'Disallow: /private' || chr(10)
+                              || 'Allow: /private/ok'
+                         WHEN 1 THEN 'User-agent: *' || chr(10)
+                              || 'Disallow: /' || chr(10) || chr(10)
+                              || 'User-agent: bot' || chr(10)
+                              || 'Disallow: /beta' || chr(10)
+                              || 'Allow: /beta/docs'
+                         ELSE '# closed' || chr(10)
+                              || 'User-agent: other' || chr(10)
+                              || 'Disallow: /'
+                       END AS robots_txt
+                FROM hosts
+            ),
+            lines0 AS (
+                SELECT host,
+                       unnest(string_split(robots_txt, chr(10))) AS raw,
+                       generate_subscripts(
+                           string_split(robots_txt, chr(10)), 1) AS pos
+                FROM rob
+            ),
+            lines AS (
+                SELECT host, pos,
+                       trim(regexp_replace(raw, '#.*', '')) AS line
+                FROM lines0
+            ),
+            shaped AS (
+                SELECT host, pos,
+                       lower(regexp_extract(line,
+                           '(?i)^user-agent:\\s*(\\S+)', 1)) AS ua,
+                       lower(regexp_extract(line,
+                           '(?i)^(allow|disallow):', 1)) AS rule_type,
+                       regexp_extract(line,
+                           '(?i)^(?:allow|disallow):\\s*(\\S*)', 1) AS path
+                FROM lines
+            ),
+            blocks0 AS (
+                SELECT *, ua != '' AS is_ua,
+                       coalesce(lag(ua != '') OVER (PARTITION BY host
+                                                    ORDER BY pos),
+                                FALSE) AS prev_ua
+                FROM shaped
+            ),
+            blocks AS (
+                SELECT *,
+                       sum(CASE WHEN is_ua AND NOT prev_ua
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS blk
+                FROM blocks0
+            ),
+            uas AS (SELECT host, blk, ua FROM blocks WHERE is_ua),
+            rul AS (
+                SELECT host, blk, rule_type, path FROM blocks
+                WHERE rule_type != '' AND path != ''
+            ),
+            grp AS (
+                SELECT DISTINCT u.host, u.ua, r.rule_type, r.path
+                FROM uas u JOIN rul r
+                  ON u.host = r.host AND u.blk = r.blk
+                WHERE u.ua IN ('bot', '*')
+            ),
+            spec AS (
+                SELECT host,
+                       max(CASE WHEN ua = 'bot' THEN 1 ELSE 0 END) AS hs
+                FROM grp GROUP BY host
+            ),
+            rules AS (
+                SELECT DISTINCT g.host, g.rule_type, g.path,
+                       CAST(length(g.path) AS INTEGER) AS rule_len
+                FROM grp g JOIN spec s ON g.host = s.host
+                WHERE g.ua = 'bot' OR (s.hs = 0 AND g.ua = '*')
+            ),
+            urls AS (
+                SELECT DISTINCT
+                    'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.com' ||
+                    CASE doc_id % 5
+                      WHEN 0 THEN '/private/a' || CAST(doc_id AS VARCHAR)
+                      WHEN 1 THEN '/private/ok/b'
+                      WHEN 2 THEN '/beta/x'
+                      WHEN 3 THEN '/beta/docs/y'
+                      ELSE ''
+                    END AS url
+                FROM documents
+            ),
+            u AS (
+                SELECT url,
+                       nullif(lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+                           '') AS host,
+                       coalesce(nullif(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)', 1),
+                           ''), '/') AS p
+                FROM urls
+            ),
+            m AS (
+                SELECT u.url, u.host, r.rule_type, r.path,
+                       row_number() OVER (
+                           PARTITION BY u.url
+                           ORDER BY r.rule_len DESC,
+                                    (r.rule_type = 'allow') DESC,
+                                    r.path DESC) AS rn
+                FROM u LEFT JOIN rules r
+                  ON u.host = r.host AND starts_with(u.p, r.path)
+            )
+            SELECT url, host,
+                   coalesce(rule_type = 'allow', TRUE) AS allowed,
+                   path AS rule_path
+            FROM m WHERE rn = 1
         """,
         "ripley_pair_counts": """
             WITH pts AS (
