@@ -1873,6 +1873,39 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC text-mode record parsing (sources/warc): every doc is
+    serialized as a two-record WARC blob (response carrying the first
+    80 chars of its text + a metadata record) via warc_record, then
+    parse_warc explodes it back. The oracle computes the GROUND TRUTH
+    rows directly from the same inputs (no parser in the loop), so the
+    round-trip must recover types, URIs, declared lengths, and
+    md5-gated bodies exactly — zero-shuffle split/locate/substr chain
+    on the Spark side."""
+    from pygridmap_spark.sources import warc as _WC
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = F.substring(F.col("text"), 1, 80)
+    u1 = F.concat(
+        F.lit("https://h"), F.col("doc_id") % 20, F.lit(".com/p"),
+        F.col("doc_id"),
+    )
+    b2 = F.concat(F.lit("meta "), F.col("doc_id"))
+    blob = F.concat(
+        _WC.warc_record(
+            F.lit("response"), u1, F.lit("2026-01-01T00:00:00Z"), b1
+        ),
+        _WC.warc_record(
+            F.lit("metadata"), u1, F.lit("2026-01-01T00:00:01Z"), b2
+        ),
+    )
+    out = _WC.parse_warc(docs.select("doc_id", blob.alias("warc")))
+    return out.select(
+        "doc_id", "record_idx", "warc_type", "target_uri",
+        "content_length", F.md5("body").alias("body_md5"),
+    )
+
+
 def _q_robots_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parse + URL allow/deny (operators/robots): 20 hosts
     with three robots.txt shapes (star-only, star + specific 'bot'
@@ -3501,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "ripley_pair_counts": _q_ripley_pair_counts,
         "robots_allow": _q_robots_allow,
+        "warc_parse": _q_warc_parse,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -6236,6 +6270,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
             FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
             GROUP BY 1, 2
+        """,
+        "warc_parse": """
+            WITH src AS (
+                SELECT doc_id,
+                       substr(text, 1, 80) AS b1,
+                       'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.com/p' || CAST(doc_id AS VARCHAR) AS u1,
+                       'meta ' || CAST(doc_id AS VARCHAR) AS b2
+                FROM documents
+            )
+            SELECT doc_id, CAST(0 AS BIGINT) AS record_idx,
+                   'response' AS warc_type, u1 AS target_uri,
+                   CAST(length(b1) AS BIGINT) AS content_length,
+                   md5(b1) AS body_md5
+            FROM src
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), 'metadata', u1,
+                   CAST(length(b2) AS BIGINT), md5(b2)
+            FROM src
         """,
         "robots_allow": """
             WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),

@@ -1,5 +1,6 @@
-"""Sources & sinks: synthetic pages/polygons generators, tiled writers."""
+"""Sources & sinks: synthetic pages/polygons generators, tiled writers,
+WARC record parsing."""
 
-from pygridmap_spark.sources import pages, polygons, sinks
+from pygridmap_spark.sources import pages, polygons, sinks, warc
 
-__all__ = ["pages", "polygons", "sinks"]
+__all__ = ["pages", "polygons", "sinks", "warc"]
