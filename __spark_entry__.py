@@ -1873,6 +1873,42 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket bars (operators/temporal.bucket_bars): hourly
+    open/high/low/close/count + fixed-point sum per event_type. ONE
+    partial-aggregated shuffle (min_by/max_by picks keyed on
+    (unix_micros, event_id) — deterministic at equal timestamps); the
+    sum is sum(floor(value*1e6)) as int64, the exact-accumulation
+    discipline that makes a distributed float rollup hash-gateable.
+    Oracle: row_number first/last windows + the identical fixed-point
+    arithmetic in DuckDB."""
+    from pygridmap_spark.operators import temporal as _TP
+
+    ev = _t(spark, sf_dir, "events")
+    return _TP.bucket_bars(
+        ev, 3600, by=["event_type"], tie_col="event_id"
+    ).select(
+        "event_type", "bucket_start", "n", "open", "high", "low",
+        "close", "sum_scaled",
+    )
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversions (operators/temporal.funnel_steps):
+    view -> click -> purchase per user, each step strictly after the
+    previous and the whole chain within 7 days of the first view.
+    Greedy earliest-match semantics; each step is one filtered
+    partial-agg min joined to a monotonically shrinking user frame.
+    Oracle: the identical greedy chain as DuckDB CTEs (min-after-prev
+    joins), counts unioned."""
+    from pygridmap_spark.operators import temporal as _TP
+
+    ev = _t(spark, sf_dir, "events")
+    return _TP.funnel_steps(
+        ev, ["view", "click", "purchase"], within_seconds=7 * 86400
+    )
+
+
 def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC text-mode record parsing (sources/warc): every doc is
     serialized as a two-record WARC blob (response carrying the first
@@ -3535,6 +3571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_pair_counts": _q_ripley_pair_counts,
         "robots_allow": _q_robots_allow,
         "warc_parse": _q_warc_parse,
+        "event_bars": _q_event_bars,
+        "event_funnel": _q_event_funnel,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -6270,6 +6308,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
             FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
             GROUP BY 1, 2
+        """,
+        "event_bars": """
+            WITH b AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+                       epoch_us(ts) AS us, event_id, value
+                FROM events
+            ),
+            w AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY event_type,
+                           bucket_start ORDER BY us, event_id) AS ra,
+                       row_number() OVER (PARTITION BY event_type,
+                           bucket_start ORDER BY us DESC,
+                           event_id DESC) AS rd
+                FROM b
+            ),
+            ag AS (
+                SELECT event_type, bucket_start,
+                       CAST(count(*) AS BIGINT) AS n,
+                       max(value) AS high, min(value) AS low,
+                       CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+                            AS BIGINT) AS sum_scaled
+                FROM b GROUP BY 1, 2
+            ),
+            o AS (SELECT event_type, bucket_start, value AS open
+                  FROM w WHERE ra = 1),
+            c AS (SELECT event_type, bucket_start, value AS close
+                  FROM w WHERE rd = 1)
+            SELECT ag.event_type, ag.bucket_start, ag.n, o.open,
+                   ag.high, ag.low, c.close, ag.sum_scaled
+            FROM ag
+            JOIN o ON ag.event_type = o.event_type
+                  AND ag.bucket_start = o.bucket_start
+            JOIN c ON ag.event_type = c.event_type
+                  AND ag.bucket_start = c.bucket_start
+        """,
+        "event_funnel": """
+            WITH ev AS (
+                SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+                FROM events
+            ),
+            s0 AS (SELECT u, min(us) AS t0 FROM ev
+                   WHERE t = 'view' GROUP BY u),
+            s1 AS (
+                SELECT ev.u, s0.t0, min(ev.us) AS t1
+                FROM ev JOIN s0 ON ev.u = s0.u
+                WHERE ev.t = 'click' AND ev.us > s0.t0
+                  AND ev.us - s0.t0 <= 604800000000
+                GROUP BY ev.u, s0.t0
+            ),
+            s2 AS (
+                SELECT ev.u, s1.t0, min(ev.us) AS t2
+                FROM ev JOIN s1 ON ev.u = s1.u
+                WHERE ev.t = 'purchase' AND ev.us > s1.t1
+                  AND ev.us - s1.t0 <= 604800000000
+                GROUP BY ev.u, s1.t0
+            )
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                   CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), 'click',
+                   CAST((SELECT count(*) FROM s1) AS BIGINT)
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'purchase',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
         """,
         "warc_parse": """
             WITH src AS (

@@ -175,3 +175,137 @@ def interval_join(
         + [rb[c] for c in r.columns if c not in keys]
     )
     return out.select(*keep)
+
+
+def bucket_bars(
+    df: DataFrame,
+    bucket_seconds: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: list[str] | tuple[str, ...] = (),
+    tie_col: str | None = None,
+    sum_scale: int = 10**6,
+) -> DataFrame:
+    """Time-bucket bars — the generic telemetry/series rollup (OHLC in
+    market terms): per (``by``, bucket) the FIRST and LAST value by
+    event time plus min/max/count and a fixed-point sum. Output:
+    ``(*by, bucket_start, n, open, high, low, close, sum_scaled)`` with
+    ``bucket_start`` in epoch seconds.
+
+    Determinism contract: first/last pick by (unix_micros, ``tie_col``)
+    — pass a unique id when timestamps can collide, or the pick is
+    engine/partitioning-dependent. ``sum_scaled`` is
+    sum(floor(value * sum_scale)) as int64 — the float sum of a
+    distributed engine is reduction-order-dependent, the fixed-point
+    sum is exact and hash-gateable (the repo-wide exact-accumulation
+    discipline); min/max/count are order-free already.
+
+    Scale shape: ONE partial-aggregated shuffle keyed on (*by, bucket)
+    — min_by/max_by/min/max/sum all map-side combine, so the exchange
+    carries one row per live bucket per task regardless of corpus size.
+    """
+    # events land as TIMESTAMP_NTZ from parquet; the cast is
+    # instant-preserving under the repo-wide UTC session (session.py)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = (
+        F.struct(us.alias("u"), F.col(tie_col).alias("t"))
+        if tie_col
+        else us
+    )
+    bucket = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+        f" DIV {int(bucket_seconds) * 1_000_000}"
+    )
+    v = F.col(value_col)
+    return (
+        df.select(
+            *by,
+            (bucket * F.lit(int(bucket_seconds))).alias("bucket_start"),
+            order.alias("__o__"),
+            v.alias("__v__"),
+        )
+        .groupBy(*by, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("__v__", "__o__").alias("open"),
+            F.max("__v__").alias("high"),
+            F.min("__v__").alias("low"),
+            F.max_by("__v__", "__o__").alias("close"),
+            F.sum(
+                F.floor(F.col("__v__") * F.lit(int(sum_scale))).cast("long")
+            ).alias("sum_scaled"),
+        )
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, did events of type
+    ``steps[0]`` then ``steps[1]`` then ... occur in strictly
+    increasing event time (optionally all within ``within_seconds`` of
+    the step-0 time)? Returns one row per step:
+    ``(step_idx, step, n_users)`` — the classic conversion readout.
+
+    Semantics: the step-k time is the EARLIEST event of that type
+    strictly after the user's step-(k-1) time (the greedy matching,
+    which maximizes conversions for strict-order funnels); duplicate
+    event types re-use is impossible because time strictly increases.
+
+    Scale shape: step k is one filtered partial-aggregated min per user
+    joined to the step-(k-1) user frame — both sides SHRINK
+    monotonically (conversions only lose users), and the join key is
+    the user id, so AQE broadcasts the later stages as the funnel
+    narrows. No window over the raw event stream, no per-user
+    collect_list. The k one-row count branches share the chain prefix
+    lazily (recompute factor bounded by k, over frames that shrink at
+    every step — persist the event frame upstream if the scan
+    dominates)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us__")
+    ev = df.select(
+        F.col(user_col).alias("__u__"),
+        F.col(type_col).alias("__t__"),
+        us,
+    )
+    cur = (
+        ev.filter(F.col("__t__") == steps[0])
+        .groupBy("__u__")
+        .agg(F.min("__us__").alias("t0"))
+    )
+    frames = [cur]
+    prev_t = "t0"
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            ev.filter(F.col("__t__") == s)
+            .join(cur, "__u__")
+            .filter(F.col("__us__") > F.col(prev_t))
+        )
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col("__us__") - F.col("t0")
+                <= F.lit(int(within_seconds) * 1_000_000)
+            )
+        cur = nxt.groupBy("__u__", "t0").agg(
+            F.min("__us__").alias(f"t{i}")
+        )
+        frames.append(cur)
+        prev_t = f"t{i}"
+    rows = [
+        fr.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col("n_users"),
+        )
+        for i, (s, fr) in enumerate(zip(steps, frames))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

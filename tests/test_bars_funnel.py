@@ -1,0 +1,102 @@
+"""Time-bucket bars + funnel analysis (operators/temporal additions).
+
+The driver oracles (`event_bars`, `event_funnel`) hash-gate both
+against window/CTE restatements in DuckDB; these pin the semantics:
+first/last by (time, tie) with deterministic tie-breaks, the
+fixed-point sum contract, bucket boundary alignment, strict-order
+greedy funnel matching, the within-window constraint, and zero-user
+steps.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygridmap_spark.operators import temporal as TP
+
+
+def _ev(spark, rows):
+    # rows: (user, type, seconds_offset, value)
+    base = dt.datetime(2026, 1, 1)
+    data = [
+        (i, u, t, base + dt.timedelta(seconds=s), float(v))
+        for i, (u, t, s, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+
+
+def test_bars_open_close_high_low_sum(spark):
+    df = _ev(spark, [
+        (1, "m", 10, 3.5),
+        (1, "m", 20, 1.25),
+        (1, "m", 50, 9.0),
+        (1, "m", 70, 2.0),   # next bucket (60s bars)
+    ])
+    got = {r.bucket_start: r for r in
+           TP.bucket_bars(df, 60, by=["user_id"], tie_col="event_id").collect()}
+    b0 = got[1767225600]  # 2026-01-01T00:00:00Z
+    assert (b0.open, b0.close, b0.high, b0.low, b0.n) == (3.5, 9.0, 9.0, 1.25, 3)
+    assert b0.sum_scaled == 3500000 + 1250000 + 9000000
+    b1 = got[1767225660]
+    assert (b1.open, b1.close, b1.n) == (2.0, 2.0, 1)
+
+
+def test_bars_tie_break_on_id(spark):
+    base = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(2, 1, "m", base, 7.0), (1, 1, "m", base, 4.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    [r] = TP.bucket_bars(df, 60, by=["user_id"], tie_col="event_id").collect()
+    assert (r.open, r.close) == (4.0, 7.0)  # id asc at equal timestamp
+
+
+def test_funnel_strict_order_and_counts(spark):
+    df = _ev(spark, [
+        # u1 completes view -> cart -> buy in order
+        (1, "view", 0, 0), (1, "cart", 10, 0), (1, "buy", 20, 0),
+        # u2: cart BEFORE view -> only reaches view
+        (2, "cart", 0, 0), (2, "view", 10, 0),
+        # u3: view then buy (skips cart) -> reaches view only
+        (3, "view", 0, 0), (3, "buy", 5, 0),
+        # u4 never views
+        (4, "buy", 0, 0),
+    ])
+    got = {r.step: r.n_users for r in
+           TP.funnel_steps(df, ["view", "cart", "buy"]).collect()}
+    assert got == {"view": 3, "cart": 1, "buy": 1}
+
+
+def test_funnel_within_window(spark):
+    df = _ev(spark, [
+        (1, "a", 0, 0), (1, "b", 5, 0),
+        (2, "a", 0, 0), (2, "b", 500, 0),  # too late
+    ])
+    got = {r.step: r.n_users for r in
+           TP.funnel_steps(df, ["a", "b"], within_seconds=60).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_funnel_greedy_earliest_match(spark):
+    # the earliest qualifying cart is matched, allowing the later buy
+    df = _ev(spark, [
+        (1, "view", 10, 0), (1, "cart", 5, 0),   # before view: unusable
+        (1, "cart", 15, 0), (1, "buy", 16, 0),
+    ])
+    got = {r.step: r.n_users for r in
+           TP.funnel_steps(df, ["view", "cart", "buy"]).collect()}
+    assert got == {"view": 1, "cart": 1, "buy": 1}
+
+
+def test_funnel_zero_users_step_present(spark):
+    df = _ev(spark, [(1, "a", 0, 0)])
+    got = {r.step: r.n_users for r in
+           TP.funnel_steps(df, ["a", "never"]).collect()}
+    assert got == {"a": 1, "never": 0}
+    with pytest.raises(ValueError):
+        TP.funnel_steps(df, [])
