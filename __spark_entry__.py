@@ -1873,6 +1873,41 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection (operators/snapshots.snapshot_diff):
+    documents vs a planted next-day version (doc_id%10==3 deleted,
+    ==5 n_chars bumped, ==7 re-inserted under shifted ids). One
+    null-safe full-outer join + md5 row fingerprints (string casts,
+    RS-framed NULL sentinel, US separator — the oracle-checkable-hash
+    idiom); unchanged rows filtered before anything downstream. Oracle:
+    the identical fingerprints + IS NOT DISTINCT FROM outer join in
+    DuckDB, hash-gated."""
+    from pygridmap_spark.operators import snapshots as _SN
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    m = F.col("doc_id") % 10
+    new = (
+        docs.filter(m != 3)
+        .withColumn(
+            "n_chars",
+            F.when(m == 5, F.col("n_chars") + 7).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .unionByName(
+            docs.filter(m == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "lang", "source", "n_chars",
+            )
+        )
+    )
+    return _SN.snapshot_diff(docs, new, ["doc_id"]).select(
+        "doc_id", "change_type", "old_fp", "new_fp"
+    )
+
+
 def _q_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucket bars (operators/temporal.bucket_bars): hourly
     open/high/low/close/count + fixed-point sum per event_type. ONE
@@ -3572,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allow": _q_robots_allow,
         "warc_parse": _q_warc_parse,
         "event_bars": _q_event_bars,
+        "snapshot_diff_docs": _q_snapshot_diff,
         "event_funnel": _q_event_funnel,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
@@ -6308,6 +6344,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
             FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
             GROUP BY 1, 2
+        """,
+        "snapshot_diff_docs": """
+            WITH old AS (
+                SELECT doc_id, lang, source, n_chars FROM documents
+            ),
+            nw AS (
+                SELECT doc_id, lang, source,
+                       CASE WHEN doc_id % 10 = 5 THEN n_chars + 7
+                            ELSE n_chars END AS n_chars
+                FROM documents WHERE doc_id % 10 != 3
+                UNION ALL
+                SELECT doc_id + 1000000, lang, source, n_chars
+                FROM documents WHERE doc_id % 10 = 7
+            ),
+            o AS (
+                SELECT doc_id, md5(concat_ws(chr(31),
+                    coalesce(lang, chr(30) || 'null' || chr(30)),
+                    coalesce(source, chr(30) || 'null' || chr(30)),
+                    coalesce(CAST(n_chars AS VARCHAR),
+                             chr(30) || 'null' || chr(30)))) AS old_fp
+                FROM old
+            ),
+            n AS (
+                SELECT doc_id, md5(concat_ws(chr(31),
+                    coalesce(lang, chr(30) || 'null' || chr(30)),
+                    coalesce(source, chr(30) || 'null' || chr(30)),
+                    coalesce(CAST(n_chars AS VARCHAR),
+                             chr(30) || 'null' || chr(30)))) AS new_fp
+                FROM nw
+            ),
+            j AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       o.old_fp, n.new_fp
+                FROM o FULL OUTER JOIN n
+                  ON o.doc_id IS NOT DISTINCT FROM n.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN old_fp IS NULL THEN 'insert'
+                        WHEN new_fp IS NULL THEN 'delete'
+                        WHEN old_fp != new_fp THEN 'update'
+                        ELSE 'unchanged' END AS change_type,
+                   old_fp, new_fp
+            FROM j
+            WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp != new_fp
         """,
         "event_bars": """
             WITH b AS (
