@@ -1873,6 +1873,26 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartic-kernel grid density (operators/kde.kde_grid, h=5000 over
+    the 100001^2 event scatter): the kernel numerator (4h^2 - 4d^2)^2
+    is INTEGER on integer coordinates, so the per-cell sums — an entire
+    density SURFACE — hash-gate against the brute-force ring
+    restatement in DuckDB (HUGEINT squares there, decimal(38) here,
+    same integers). kde is the one pinned final division by 16 h^4."""
+    from pygridmap_spark.operators import kde as _KD
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    pts = ev.select(
+        ((e * F.lit(2654435761)) % F.lit(100001)).alias("x"),
+        ((e * F.lit(1103515245)) % F.lit(100001)).alias("y"),
+    )
+    return _KD.kde_grid(pts, 5000).select(
+        "cell_x", "cell_y", "kernel_sum", "kde"
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot change detection (operators/snapshots.snapshot_diff):
     documents vs a planted next-day version (doc_id%10==3 deleted,
@@ -3608,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse": _q_warc_parse,
         "event_bars": _q_event_bars,
         "snapshot_diff_docs": _q_snapshot_diff,
+        "kde_heatmap": _q_kde_heatmap,
         "event_funnel": _q_event_funnel,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
@@ -6344,6 +6365,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
             FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
             GROUP BY 1, 2
+        """,
+        "kde_heatmap": """
+            WITH pts AS (
+                SELECT (event_id * 2654435761) % 100001 AS x,
+                       (event_id * 1103515245) % 100001 AS y
+                FROM events
+            ),
+            o AS (SELECT unnest([-1, 0, 1]) AS d),
+            p AS (
+                SELECT (x // 5000) + ox.d AS cell_x,
+                       (y // 5000) + oy.d AS cell_y, x, y
+                FROM pts, o ox, o oy
+            ),
+            c AS (
+                SELECT cell_x, cell_y,
+                       (2 * x - (2 * cell_x * 5000 + 5000)) AS ddx,
+                       (2 * y - (2 * cell_y * 5000 + 5000)) AS ddy
+                FROM p
+            ),
+            k AS (
+                SELECT cell_x, cell_y,
+                       CASE WHEN ddx * ddx + ddy * ddy <= 100000000
+                            THEN CAST(100000000 - (ddx * ddx + ddy * ddy)
+                                      AS HUGEINT)
+                               * CAST(100000000 - (ddx * ddx + ddy * ddy)
+                                      AS HUGEINT)
+                            ELSE CAST(0 AS HUGEINT) END AS contrib
+                FROM c
+            ),
+            s AS (
+                SELECT cell_x, cell_y, sum(contrib) AS ks
+                FROM k GROUP BY 1, 2
+            )
+            SELECT cell_x, cell_y,
+                   CAST(ks AS DOUBLE) AS kernel_sum,
+                   CAST(ks AS DOUBLE)
+                       / CAST(10000000000000000 AS DOUBLE) AS kde
+            FROM s WHERE ks > 0
         """,
         "snapshot_diff_docs": """
             WITH old AS (
