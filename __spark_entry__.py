@@ -1873,6 +1873,22 @@ def _q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (operators/temporal.time_weighted_avg):
+    per-user LOCF mean of the event value stream. The weighted sum
+    accumulates floor(value*1e6) * dt_us in decimal(38) — exact
+    integers, order-free — and twap is ONE pinned division, so the
+    oracle (the identical lead-window + HUGEINT fixed-point arithmetic
+    in DuckDB) hash-gates a float statistic a naive float sum could
+    never pin cross-engine."""
+    from pygridmap_spark.operators import temporal as _TP
+
+    ev = _t(spark, sf_dir, "events")
+    return _TP.time_weighted_avg(
+        ev, by=["user_id"], tie_col="event_id"
+    ).select("user_id", "n", "span_us", "twap")
+
+
 def _q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartic-kernel grid density (operators/kde.kde_grid, h=5000 over
     the 100001^2 event scatter): the kernel numerator (4h^2 - 4d^2)^2
@@ -3629,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bars": _q_event_bars,
         "snapshot_diff_docs": _q_snapshot_diff,
         "kde_heatmap": _q_kde_heatmap,
+        "user_twap": _q_user_twap,
         "event_funnel": _q_event_funnel,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
@@ -6365,6 +6382,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
             FROM cp LEFT JOIN sk ON sk.rw = cp.rw AND sk.cl = cp.cl
             GROUP BY 1, 2
+        """,
+        "user_twap": """
+            WITH seg AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+                           - epoch_us(ts) AS dt,
+                       CAST(floor(value * 1000000) AS BIGINT) AS v
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(max(t) - min(t) AS BIGINT) AS span_us,
+                       sum(CASE WHEN dt IS NOT NULL
+                                THEN CAST(v AS HUGEINT)
+                                     * CAST(dt AS HUGEINT) END) AS num
+                FROM seg GROUP BY 1
+            )
+            SELECT user_id, n, span_us,
+                   CASE WHEN span_us > 0 THEN
+                       CAST(num AS DOUBLE)
+                       / (CAST(span_us AS DOUBLE) * 1000000.0)
+                   END AS twap
+            FROM g
         """,
         "kde_heatmap": """
             WITH pts AS (

@@ -309,3 +309,70 @@ def funnel_steps(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: list[str] | tuple[str, ...] = ("user_id",),
+    value_scale: int = 10**6,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per entity — the irregular-series mean
+    (kdb/TimescaleDB `time_weight` semantics, last-observation-carried-
+    forward): each observation's value holds until the next one, so
+
+        twap = sum_i v_i * (t_{i+1} - t_i) / (t_last - t_first)
+
+    over the entity's own observation span (the final observation
+    carries no weight; entities with one event yield NULL — no span).
+    Output: ``(*by, n, span_us, twap)``.
+
+    Determinism contract: the weighted sum accumulates
+    floor(v * value_scale) * dt_us in decimal(38,0) — exact integers,
+    order-free, engine-identical (the fixed-point discipline from
+    bucket_bars); twap is ONE pinned division of two exact casts.
+    Duplicate timestamps within an entity contribute zero-width
+    intervals (dt = 0), matching the step-function semantics — but the
+    LAST row of a tie group carries the following gap, so pass a unique
+    ``tie_col`` when timestamps can collide or that carrier (and the
+    twap) is order-dependent.
+
+    Scale shape: one window exchange on the entity key (lead over
+    (entity, ts)) + one partial-aggregated sum on the same
+    partitioning — Catalyst reuses the exchange, so the operator costs
+    a single shuffle end-to-end."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [us, F.col(tie_col)] if tie_col else [us]
+    w = Window.partitionBy(*by).orderBy(*order)
+    nxt = F.lead(us).over(w)
+    vfp = F.floor(F.col(value_col) * F.lit(int(value_scale))).cast("long")
+    seg = df.select(
+        *by,
+        us.alias("__t__"),
+        (nxt - us).alias("__dt__"),
+        vfp.alias("__v__"),
+    )
+    num = F.sum(
+        F.when(
+            F.col("__dt__").isNotNull(),
+            F.col("__v__").cast("decimal(19,0)")
+            * F.col("__dt__").cast("decimal(19,0)"),
+        )
+    )
+    out = seg.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("__t__") - F.min("__t__")).alias("span_us"),
+        num.alias("__num__"),
+    )
+    twap = (
+        F.col("__num__").cast("double")
+        / (F.col("span_us").cast("double") * F.lit(float(value_scale)))
+    )
+    return out.select(
+        *by,
+        "n",
+        "span_us",
+        F.when(F.col("span_us") > 0, twap).alias("twap"),
+    )

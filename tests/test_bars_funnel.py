@@ -100,3 +100,49 @@ def test_funnel_zero_users_step_present(spark):
     assert got == {"a": 1, "never": 0}
     with pytest.raises(ValueError):
         TP.funnel_steps(df, [])
+
+
+def test_twap_step_function_exact(spark):
+    from pygridmap_spark.operators.temporal import time_weighted_avg
+
+    # value 10 for 30s, then 20 for 10s -> twap = (300+200)/40 = 12.5
+    df = _ev(spark, [
+        (1, "m", 0, 10.0), (1, "m", 30, 20.0), (1, "m", 40, 99.0),
+    ])
+    [r] = time_weighted_avg(df, by=["user_id"], tie_col="event_id").collect()
+    assert r.n == 3 and r.span_us == 40_000_000
+    assert r.twap == pytest.approx(12.5)
+    # the last observation (99.0) carries no weight
+
+
+def test_twap_single_event_null(spark):
+    from pygridmap_spark.operators.temporal import time_weighted_avg
+
+    df = _ev(spark, [(1, "m", 0, 5.0)])
+    [r] = time_weighted_avg(df, by=["user_id"]).collect()
+    assert r.twap is None and r.span_us == 0 and r.n == 1
+
+
+def test_twap_duplicate_ts_zero_width_with_tiebreak(spark):
+    from pygridmap_spark.operators.temporal import time_weighted_avg
+
+    # two observations at t=0 (ids 0, 1), then one at t=10: the id-1 row
+    # (last of the tie group) carries the whole 10s gap
+    df = _ev(spark, [
+        (1, "m", 0, 100.0), (1, "m", 0, 4.0), (1, "m", 10, 7.0),
+    ])
+    [r] = time_weighted_avg(df, by=["user_id"], tie_col="event_id").collect()
+    assert r.twap == pytest.approx(4.0)
+
+
+def test_twap_partitioning_independent(spark):
+    from pygridmap_spark.operators.temporal import time_weighted_avg
+
+    rows = [(u, "m", s * 3 + u, float((s * 7 + u) % 23))
+            for u in range(5) for s in range(40)]
+    df = _ev(spark, rows)
+    a = sorted(map(tuple, time_weighted_avg(
+        df.repartition(1), by=["user_id"], tie_col="event_id").collect()))
+    b = sorted(map(tuple, time_weighted_avg(
+        df.repartition(7), by=["user_id"], tie_col="event_id").collect()))
+    assert a == b  # exact decimal accumulation: bit-identical
