@@ -111,6 +111,15 @@ HEADLINE = [
     "paragraph_dedup",
     "c4_clean",
     "gopher_quality",
+    # round-5 final session: sketch/link/point-pattern/intake/analytics
+    "bloom_membership",
+    "host_hits_int",
+    "ripley_pair_counts",
+    "robots_allow",
+    "warc_parse",
+    "event_bars",
+    "event_funnel",
+    "snapshot_diff_docs",
 ]
 
 
