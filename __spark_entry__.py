@@ -2347,6 +2347,33 @@ def _q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation counts
+    (operators/linkgraph.host_triangles — the Schank-Wagner degree-
+    ordered node-iterator) over a 29-host modular graph with two edge
+    families per doc. The operator orients edges by (degree, host);
+    the oracle enumerates each triangle once via the plain a<b<c
+    lexicographic double-join and unpivots the three members — the
+    counts are orientation-invariant, so the two enumerations must
+    agree exactly (hash-gated)."""
+    from pygridmap_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    edges = docs.select(
+        h(F.col("doc_id") % 29).alias("src_host"),
+        h((F.col("doc_id") * 3 + 1) % 29).alias("dst_host"),
+    ).unionByName(
+        docs.select(
+            h((F.col("doc_id") * 5 + 2) % 29).alias("src_host"),
+            h((F.col("doc_id") * 7 + 3) % 29).alias("dst_host"),
+        )
+    )
+    return LG.host_triangles(edges).select(
+        "host", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (functions/text.html_to_text): each doc's
     text wrapped in a synthetic page (title, style, script, entities,
@@ -3632,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topfrac": _q_quality_topfrac,
         "host_pagerank_int": _q_host_pagerank,
         "host_hits_int": _q_host_hits,
+        "host_triangles": _q_host_triangles,
         "html_extract": _q_html_extract,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
@@ -5959,6 +5987,34 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
             JOIN h2 ON n.h = h2.h
             JOIN a2 ON n.h = a2.h
+        """,
+        "host_triangles": """
+            WITH raw AS (
+                SELECT 'h' || CAST(doc_id % 29 AS VARCHAR) AS s,
+                       'h' || CAST((doc_id * 3 + 1) % 29 AS VARCHAR) AS d
+                FROM documents
+                UNION ALL
+                SELECT 'h' || CAST((doc_id * 5 + 2) % 29 AS VARCHAR),
+                       'h' || CAST((doc_id * 7 + 3) % 29 AS VARCHAR)
+                FROM documents
+            ),
+            und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d
+            ),
+            tri AS (
+                SELECT u1.a AS x, u1.b AS y, u2.b AS z
+                FROM und u1
+                JOIN und u2 ON u2.a = u1.b
+                JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b
+            ),
+            member AS (
+                SELECT x AS host FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT host, count(*) AS n_triangles
+            FROM member GROUP BY host
         """,
         "html_extract": f"""
             WITH pages AS (

@@ -205,3 +205,48 @@ def test_hits_composes_with_host_link_graph(spark):
     assert set(got) == {"s1.com", "s2.com", "d1.com", "d2.com"}
     # d1 takes all inbound links -> the dominant authority
     assert got["d1.com"][1] == max(v[1] for v in got.values())
+
+
+def test_undirected_host_edges_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("a", "a"), (None, "x"), ("c", None),
+         ("b", "c")],
+        "src_host string, dst_host string",
+    )
+    got = sorted((r.a, r.b) for r in LG.undirected_host_edges(df).collect())
+    assert got == [("a", "b"), ("b", "c")]
+
+
+def test_host_triangles_small(spark):
+    # one triangle a-b-c; a pendant path c-d-e; duplicated/reversed edges
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "d"),
+         ("d", "e"), ("e", "d")],
+        "src_host string, dst_host string",
+    )
+    got = {r.host: r.n_triangles for r in LG.host_triangles(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_host_triangles_vs_bruteforce(spark):
+    # deterministic modular graph; brute-force the truth in Python
+    from itertools import combinations
+
+    edges = []
+    for i in range(300):
+        edges.append((f"h{i % 23}", f"h{(i * 3 + 1) % 23}"))
+        edges.append((f"h{(i * 5 + 2) % 23}", f"h{(i * 7 + 3) % 23}"))
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[str, int] = {}
+    for trio in combinations(sorted(adj), 3):
+        a, b, c = trio
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for h in trio:
+                want[h] = want.get(h, 0) + 1
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r.host: r.n_triangles for r in LG.host_triangles(df).collect()}
+    assert got == want
