@@ -2374,6 +2374,48 @@ def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text term index (operators/linkgraph.anchor_text_index):
+    synthetic pages carry two absolute-target anchors whose text bodies
+    cycle through a 6-phrase vocabulary (with case + hyphen coverage),
+    plus a self anchor on every 5th page that drop_self must remove.
+    Oracle re-runs the identical whole-tag regex, group extraction and
+    [^a-z0-9]+ term split in DuckDB — hash-gated."""
+    from pygridmap_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    phrases = F.array(
+        F.lit("alpha beta"), F.lit("beta gamma"), F.lit("Gamma-Delta"),
+        F.lit("delta"), F.lit("epsilon zeta"), F.lit("zeta alpha"),
+    )
+    s = (F.col("doc_id") % 30).cast("string")
+    a = ((F.col("doc_id") * 3 + 1) % 40).cast("string")
+    b = ((F.col("doc_id") * 7 + 2) % 40).cast("string")
+    t1 = F.element_at(phrases, (F.col("doc_id") % 6 + 1).cast("int"))
+    t2 = F.element_at(phrases, ((F.col("doc_id") * 5 + 3) % 6 + 1).cast("int"))
+    url = F.concat(
+        F.lit("https://s"), s, F.lit(".example/p"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="https://t'), a, F.lit('.example/x">'), t1,
+        F.lit("</a> mid "),
+        F.lit('<a href="http://t'), b, F.lit('.example/y">'), t2,
+        F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(' <a href="https://s'), s,
+                     F.lit('.example/self">home nav</a>')),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return LG.anchor_text_index(pages).select(
+        "dst_host", "term",
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("n_src_hosts").cast("long").alias("n_src_hosts"),
+    )
+
+
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (functions/text.html_to_text): each doc's
     text wrapped in a synthetic page (title, style, script, entities,
@@ -3660,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank_int": _q_host_pagerank,
         "host_hits_int": _q_host_hits,
         "host_triangles": _q_host_triangles,
+        "anchor_text_index": _q_anchor_text_index,
         "html_extract": _q_html_extract,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
@@ -6015,6 +6058,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, count(*) AS n_triangles
             FROM member GROUP BY host
+        """,
+        "anchor_text_index": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(doc_id % 30 AS VARCHAR) AS s,
+                       CAST((doc_id * 3 + 1) % 40 AS VARCHAR) AS a,
+                       CAST((doc_id * 7 + 2) % 40 AS VARCHAR) AS b,
+                       CASE doc_id % 6
+                           WHEN 0 THEN 'alpha beta'
+                           WHEN 1 THEN 'beta gamma'
+                           WHEN 2 THEN 'Gamma-Delta'
+                           WHEN 3 THEN 'delta'
+                           WHEN 4 THEN 'epsilon zeta'
+                           ELSE 'zeta alpha' END AS t1,
+                       CASE (doc_id * 5 + 3) % 6
+                           WHEN 0 THEN 'alpha beta'
+                           WHEN 1 THEN 'beta gamma'
+                           WHEN 2 THEN 'Gamma-Delta'
+                           WHEN 3 THEN 'delta'
+                           WHEN 4 THEN 'epsilon zeta'
+                           ELSE 'zeta alpha' END AS t2
+                FROM documents
+            ), pages AS (
+                SELECT 'https://s' || s || '.example/p'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       '<a href="https://t' || a || '.example/x">' || t1
+                           || '</a> mid '
+                           || '<a href="http://t' || b || '.example/y">'
+                           || t2 || '</a>'
+                           || CASE WHEN doc_id % 5 = 0
+                                   THEN ' <a href="https://s' || s
+                                        || '.example/self">home nav</a>'
+                                   ELSE '' END AS html
+                FROM d
+            ), tags AS (
+                SELECT lower(regexp_extract(
+                           url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1
+                       )) AS src_host,
+                       unnest(regexp_extract_all(
+                           html, '<a href="(https?://[^"]+)">([^<]*)</a>', 0
+                       )) AS tag
+                FROM pages
+            ), anchors AS (
+                SELECT src_host,
+                       lower(regexp_extract(
+                           regexp_extract(
+                               tag, '<a href="(https?://[^"]+)">([^<]*)</a>',
+                               1),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1
+                       )) AS dst_host,
+                       lower(regexp_extract(
+                           tag, '<a href="(https?://[^"]+)">([^<]*)</a>', 2
+                       )) AS atext
+                FROM tags
+            ), terms AS (
+                SELECT src_host, dst_host, t AS term
+                FROM (
+                    SELECT src_host, dst_host,
+                           regexp_split_to_array(atext, '[^a-z0-9]+') AS ts
+                    FROM anchors
+                    WHERE src_host <> '' AND dst_host <> ''
+                      AND src_host <> dst_host
+                ), unnest(ts) AS u(t)
+                WHERE t != ''
+            )
+            SELECT dst_host, term,
+                   count(*) AS n_anchors,
+                   count(DISTINCT src_host) AS n_src_hosts
+            FROM terms GROUP BY dst_host, term
         """,
         "html_extract": f"""
             WITH pages AS (

@@ -393,3 +393,61 @@ def host_triangles(
         return out.localCheckpoint(eager=True)
     finally:
         oriented.unpersist()
+
+
+# full anchor element with an absolute http(s) target and a text-only
+# body (nested markup deliberately excluded — same contract spirit as
+# HREF_PATTERN; stays inside the Java-regex/RE2 agreement subset: no
+# backreferences, no lookaround)
+ANCHOR_PATTERN = r'<a href="(https?://[^"]+)">([^<]*)</a>'
+
+
+def anchor_text_index(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Anchor-text term index: ``(dst_host, term, n_anchors,
+    n_src_hosts)`` — how the web DESCRIBES each target host (the
+    classic anchor-text relevance signal used by web search / corpus
+    labeling; anchor terms describe the target better than the
+    target's own page does). Terms are the lowercased ``[a-z0-9]+``
+    runs of each anchor's text body; an anchor contributes one count
+    per term occurrence; ``n_src_hosts`` counts distinct linking
+    hosts (the spam-resistant variant of the count). ``drop_self``
+    removes navigation anchors (src host == dst host).
+
+    Pure Catalyst: ``regexp_extract_all`` (whole-tag match) → explode →
+    per-tag group extraction → term split/explode → one mixed
+    count / count-distinct aggregation. Plan shape mirrors
+    :func:`host_link_graph`: exploded term rows partial-aggregate on
+    (dst_host, term, src_host) BEFORE any exchange, then a second
+    partial-aggregated exchange on (dst_host, term) — both bounded by
+    distinct key combinations, never raw anchor volume; no Expand
+    node."""
+    tags = df.select(
+        link_host(F.col(url_col)).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 0)
+        ).alias("__tag__"),
+    )
+    anchors = tags.select(
+        "src_host",
+        link_host(
+            F.regexp_extract(F.col("__tag__"), ANCHOR_PATTERN, 1)
+        ).alias("dst_host"),
+        F.lower(F.regexp_extract(F.col("__tag__"), ANCHOR_PATTERN, 2))
+        .alias("__text__"),
+    ).filter(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if drop_self:
+        anchors = anchors.filter(F.col("src_host") != F.col("dst_host"))
+    terms = anchors.select(
+        "src_host",
+        "dst_host",
+        F.explode(F.split(F.col("__text__"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )

@@ -250,3 +250,48 @@ def test_host_triangles_vs_bruteforce(spark):
     df = spark.createDataFrame(edges, "src_host string, dst_host string")
     got = {r.host: r.n_triangles for r in LG.host_triangles(df).collect()}
     assert got == want
+
+
+ANCHOR_PAGES = [
+    ("https://s1.com/a",
+     '<a href="https://d1.com/x">Great Search-Engine</a> filler '
+     '<a href="https://d2.com/y">maps</a>'),
+    ("https://s2.com/a",
+     '<a href="https://d1.com/z">great search</a> '
+     '<a href="https://s2.com/nav">home</a>'),          # self anchor
+    ("https://s3.com/a",
+     '<a href="https://d1.com/w"><b>nested</b></a> '    # nested: no match
+     '<a href="https://d1.com/v"></a>'),                # empty text: no terms
+    ("https://s4.com/a", None),
+    (None, '<a href="https://d9.com/x">orphan</a>'),
+]
+
+
+def test_anchor_text_index(spark):
+    df = spark.createDataFrame(ANCHOR_PAGES, "url string, html string")
+    out = LG.anchor_text_index(df).collect()
+    got = {(r.dst_host, r.term): (r.n_anchors, r.n_src_hosts) for r in out}
+    assert got == {
+        ("d1.com", "great"): (2, 2),
+        ("d1.com", "search"): (2, 2),
+        ("d1.com", "engine"): (1, 1),
+        ("d2.com", "maps"): (1, 1),
+    }
+
+
+def test_anchor_text_index_keep_self(spark):
+    df = spark.createDataFrame(ANCHOR_PAGES, "url string, html string")
+    got = {
+        (r.dst_host, r.term): r.n_anchors
+        for r in LG.anchor_text_index(df, drop_self=False).collect()
+    }
+    assert got[("s2.com", "home")] == 1
+
+
+def test_anchor_plan_no_expand(spark):
+    df = spark.createDataFrame(ANCHOR_PAGES, "url string, html string")
+    plan = (
+        LG.anchor_text_index(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
