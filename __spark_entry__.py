@@ -2416,6 +2416,45 @@ def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_template_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template clustering by DOM tag-sequence fingerprint
+    (operators/curation.template_fingerprint): four synthetic page
+    templates (mixed-case tags, self-closing br, attribute noise)
+    wrap each doc's text; the clusters must recover exactly the four
+    tag sequences with per-template page/host counts and the min-url
+    representative. Oracle re-runs the identical tag regex +
+    array_to_string + group-by in DuckDB — hash-gated."""
+    from pygridmap_spark.operators import curation as C
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = (F.col("doc_id") % 30).cast("string")
+    body = F.substring(F.col("text"), 1, 40)
+    k = F.col("doc_id") % 4
+    html = (
+        F.when(k == 0, F.concat(
+            F.lit("<html><Body><h1>t</h1><p>"), body,
+            F.lit("</p></body></html>")))
+        .when(k == 1, F.concat(
+            F.lit("<html><body><p>"), body,
+            F.lit("</p><p>x</p></body></html>")))
+        .when(k == 2, F.concat(
+            F.lit('<div class="m"><span>'), body, F.lit("</span></div>")))
+        .otherwise(F.concat(
+            F.lit("<article><p>"), body, F.lit("</p><br/></article>")))
+    )
+    url = F.concat(
+        F.lit("https://s"), s, F.lit(".example/p"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return C.template_fingerprint(pages).select(
+        "signature",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+        "example_url",
+    )
+
+
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (functions/text.html_to_text): each doc's
     text wrapped in a synthetic page (title, style, script, entities,
@@ -3703,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits_int": _q_host_hits,
         "host_triangles": _q_host_triangles,
         "anchor_text_index": _q_anchor_text_index,
+        "template_fingerprint": _q_template_fingerprint,
         "html_extract": _q_html_extract,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
@@ -6127,6 +6167,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_anchors,
                    count(DISTINCT src_host) AS n_src_hosts
             FROM terms GROUP BY dst_host, term
+        """,
+        "template_fingerprint": """
+            WITH pages AS (
+                SELECT 'https://s' || CAST(doc_id % 30 AS VARCHAR)
+                           || '.example/p' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       CASE doc_id % 4
+                           WHEN 0 THEN '<html><Body><h1>t</h1><p>'
+                                || substr(text, 1, 40)
+                                || '</p></body></html>'
+                           WHEN 1 THEN '<html><body><p>'
+                                || substr(text, 1, 40)
+                                || '</p><p>x</p></body></html>'
+                           WHEN 2 THEN '<div class="m"><span>'
+                                || substr(text, 1, 40) || '</span></div>'
+                           ELSE '<article><p>' || substr(text, 1, 40)
+                                || '</p><br/></article>' END AS html
+                FROM documents
+            ), sigs AS (
+                SELECT array_to_string(regexp_extract_all(
+                           lower(html), '<(/?[a-z][a-z0-9]*)[ />]', 1
+                       ), ',') AS signature,
+                       lower(regexp_extract(
+                           url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1
+                       )) AS host,
+                       url
+                FROM pages
+            )
+            SELECT signature,
+                   count(*) AS n_pages,
+                   count(DISTINCT host) AS n_hosts,
+                   min(url) AS example_url
+            FROM sigs
+            WHERE signature <> ''
+            GROUP BY signature
         """,
         "html_extract": f"""
             WITH pages AS (

@@ -823,3 +823,61 @@ def gopher_quality(
         F.when(null_text, F.lit(0)).otherwise(stop_hits).cast("int").alias("stop_hits"),
         F.coalesce(F.when(~null_text, keep), F.lit(False)).alias("keep_doc"),
     )
+
+
+# tag-name token (open or close) of an HTML element; the leading '/' is
+# kept in the capture so '</div>' and '<div>' stay distinct in the
+# signature. Java-regex/RE2 agreement subset (classes + optional only).
+TAG_PATTERN = r"<(/?[a-z][a-z0-9]*)[ />]"
+
+
+def template_fingerprint(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_pages: int = 1,
+    keep_signature: bool = True,
+) -> DataFrame:
+    """Template clusters by DOM tag-sequence fingerprint: pages that
+    share the exact sequence of element open/close tags were almost
+    always rendered by the same template — the classic template /
+    boilerplate detection signal for crawl corpora (cluster sizes feed
+    boilerplate stripping and near-dup triage upstream of dedup).
+
+    Output per cluster: ``sig_hash`` (xxhash64 of the signature),
+    ``n_pages``, ``n_hosts`` (distinct linking host of ``url_col``),
+    ``example_url`` (min url — a deterministic representative), plus
+    the ``signature`` string itself when ``keep_signature`` (the
+    comma-joined tag sequence, close tags prefixed '/'). Pages with no
+    recognizable tags (or NULL html) are excluded. ``min_pages``
+    prunes singleton clusters after aggregation.
+
+    Pure Catalyst: lower → ``regexp_extract_all`` → ``array_join`` →
+    one mixed count / count-distinct aggregation keyed on the
+    signature (with ``keep_signature=False`` the key is the 8-byte
+    xxhash64 only — the lake-scale form where multi-KB signature
+    strings should not ride the exchange; cluster identity is
+    unchanged because the hash is a function of the signature, modulo
+    64-bit collisions). Both forms: one partial-aggregated exchange
+    bounded by distinct (signature, host) combinations."""
+    from pygridmap_spark.operators.linkgraph import link_host
+
+    sig = F.array_join(
+        F.regexp_extract_all(F.lower(F.col(html_col)), F.lit(TAG_PATTERN), 1),
+        ",",
+    )
+    base = df.select(
+        sig.alias("signature"),
+        F.xxhash64(sig).alias("sig_hash"),
+        link_host(F.col(url_col)).alias("__host__"),
+        F.col(url_col).alias("__url__"),
+    ).filter(F.col("signature") != "")
+    keys = ["sig_hash", "signature"] if keep_signature else ["sig_hash"]
+    out = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("__host__").alias("n_hosts"),
+        F.min("__url__").alias("example_url"),
+    )
+    if min_pages > 1:
+        out = out.filter(F.col("n_pages") >= F.lit(min_pages))
+    return out

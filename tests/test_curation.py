@@ -356,3 +356,43 @@ def test_gopher_quality_ratio_exactness(spark):
     r = CU.gopher_quality(pages).collect()[0]
     assert r.bullet_line_frac == 0.75
     assert r.keep_doc  # 0.75 <= 0.9
+
+
+class TestTemplateFingerprint:
+    PAGES = [
+        ("https://a.com/1", "<html><Body><p>one</p></body></html>"),
+        ("https://a.com/2", "<html><body><p>two words</p></body></html>"),
+        ("https://b.com/1", "<HTML><body><p>three</p></body></html>"),
+        ("https://c.com/1", '<div class="x"><br/><p>other</p></div>'),
+        ("https://d.com/1", "plain text, no tags"),
+        ("https://e.com/1", None),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.PAGES, "url string, html string")
+
+    def test_clusters(self, spark):
+        from pygridmap_spark.operators import curation as C
+
+        out = C.template_fingerprint(self._df(spark)).collect()
+        got = {r.signature: (r.n_pages, r.n_hosts, r.example_url) for r in out}
+        # case-insensitive tags; text content irrelevant; 3 pages share
+        # the html/body/p template across 2 hosts
+        assert got["html,body,p,/p,/body,/html"] == (3, 2, "https://a.com/1")
+        assert got["div,br,p,/p,/div"] == (1, 1, "https://c.com/1")
+        assert len(got) == 2  # no-tag and NULL pages excluded
+
+    def test_min_pages_and_hash_key(self, spark):
+        from pygridmap_spark.operators import curation as C
+
+        big = C.template_fingerprint(self._df(spark), min_pages=2).collect()
+        assert len(big) == 1 and big[0].n_pages == 3
+        hashed = C.template_fingerprint(
+            self._df(spark), keep_signature=False
+        ).collect()
+        assert sorted(r.n_pages for r in hashed) == [1, 3]
+        assert not hasattr(hashed[0], "signature")
+        # hash keys match the string-keyed clusters one-to-one
+        full = {r.sig_hash: r.n_pages for r in
+                C.template_fingerprint(self._df(spark)).collect()}
+        assert {r.sig_hash: r.n_pages for r in hashed} == full
