@@ -2658,6 +2658,44 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
 
 
+def _q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997) — the quote/inclusion
+    detector: every 9th document gets an extended twin (its full text
+    wrapped in intro/outro padding), so the planted pairs surface at
+    containment_a = 1.0 even though their Jaccard is well below any
+    near-dup threshold. The freq cap (12) genuinely drops boilerplate
+    shingles at this scale (the padding trigrams on 56 twins). Oracle:
+    the whole postings/cap/pair/containment pipeline re-derived on
+    shingle STRINGS in DuckDB (the Spark side exchanges xxhash64 keys —
+    equal overlap up to 64-bit collisions, the minhash contract); each
+    containment is one IEEE division of engine-exact integers, so the
+    doubles hash-gate without rounding."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(
+            F.lit("intro prefix words here "),
+            F.col("text"),
+            F.lit(" closing remark tail words"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(quotes).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = DD.shingle_containment_pairs(
+        corpus, containment_threshold=0.5, max_shingle_freq=12
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("overlap").cast("long").alias("overlap"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        "containment_a",
+        "containment_b",
+    )
+
+
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs. Oracle (round 3): fixture-twin signatures,
     pigeonhole blocking + bit_count(xor) Hamming verify re-derived in
@@ -3760,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "convex_hull": _q_convex_hull,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "shingle_containment": _q_shingle_containment,
         "simhash_near_dup": _q_simhash_near_dup,
         "ann_cosine_topk_lsh": _q_ann_lsh,
         "ann_cosine_topk_ivf": _q_ann_ivf,
@@ -7292,6 +7331,46 @@ def oracle_sql() -> dict[str, str]:
                 JOIN fx fa ON fa.doc_id = c.doc_a
                 JOIN fx fb ON fb.doc_id = c.doc_b
             ) WHERE jaccard >= 0.5
+        """,
+        "shingle_containment": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id,
+                       concat('intro prefix words here ', text,
+                              ' closing remark tail words') AS text
+                FROM documents WHERE doc_id % 9 = 0
+            ),
+            norm AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM corpus
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, len(t)-2),
+                                     i -> concat(t[i],' ',t[i+1],' ',t[i+2]))) AS s
+                FROM norm
+            ),
+            postings AS (SELECT doc_id, g FROM sh, unnest(s) AS u(g)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
+            capped AS (
+                SELECT * FROM postings
+                WHERE g NOT IN (SELECT g FROM postings GROUP BY g HAVING count(*) > 12)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+                FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT p.doc_a, p.doc_b,
+                   CAST(p.overlap AS BIGINT) AS overlap,
+                   CAST(sa.n AS BIGINT) AS size_a,
+                   CAST(sb.n AS BIGINT) AS size_b,
+                   CAST(p.overlap AS DOUBLE) / sa.n AS containment_a,
+                   CAST(p.overlap AS DOUBLE) / sb.n AS containment_b
+            FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+                         JOIN sizes sb ON p.doc_b = sb.doc_id
+            WHERE greatest(CAST(p.overlap AS DOUBLE) / sa.n,
+                           CAST(p.overlap AS DOUBLE) / sb.n) >= 0.5
         """,
         "simhash_near_dup": """
             WITH fx AS (

@@ -120,6 +120,13 @@ HEADLINE = [
     "event_bars",
     "event_funnel",
     "snapshot_diff_docs",
+    # round-5 final session, continued
+    "kde_heatmap",
+    "user_twap",
+    "host_triangles",
+    "anchor_text_index",
+    "template_fingerprint",
+    "shingle_containment",
 ]
 
 

@@ -622,3 +622,106 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    containment_threshold: float = 0.5,
+    max_shingle_freq: int = 0,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT between documents — the quote /
+    inclusion detector Jaccard misses: a short doc fully embedded in a
+    long one has Jaccard ≈ |A|/|B| (tiny) but containment
+    C(A→B) = |A∩B| / |A| = 1. Broder's containment measure (public,
+    "On the resemblance and containment of documents", 1997).
+
+    Output: one row per unordered candidate pair ``(doc_a < doc_b)``
+    with ``overlap`` (shared distinct shingles), ``size_a``/``size_b``
+    (distinct shingle counts) and both directed containments; kept when
+    ``greatest(containment_a, containment_b) >= containment_threshold``.
+    Each containment is ONE division of two engine-exact integers, so
+    the driver oracle (the identical shingle pipeline on strings in
+    DuckDB) hash-gates the doubles.
+
+    Scale shape — the inverted-index join, not all-pairs: distinct
+    (doc, shingle-hash) postings (shingles ride every exchange as
+    8-byte xxhash64 values, never strings; overlap over hashes equals
+    overlap over strings up to 64-bit collisions, the minhash
+    contract); per-doc sizes fall out of one partial-aggregated count;
+    the postings self-join shuffles on the shingle hash, and its
+    fan-out is sum_s C(freq(s), 2) — bounded by capping boilerplate
+    shingles with ``max_shingle_freq`` (the same broadcast anti-join
+    cap as LSH banding; pairs sharing ONLY over-cap shingles are not
+    emitted, the documented recall tradeoff at lake scale). Overlap
+    counts partial-aggregate on the pair key before the final
+    exchange; the two size attachments are id-keyed joins of
+    doc-bounded frames.
+
+    The postings frame feeds FOUR consumers (sizes, the cap count,
+    both self-join sides), so it is persisted and the result is
+    eagerly materialized (``localCheckpoint``) before the cache is
+    released — the minhash_lsh_pairs discipline; without it the
+    shingle explode+distinct subtree re-executes once per consumer
+    (measured: 26-exchange plan collapses to a single postings
+    exchange reused)."""
+    postings = (
+        df.select(
+            F.col(id_col),
+            F.explode(TX.word_shingles(F.col(text_col), shingle_n)).alias("__s__"),
+        )
+        .select(F.col(id_col), F.xxhash64("__s__").alias("__sh__"))
+        .distinct()
+        .persist()
+    )
+    try:
+        sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+        capped = postings
+        if max_shingle_freq:
+            capped = _drop_wide_buckets(
+                capped, ["__sh__"], max_shingle_freq, "shingle_containment_pairs"
+            )
+        a = capped.select(F.col("__sh__"), F.col(id_col).alias("doc_a"))
+        b = capped.select(F.col("__sh__"), F.col(id_col).alias("doc_b"))
+        pairs = (
+            a.join(b, "__sh__")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("overlap"))
+        )
+        out = (
+            pairs.join(
+                sizes.select(
+                    F.col(id_col).alias("doc_a"), F.col("__n__").alias("size_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("doc_b"), F.col("__n__").alias("size_b")
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "containment_a", F.col("overlap").cast("double") / F.col("size_a")
+            )
+            .withColumn(
+                "containment_b", F.col("overlap").cast("double") / F.col("size_b")
+            )
+        )
+        return (
+            out.filter(
+                F.greatest("containment_a", "containment_b")
+                >= F.lit(containment_threshold)
+            )
+            .select(
+                "doc_a", "doc_b", "overlap", "size_a", "size_b",
+                "containment_a", "containment_b",
+            )
+            # materialize before the finally releases the postings cache
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        postings.unpersist()

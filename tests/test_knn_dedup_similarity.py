@@ -340,3 +340,43 @@ def test_ivf_written_index_partition_pruning(spark, vectors_df, tmp_path):
     a = {tuple(r) for r in out.collect()}
     b = {tuple(r) for r in fly.collect()}
     assert a == b and len(a) > 0
+
+
+class TestShingleContainment:
+    def test_quote_inclusion(self, spark):
+        from pygridmap_spark.operators import dedup as DD
+
+        # B fully contains A's text; C is unrelated; D shares half of A
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = [
+            (1, base),
+            (2, "intro words here " + base + " closing remark tail"),
+            (3, "totally different content with no common phrasing at all"),
+            (4, "alpha beta gamma delta other words follow now"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            (r.doc_a, r.doc_b): r
+            for r in DD.shingle_containment_pairs(
+                df, containment_threshold=0.3
+            ).collect()
+        }
+        r12 = out[(1, 2)]
+        assert r12.containment_a == 1.0  # A fully inside B
+        assert r12.size_a == 6 and r12.overlap == 6
+        assert r12.containment_b < 1.0
+        r14 = out[(1, 4)]
+        assert r14.overlap == 2  # 'alpha beta gamma', 'beta gamma delta'
+        assert not any(3 in p for p in out)
+
+    def test_freq_cap_drops_boilerplate(self, spark):
+        from pygridmap_spark.operators import dedup as DD
+
+        # 6 docs share ONLY one boilerplate shingle; capping at 5 kills it
+        docs = [(i, f"common boiler plate u{i} v{i} w{i}") for i in range(6)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        full = DD.shingle_containment_pairs(df, containment_threshold=0.1)
+        capped = DD.shingle_containment_pairs(
+            df, containment_threshold=0.1, max_shingle_freq=5
+        )
+        assert full.count() == 15 and capped.count() == 0
