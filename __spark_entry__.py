@@ -2562,6 +2562,42 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SPAN removal at token granularity
+    (operators/curation.duplicate_span_removal — the ExactSubstr analog,
+    Lee et al. 2022): any 5-gram occurring in >= 2 distinct documents is
+    stripped from every document carrying it. Planted structure: every
+    7th doc gets a shared 10-token boilerplate prefix (its interior
+    5-grams cross the threshold; the prefix->content boundary grams are
+    doc-specific and survive), and every 9th doc gets a verbatim clone
+    at id+100000 (both twins end fully removed — the remove-from-all
+    convention). The natural small-vocabulary gram collisions of the
+    synthetic corpus are part of the fixture — the oracle re-derives the
+    identical pipeline on n-gram STRINGS in DuckDB while the Spark side
+    exchanges xxhash64 keys (equal up to 64-bit collisions, the minhash
+    contract); n_tokens/n_removed are engine-exact integers and
+    text_clean an exact string, so the output hash-gates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = (
+        "subscribe to our newsletter today for daily updates and "
+        "exclusive offers"
+    )
+    withb = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    clones = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    corpus = withb.unionByName(clones).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return CU.duplicate_span_removal(corpus, ngram_n=5, min_docs=2)
+
+
 def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line + page cleaning (operators/curation.c4_clean) over
     documents with planted defects: doc_id%4==1 appends a no-punctuation
@@ -3770,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
+        "dup_span_removal": _q_dup_span_removal,
         "c4_clean": _q_c4_clean,
         "gopher_quality": _q_gopher_quality,
         "pii_redact": _q_pii_redact,
@@ -6346,6 +6383,54 @@ def oracle_sql() -> dict[str, str]:
                             x -> list_contains(b.bl, x))) AS BIGINT)
                        AS n_paras_removed
             FROM corpus c CROSS JOIN boiler b
+        """,
+        "dup_span_removal": f"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN concat('subscribe to our newsletter today',
+                                        ' for daily updates and exclusive',
+                                        ' offers ', text)
+                            ELSE text END AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 9 = 0
+            ),
+            norm AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM corpus
+            ),
+            grams AS (
+                SELECT doc_id, i - 1 AS s0,
+                       array_to_string(t[i:i+4], ' ') AS g
+                FROM norm,
+                     unnest(generate_series(1, greatest(len(t) - 4, 0)))
+                       AS u(i)
+            ),
+            dup AS (
+                SELECT g FROM (SELECT g, doc_id FROM grams GROUP BY g, doc_id)
+                GROUP BY g HAVING count(*) >= 2
+            ),
+            flagged AS (
+                SELECT doc_id, s0 FROM grams WHERE g IN (SELECT g FROM dup)
+            ),
+            kept AS (
+                SELECT n.doc_id, u.i, n.t[u.i] AS tok
+                FROM norm n,
+                     unnest(generate_series(1, len(n.t))) AS u(i)
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM flagged f
+                    WHERE f.doc_id = n.doc_id
+                      AND u.i - 1 >= f.s0 AND u.i - 1 < f.s0 + 5
+                )
+            )
+            SELECT n.doc_id,
+                   CAST(len(n.t) AS BIGINT) AS n_tokens,
+                   CAST(len(n.t) - count(k.tok) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+                       AS text_clean
+            FROM norm n LEFT JOIN kept k USING (doc_id)
+            GROUP BY n.doc_id, len(n.t)
         """,
         "c4_clean": """
             WITH corpus AS (

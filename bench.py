@@ -127,6 +127,7 @@ HEADLINE = [
     "anchor_text_index",
     "template_fingerprint",
     "shingle_containment",
+    "dup_span_removal",
 ]
 
 

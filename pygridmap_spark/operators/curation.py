@@ -881,3 +881,109 @@ def template_fingerprint(
     if min_pages > 1:
         out = out.filter(F.col("n_pages") >= F.lit(min_pages))
     return out
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    ngram_n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicate-SPAN removal at token granularity — the
+    distributed analog of ExactSubstr deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public):
+    any token n-gram that occurs in at least ``min_docs`` DISTINCT
+    documents is treated as duplicated text, and every token covered by
+    any such n-gram occurrence is removed from every document that
+    carries it. Unlike :func:`line_dedup` (whole-line boilerplate), this
+    catches duplicated prose that crosses line boundaries or is embedded
+    mid-paragraph (quotes, syndicated passages, license blocks).
+
+    Semantics deliberately diverge from the paper in two documented
+    ways: (a) spans are removed from ALL copies, not all-but-one — the
+    boilerplate convention this repo's line/paragraph stages use (a
+    keep-one variant would need a deterministic owner election; add a
+    ``keep_min_doc`` flag if that policy is ever required); (b) the
+    unit is the NORMALIZED token stream (``functions.text.normalized``),
+    so ``text_clean`` is a normalized reconstruction, not a byte-exact
+    rewrite — span dedup is a destructive tokenize-level stage by
+    nature, and the normalized stream is what the n-gram statistics are
+    defined over.
+
+    Output: ``(id_col, n_tokens, n_removed, text_clean)`` — original
+    normalized token count, tokens removed, and the space-joined
+    surviving tokens in original order ('' when everything was removed).
+    Every quantity is an integer or an exact string, so the driver
+    oracle (the identical pipeline on n-gram STRINGS in DuckDB)
+    hash-gates the output; the Spark side exchanges xxhash64 n-gram
+    keys, never the strings — equal up to 64-bit collisions, the
+    repo-wide minhash contract.
+
+    Scale shape: the n-gram frame is posexploded once and persisted
+    (two consumers: the distinct-doc frequency aggregation and the
+    flagged-occurrence semi-join); every gram-keyed exchange carries
+    (8-byte hash, id, int position) rows only. The per-document flagged
+    start list is doc-length-bounded, and the final mark-back is ONE
+    id-keyed join of the token frame — the corpus rides exactly one
+    exchange, same as line_dedup's shuffle twin. The token rewrite is a
+    per-row higher-order filter (position-indexed lambda over the
+    already-materialized token attribute; the starts list lives below
+    the join so projection collapse cannot re-inline the tokenizer into
+    the per-element lambda). Unlike line_dedup there is NO broadcast
+    variant: at ``min_docs=2`` the duplicated-gram set is corpus-sized
+    (it is the dedup signal itself, not a small boilerplate set), so
+    the shuffle mark-back IS the lake-scale plan."""
+    n = int(ngram_n)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        TX.tokens(TX.normalized(txt)).alias("__toks__"),
+    )
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(TX.word_shingles(txt, n)).alias("__s0__", "__g__"),
+        )
+        .select(F.col(id_col), "__s0__", F.xxhash64("__g__").alias("__gh__"))
+        .persist()
+    )
+    try:
+        dup = (
+            grams.select("__gh__", id_col)
+            .distinct()
+            .groupBy("__gh__")
+            .agg(F.count(F.lit(1)).alias("__nd__"))
+            .filter(F.col("__nd__") >= F.lit(int(min_docs)))
+        )
+        starts = (
+            grams.join(dup.select("__gh__"), "__gh__", "leftsemi")
+            .groupBy(id_col)
+            .agg(F.collect_list("__s0__").alias("__starts__"))
+        )
+        joined = base.join(starts, id_col, "left").select(
+            F.col(id_col),
+            "__toks__",
+            F.coalesce("__starts__", F.array().cast("array<int>")).alias(
+                "__starts__"
+            ),
+        )
+        kept = F.filter(
+            F.col("__toks__"),
+            lambda tok, i: ~F.exists(
+                F.col("__starts__"),
+                lambda s: (i >= s) & (i < s + F.lit(n)),
+            ),
+        )
+        out = joined.withColumn("__kept__", kept).select(
+            F.col(id_col),
+            F.size("__toks__").cast("long").alias("n_tokens"),
+            (F.size("__toks__") - F.size("__kept__")).cast("long").alias(
+                "n_removed"
+            ),
+            F.array_join("__kept__", " ").alias("text_clean"),
+        )
+        # materialize before the finally releases the grams cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        grams.unpersist()

@@ -396,3 +396,71 @@ class TestTemplateFingerprint:
         full = {r.sig_hash: r.n_pages for r in
                 C.template_fingerprint(self._df(spark)).collect()}
         assert {r.sig_hash: r.n_pages for r in hashed} == full
+
+
+class TestDuplicateSpanRemoval:
+    def _run(self, spark, docs, **kw):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in CU.duplicate_span_removal(df, **kw).collect()
+        }
+
+    def test_shared_span_removed_from_all_carriers(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (2, "intro words alpha beta gamma delta epsilon zeta eta theta closing bit"),
+                (3, "completely unrelated text goes here with nothing shared at all ok"),
+            ],
+            ngram_n=5,
+            min_docs=2,
+        )
+        # the shared 8-token run is covered by 4 shared 5-grams -> 8 tokens
+        assert out[1].n_removed == 8 and out[1].text_clean == "iota kappa"
+        assert out[2].n_removed == 8
+        assert out[2].text_clean == "intro words closing bit"
+        assert out[3].n_removed == 0
+
+    def test_within_doc_repetition_not_cross_doc(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, "repeat repeat repeat repeat repeat repeat repeat only here"),
+                (2, "nothing in common with that other document at all today"),
+            ],
+        )
+        assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+    def test_verbatim_clone_fully_removed_both_sides(self, spark):
+        t = "one two three four five six seven eight nine ten"
+        out = self._run(spark, [(1, t), (2, t)])
+        for d in (1, 2):
+            assert out[d].n_tokens == 10
+            assert out[d].n_removed == 10
+            assert out[d].text_clean == ""
+
+    def test_short_and_null_docs_untouched(self, spark):
+        out = self._run(spark, [(1, "tiny doc"), (2, None), (3, "tiny doc")])
+        # 2 tokens < ngram_n: no grams, even though the docs are identical
+        assert out[1].n_removed == 0 and out[1].text_clean == "tiny doc"
+        assert out[2].n_tokens == 1 and out[2].text_clean == ""
+
+    def test_boundary_grams_do_not_bleed(self, spark):
+        # shared prefix, doc-specific continuations: only tokens covered
+        # by a FULLY-shared 5-gram go; the boundary grams (prefix tail +
+        # unique continuation) differ per doc and must not flag
+        p = "shared boiler prefix tokens here exactly"
+        out = self._run(
+            spark,
+            [
+                (1, p + " unique continuation one follows after that"),
+                (2, p + " different ending for the second document now"),
+            ],
+        )
+        # the 6 prefix tokens are covered by shared grams (starts 0,1);
+        # continuation tokens survive
+        assert out[1].n_removed == 6
+        assert out[1].text_clean == "unique continuation one follows after that"
+        assert out[2].n_removed == 6
