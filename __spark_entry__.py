@@ -3373,6 +3373,84 @@ def _q_user_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal co-location join (operators/trajectories.
+    contact_pairs): unordered pairs of distinct users whose pings came
+    within 50 km AND 1 day of each other, over a hashed ping cloud in a
+    [0,36)x[40,53) deg patch. Spark blocks on (S2 cover cell x day
+    bucket) — one candidate equi-join, exact haversine + integer-us
+    refine; the oracle proves exactness from the OPPOSITE plan shape (a
+    pid-ordered time-range inequality join, no spatial blocking at all).
+    min_dist_m rounds via the floor trick (the repo-wide cross-engine
+    rounding invariant)."""
+    from pygridmap_spark.operators import trajectories as _TJ
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    # lat is QUADRATIC in the id on purpose: two linear congruences make
+    # the point set a lattice whose shortest vector exceeds the radius
+    # (zero contacts at every sf — a vacuous oracle); e*e mod breaks the
+    # lattice and the cloud behaves Poisson (~5.7k contacts at sf0.01)
+    lon = F.lit(0.0) + ((e * F.lit(48271)) % F.lit(360000)).cast("double") / F.lit(10000.0)
+    lat = F.lit(40.0) + ((e * e) % F.lit(130000)).cast("double") / F.lit(10000.0)
+    pts = ev.select(
+        e.alias("ping_id"), "user_id", "ts", lon.alias("lon"), lat.alias("lat")
+    )
+    out = _TJ.contact_pairs(pts, 50_000.0, 86_400.0)
+    return out.select(
+        "user_a",
+        "user_b",
+        "n_contacts",
+        "first_ts",
+        (F.floor(F.col("min_dist_m") * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)).alias(
+            "min_dist_m"
+        ),
+    )
+
+
+def _contact_pairs_oracle_sql() -> str:
+    # Deliberately the OTHER plan: a pid-ordered inequality join on the
+    # exact-microsecond time window (DuckDB IEJoin), zero spatial
+    # blocking — if Spark's (cell, bucket) cover missed any pair, the
+    # hash would catch it. Haversine shape identical to
+    # functions/geodesy.gc_distance_m (the cross-engine parity form).
+    from pygridmap_spark.functions.geodesy import EARTH_RADIUS_M
+
+    two_r = 2.0 * EARTH_RADIUS_M
+    hav = """
+        pow(sin((radians(b.lat) - radians(a.lat)) / 2.0), 2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * pow(sin((radians(b.lon) - radians(a.lon)) / 2.0), 2)
+    """
+    return f"""
+        WITH p AS (
+            SELECT event_id AS pid, user_id, ts, epoch_us(ts) AS us,
+                   0.0 + (event_id * 48271 % 360000) / 10000.0 AS lon,
+                   40.0 + ((event_id * event_id) % 130000) / 10000.0 AS lat
+            FROM events
+        ),
+        cand AS (
+            SELECT a.user_id AS ua0, b.user_id AS ub0,
+                   a.us AS usa, b.us AS usb, a.ts AS tsa, b.ts AS tsb,
+                   {two_r!r} * asin(
+                       CASE WHEN sqrt({hav}) > 1.0 THEN 1.0
+                            ELSE sqrt({hav}) END) AS d
+            FROM p a JOIN p b
+              ON a.pid < b.pid
+             AND b.us BETWEEN a.us - 86400000000 AND a.us + 86400000000
+            WHERE a.user_id != b.user_id
+        ),
+        hits AS (SELECT * FROM cand WHERE d <= 50000.0)
+        SELECT CASE WHEN ua0 < ub0 THEN ua0 ELSE ub0 END AS user_a,
+               CASE WHEN ua0 < ub0 THEN ub0 ELSE ua0 END AS user_b,
+               count(*) AS n_contacts,
+               min(CASE WHEN usa <= usb THEN tsa ELSE tsb END) AS first_ts,
+               floor(min(d) * 1000.0 + 0.5) / 1000.0 AS min_dist_m
+        FROM hits
+        GROUP BY 1, 2
+    """
+
+
 def _q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDW grid interpolation (operators/interpolate) of a smooth
     deterministic field sampled at hashed points in a [-20,20)x[-15,15)
@@ -3846,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_neighbors": _q_geohash_neighbors,
         "geodesic_point_buffer": _q_geodesic_point_buffer,
         "user_travel_distance": _q_user_travel_distance,
+        "contact_pairs": _q_contact_pairs,
         "stay_points": _q_stay_points,
         "od_flows": _q_od_flows,
         "simplify_trajectory": _q_simplify_trajectory,
@@ -7298,6 +7377,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geodesic_point_buffer": _geodesic_buffer_oracle_sql(geo_cte),
         "user_travel_distance": _travel_oracle_sql(),
+        "contact_pairs": _contact_pairs_oracle_sql(),
         "stay_points": _stay_points_oracle_sql(),
         "od_flows": _od_flows_oracle_sql(),
         "simplify_trajectory": _simplify_oracle_sql(),

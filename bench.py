@@ -128,6 +128,8 @@ HEADLINE = [
     "template_fingerprint",
     "shingle_containment",
     "dup_span_removal",
+    # round-5 closing session
+    "contact_pairs",
 ]
 
 

@@ -306,3 +306,193 @@ def od_flows(
         F.count(F.lit(1)).alias("n_trips"),
         F.count_distinct(F.col("__e__")).alias("n_entities"),
     )
+
+
+def contact_pairs(
+    pings: DataFrame,
+    radius_m: float,
+    window_s: float,
+    level: int | None = None,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    ping_id: str = "ping_id",
+) -> DataFrame:
+    """Spatio-temporal co-location join: every unordered pair of DISTINCT
+    entities that came within ``radius_m`` great-circle meters of each
+    other within ``window_s`` seconds — the contact-tracing / co-location
+    primitive (Zheng 2015 §5 "moving together" patterns, public). Exact:
+    equals the all-pairs filter, pinned by tests and a driver oracle.
+
+    Plan (one candidate equi-join, no all-pairs anywhere):
+
+    1. bucket time: ``tb = us DIV (window_s * 1e6)`` on exact integer
+       microseconds — a qualifying pair's buckets differ by at most 1;
+    2. index space at the S2 cover level for ``radius_m``
+       (operators/knn_sphere.radius_cover_level): every match lies in the
+       probe ping's cell or one of its <= 8 cube-wrap neighbors;
+    3. LEFT side duplicates to buckets {tb, tb+1} (pure Catalyst explode,
+       2x|P| rows); PROBE side expands to its <= 9 cover cells (one Arrow
+       kernel, the knn_sphere cover pattern, <= 9x|P| rows of ids +
+       coords); ONE (face, i, j, bucket) equi-join joins them —
+       same-bucket pairs match in both directions (deduped by
+       ``id_l < id_p``), adjacent-bucket pairs exactly once
+       (``tb_p == tb_l + 1``);
+    4. exact refine: |delta t| <= window on integer microseconds, the
+       haversine (functions/geodesy.gc_distance_m — the cross-engine
+       parity shape) <= radius, entities distinct;
+    5. partial-aggregated rollup per unordered entity pair.
+
+    At 100-TB scale the exchange carries ~11 rows per ping (2x left +
+    9x probe) of id + 2 doubles each on a near-uniform (cell, bucket)
+    key; a dense cell+bucket (stadium crowd) is exactly the skew AQE's
+    skew-join split handles, and the pair rollup partial-aggregates
+    map-side. Returns ``(user_a, user_b, n_contacts, first_ts,
+    min_dist_m)`` with user_a < user_b, ``first_ts`` the earlier ping's
+    timestamp of the earliest contact, ``min_dist_m`` the closest
+    approach in meters (raw double; round with the floor trick for
+    cross-engine output parity).
+
+    Reference parity: pygridmap's proximity tooling is static planar
+    grids; this is the temporal member the web-scale ping domain needs.
+    """
+    import math as _math
+
+    from pygridmap_spark.functions import s2 as S2
+    from pygridmap_spark.operators.knn_sphere import radius_cover_level
+
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    lc = radius_cover_level(radius_m)
+    if level is None:
+        level = min(lc, S2.MAX_LEVEL)
+    elif level > lc:
+        raise ValueError(
+            f"level={level} is finer than the cover guarantee level {lc} "
+            f"for radius_m={radius_m}: a 9-cell cover at that level can "
+            "miss contacts. Pass level <= the guarantee level (or None)."
+        )
+    if level < 1:
+        raise ValueError(
+            f"radius_m={radius_m} is too large for any S2 cover level "
+            "(a significant fraction of the sphere); contact radii are "
+            "meters-to-km scale. Use operators/knn_sphere."
+        )
+    window_us = int(round(float(window_s) * 1_000_000))
+
+    base = S2.with_s2_face_ij(
+        pings.select(
+            F.col(ping_id).alias("__pid__"),
+            F.col(entity_col).alias("__ent__"),
+            F.col(ts_col).alias("__ts__"),
+            F.col(lon).alias("__lon__"),
+            F.col(lat).alias("__lat__"),
+        ).withColumns(
+            {
+                # NTZ-safe: session tz is pinned UTC (session.get_spark),
+                # so the cast is the identity wall-clock == DuckDB epoch_us
+                "__us__": F.unix_micros(F.col("__ts__").cast("timestamp")),
+            }
+        ),
+        level,
+        "__lon__",
+        "__lat__",
+        prefix="_c_",
+    ).withColumn("__tb__", F.expr(f"__us__ DIV {window_us}"))
+
+    left = base.select(
+        F.col("__pid__").alias("_lid"),
+        F.col("__ent__").alias("_lent"),
+        F.col("__ts__").alias("_lts"),
+        F.col("__us__").alias("_lus"),
+        F.col("__tb__").alias("_ltb"),
+        F.col("__lon__").alias("_llon"),
+        F.col("__lat__").alias("_llat"),
+        F.col("_c_face").cast("int").alias("_cf"),
+        F.col("_c_i").alias("_ci"),
+        F.col("_c_j").alias("_cj"),
+        F.explode(F.array(F.col("__tb__"), F.col("__tb__") + F.lit(1)).cast("array<long>")).alias("_b"),
+    )
+
+    probe_schema = (
+        "_pid long, _pent long, _pts timestamp, _pus long, _ptb long, "
+        "_plon double, _plat double, _cf int, _ci long, _cj long"
+    )
+    _id_t = dict(base.dtypes)["__pid__"]
+    _ent_t = dict(base.dtypes)["__ent__"]
+    probe_schema = probe_schema.replace("_pid long", f"_pid {_id_t}").replace(
+        "_pent long", f"_pent {_ent_t}"
+    )
+    lvl = level
+
+    def _probe_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            fc = pdf["_c_face"].to_numpy()
+            ic = pdf["_c_i"].to_numpy()
+            jc = pdf["_c_j"].to_numpy()
+            row, f2, i2, j2 = S2.py_s2_neighbors_ij(fc, ic, jc, lvl)
+            cols = ["__pid__", "__ent__", "__ts__", "__us__", "__tb__", "__lon__", "__lat__"]
+            names = ["_pid", "_pent", "_pts", "_pus", "_ptb", "_plon", "_plat"]
+            own = {n: pdf[c].to_numpy() for n, c in zip(names, cols)}
+            self_df = pd.DataFrame(
+                dict(own, _cf=fc.astype(np.int32), _ci=ic, _cj=jc)
+            )
+            nb_df = pd.DataFrame(
+                dict(
+                    {n: own[n][row] for n in names},
+                    _cf=f2.astype(np.int32),
+                    _ci=i2,
+                    _cj=j2,
+                )
+            )
+            yield pd.concat([self_df, nb_df], ignore_index=True)
+
+    probe = base.select(
+        "__pid__", "__ent__", "__ts__", "__us__", "__tb__", "__lon__", "__lat__",
+        "_c_face", "_c_i", "_c_j",
+    ).mapInPandas(_probe_kernel, probe_schema)
+
+    probe = probe.select(
+        "_pid", "_pent", "_pts", "_pus", "_plon", "_plat",
+        F.col("_ptb").alias("_b"),
+        F.col("_cf"), F.col("_ci"), F.col("_cj"),
+    )
+    dist = GD.gc_distance_m(
+        F.col("_llon"), F.col("_llat"), F.col("_plon"), F.col("_plat")
+    )
+    refined = (
+        left.join(probe, ["_cf", "_ci", "_cj", "_b"])
+        .filter(
+            (
+                ((F.col("_ltb") == F.col("_b")) & (F.col("_lid") < F.col("_pid")))
+                | (F.col("_b") == F.col("_ltb") + F.lit(1))
+            )
+            & (F.col("_lent") != F.col("_pent"))
+            & (F.abs(F.col("_lus") - F.col("_pus")) <= F.lit(window_us))
+        )
+        .withColumn("_d", dist)
+        .filter(F.col("_d") <= F.lit(float(radius_m)))
+    )
+    ua = F.when(F.col("_lent") < F.col("_pent"), F.col("_lent")).otherwise(F.col("_pent"))
+    ub = F.when(F.col("_lent") < F.col("_pent"), F.col("_pent")).otherwise(F.col("_lent"))
+    contact_ts = F.when(F.col("_lus") <= F.col("_pus"), F.col("_lts")).otherwise(F.col("_pts"))
+    return (
+        refined.select(
+            ua.alias("user_a"), ub.alias("user_b"),
+            contact_ts.alias("_cts"), F.col("_d"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_contacts"),
+            F.min("_cts").alias("first_ts"),
+            F.min("_d").alias("min_dist_m"),
+        )
+    )
