@@ -2520,6 +2520,23 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy quality scoring (operators/textstats.
+    lm_xent_score — the CCNet-style filter), self-trained on the
+    documents corpus with add-1 smoothing. Cross-engine exactness by
+    construction: ln is pinned per DISTINCT TERM to fixed-point
+    floor(lp*1e9+0.5), per-doc accumulation is exact integer decimal(38),
+    and xent is one pinned IEEE division chain rounded by the floor
+    trick. Oracle restates the identical arithmetic in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TS.lm_xent_score(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("xent") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("xent"),
+    )
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate line removal (MassiveText line dedup):
     every even doc gets an injected 'SHARED HEADER' first line, which
@@ -3900,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
+        "lm_xent_score": _q_lm_xent,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "hdr_quantile_sketch": _q_hdr_quantile_sketch,
         "bloom_membership": _q_bloom_membership,
@@ -7224,6 +7242,37 @@ def oracle_sql() -> dict[str, str]:
                    ) AS maybe_present
             FROM cp LEFT JOIN sk ON sk.word = cp.bit // 63
             GROUP BY 1, 2
+        """,
+        "lm_xent_score": f"""
+            WITH toks AS (
+                SELECT doc_id, t AS term
+                FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+                     unnest(ts) AS u(t)
+                WHERE t != ''
+            ),
+            dt AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            model AS (SELECT term, sum(tf) AS c FROM dt GROUP BY term),
+            m AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM model),
+            fp AS (
+                SELECT term,
+                       CAST(floor(ln((CAST(c AS DOUBLE) + 1.0)
+                                     / (CAST(n AS DOUBLE)
+                                        + 1.0 * CAST(v AS DOUBLE)))
+                                  * 1e9 + 0.5) AS BIGINT) AS lp_fp
+                FROM model, m
+            ),
+            s AS (
+                SELECT dt.doc_id,
+                       CAST(sum(dt.tf) AS BIGINT) AS n_tokens,
+                       sum(CAST(dt.tf * fp.lp_fp AS DECIMAL(38,0))) AS sfp
+                FROM dt JOIN fp USING (term)
+                GROUP BY dt.doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   floor(((0.0 - CAST(sfp AS DOUBLE) / 1e9)
+                          / CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                       AS xent
+            FROM s
         """,
         "bm25_topk": f"""
             WITH toks AS (

@@ -130,6 +130,7 @@ HEADLINE = [
     "dup_span_removal",
     # round-5 closing session
     "contact_pairs",
+    "lm_xent_score",
 ]
 
 

@@ -128,3 +128,89 @@ def bm25_topk(
 
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def lm_xent_score(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under an add-``alpha``-smoothed unigram
+    LM — the CCNet-style language-model quality filter (Wenzek et al.
+    2020, public): documents whose token distribution diverges from the
+    reference corpus (gibberish, boilerplate soup, wrong-language) score
+    HIGH; fluent in-domain text scores LOW. ``ref`` is the corpus the
+    model is trained on (default: ``docs`` itself — the self-perplexity
+    regime); unseen tokens get the smoothed floor ``alpha / (N + alpha*V)``.
+
+        lp(t)   = ln((c(t) + alpha) / (N + alpha*V))
+        xent(d) = -(1/|d|) * sum_t tf_{d,t} * lp(t)       [nats/token]
+
+    Cross-engine exactness: ln is evaluated ONCE PER DISTINCT TERM on the
+    model dimension and pinned to a fixed-point integer
+    ``lp_fp = floor(lp * 1e9 + 0.5)`` (the repo-wide floor-rounding
+    invariant — no engine rounding library); per-doc accumulation is then
+    EXACT integer arithmetic sum(tf * lp_fp) in decimal(38) (order-free),
+    and xent is ONE pinned IEEE division chain at the end. Overflow bound:
+    |lp| <= ln(N) + ~1, so |lp_fp| < 4e10; a 10^6-token document sums to
+    < 4e16 — decimal(38) holds any corpus.
+
+    Plan shape at 100 TB: one tokenize/explode pass -> per-(doc, term)
+    counts partial-aggregate BEFORE any exchange; the model is a
+    TERM-DIMENSION frame (vocabulary-bounded, broadcast at fixture scale,
+    a plain shuffled equi-join at lake scale); (N, V) are a 1-row
+    broadcast moment; the final rollup rides the doc key. Tokenless
+    documents are outside the collection (no distribution) and are
+    excluded, like bm25_topk.
+
+    Returns ``(doc_id, n_tokens, xent)`` with ``xent`` the raw double
+    (round with the floor trick for oracle-paired output).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+
+    def _dt(frame):
+        toks = frame.select(
+            F.col(id_col),
+            F.explode(TX.tokens(TX.normalized(F.col(text_col)))).alias("term"),
+        ).filter(F.col("term") != "")
+        return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_dt"))
+
+    dt = _dt(docs)
+    ref_dt = dt if ref is None else _dt(ref)
+    model = ref_dt.groupBy("term").agg(F.sum("tf_dt").alias("__c__"))
+    moments = model.agg(
+        F.sum("__c__").alias("__N__"), F.count(F.lit(1)).alias("__V__")
+    )
+    a = F.lit(float(alpha))
+    denom = F.col("__N__").cast("double") + a * F.col("__V__").cast("double")
+    lp_fp = F.floor(
+        F.log((F.col("__c__").cast("double") + a) / denom) * F.lit(1e9) + F.lit(0.5)
+    )
+    model_fp = model.crossJoin(F.broadcast(moments)).select(
+        "term", lp_fp.alias("__lp_fp__")
+    )
+    unseen_fp = F.floor(F.log(a / denom) * F.lit(1e9) + F.lit(0.5))
+    scored = (
+        dt.join(model_fp, "term", "left")
+        .crossJoin(F.broadcast(moments))
+        .select(
+            F.col(id_col),
+            F.col("tf_dt"),
+            F.coalesce(F.col("__lp_fp__"), unseen_fp).alias("__lp__"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf_dt").alias("n_tokens"),
+            F.sum(
+                (F.col("tf_dt") * F.col("__lp__")).cast("decimal(38,0)")
+            ).alias("__s__"),
+        )
+    )
+    xent = (
+        (F.lit(0.0) - F.col("__s__").cast("double") / F.lit(1e9))
+        / F.col("n_tokens").cast("double")
+    )
+    return scored.select(id_col, "n_tokens", xent.alias("xent"))
