@@ -1589,6 +1589,125 @@ def _q_zone_border_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_route_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic route-corridor enrichment (operators/trajectories.
+    route_corridor): every synthetic page position gets its exact
+    great-circle distance to the nearest of 6 hashed 5-vertex route
+    polylines (perpendicular-foot-on-arc else nearer-endpoint, min over
+    every arc; core/sphere.min_polyline_arc_dist) plus the nearest
+    route's id (ties to the smaller id). The oracle restates the FULL
+    cross-product foot test per (point, segment) in DuckDB SQL — same
+    expression tree as the numpy kernel — and picks the argmin with
+    row_number over (dist, route_id)."""
+    from pygridmap_spark.operators import trajectories as _TJ
+
+    pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
+    s = F.col("id")
+    routes = spark.range(30).select(
+        F.expr("id DIV 5").alias("route_id"),
+        (s % F.lit(5)).alias("seq"),
+        (F.lit(-180.0) + ((s * F.lit(48271) + F.lit(7)) % F.lit(3600000)).cast("double") / F.lit(10000.0)).alias("lon"),
+        (F.lit(-60.0) + ((s * F.lit(69621) + F.lit(13)) % F.lit(1200000)).cast("double") / F.lit(10000.0)).alias("lat"),
+    )
+    out = _TJ.route_corridor(pts, routes)
+    return out.select(
+        "doc_id",
+        "nearest_route",
+        (F.floor(F.col("route_dist_rad") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias(
+            "route_dist_rad"
+        ),
+    )
+
+
+def _route_corridor_oracle_sql() -> str:
+    # The numpy kernel's expression tree restated per (point, segment):
+    # clip-dot endpoint angles, n = a x b, foot-on-arc iff (a x p).nh >= 0
+    # and (p x b).nh >= 0, perp = asin(clip(|p.nh|)); argmin by
+    # (dist, route_id) — identical tie semantics to the kernel's
+    # ascending-id strict-< update.
+    return """
+        WITH pts AS (
+            SELECT doc_id,
+                   -180.0 + (doc_id * 2654435761 % 360000) / 1000.0 AS lon,
+                   -89.9 + (doc_id * 2246822519 % 179800) / 1000.0 AS lat
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   cos(radians(lat)) * cos(radians(lon)) AS px,
+                   cos(radians(lat)) * sin(radians(lon)) AS py,
+                   sin(radians(lat)) AS pz
+            FROM pts
+        ),
+        rv AS (
+            SELECT s // 5 AS route_id, s % 5 AS seq,
+                   -180.0 + ((s * 48271 + 7) % 3600000) / 10000.0 AS lon,
+                   -60.0 + ((s * 69621 + 13) % 1200000) / 10000.0 AS lat
+            FROM generate_series(0, 29) AS t(s)
+        ),
+        rx AS (
+            SELECT route_id, seq,
+                   cos(radians(lat)) * cos(radians(lon)) AS x,
+                   cos(radians(lat)) * sin(radians(lon)) AS y,
+                   sin(radians(lat)) AS z
+            FROM rv
+        ),
+        seg0 AS (
+            SELECT route_id, seq, x AS ax, y AS ay, z AS az,
+                   lead(x) OVER w AS bx, lead(y) OVER w AS by_,
+                   lead(z) OVER w AS bz
+            FROM rx
+            WINDOW w AS (PARTITION BY route_id ORDER BY seq)
+        ),
+        seg AS (
+            SELECT *,
+                   ay * bz - az * by_ AS nx,
+                   az * bx - ax * bz AS ny,
+                   ax * by_ - ay * bx AS nz
+            FROM seg0 WHERE bx IS NOT NULL
+        ),
+        cand AS (
+            SELECT p.doc_id, seg.route_id,
+                   acos(CASE WHEN px*ax + py*ay + pz*az > 1.0 THEN 1.0
+                             WHEN px*ax + py*ay + pz*az < -1.0 THEN -1.0
+                             ELSE px*ax + py*ay + pz*az END) AS da,
+                   acos(CASE WHEN px*bx + py*by_ + pz*bz > 1.0 THEN 1.0
+                             WHEN px*bx + py*by_ + pz*bz < -1.0 THEN -1.0
+                             ELSE px*bx + py*by_ + pz*bz END) AS db,
+                   sqrt(nx*nx + ny*ny + nz*nz) AS nn,
+                   nx, ny, nz,
+                   px, py, pz, ax, ay, az, bx, by_, bz
+            FROM p CROSS JOIN seg
+        ),
+        dist AS (
+            SELECT doc_id, route_id,
+                   CASE WHEN nn <= 1e-15 THEN least(da, db)
+                        WHEN (ay*pz - az*py) * (nx/nn)
+                             + (az*px - ax*pz) * (ny/nn)
+                             + (ax*py - ay*px) * (nz/nn) >= 0.0
+                         AND (py*bz - pz*by_) * (nx/nn)
+                             + (pz*bx - px*bz) * (ny/nn)
+                             + (px*by_ - py*bx) * (nz/nn) >= 0.0
+                        THEN asin(CASE WHEN abs(px*(nx/nn) + py*(ny/nn)
+                                                + pz*(nz/nn)) > 1.0
+                                       THEN 1.0
+                                       ELSE abs(px*(nx/nn) + py*(ny/nn)
+                                                + pz*(nz/nn)) END)
+                        ELSE least(da, db) END AS d
+            FROM cand
+        ),
+        ranked AS (
+            SELECT doc_id, route_id, d,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY d, route_id) AS rn
+            FROM dist
+        )
+        SELECT doc_id, route_id AS nearest_route,
+               floor(d * 1e9 + 0.5) / 1e9 AS route_dist_rad
+        FROM ranked WHERE rn = 1
+    """
+
+
 def _q_domain_geo_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group geographic dispersion (operators/domains.geo_dispersion):
     the spherical mean direction, resultant length R and spherical
@@ -3894,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_zone_centroid": _q_geodesic_zone_centroid,
         "geodesic_zone_stats": _q_geodesic_zone_stats,
         "zone_border_depth": _q_zone_border_depth,
+        "route_corridor": _q_route_corridor,
         "domain_geo_dispersion": _q_domain_geo_dispersion,
         "s2_cell_area_rollup": _q_s2_cell_area_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
@@ -5692,6 +5812,7 @@ def oracle_sql() -> dict[str, str]:
         # repo's decimal-accumulation idiom), so the sums are
         # order-independent and identical; the dispersion stats derive
         # from those exact sums in double.
+        "route_corridor": _route_corridor_oracle_sql(),
         "domain_geo_dispersion": """
             WITH pts AS (
                 SELECT doc_id,

@@ -131,6 +131,7 @@ HEADLINE = [
     # round-5 closing session
     "contact_pairs",
     "lm_xent_score",
+    "route_corridor",
 ]
 
 

@@ -457,3 +457,35 @@ def spherical_polygons_intersect(
     a1, a2 = rings_to_arcs(flat_a)
     b1, b2 = rings_to_arcs(flat_b)
     return bool(arcs_cross_pairs(a1, a2, b1, b2).any())
+
+
+def min_polyline_arc_dist(p: np.ndarray, line_xyz: np.ndarray) -> np.ndarray:
+    """Minimum angular distance (radians) from each of (P, 3) unit points
+    to an OPEN polyline given as (K, 3) unit vertices — the
+    :func:`min_arc_dist` math without the ring-closing wrap edge (routes,
+    coastline segments, transects). A single-vertex polyline degenerates
+    to the point distance; empty input returns pi."""
+    p = np.asarray(p, np.float64)
+    k = len(line_xyz)
+    out = np.full(len(p), np.pi, dtype=np.float64)
+    if k == 0:
+        return out
+    a = line_xyz[0]
+    da = np.arccos(np.clip(p @ a, -1.0, 1.0))
+    if k == 1:
+        return da
+    for e in range(1, k):
+        b = line_xyz[e]
+        db = np.arccos(np.clip(p @ b, -1.0, 1.0))
+        nrm = np.cross(a, b)
+        nn = np.linalg.norm(nrm)
+        if nn > 1e-15:
+            nh = nrm / nn
+            on_arc = (np.cross(a, p) @ nh >= 0.0) & (np.cross(p, b) @ nh >= 0.0)
+            perp = np.arcsin(np.clip(np.abs(p @ nh), 0.0, 1.0))
+            d = np.where(on_arc, perp, np.minimum(da, db))
+        else:
+            d = np.minimum(da, db)
+        np.minimum(out, d, out=out)
+        a, da = b, db
+    return out

@@ -496,3 +496,108 @@ def contact_pairs(
             F.min("_d").alias("min_dist_m"),
         )
     )
+
+
+def route_corridor(
+    points: DataFrame,
+    routes: DataFrame,
+    radius_m: float | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+    route_id: str = "route_id",
+    seq: str = "seq",
+    rlon: str = "lon",
+    rlat: str = "lat",
+    out_col: str = "route_dist_rad",
+    km_col: str | None = None,
+    id_out: str = "nearest_route",
+) -> DataFrame:
+    """Geodesic route-corridor enrichment: append to every point its EXACT
+    great-circle distance to the nearest route POLYLINE (min over every
+    arc of every route — perpendicular foot when it lies on the arc, else
+    the nearer endpoint; core/sphere.min_polyline_arc_dist) and the
+    nearest route's id. The corridor filter (``radius_m``) keeps points
+    within that distance of ANY route — the transit/road/pipeline
+    proximity feature over page geotags or pings.
+
+    ``routes`` is a vertex frame (``route_id``, ``seq``, lon, lat),
+    DIMENSION-SIZED by the same contract as the zone/overlay layers
+    (grid_maker's mask rule): it is collected once and closes over the
+    Arrow kernel, so the point stream is ONE mapInPandas projection —
+    zero joins, zero shuffles at any corpus size. Distances are unit-
+    sphere RADIANS (``km_col`` adds kilometers); NULL/NaN coordinates get
+    NULL outputs (the repo-wide NULL-not-NaN kernel contract) and are
+    dropped by the corridor filter. Ties between routes break to the
+    smaller route id (deterministic, the kNN discipline).
+    """
+    import numpy as np
+
+    from pygridmap_spark import util as _util
+    from pygridmap_spark.core import sphere as SPH
+
+    if radius_m is not None and radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    for c in (out_col, id_out):
+        if c in points.columns:
+            raise ValueError(f"points frame already has a {c!r} column")
+    rows = (
+        routes.select(route_id, seq, rlon, rlat)
+        .orderBy(route_id, seq)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("routes frame is empty")
+    by_route: dict = {}
+    for r in rows:
+        by_route.setdefault(r[0], []).append((float(r[2]), float(r[3])))
+    route_xyz = [
+        (rid, SPH.lonlat_to_xyz(np.array([v[0] for v in vs]), np.array([v[1] for v in vs])))
+        for rid, vs in sorted(by_route.items())
+    ]
+
+    extra = [f"{id_out} long", f"{out_col} double"] + (
+        [f"{km_col} double"] if km_col else []
+    )
+    schema = _util.schema_with(points, *extra)
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pygridmap_spark.core.sphere import EARTH_RADIUS_KM, min_polyline_arc_dist
+
+        for pdf in batches:
+            lo = pdf[lon].to_numpy(np.float64, na_value=np.nan)
+            la = pdf[lat].to_numpy(np.float64, na_value=np.nan)
+            valid = np.isfinite(lo) & np.isfinite(la)
+            best = np.full(len(pdf), np.nan)
+            bid = np.full(len(pdf), -1, dtype=np.int64)
+            if valid.any():
+                rl, rp = np.radians(lo[valid]), np.radians(la[valid])
+                cp = np.cos(rp)
+                p = np.column_stack([cp * np.cos(rl), cp * np.sin(rl), np.sin(rp)])
+                vb = np.full(int(valid.sum()), np.inf)
+                vid = np.full(int(valid.sum()), -1, dtype=np.int64)
+                for rid, xyz in route_xyz:
+                    d = min_polyline_arc_dist(p, xyz)
+                    upd = d < vb
+                    vb[upd] = d[upd]
+                    vid[upd] = rid
+                best[valid] = vb
+                bid[valid] = vid
+            pdf = pdf.copy()
+            pdf[id_out] = pd.array(
+                np.where(valid, bid, 0), dtype="Int64"
+            )
+            pdf.loc[~valid, id_out] = pd.NA
+            pdf[out_col] = pd.array(best, dtype="Float64")
+            if km_col:
+                pdf[km_col] = pdf[out_col] * EARTH_RADIUS_KM
+            yield pdf
+
+    out = points.mapInPandas(_kernel, schema)
+    if radius_m is not None:
+        out = out.filter(
+            F.col(out_col) <= F.lit(float(radius_m) / (GD.EARTH_RADIUS_M))
+        )
+    return out
