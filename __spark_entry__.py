@@ -1956,6 +1956,26 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample — Efraimidis-Spirakis A-ES):
+    25 docs per lang, weight = n_chars, ranked by ln(md5-uniform)/w.
+    Spark selects via the histogram + threshold-bucket machinery
+    (topk_by_group — no per-group single-partition sort); the oracle is
+    the naive full row_number window over the identical md5/ln
+    arithmetic in DuckDB. Scores round via the floor trick."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = SMP.weighted_sample(
+        docs, 25, "n_chars", by="lang", key_col="doc_id",
+        seed="es-v1", score_out="score",
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        (F.floor(F.col("score") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("score"),
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-then-split sequence packing bookkeeping (per-shard
     window cumsum; shard = doc_id % 8, capacity 2048 tokens, n_chars as
@@ -4018,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_area_rollup": _q_s2_cell_area_rollup,
         "knn_s2_geodesic": _q_knn_s2_geodesic,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -6092,6 +6113,24 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'src1' THEN 0.5
                                WHEN 'src2' THEN 0.25
                                ELSE 0.1 END
+        """,
+        "weighted_sample": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       ln((CAST(concat('0x', substr(md5(concat('es-v1', ':',
+                                CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           + 0.5) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE) AS score
+                FROM documents WHERE n_chars > 0
+            ),
+            r AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY score DESC, doc_id) AS rn
+                FROM s
+            )
+            SELECT doc_id, lang, floor(score * 1e9 + 0.5) / 1e9 AS score
+            FROM r WHERE rn <= 25
         """,
         "pack_sequences": """
             WITH d AS (

@@ -132,6 +132,7 @@ HEADLINE = [
     "contact_pairs",
     "lm_xent_score",
     "route_corridor",
+    "weighted_sample",
 ]
 
 

@@ -78,3 +78,74 @@ def stratified_sample(
     for k, v in fractions.items():
         frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
     return df.filter(hash_bucket(F.col(key_col), seed) < frac)
+
+
+def _open_unit(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform in the OPEN interval (0, 1): the
+    :func:`hash_bucket` md5 path with a half-step offset
+    ``(x + 0.5) / 2^32`` so ln(u) is always finite (an all-zero md5
+    prefix would otherwise yield u = 0 and -inf). Same NULL sentinel."""
+    h = F.md5(
+        F.concat(
+            F.lit(seed),
+            F.lit(":"),
+            F.coalesce(key.cast("string"), F.lit("\x00null\x00")),
+        )
+    )
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    by: str | None = None,
+    key_col: str = "doc_id",
+    seed: str = "",
+    buckets: int = 512,
+    score_out: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme (2006, public): each row gets the key
+    ``u^(1/w)`` for a uniform u and weight w, and the k largest keys are
+    exactly a weighted sample without replacement. Ranked here by the
+    monotone-equivalent ``score = ln(u) / w`` (one ln instead of a pow).
+    u comes from the md5 hash path (:func:`_open_unit`), so the sample is
+    REPRODUCIBLE across runs / partitionings / engines and every
+    inclusion is decidable from (key, weight) alone — `df.sample`'s
+    per-partition RNG guarantees neither.
+
+    ``by=None`` draws one global sample: orderBy(score desc, key).limit(k)
+    — a distributed TakeOrderedAndProject, never a single-partition sort.
+    With ``by``, draws k per stratum via the histogram + threshold-bucket
+    selection (operators/selection.topk_by_group): no stratum ever sorts
+    on one partition, the data-mixing quota primitive ("40 docs per
+    language, proportional to quality weight").
+
+    Rows with NULL/NaN/non-positive weights are DROPPED (they have no
+    place in the weighted distribution; ln(u)/w would flip sign). Ties
+    (identical score — only possible for duplicate keys with equal
+    weights) break on ``key_col``. ``score_out`` keeps the score column
+    for inspection; default drops it.
+    """
+    from pygridmap_spark.operators.selection import topk_by_group
+
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    w = F.col(weight_col)
+    clean = df.filter(w.isNotNull() & ~F.isnan(w.cast("double")) & (w > 0))
+    score_col = score_out or "__es_score__"
+    scored = clean.withColumn(
+        score_col, F.log(_open_unit(F.col(key_col), seed)) / w.cast("double")
+    )
+    if by is None:
+        out = scored.orderBy(
+            F.col(score_col).desc(), F.col(key_col).asc()
+        ).limit(k)
+    else:
+        out = topk_by_group(
+            scored, k, by=by, score_col=score_col, id_col=key_col, buckets=buckets
+        )
+    return out if score_out else out.drop(score_col)

@@ -63,13 +63,49 @@ def topfrac_by_group(
         raise ValueError(f"frac must be in [0, 1], got {frac}")
     if frac == 0.0:
         return df.limit(0)
-    s = F.col(score_col)
-    is_float = df.schema[score_col].dataType.typeName() in ("double", "float")
-    clean = df.filter(
-        s.isNotNull() & ~F.isnan(s) if is_float else s.isNotNull()
-    )
+    clean = _drop_null_nan_scores(df, score_col)
     if frac == 1.0:
         return clean
+    return _select_top_by_group(
+        clean, lambda n: math.ceil(frac * n), by, score_col, id_col, buckets
+    )
+
+
+def topk_by_group(
+    df: DataFrame,
+    k: int,
+    by: str = "lang",
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+    buckets: int = 512,
+) -> DataFrame:
+    """Keep, per ``by`` group, the top ``min(k, n)`` rows ordered by
+    (``score_col`` desc, ``id_col`` asc) — the fixed-COUNT twin of
+    :func:`topfrac_by_group`, same histogram + threshold-bucket-refine
+    machinery (no group ever sorts on one partition). The building block
+    for per-stratum quotas and weighted sampling without replacement."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if k == 0:
+        return df.limit(0)
+    clean = _drop_null_nan_scores(df, score_col)
+    return _select_top_by_group(
+        clean, lambda n: min(k, n), by, score_col, id_col, buckets
+    )
+
+
+def _drop_null_nan_scores(df: DataFrame, score_col: str) -> DataFrame:
+    s = F.col(score_col)
+    is_float = df.schema[score_col].dataType.typeName() in ("double", "float")
+    return df.filter(
+        s.isNotNull() & ~F.isnan(s) if is_float else s.isNotNull()
+    )
+
+
+def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets):
+    """Shared histogram/threshold/refine selection: keep the per-group top
+    ``kfun(n)`` rows (callers guarantee 1 <= kfun(n) <= n)."""
+    s = F.col(score_col)
 
     # NULL is a legitimate group key (lang=NULL docs are a real web-corpus
     # population): every join below is null-safe (<=>) so the NULL group
@@ -110,8 +146,7 @@ def topfrac_by_group(
     # per group: threshold bucket t and the residual rank r needed in it
     thresholds: dict[object, tuple[int, int]] = {}
     for g, n in groups.items():
-        k = math.ceil(frac * n)
-        remaining = k
+        remaining = kfun(n)
         t = 0
         for bi in range(buckets - 1, -1, -1):
             c = hist.get((g, bi), 0)
@@ -121,13 +156,13 @@ def topfrac_by_group(
             remaining -= c
         thresholds[g] = (t, remaining)
 
-    spark = df.sparkSession
+    spark = clean.sparkSession
     thr = F.broadcast(
         spark.createDataFrame(
             [(g, t, r) for g, (t, r) in thresholds.items()],
             # __r__ is a residual ROW COUNT (can exceed int32 at lake
             # scale even though the bucket index never does)
-            schema=df.select(F.col(by).alias("__g__")).schema
+            schema=clean.select(F.col(by).alias("__g__")).schema
             .add("__t__", "integer").add("__r__", "long"),
         )
     )

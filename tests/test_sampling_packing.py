@@ -133,3 +133,78 @@ def test_pack_sequences_warns_on_global_window(spark, caplog):
             df.withColumn("shard", F.lit(0)), 1024, shard_col="shard"
         ).collect()
     assert not caplog.records
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) -----------
+
+
+def _es_twin(rows, k, seed=""):
+    """Python twin of weighted_sample's exact md5 arithmetic."""
+    import hashlib
+    import math
+
+    scored = []
+    for key, wgt in rows:
+        if wgt is None or not (wgt > 0) or wgt != wgt:
+            continue
+        h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 4294967296.0
+        scored.append((math.log(u) / float(wgt), key))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [key for _s, key in scored[:k]]
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    from pygridmap_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7919) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df, 50, "w", key_col="doc_id", seed="s1").collect()
+    )
+    assert got == sorted(_es_twin(rows, 50, seed="s1"))
+
+
+def test_weighted_sample_grouped_quota(spark):
+    from pygridmap_spark.operators.sampling import weighted_sample
+
+    rows = [(i, f"g{i % 3}", float(1 + i % 10)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = weighted_sample(df, 20, "w", by="grp", key_col="doc_id").collect()
+    per = {}
+    for r in out:
+        per[r["grp"]] = per.get(r["grp"], 0) + 1
+    assert per == {"g0": 20, "g1": 20, "g2": 20}
+    # per-group membership equals the per-group twin
+    for g in ("g0", "g1", "g2"):
+        twin = _es_twin([(i, w) for i, gg, w in rows if gg == g], 20)
+        got = sorted(r["doc_id"] for r in out if r["grp"] == g)
+        assert got == sorted(twin), g
+
+
+def test_weighted_sample_weight_bias(spark):
+    # one row with overwhelming weight is (effectively) always included
+    from pygridmap_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, 10, "w").collect()}
+    assert 999 in got and len(got) == 10
+
+
+def test_weighted_sample_contracts(spark):
+    from pygridmap_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 2.0), (2, None), (3, 0.0), (4, -1.0), (5, float("nan")), (6, 3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, 10, "w").collect()}
+    assert got == {1, 6}  # bad weights dropped, k > n keeps all valid
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        weighted_sample(df, -1, "w")
+    # determinism across partitionings
+    a = {r["doc_id"] for r in weighted_sample(df.repartition(7), 1, "w").collect()}
+    b = {r["doc_id"] for r in weighted_sample(df.coalesce(1), 1, "w").collect()}
+    assert a == b
