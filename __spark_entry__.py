@@ -2619,6 +2619,74 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML metadata extraction (functions/text.html_title /
+    html_meta_content / html_canonical): synthetic pages where title /
+    description / canonical are present, entity-laden, attribute-flipped,
+    or absent by id residue — the zero-shuffle regexp chain must recover
+    each or NULL. Oracle re-runs the identical chain in DuckDB (the
+    pattern strings are shared via the functions' own helpers)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    html = F.concat(
+        F.when(i % 4 != 0, F.concat(F.lit("<head><title>Doc &amp; "), ds, F.lit("  x</title>"))).otherwise(F.lit("<head>")),
+        F.when(
+            i % 3 != 0,
+            F.concat(F.lit('<meta name="description" content="'), F.col("source"), F.lit(' &quot;page&quot;">')),
+        ).otherwise(
+            F.concat(F.lit("<meta content='flip "), F.col("lang"), F.lit("' name='description'>"))
+        ),
+        F.when(i % 5 != 0, F.concat(F.lit('<link rel="canonical" href="https://ex.com/d/'), ds, F.lit('?a=1&amp;b=2">'))).otherwise(F.lit("")),
+        F.lit("</head><body><p>body</p></body>"),
+    )
+    return docs.select(
+        "doc_id",
+        TX.html_title(html).alias("title"),
+        TX.html_meta_content(html).alias("meta_desc"),
+        TX.html_canonical(html).alias("canonical"),
+    )
+
+
+def _html_meta_oracle_sql() -> str:
+    # The tested DuckDB twin of the extraction chain (test_html_meta
+    # pins the parity per-case); patterns come from the SAME helper
+    # functions the Spark chain uses.
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    ent = ("replace(replace(replace(replace(replace(replace({x}, "
+           "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), "
+           "'&quot;', '\"'), '&#39;', ''''), '&amp;', '&')")
+    sq = "nullif(trim(regexp_replace({x}, '\\s+', ' ', 'g')), '')"
+    title = sq.format(x=ent.format(
+        x=f"regexp_extract(html, '{q(TX.HTML_TITLE_PATTERN)}', 1)"))
+    ma = f"regexp_extract(html, '{q(TX._attr_after('meta', 'name', 'description', 'content'))}', 1)"
+    mb = f"regexp_extract(html, '{q(TX._attr_after_rev('meta', 'content', 'name', 'description'))}', 1)"
+    meta = sq.format(x=ent.format(x=f"CASE WHEN {ma} != '' THEN {ma} ELSE {mb} END"))
+    ca = f"regexp_extract(html, '{q(TX._attr_after('link', 'rel', 'canonical', 'href'))}', 1)"
+    cb = f"regexp_extract(html, '{q(TX._attr_after_rev('link', 'href', 'rel', 'canonical'))}', 1)"
+    canon = f"nullif(trim(CASE WHEN {ca} != '' THEN {ca} ELSE {cb} END), '')"
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 4 != 0
+                         THEN '<head><title>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '  x</title>'
+                         ELSE '<head>' END)
+                   || (CASE WHEN doc_id % 3 != 0
+                            THEN '<meta name="description" content="' || source || ' &quot;page&quot;">'
+                            ELSE '<meta content=''flip ' || lang || ''' name=''description''>' END)
+                   || (CASE WHEN doc_id % 5 != 0
+                            THEN '<link rel="canonical" href="https://ex.com/d/' || CAST(doc_id AS VARCHAR) || '?a=1&amp;b=2">'
+                            ELSE '' END)
+                   || '</head><body><p>body</p></body>' AS html
+            FROM documents
+        )
+        SELECT doc_id, {title} AS title, {meta} AS meta_desc, {canon} AS canonical
+        FROM pages
+    """
+
+
 def _q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language top-fraction selection (operators/selection.
     topfrac_by_group — histogram + threshold-bucket refine, no per-group
@@ -4055,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": _q_anchor_text_index,
         "template_fingerprint": _q_template_fingerprint,
         "html_extract": _q_html_extract,
+        "html_meta": _q_html_meta,
         "chunk_documents": _q_chunk_documents,
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
@@ -6536,6 +6605,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE signature <> ''
             GROUP BY signature
         """,
+        "html_meta": _html_meta_oracle_sql(),
         "html_extract": f"""
             WITH pages AS (
                 SELECT doc_id, text,

@@ -133,6 +133,7 @@ HEADLINE = [
     "lm_xent_score",
     "route_corridor",
     "weighted_sample",
+    "html_meta",
 ]
 
 

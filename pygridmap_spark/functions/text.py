@@ -192,3 +192,68 @@ def html_to_text(html: Column) -> Column:
     for ent, rep in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+HTML_TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title>"
+
+
+def _entity_decode(c: Column) -> Column:
+    # HTML_ENTITIES order matters: &amp; decodes LAST (the one order that
+    # never double-decodes a page displaying escaped code)
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def _squeeze_null(c: Column) -> Column:
+    return F.nullif(F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit(""))
+
+
+def html_title(html: Column) -> Column:
+    """The document <title>, entity-decoded and whitespace-squeezed; NULL
+    when absent or empty. First title wins (regexp_extract takes the
+    leftmost match); an unclosed <title> yields NULL (lazy ``.*?`` needs
+    the closing tag) — a contract, not a browser, like html_to_text.
+    Java-regex/RE2 agreement subset; the driver oracle re-runs the chain
+    in DuckDB."""
+    return _squeeze_null(_entity_decode(F.regexp_extract(html, HTML_TITLE_PATTERN, 1)))
+
+
+def _attr_after(tag: str, a1: str, v1: str, a2: str) -> str:
+    # <tag ... a1="v1" ... a2="CAPTURE": both quote styles, case-insensitive
+    return (
+        rf"(?is)<{tag}\b[^>]*{a1}\s*=\s*[\"']{v1}[\"'][^>]*"
+        rf"{a2}\s*=\s*[\"']([^\"'>]*)"
+    )
+
+
+def html_meta_content(html: Column, name: str = "description") -> Column:
+    """content="..." of the first <meta name="{name}"> (either attribute
+    order), entity-decoded and squeezed; NULL when absent. ``name`` must
+    be a plain token (letters/digits/_/-/:) — it is interpolated into the
+    pattern. Unquoted attribute values are out of contract (rare in real
+    meta tags; a browser-grade parser belongs in an Arrow kernel)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_:-]+", name):
+        raise ValueError(f"meta name must be a plain token, got {name!r}")
+    a = F.regexp_extract(html, _attr_after("meta", "name", name, "content"), 1)
+    b = F.regexp_extract(html, _attr_after_rev("meta", "content", "name", name), 1)
+    return _squeeze_null(_entity_decode(F.when(a != F.lit(""), a).otherwise(b)))
+
+
+def _attr_after_rev(tag: str, a1: str, a2: str, v2: str) -> str:
+    # <tag ... a1="CAPTURE" ... a2="v2": the flipped attribute order
+    return (
+        rf"(?is)<{tag}\b[^>]*{a1}\s*=\s*[\"']([^\"'>]*)[\"'][^>]*"
+        rf"{a2}\s*=\s*[\"']{v2}[\"']"
+    )
+
+
+def html_canonical(html: Column) -> Column:
+    """href of the first <link rel="canonical"> (either attribute order),
+    raw (URLs carry no entity decode by contract — escape-decoding a URL
+    changes its identity); NULL when absent."""
+    a = F.regexp_extract(html, _attr_after("link", "rel", "canonical", "href"), 1)
+    b = F.regexp_extract(html, _attr_after_rev("link", "href", "rel", "canonical"), 1)
+    return F.nullif(F.trim(F.when(a != F.lit(""), a).otherwise(b)), F.lit(""))
