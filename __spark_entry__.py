@@ -2439,6 +2439,22 @@ def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LG.host_link_graph(pages)
 
 
+def _q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity per host (operators/linkgraph.host_reciprocity —
+    the link-farm signal): a 40-host directed graph from doc_id
+    arithmetic (two out-edges per doc), distinct-pair collapse, reversed
+    pair semi-join, ratio = one IEEE division of exact integers (no
+    rounding needed — identical operands both engines). Oracle restates
+    pairs/semi-join/rollup in DuckDB."""
+    from pygridmap_spark.operators import linkgraph as LG
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    e1 = docs.select((i % 40).alias("src_host"), ((i * 3 + 1) % 40).alias("dst_host"))
+    e2 = docs.select((i % 40).alias("src_host"), ((i * 7 + 2) % 40).alias("dst_host"))
+    return LG.host_reciprocity(e1.unionByName(e2))
+
+
 def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer PageRank (operators/linkgraph.pagerank_int,
     3 iterations) over a 40-host graph whose weighted edges come from
@@ -4118,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": _q_host_link_graph,
         "quality_topfrac": _q_quality_topfrac,
         "host_pagerank_int": _q_host_pagerank,
+        "host_reciprocity": _q_host_reciprocity,
         "host_hits_int": _q_host_hits,
         "host_triangles": _q_host_triangles,
         "anchor_text_index": _q_anchor_text_index,
@@ -6363,6 +6380,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE src_host <> '' AND dst_host <> ''
               AND src_host <> dst_host
             GROUP BY src_host, dst_host
+        """,
+        "host_reciprocity": """
+            WITH raw AS (
+                SELECT doc_id % 40 AS s, (doc_id * 3 + 1) % 40 AS d
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 40 AS s, (doc_id * 7 + 2) % 40 AS d
+                FROM documents
+            ),
+            pairs AS (SELECT DISTINCT s, d FROM raw WHERE s != d),
+            rec AS (
+                SELECT p.s, p.d FROM pairs p
+                JOIN pairs r ON p.s = r.d AND p.d = r.s
+            ),
+            o AS (SELECT s AS host, count(*) AS n_out FROM pairs GROUP BY s),
+            rr AS (SELECT s AS host, count(*) AS n_reciprocal FROM rec GROUP BY s)
+            SELECT o.host, o.n_out,
+                   coalesce(rr.n_reciprocal, 0) AS n_reciprocal,
+                   CAST(coalesce(rr.n_reciprocal, 0) AS DOUBLE)
+                       / CAST(o.n_out AS DOUBLE) AS reciprocity
+            FROM o LEFT JOIN rr USING (host)
         """,
         "host_pagerank_int": """
             WITH raw AS (

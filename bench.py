@@ -134,6 +134,7 @@ HEADLINE = [
     "route_corridor",
     "weighted_sample",
     "html_meta",
+    "host_reciprocity",
 ]
 
 

@@ -451,3 +451,54 @@ def anchor_text_index(
         F.count(F.lit(1)).alias("n_anchors"),
         F.countDistinct("src_host").alias("n_src_hosts"),
     )
+
+
+def host_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host link reciprocity over the DIRECTED host graph — the
+    classic link-farm / link-exchange signal (Becchetti et al. 2008,
+    "Link Analysis for Web Spam Detection", public): organic linking is
+    largely one-way (page -> authority), while paid or collusive link
+    schemes reciprocate. Returns ``(host, n_out, n_reciprocal,
+    reciprocity)`` where ``n_out`` counts distinct out-neighbors
+    (self-loops excluded), ``n_reciprocal`` counts those that link back,
+    and ``reciprocity`` is their ratio (one IEEE division of exact
+    integers). Hosts with no out-edges do not appear.
+
+    Plan shape at crawl scale: the edge list collapses to distinct
+    directed pairs FIRST (one partial-aggregated exchange bounded by
+    distinct pairs, never raw link volume — the host_triangles
+    discipline); the reciprocal test is ONE self equi-join on the
+    REVERSED pair key (left semi, ids only); both rollups
+    partial-aggregate on the src key. A mega-hub dst is harmless: the
+    join key is the (src, dst) PAIR, which is unique per row — no skew
+    key exists at all.
+    """
+    pairs = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
+        .distinct()
+    )
+    rev = pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = pairs.join(rev, ["s", "d"], "left_semi")
+    n_out = pairs.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    n_rec = recip.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    return (
+        n_out.join(n_rec, "host", "left")
+        .select(
+            "host",
+            "n_out",
+            F.coalesce(F.col("n_reciprocal"), F.lit(0)).alias("n_reciprocal"),
+            (
+                F.coalesce(F.col("n_reciprocal"), F.lit(0)).cast("double")
+                / F.col("n_out").cast("double")
+            ).alias("reciprocity"),
+        )
+    )

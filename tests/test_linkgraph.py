@@ -295,3 +295,42 @@ def test_anchor_plan_no_expand(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" not in plan
+
+
+# --- link reciprocity ------------------------------------------------------
+
+
+def test_reciprocity_counts(spark):
+    from pygridmap_spark.operators.linkgraph import host_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # reciprocal pair
+            ("a", "c"),                       # one-way
+            ("a", "c"),                       # duplicate edge: distinct-pairs
+            ("c", "d"), ("d", "c"),           # reciprocal pair
+            ("d", "d"),                       # self-loop: excluded
+            ("e", "a"),                       # one-way into a
+        ],
+        "src_host string, dst_host string",
+    )
+    out = {r["host"]: r for r in host_reciprocity(edges).collect()}
+    assert out["a"]["n_out"] == 2 and out["a"]["n_reciprocal"] == 1
+    assert out["a"]["reciprocity"] == 0.5
+    assert out["b"]["n_out"] == 1 and out["b"]["n_reciprocal"] == 1
+    assert out["c"]["n_out"] == 1 and out["c"]["n_reciprocal"] == 1
+    assert out["d"]["n_out"] == 1 and out["d"]["n_reciprocal"] == 1
+    assert out["e"]["n_out"] == 1 and out["e"]["n_reciprocal"] == 0
+    assert "dd" not in out  # self-loop contributed nothing
+
+
+def test_reciprocity_null_and_no_out(spark):
+    from pygridmap_spark.operators.linkgraph import host_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", None), (None, "b"), ("a", "b")],
+        "src_host string, dst_host string",
+    )
+    out = {r["host"]: r for r in host_reciprocity(edges).collect()}
+    assert set(out) == {"a"}  # NULL endpoints dropped; b has no out-edges
+    assert out["a"]["n_out"] == 1 and out["a"]["n_reciprocal"] == 0
