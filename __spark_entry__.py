@@ -2152,6 +2152,30 @@ def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling (operators/frontier.
+    crawl_schedule): a 25-host frontier with heavy priority ties
+    (doc_id*7919 % 50) so the url tie-break is really exercised; round =
+    per-host rank under (priority desc NULLS LAST, url asc), plus the
+    host queue length. One host-keyed window exchange. Oracle: the
+    identical window in DuckDB."""
+    from pygridmap_spark.operators import frontier as _FR
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 25).cast("string")
+    f = docs.select(
+        F.concat(F.lit("https://h"), h, F.lit(".example/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), h).alias("host"),
+        (F.col("doc_id") * 7919 % 50).alias("pri"),
+    )
+    out = _FR.crawl_schedule(f, priority_col="pri")
+    return out.select(
+        "url", "host", "pri",
+        F.col("round").cast("long").alias("round"),
+        F.col("n_queued").cast("long").alias("n_queued"),
+    )
+
+
 def _q_robots_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parse + URL allow/deny (operators/robots): 20 hosts
     with three robots.txt shapes (star-only, star + specific 'bot'
@@ -4150,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom_membership,
         "ripley_pair_counts": _q_ripley_pair_counts,
         "robots_allow": _q_robots_allow,
+        "crawl_schedule": _q_crawl_schedule,
         "warc_parse": _q_warc_parse,
         "event_bars": _q_event_bars,
         "snapshot_diff_docs": _q_snapshot_diff,
@@ -7306,6 +7331,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS BIGINT), 'metadata', u1,
                    CAST(length(b2) AS BIGINT), md5(b2)
             FROM src
+        """,
+        "crawl_schedule": """
+            WITH f AS (
+                SELECT 'https://h' || CAST(doc_id % 25 AS VARCHAR)
+                           || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                       'h' || CAST(doc_id % 25 AS VARCHAR) AS host,
+                       doc_id * 7919 % 50 AS pri
+                FROM documents
+            )
+            SELECT url, host, pri,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY pri DESC NULLS LAST, url ASC)
+                       AS round,
+                   count(*) OVER (PARTITION BY host) AS n_queued
+            FROM f
         """,
         "robots_allow": """
             WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),

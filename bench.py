@@ -135,6 +135,7 @@ HEADLINE = [
     "weighted_sample",
     "html_meta",
     "host_reciprocity",
+    "crawl_schedule",
 ]
 
 
