@@ -1596,9 +1596,13 @@ def _q_route_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
     polylines (perpendicular-foot-on-arc else nearer-endpoint, min over
     every arc; core/sphere.min_polyline_arc_dist) plus the nearest
     route's id (ties to the smaller id). The oracle restates the FULL
-    cross-product foot test per (point, segment) in DuckDB SQL — same
-    expression tree as the numpy kernel — and picks the argmin with
-    row_number over (dist, route_id)."""
+    cross-product foot test per (point, segment) in DuckDB SQL — the
+    kernel's reductions are written elementwise in the same IEEE order
+    (sphere._pdot), leaving only libm-transcendental 1-ulp drift (numpy's
+    vectorized arccos/arcsin differ from libm on ~28 % of inputs —
+    measured), so the display floor is 1e-6 rad (~6 m; boundary-flip
+    probability ~1e-7 per run, vs ~1e-4 at a 1e-9 floor). Argmin by
+    row_number over (dist, route_id) — route gaps are macroscopic."""
     from pygridmap_spark.operators import trajectories as _TJ
 
     pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
@@ -1613,7 +1617,7 @@ def _q_route_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "nearest_route",
-        (F.floor(F.col("route_dist_rad") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias(
+        (F.floor(F.col("route_dist_rad") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
             "route_dist_rad"
         ),
     )
@@ -1703,7 +1707,7 @@ def _route_corridor_oracle_sql() -> str:
             FROM dist
         )
         SELECT doc_id, route_id AS nearest_route,
-               floor(d * 1e9 + 0.5) / 1e9 AS route_dist_rad
+               floor(d * 1e6 + 0.5) / 1e6 AS route_dist_rad
         FROM ranked WHERE rn = 1
     """
 

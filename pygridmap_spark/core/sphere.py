@@ -295,6 +295,63 @@ def multipolygon_stats(polys: list) -> tuple:
     return float(area), float(perim), (total / n if n >= 1e-12 else None)
 
 
+def _pdot(p: np.ndarray, v) -> np.ndarray:
+    # ELEMENTWISE dot, deliberately not p @ v: BLAS matvec reductions
+    # (FMA, blocked sums) are not bit-identical to the left-to-right
+    # px*vx + py*vy + pz*vz an SQL oracle evaluates — a 1-ulp drift the
+    # floor-rounding layer cannot always absorb (the stay_points lesson).
+    return p[:, 0] * v[0] + p[:, 1] * v[1] + p[:, 2] * v[2]
+
+
+def _edge_dist(p, a, da, b, db):
+    """Distance of (P, 3) points to ONE great-circle arc (a, b), given the
+    precomputed endpoint angles. Foot-on-arc math with every reduction
+    written elementwise in SQL evaluation order (see _pdot); degenerate
+    edges (|n| ~ 0: repeated or antipodal vertices) fall back to the
+    endpoint distance."""
+    nx = a[1] * b[2] - a[2] * b[1]
+    ny = a[2] * b[0] - a[0] * b[2]
+    nz = a[0] * b[1] - a[1] * b[0]
+    nn = np.sqrt(nx * nx + ny * ny + nz * nz)
+    if nn <= 1e-15:
+        return np.minimum(da, db)
+    nh = np.array([nx / nn, ny / nn, nz / nn])
+    axp = (
+        (a[1] * p[:, 2] - a[2] * p[:, 1]) * nh[0]
+        + (a[2] * p[:, 0] - a[0] * p[:, 2]) * nh[1]
+        + (a[0] * p[:, 1] - a[1] * p[:, 0]) * nh[2]
+    )
+    pxb = (
+        (p[:, 1] * b[2] - p[:, 2] * b[1]) * nh[0]
+        + (p[:, 2] * b[0] - p[:, 0] * b[2]) * nh[1]
+        + (p[:, 0] * b[1] - p[:, 1] * b[0]) * nh[2]
+    )
+    on_arc = (axp >= 0.0) & (pxb >= 0.0)
+    perp = np.arcsin(np.clip(np.abs(_pdot(p, nh)), 0.0, 1.0))
+    return np.where(on_arc, perp, np.minimum(da, db))
+
+
+def _arc_loop(p: np.ndarray, verts: np.ndarray, closed: bool) -> np.ndarray:
+    """Shared edge loop of min_arc_dist (closed ring) and
+    min_polyline_arc_dist (open polyline) — ONE copy of the trickiest
+    numerics in the repo, IEEE-ordered for oracle parity."""
+    p = np.asarray(p, np.float64)
+    k = len(verts)
+    out = np.full(len(p), np.pi, dtype=np.float64)
+    if k == 0:
+        return out
+    a = verts[-1] if closed else verts[0]
+    da = np.arccos(np.clip(_pdot(p, a), -1.0, 1.0))
+    if not closed and k == 1:
+        return da
+    for e in range(0 if closed else 1, k):
+        b = verts[e]
+        db = np.arccos(np.clip(_pdot(p, b), -1.0, 1.0))
+        np.minimum(out, _edge_dist(p, a, da, b, db), out=out)
+        a, da = b, db
+    return out
+
+
 def min_arc_dist(p: np.ndarray, ring_xyz: np.ndarray) -> np.ndarray:
     """Minimum angular distance (radians) from each of (P, 3) unit points
     to the boundary of one geodesic ring given as (K, 3) unit vertices
@@ -303,29 +360,9 @@ def min_arc_dist(p: np.ndarray, ring_xyz: np.ndarray) -> np.ndarray:
     (a x p)·n >= 0 and (p x b)·n >= 0, in which case the distance is
     asin(|p·n̂|); otherwise it is the nearer endpoint angle. Degenerate
     edges (|n| ~ 0: repeated or antipodal vertices) fall back to the
-    endpoint distance. Vectorized over points, loop over edges."""
-    p = np.asarray(p, np.float64)
-    k = len(ring_xyz)
-    out = np.full(len(p), np.pi, dtype=np.float64)
-    if k == 0:
-        return out
-    a = ring_xyz[-1]
-    da = np.arccos(np.clip(p @ a, -1.0, 1.0))
-    for e in range(k):
-        b = ring_xyz[e]
-        db = np.arccos(np.clip(p @ b, -1.0, 1.0))
-        nrm = np.cross(a, b)
-        nn = np.linalg.norm(nrm)
-        if nn > 1e-15:
-            nh = nrm / nn
-            on_arc = (np.cross(a, p) @ nh >= 0.0) & (np.cross(p, b) @ nh >= 0.0)
-            perp = np.arcsin(np.clip(np.abs(p @ nh), 0.0, 1.0))
-            d = np.where(on_arc, perp, np.minimum(da, db))
-        else:
-            d = np.minimum(da, db)
-        np.minimum(out, d, out=out)
-        a, da = b, db
-    return out
+    endpoint distance. Vectorized over points, loop over edges; every
+    reduction elementwise in SQL order (see _pdot)."""
+    return _arc_loop(p, ring_xyz, closed=True)
 
 
 def bounding_cap(rings_lonlat: list) -> tuple[np.ndarray, float]:
@@ -464,28 +501,7 @@ def min_polyline_arc_dist(p: np.ndarray, line_xyz: np.ndarray) -> np.ndarray:
     to an OPEN polyline given as (K, 3) unit vertices — the
     :func:`min_arc_dist` math without the ring-closing wrap edge (routes,
     coastline segments, transects). A single-vertex polyline degenerates
-    to the point distance; empty input returns pi."""
-    p = np.asarray(p, np.float64)
-    k = len(line_xyz)
-    out = np.full(len(p), np.pi, dtype=np.float64)
-    if k == 0:
-        return out
-    a = line_xyz[0]
-    da = np.arccos(np.clip(p @ a, -1.0, 1.0))
-    if k == 1:
-        return da
-    for e in range(1, k):
-        b = line_xyz[e]
-        db = np.arccos(np.clip(p @ b, -1.0, 1.0))
-        nrm = np.cross(a, b)
-        nn = np.linalg.norm(nrm)
-        if nn > 1e-15:
-            nh = nrm / nn
-            on_arc = (np.cross(a, p) @ nh >= 0.0) & (np.cross(p, b) @ nh >= 0.0)
-            perp = np.arcsin(np.clip(np.abs(p @ nh), 0.0, 1.0))
-            d = np.where(on_arc, perp, np.minimum(da, db))
-        else:
-            d = np.minimum(da, db)
-        np.minimum(out, d, out=out)
-        a, da = b, db
-    return out
+    to the point distance; empty input returns pi. Shares the IEEE-ordered
+    edge loop (:func:`_arc_loop`) with the ring form — the expression
+    tree an SQL oracle can restate bit-for-bit."""
+    return _arc_loop(p, line_xyz, closed=False)

@@ -220,10 +220,14 @@ def html_title(html: Column) -> Column:
 
 
 def _attr_after(tag: str, a1: str, v1: str, a2: str) -> str:
-    # <tag ... a1="v1" ... a2="CAPTURE": both quote styles, case-insensitive
+    # <tag ... a1="v1" ... a2="CAPTURE": both quote styles, case-
+    # insensitive. Each attribute name requires a preceding [\s"']
+    # boundary so data-name="description" cannot satisfy name=... (a
+    # bare [^>]* would let any attribute that merely ENDS in the target
+    # name match).
     return (
-        rf"(?is)<{tag}\b[^>]*{a1}\s*=\s*[\"']{v1}[\"'][^>]*"
-        rf"{a2}\s*=\s*[\"']([^\"'>]*)"
+        rf"(?is)<{tag}\b[^>]*[\s\"']{a1}\s*=\s*[\"']{v1}[\"'][^>]*"
+        rf"[\s\"']{a2}\s*=\s*[\"']([^\"'>]*)"
     )
 
 
@@ -243,10 +247,11 @@ def html_meta_content(html: Column, name: str = "description") -> Column:
 
 
 def _attr_after_rev(tag: str, a1: str, a2: str, v2: str) -> str:
-    # <tag ... a1="CAPTURE" ... a2="v2": the flipped attribute order
+    # <tag ... a1="CAPTURE" ... a2="v2": the flipped attribute order;
+    # same [\s"'] attribute-name boundary as _attr_after
     return (
-        rf"(?is)<{tag}\b[^>]*{a1}\s*=\s*[\"']([^\"'>]*)[\"'][^>]*"
-        rf"{a2}\s*=\s*[\"']{v2}[\"']"
+        rf"(?is)<{tag}\b[^>]*[\s\"']{a1}\s*=\s*[\"']([^\"'>]*)[\"'][^>]*"
+        rf"[\s\"']{a2}\s*=\s*[\"']{v2}[\"']"
     )
 
 

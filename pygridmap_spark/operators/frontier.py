@@ -44,6 +44,13 @@ def crawl_schedule(
 
     NULL hosts are one queue of their own (window partition semantics) —
     filter upstream if unparseable URLs should not be scheduled.
+
+    Determinism precondition: (host, url) pairs must be UNIQUE — a URL
+    queued twice for the same host fully ties the sort key and
+    row_number assigns the duplicate rounds arbitrarily per run. Real
+    frontiers dedup before scheduling (operators/curation.
+    canonical_url_dedup is the upstream); this operator does not hide a
+    missing dedup behind a silent distinct.
     """
     if max_rounds is not None and max_rounds <= 0:
         raise ValueError(f"max_rounds must be positive, got {max_rounds}")

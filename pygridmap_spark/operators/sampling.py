@@ -82,19 +82,14 @@ def stratified_sample(
 
 def _open_unit(key: Column, seed: str = "") -> Column:
     """Deterministic uniform in the OPEN interval (0, 1): the
-    :func:`hash_bucket` md5 path with a half-step offset
-    ``(x + 0.5) / 2^32`` so ln(u) is always finite (an all-zero md5
-    prefix would otherwise yield u = 0 and -inf). Same NULL sentinel."""
-    h = F.md5(
-        F.concat(
-            F.lit(seed),
-            F.lit(":"),
-            F.coalesce(key.cast("string"), F.lit("\x00null\x00")),
-        )
-    )
-    return (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)
-    ) / F.lit(4294967296.0)
+    :func:`hash_bucket` value plus a half-step ``2^-33`` so ln(u) is
+    always finite (an all-zero md5 prefix would otherwise yield u = 0 and
+    -inf). ``x/2^32 + 2^-33 == (x + 0.5)/2^32`` EXACTLY in IEEE (both
+    dyadic, the sum fits 34 significant bits), so this reuses
+    hash_bucket's md5/NULL-sentinel derivation verbatim — one definition
+    of the key scheme — while matching the oracle's ``(x + 0.5)/2^32``
+    bit-for-bit."""
+    return hash_bucket(key, seed) + F.lit(2.0 ** -33)
 
 
 def weighted_sample(

@@ -357,8 +357,6 @@ def contact_pairs(
     Reference parity: pygridmap's proximity tooling is static planar
     grids; this is the temporal member the web-scale ping domain needs.
     """
-    import math as _math
-
     from pygridmap_spark.functions import s2 as S2
     from pygridmap_spark.operators.knn_sphere import radius_cover_level
 
@@ -402,6 +400,11 @@ def contact_pairs(
         "__lat__",
         prefix="_c_",
     ).withColumn("__tb__", F.expr(f"__us__ DIV {window_us}"))
+    # NULL/NaN coordinates index to NULL cells (the r4 s2 contract) and
+    # can never contact anything — drop them HERE so the probe kernel
+    # never casts NaN cell columns to int64 (executor RuntimeWarnings +
+    # ~9 junk probe rows per bad ping riding the exchange for nothing)
+    base = base.filter(F.col("_c_i").isNotNull())
 
     left = base.select(
         F.col("__pid__").alias("_lid"),
@@ -547,6 +550,14 @@ def route_corridor(
     )
     if not rows:
         raise ValueError("routes frame is empty")
+    if not all(isinstance(r[0], int) for r in rows):
+        # the kernel tracks the argmin id in an int64 array and the
+        # output schema is long — a string route key would die inside the
+        # executor as an opaque cast error; fail at the API instead
+        raise ValueError(
+            "route_id must be an integer column (map string route keys "
+            "to ids upstream and join back after)"
+        )
     by_route: dict = {}
     for r in rows:
         by_route.setdefault(r[0], []).append((float(r[2]), float(r[3])))

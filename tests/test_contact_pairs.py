@@ -157,3 +157,16 @@ def test_bad_params_raise(spark):
         TJ.contact_pairs(df, 1.5e7, 60.0)
     with pytest.raises(ValueError, match="finer than"):
         TJ.contact_pairs(df, 100_000.0, 60.0, level=20)
+
+
+def test_null_coords_produce_no_contacts_or_junk(spark):
+    # NULL/NaN coords get NULL S2 cells (r4 contract) and are dropped
+    # BEFORE the probe kernel (no NaN->int64 casts, no junk probe rows)
+    rows = [
+        (0, 1, "2024-01-01 00:00:00", 10.0, 45.0),
+        (1, 2, "2024-01-01 00:00:05", None, 45.0),
+        (2, 3, "2024-01-01 00:00:06", float("nan"), 45.0),
+        (3, 4, "2024-01-01 00:00:07", 10.0001, 45.0),
+    ]
+    out = TJ.contact_pairs(_pings(spark, rows), 1000.0, 600.0).collect()
+    assert {(r["user_a"], r["user_b"]) for r in out} == {(1, 4)}

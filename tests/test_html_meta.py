@@ -27,6 +27,9 @@ CASES = [
     ("<meta content='flipped order' name='description'>",
      None, "flipped order", None),
     ('<meta name="keywords" content="not this">', None, None, None),
+    # attribute-name boundary: data-name must NOT satisfy name=
+    ('<meta data-name="description" content="junk">', None, None, None),
+    ('<link data-rel="canonical" href="/fake">', None, None, None),
     ('<link rel="canonical" href="https://ex.com/a?x=1&amp;y=2">',
      None, None, "https://ex.com/a?x=1&amp;y=2"),  # raw: no entity decode
     ("<link href='https://ex.com/b' rel='canonical'>",

@@ -139,3 +139,13 @@ def test_matches_brute_force_numpy_twin(spark):
         )
         assert out[pid][0] == best[1], pid
         assert out[pid][1] == pytest.approx(best[0], abs=1e-12)
+
+
+def test_string_route_ids_rejected_at_api(spark):
+    routes = spark.createDataFrame(
+        [("bus-12", 0, 0.0, 0.0), ("bus-12", 1, 10.0, 0.0)],
+        "route_id string, seq long, lon double, lat double",
+    )
+    pts = _points(spark, [(0, 5.0, 0.5)])
+    with pytest.raises(ValueError, match="integer column"):
+        TJ.route_corridor(pts, routes)
