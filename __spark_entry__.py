@@ -2156,6 +2156,34 @@ def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap intake (operators/robots.parse_sitemaps): per-doc synthetic
+    sitemap XML (two <url> entries with lastmod/priority, an extra
+    <sitemap> child on every 7th doc) exploded to entries; zero-shuffle
+    regexp chain. Oracle: unnest(regexp_extract_all) + identical field
+    extracts in DuckDB."""
+    from pygridmap_spark.operators import robots as _RB
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://h"), ds, F.lit(".ex/p1</loc><lastmod>2024-01-"),
+        day, F.lit("</lastmod><priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc> https://h"), ds, F.lit(".ex/p2 </loc></url>"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("<sitemap><loc>https://h"), ds, F.lit(".ex/child.xml</loc></sitemap>")),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    frame = docs.select(
+        F.concat(F.lit("https://h"), ds, F.lit(".ex/sitemap.xml")).alias("sitemap_url"),
+        xml.alias("xml"),
+    )
+    return _RB.parse_sitemaps(frame)
+
+
 def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier politeness scheduling (operators/frontier.
     crawl_schedule): a 25-host frontier with heavy priority ties
@@ -4179,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_pair_counts": _q_ripley_pair_counts,
         "robots_allow": _q_robots_allow,
         "crawl_schedule": _q_crawl_schedule,
+        "sitemap_entries": _q_sitemap_entries,
         "warc_parse": _q_warc_parse,
         "event_bars": _q_event_bars,
         "snapshot_diff_docs": _q_snapshot_diff,
@@ -7335,6 +7364,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS BIGINT), 'metadata', u1,
                    CAST(length(b2) AS BIGINT), md5(b2)
             FROM src
+        """,
+        "sitemap_entries": """
+            WITH pages AS (
+                SELECT 'https://h' || CAST(doc_id AS VARCHAR) || '.ex/sitemap.xml' AS sitemap_url,
+                       '<urlset><url><loc>https://h' || CAST(doc_id AS VARCHAR)
+                       || '.ex/p1</loc><lastmod>2024-01-'
+                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || '</lastmod><priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+                       || '</priority></url><url><loc> https://h' || CAST(doc_id AS VARCHAR)
+                       || '.ex/p2 </loc></url>'
+                       || (CASE WHEN doc_id % 7 = 0
+                                THEN '<sitemap><loc>https://h' || CAST(doc_id AS VARCHAR)
+                                     || '.ex/child.xml</loc></sitemap>'
+                                ELSE '' END)
+                       || '</urlset>' AS xml
+                FROM documents
+            ),
+            blk AS (
+                SELECT sitemap_url, b AS blk
+                FROM (SELECT sitemap_url,
+                             regexp_extract_all(xml,
+                                 '(?is)<(?:url|sitemap)\\b[^>]*>.*?</(?:url|sitemap)>', 0) AS bs
+                      FROM pages),
+                     unnest(bs) AS u(b)
+            ),
+            fields AS (
+                SELECT sitemap_url,
+                       nullif(regexp_extract(blk, '(?is)<loc[^>]*>\\s*(.*?)\\s*</loc>', 1), '') AS loc,
+                       nullif(regexp_extract(blk, '(?is)<lastmod[^>]*>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
+                       nullif(regexp_extract(blk, '(?is)<changefreq[^>]*>\\s*(.*?)\\s*</changefreq>', 1), '') AS changefreq,
+                       CAST(nullif(regexp_extract(blk,
+                           '(?is)<priority[^>]*>\\s*([0-9]+(?:\\.[0-9]+)?)\\s*</priority>', 1), '') AS DOUBLE) AS priority,
+                       lower(substr(blk, 2, 7)) = 'sitemap' AS is_index
+                FROM blk
+            )
+            SELECT * FROM fields WHERE loc IS NOT NULL
         """,
         "crawl_schedule": """
             WITH f AS (

@@ -136,6 +136,7 @@ HEADLINE = [
     "html_meta",
     "host_reciprocity",
     "crawl_schedule",
+    "sitemap_entries",
 ]
 
 

@@ -158,3 +158,70 @@ def check_urls(
         F.coalesce(F.col("__w__.a") == 1, F.lit(True)).alias("allowed"),
         F.col("__w__.p").alias("rule_path"),
     )
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "sitemap_url",
+) -> DataFrame:
+    """XML sitemap intake (sitemaps.org protocol, public): explode each
+    sitemap document into its ``<url>`` entries — ``(sitemap_url, loc,
+    lastmod, changefreq, priority)`` — and each sitemap INDEX into its
+    child sitemaps (``is_index = true``, loc = the child sitemap URL).
+    The crawl-seeding companion of :func:`parse_robots` (robots says MAY
+    we fetch, the frontier says WHEN, sitemaps say WHAT EXISTS).
+
+    Declarative contract, not an XML parser: ``<url>``/``<sitemap>``
+    blocks lift via one ``regexp_extract_all`` + explode, fields via
+    anchored case-insensitive extracts (Java-regex/RE2 agreement subset:
+    no backrefs, no lookaround — the html_to_text discipline); CDATA and
+    XML entities pass through verbatim; ``lastmod`` stays a STRING (W3C
+    datetime parsing is engine-dialect territory — callers cast with
+    their own format contract); ``priority`` casts to double (NULL when
+    absent or malformed — both engines' silent-NULL cast via try_cast
+    semantics is avoided by extracting a numeric-shaped token only).
+    Blocks missing ``<loc>`` are dropped (an entry without a URL seeds
+    nothing).
+
+    Zero shuffle: one projection + one explode, scan-bound at crawl
+    scale; entries never exceed the 50k-per-sitemap protocol cap so the
+    explode fan-out is bounded per row.
+    """
+    blocks = F.explode(
+        F.regexp_extract_all(
+            F.col(xml_col), F.lit(r"(?is)<(?:url|sitemap)\b[^>]*>.*?</(?:url|sitemap)>"), 0
+        )
+    )
+    b = F.col("__blk__")
+    loc = F.nullif(
+        F.regexp_extract(b, r"(?is)<loc[^>]*>\s*(.*?)\s*</loc>", 1), F.lit("")
+    )
+    lastmod = F.nullif(
+        F.regexp_extract(b, r"(?is)<lastmod[^>]*>\s*(.*?)\s*</lastmod>", 1), F.lit("")
+    )
+    changefreq = F.nullif(
+        F.regexp_extract(b, r"(?is)<changefreq[^>]*>\s*(.*?)\s*</changefreq>", 1),
+        F.lit(""),
+    )
+    # numeric-shaped token only: a malformed priority extracts '' -> NULL
+    # identically in both engines (no engine-specific cast fallback)
+    priority = F.nullif(
+        F.regexp_extract(
+            b, r"(?is)<priority[^>]*>\s*([0-9]+(?:\.[0-9]+)?)\s*</priority>", 1
+        ),
+        F.lit(""),
+    ).cast("double")
+    is_index = F.lower(F.substring(b, 2, 7)) == F.lit("sitemap")
+    return (
+        df.select(F.col(url_col), blocks.alias("__blk__"))
+        .select(
+            url_col,
+            loc.alias("loc"),
+            lastmod.alias("lastmod"),
+            changefreq.alias("changefreq"),
+            priority.alias("priority"),
+            is_index.alias("is_index"),
+        )
+        .filter(F.col("loc").isNotNull())
+    )

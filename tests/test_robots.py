@@ -108,3 +108,56 @@ def test_empty_and_comment_lines_ignored(spark):
     rules = RB.parse_robots(_robots_df(spark, content=content), "z")
     rows = rules.collect()
     assert [(r.rule_type, r.path) for r in rows] == [("disallow", "/x")]
+
+
+# --- sitemap intake --------------------------------------------------------
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://ex.com/a </loc><lastmod>2024-01-05</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>https://ex.com/b</loc></url>
+  <url><lastmod>2024-02-01</lastmod></url>
+  <URL><LOC>https://ex.com/upper</LOC><PRIORITY>bogus</PRIORITY></URL>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>https://ex.com/s1.xml</loc><lastmod>2024-03-01</lastmod></sitemap>
+  <sitemap><loc>https://ex.com/s2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def _smframe(spark):
+    return spark.createDataFrame(
+        [("https://ex.com/sitemap.xml", SITEMAP),
+         ("https://ex.com/index.xml", SITEMAP_INDEX)],
+        "sitemap_url string, xml string",
+    )
+
+
+def test_sitemap_entries(spark):
+    from pygridmap_spark.operators.robots import parse_sitemaps
+
+    out = {
+        (r["sitemap_url"], r["loc"]): r for r in parse_sitemaps(_smframe(spark)).collect()
+    }
+    a = out[("https://ex.com/sitemap.xml", "https://ex.com/a")]
+    assert a["lastmod"] == "2024-01-05"
+    assert a["changefreq"] == "daily"
+    assert a["priority"] == 0.8
+    assert a["is_index"] is False
+    b = out[("https://ex.com/sitemap.xml", "https://ex.com/b")]
+    assert b["lastmod"] is None and b["priority"] is None
+    up = out[("https://ex.com/sitemap.xml", "https://ex.com/upper")]
+    assert up["priority"] is None  # malformed priority -> NULL, no cast error
+    # the loc-less <url> block is dropped
+    assert len([k for k in out if k[0].endswith("sitemap.xml")]) == 3
+
+
+def test_sitemap_index(spark):
+    from pygridmap_spark.operators.robots import parse_sitemaps
+
+    out = [r for r in parse_sitemaps(_smframe(spark)).collect() if r["is_index"]]
+    assert {r["loc"] for r in out} == {"https://ex.com/s1.xml", "https://ex.com/s2.xml"}
+    assert all(r["sitemap_url"] == "https://ex.com/index.xml" for r in out)
