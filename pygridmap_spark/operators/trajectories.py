@@ -357,6 +357,48 @@ def contact_pairs(
     Reference parity: pygridmap's proximity tooling is static planar
     grids; this is the temporal member the web-scale ping domain needs.
     """
+    events = contact_events(
+        pings, radius_m, window_s, level,
+        entity_col=entity_col, ts_col=ts_col, lon=lon, lat=lat,
+        ping_id=ping_id,
+    )
+    return events.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_contacts"),
+        F.min("contact_ts").alias("first_ts"),
+        F.min("dist_m").alias("min_dist_m"),
+    )
+
+
+def contact_events(
+    pings: DataFrame,
+    radius_m: float,
+    window_s: float,
+    level: int | None = None,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    ping_id: str = "ping_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-contact EVENT rows — one row per qualifying ping pair:
+    ``(user_a, user_b, ping_a, ping_b, ts_a, ts_b, contact_ts, dist_m)``
+    with user_a < user_b and the a/b ping columns aligned to that
+    ordering. :func:`contact_pairs` is the per-pair rollup of this frame;
+    contact-tracing sinks that need the raw encounters consume it
+    directly.
+
+    Works UNCHANGED on a STREAMING pings frame: pass ``watermark`` (e.g.
+    ``"2 minutes"``) and the candidate join becomes a watermarked
+    stream-stream self-join — each side carries its event-time watermark
+    and the join condition includes the ± ``window_s`` time-interval
+    constraint on the two timestamp columns, so Spark can evict join
+    state as the watermark advances (state is bounded by watermark +
+    window, not stream length). Batch plans are unaffected by the extra
+    interval conjunct (Catalyst still extracts the same equi keys).
+    See streaming/contacts.py for the stream-facing wrapper and the
+    batch==stream parity test.
+    """
     from pygridmap_spark.functions import s2 as S2
     from pygridmap_spark.operators.knn_sphere import radius_cover_level
 
@@ -422,12 +464,15 @@ def contact_pairs(
 
     probe_schema = (
         "_pid long, _pent long, _pts timestamp, _pus long, _ptb long, "
-        "_plon double, _plat double, _cf int, _ci long, _cj long"
+        "_plon double, _plat double, _pcf int, _pci long, _pcj long"
     )
     _id_t = dict(base.dtypes)["__pid__"]
     _ent_t = dict(base.dtypes)["__ent__"]
-    probe_schema = probe_schema.replace("_pid long", f"_pid {_id_t}").replace(
-        "_pent long", f"_pent {_ent_t}"
+    _ts_t = dict(base.dtypes)["__ts__"]
+    probe_schema = (
+        probe_schema.replace("_pid long", f"_pid {_id_t}")
+        .replace("_pent long", f"_pent {_ent_t}")
+        .replace("_pts timestamp", f"_pts {_ts_t}")
     )
     lvl = level
 
@@ -446,14 +491,14 @@ def contact_pairs(
             names = ["_pid", "_pent", "_pts", "_pus", "_ptb", "_plon", "_plat"]
             own = {n: pdf[c].to_numpy() for n, c in zip(names, cols)}
             self_df = pd.DataFrame(
-                dict(own, _cf=fc.astype(np.int32), _ci=ic, _cj=jc)
+                dict(own, _pcf=fc.astype(np.int32), _pci=ic, _pcj=jc)
             )
             nb_df = pd.DataFrame(
                 dict(
                     {n: own[n][row] for n in names},
-                    _cf=f2.astype(np.int32),
-                    _ci=i2,
-                    _cj=j2,
+                    _pcf=f2.astype(np.int32),
+                    _pci=i2,
+                    _pcj=j2,
                 )
             )
             yield pd.concat([self_df, nb_df], ignore_index=True)
@@ -463,20 +508,33 @@ def contact_pairs(
         "_c_face", "_c_i", "_c_j",
     ).mapInPandas(_probe_kernel, probe_schema)
 
-    probe = probe.select(
-        "_pid", "_pent", "_pts", "_pus", "_plon", "_plat",
-        F.col("_ptb").alias("_b"),
-        F.col("_cf"), F.col("_ci"), F.col("_cj"),
+    if watermark is not None:
+        left = left.withWatermark("_lts", watermark)
+        probe = probe.withWatermark("_pts", watermark)
+
+    cond = (
+        (F.col("_cf") == F.col("_pcf"))
+        & (F.col("_ci") == F.col("_pci"))
+        & (F.col("_cj") == F.col("_pcj"))
+        & (F.col("_b") == F.col("_ptb"))
+        # time-interval conjunct on the two EVENT-TIME columns: redundant
+        # with the exact integer-us filter below for batch, REQUIRED for
+        # streaming state eviction (watermark + interval bounds the join
+        # state); Catalyst still extracts the same equi keys either way
+        & F.expr(
+            f"_pts BETWEEN _lts - INTERVAL {window_us} MICROSECOND "
+            f"AND _lts + INTERVAL {window_us} MICROSECOND"
+        )
     )
     dist = GD.gc_distance_m(
         F.col("_llon"), F.col("_llat"), F.col("_plon"), F.col("_plat")
     )
     refined = (
-        left.join(probe, ["_cf", "_ci", "_cj", "_b"])
+        left.join(probe, cond)
         .filter(
             (
-                ((F.col("_ltb") == F.col("_b")) & (F.col("_lid") < F.col("_pid")))
-                | (F.col("_b") == F.col("_ltb") + F.lit(1))
+                ((F.col("_ltb") == F.col("_ptb")) & (F.col("_lid") < F.col("_pid")))
+                | (F.col("_ptb") == F.col("_ltb") + F.lit(1))
             )
             & (F.col("_lent") != F.col("_pent"))
             & (F.abs(F.col("_lus") - F.col("_pus")) <= F.lit(window_us))
@@ -484,20 +542,18 @@ def contact_pairs(
         .withColumn("_d", dist)
         .filter(F.col("_d") <= F.lit(float(radius_m)))
     )
-    ua = F.when(F.col("_lent") < F.col("_pent"), F.col("_lent")).otherwise(F.col("_pent"))
-    ub = F.when(F.col("_lent") < F.col("_pent"), F.col("_pent")).otherwise(F.col("_lent"))
-    contact_ts = F.when(F.col("_lus") <= F.col("_pus"), F.col("_lts")).otherwise(F.col("_pts"))
-    return (
-        refined.select(
-            ua.alias("user_a"), ub.alias("user_b"),
-            contact_ts.alias("_cts"), F.col("_d"),
-        )
-        .groupBy("user_a", "user_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_contacts"),
-            F.min("_cts").alias("first_ts"),
-            F.min("_d").alias("min_dist_m"),
-        )
+    a_first = F.col("_lent") < F.col("_pent")
+    return refined.select(
+        F.when(a_first, F.col("_lent")).otherwise(F.col("_pent")).alias("user_a"),
+        F.when(a_first, F.col("_pent")).otherwise(F.col("_lent")).alias("user_b"),
+        F.when(a_first, F.col("_lid")).otherwise(F.col("_pid")).alias("ping_a"),
+        F.when(a_first, F.col("_pid")).otherwise(F.col("_lid")).alias("ping_b"),
+        F.when(a_first, F.col("_lts")).otherwise(F.col("_pts")).alias("ts_a"),
+        F.when(a_first, F.col("_pts")).otherwise(F.col("_lts")).alias("ts_b"),
+        F.when(F.col("_lus") <= F.col("_pus"), F.col("_lts"))
+        .otherwise(F.col("_pts"))
+        .alias("contact_ts"),
+        F.col("_d").alias("dist_m"),
     )
 
 

@@ -1,5 +1,5 @@
 """Structured Streaming variant of the tiling pipeline."""
 
-from pygridmap_spark.streaming import pipeline
+from pygridmap_spark.streaming import contacts, pipeline
 
-__all__ = ["pipeline"]
+__all__ = ["contacts", "pipeline"]
