@@ -2799,6 +2799,76 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training prep (operators/tokenize.bpe_merge_steps):
+    3 merge steps over the top-200 term-frequency table of the documents
+    corpus (Sennrich get_stats weighting, greedy left-to-right merge as
+    ONE literal replace — identical non-overlapping scan semantics both
+    engines). The oracle restates all 3 ROUNDS in DuckDB: pair counts
+    from the framed-symbol encoding, argmax with the lexicographic
+    tie-break, the same literal rewrite."""
+    from pygridmap_spark.operators import tokenize as _TK
+
+    words = TS.term_frequencies(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), top_k=200
+    ).select("term", "tf")
+    out, _merges = _TK.bpe_merge_steps(words, 3, word_col="term", freq_col="tf")
+    return out.select(
+        F.col("term").alias("word"),
+        F.col("tf").alias("freq"),
+        F.array_join("symbols", " ").alias("sym_str"),
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    # k=3 rounds generated mechanically; S is the \x01 symbol frame.
+    from pygridmap_spark.operators.tokenize import SEP as S
+
+    rounds = []
+    for i in range(3):
+        rounds.append(f"""
+        sy{i} AS (
+            SELECT word, freq,
+                   string_split(trim(enc, '{S}'), '{S}{S}') AS syms, enc
+            FROM w{i}
+        ),
+        p{i} AS (
+            SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS cnt
+            FROM (SELECT freq,
+                         unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+                  FROM sy{i} WHERE len(syms) >= 2)
+            GROUP BY 1, 2
+        ),
+        b{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+        w{i + 1} AS (
+            SELECT word, freq,
+                   replace(enc, '{S}' || l || '{S}{S}' || r || '{S}',
+                           '{S}' || l || r || '{S}') AS enc
+            FROM sy{i}, b{i}
+        )""")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+                 unnest(ts) AS u(t)
+            WHERE t != ''
+        ),
+        top AS (
+            SELECT term, count(*) AS tf FROM toks GROUP BY term
+            ORDER BY tf DESC, term LIMIT 200
+        ),
+        w0 AS (
+            SELECT term AS word, tf AS freq,
+                   regexp_replace(term, '(.)', '{S}\\1{S}', 'g') AS enc
+            FROM top
+        ),{",".join(rounds)}
+        SELECT word, freq,
+               array_to_string(string_split(trim(enc, '{S}'), '{S}{S}'), ' ')
+                   AS sym_str
+        FROM w3
+    """
+
+
 def _q_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy quality scoring (operators/textstats.
     lm_xent_score — the CCNet-style filter), self-trained on the
@@ -4201,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequencies": _q_term_frequencies,
         "bm25_topk": _q_bm25_topk,
         "lm_xent_score": _q_lm_xent,
+        "bpe_merges": _q_bpe_merges,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "hdr_quantile_sketch": _q_hdr_quantile_sketch,
         "bloom_membership": _q_bloom_membership,
@@ -7620,6 +7691,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cp LEFT JOIN sk ON sk.word = cp.bit // 63
             GROUP BY 1, 2
         """,
+        "bpe_merges": _bpe_oracle_sql(),
         "lm_xent_score": f"""
             WITH toks AS (
                 SELECT doc_id, t AS term

@@ -137,6 +137,7 @@ HEADLINE = [
     "host_reciprocity",
     "crawl_schedule",
     "sitemap_entries",
+    "bpe_merges",
 ]
 
 
