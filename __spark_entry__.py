@@ -2841,10 +2841,14 @@ def _bpe_oracle_sql() -> str:
         ),
         b{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
         w{i + 1} AS (
+            -- LEFT JOIN ON true + CASE: an empty p{i} (no pair left)
+            -- must restate the operator's EARLY STOP (words unchanged),
+            -- not cross-join everything away to zero rows
             SELECT word, freq,
-                   replace(enc, '{S}' || l || '{S}{S}' || r || '{S}',
-                           '{S}' || l || r || '{S}') AS enc
-            FROM sy{i}, b{i}
+                   CASE WHEN l IS NULL THEN enc
+                        ELSE replace(enc, '{S}' || l || '{S}{S}' || r || '{S}',
+                                     '{S}' || l || r || '{S}') END AS enc
+            FROM sy{i} LEFT JOIN b{i} ON true
         )""")
     return f"""
         WITH toks AS (
@@ -4389,6 +4393,8 @@ _S2_ORACLE_CTE = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from pygridmap_spark.operators.robots import SITEMAP_BLOCK_PATTERN as _RB_SITEMAP_BLOCK
+
     score_cols, lang_case = _lang_scores_sql()
     _em, _ip, _ph = PI.EMAIL_PATTERN, PI.IPV4_PATTERN, PI.PHONE_PATTERN
     from pygridmap_spark.functions import urls as _U
@@ -7436,7 +7442,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(b2) AS BIGINT), md5(b2)
             FROM src
         """,
-        "sitemap_entries": """
+        "sitemap_entries": f"""
             WITH pages AS (
                 SELECT 'https://h' || CAST(doc_id AS VARCHAR) || '.ex/sitemap.xml' AS sitemap_url,
                        '<urlset><url><loc>https://h' || CAST(doc_id AS VARCHAR)
@@ -7456,7 +7462,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT sitemap_url, b AS blk
                 FROM (SELECT sitemap_url,
                              regexp_extract_all(xml,
-                                 '(?is)<(?:url|sitemap)\\b[^>]*>.*?</(?:url|sitemap)>', 0) AS bs
+                                 '{_RB_SITEMAP_BLOCK}', 0) AS bs
                       FROM pages),
                      unnest(bs) AS u(b)
             ),

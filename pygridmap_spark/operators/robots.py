@@ -160,6 +160,17 @@ def check_urls(
     )
 
 
+# Per-tag alternation ON PURPOSE: a single '<(url|sitemap)...</(url|sitemap)>'
+# pattern lets a <url> block missing its close tag be "closed" by a later
+# </sitemap>, silently merging entries; per-tag alternatives cannot
+# cross-close (alternatives start at distinct literals, so Java-regex and
+# RE2 leftmost-first semantics agree). The driver oracle interpolates THIS
+# constant — one definition, no drift.
+SITEMAP_BLOCK_PATTERN = (
+    r"(?is)<url\b[^>]*>.*?</url>|<sitemap\b[^>]*>.*?</sitemap>"
+)
+
+
 def parse_sitemaps(
     df: DataFrame,
     xml_col: str = "xml",
@@ -189,9 +200,7 @@ def parse_sitemaps(
     explode fan-out is bounded per row.
     """
     blocks = F.explode(
-        F.regexp_extract_all(
-            F.col(xml_col), F.lit(r"(?is)<(?:url|sitemap)\b[^>]*>.*?</(?:url|sitemap)>"), 0
-        )
+        F.regexp_extract_all(F.col(xml_col), F.lit(SITEMAP_BLOCK_PATTERN), 0)
     )
     b = F.col("__blk__")
     loc = F.nullif(

@@ -79,6 +79,16 @@ def bpe_merge_steps(
     localCheckpoint."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
+    # the reserved frame byte must not appear IN words — an interior
+    # \x01 would create phantom symbol boundaries and silently corrupt
+    # every pair count; fail loudly (one cheap limit-1 probe, next to
+    # the k argmax jobs this operator already runs)
+    if words.filter(F.col(word_col).contains(SEP)).limit(1).count() > 0:
+        raise ValueError(
+            "word table contains the reserved \\x01 symbol-frame byte; "
+            "normalize/filter words upstream (functions/text.normalized "
+            "never emits it)"
+        )
     enc = F.regexp_replace(F.col(word_col), "(.)", f"{SEP}$1{SEP}")
     cur = words.select(
         F.col(word_col), F.col(freq_col), enc.alias("__enc__")

@@ -161,3 +161,19 @@ def test_sitemap_index(spark):
     out = [r for r in parse_sitemaps(_smframe(spark)).collect() if r["is_index"]]
     assert {r["loc"] for r in out} == {"https://ex.com/s1.xml", "https://ex.com/s2.xml"}
     assert all(r["sitemap_url"] == "https://ex.com/index.xml" for r in out)
+
+
+def test_sitemap_missing_close_tag_does_not_cross_close(spark):
+    # a <url> missing </url> must NOT swallow the following <sitemap>
+    # entry via its </sitemap> close (per-tag alternation)
+    from pygridmap_spark.operators.robots import parse_sitemaps
+
+    xml = ("<urlset><url><loc>https://ex.com/a</loc>"
+           "<sitemap><loc>https://ex.com/child.xml</loc></sitemap></urlset>")
+    df = spark.createDataFrame([("s", xml)], "sitemap_url string, xml string")
+    out = parse_sitemaps(df).collect()
+    # the malformed <url> block is unrecoverable (no close tag) and drops;
+    # the well-formed child sitemap entry SURVIVES
+    assert {(r["loc"], r["is_index"]) for r in out} == {
+        ("https://ex.com/child.xml", True)
+    }

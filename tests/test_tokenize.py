@@ -87,3 +87,27 @@ def test_k_contract(spark):
         TK.bpe_merge_steps(_frame(spark), -1)
     out, merges = TK.bpe_merge_steps(_frame(spark), 0)
     assert merges == [] and out.count() == len(WORDS)
+
+
+def test_reserved_frame_byte_rejected(spark):
+    words = {"ok": 2, "bad\x01word": 1}
+    with pytest.raises(ValueError, match="reserved"):
+        TK.bpe_merge_steps(_frame(spark, words), 1)
+
+
+def test_oracle_generator_early_stop_preserves_words():
+    # single-char vocabulary: round 0 already has no pairs; the generated
+    # 3-round oracle must restate the operator's early stop (rows kept,
+    # symbols unchanged) instead of cross-joining everything to zero
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c a'), (2, 'b c')) t(doc_id, text)"
+    )
+    rows = con.execute(E.oracle_sql()["bpe_merges"]).fetchall()
+    got = {w: s for (w, _f, s) in rows}
+    assert got == {"a": "a", "b": "b", "c": "c"}
