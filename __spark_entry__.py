@@ -2156,6 +2156,26 @@ def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators/temporal.
+    rolling_zscore): each event's value against its trailing 16-event
+    per-user window. Every operand is an exact fixed-point integer and
+    the mean/var/z chain is division/multiply/sqrt only (no libm), so z
+    is BIT-IDENTICAL across engines — the anomaly flag can gate on the
+    raw z without a rounding layer. Oracle: identical window + HUGEINT
+    sums in DuckDB."""
+    from pygridmap_spark.operators.temporal import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_zscore(ev, 16, tie_col="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.floor(F.col("z") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("z"),
+        F.coalesce(F.abs(F.col("z")) >= F.lit(2.5), F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap intake (operators/robots.parse_sitemaps): per-doc synthetic
     sitemap XML (two <url> entries with lastmod/priority, an extra
@@ -4283,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allow": _q_robots_allow,
         "crawl_schedule": _q_crawl_schedule,
         "sitemap_entries": _q_sitemap_entries,
+        "value_anomaly": _q_value_anomaly,
         "warc_parse": _q_warc_parse,
         "event_bars": _q_event_bars,
         "snapshot_diff_docs": _q_snapshot_diff,
@@ -7441,6 +7462,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS BIGINT), 'metadata', u1,
                    CAST(length(b2) AS BIGINT), md5(b2)
             FROM src
+        """,
+        "value_anomaly": """
+            WITH c AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vfp
+                FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            s AS (
+                SELECT event_id, user_id, vfp,
+                       sum(CAST(vfp AS HUGEINT)) OVER w AS ws,
+                       sum(CAST(vfp AS HUGEINT) * CAST(vfp AS HUGEINT))
+                           OVER w AS wq,
+                       count(*) OVER w AS wc
+                FROM c
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+            ),
+            z AS (
+                SELECT event_id, user_id,
+                       CASE WHEN wc >= 16
+                             AND (CAST(wq AS DOUBLE)
+                                  - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE)
+                                    / CAST(wc AS DOUBLE)) / CAST(wc AS DOUBLE)
+                                 > 0.0
+                            THEN (CAST(vfp AS DOUBLE)
+                                  - CAST(ws AS DOUBLE) / CAST(wc AS DOUBLE))
+                                 / sqrt((CAST(wq AS DOUBLE)
+                                         - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE)
+                                           / CAST(wc AS DOUBLE))
+                                        / CAST(wc AS DOUBLE))
+                            END AS z
+                FROM s
+            )
+            SELECT event_id, user_id,
+                   floor(z * 1e6 + 0.5) / 1e6 AS z,
+                   coalesce(abs(z) >= 2.5, false) AS is_anomaly
+            FROM z
         """,
         "sitemap_entries": f"""
             WITH pages AS (

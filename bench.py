@@ -138,6 +138,7 @@ HEADLINE = [
     "crawl_schedule",
     "sitemap_entries",
     "bpe_merges",
+    "value_anomaly",
 ]
 
 

@@ -376,3 +376,78 @@ def time_weighted_avg(
         "span_us",
         F.when(F.col("span_us") > 0, twap).alias("twap"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    n: int,
+    value_col: str = "value",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+    min_periods: int | None = None,
+    scale: int = 1_000_000,
+    z_col: str = "z",
+) -> DataFrame:
+    """Per-entity rolling anomaly score: for each event, the z-score of
+    its value against the trailing ``n``-event window (itself included)
+    in (``ts_col``, ``tie_col``) order — the streaming-metrics outlier
+    primitive (spike/drop detection on request rates, purchase values,
+    sensor feeds).
+
+    Exact-arithmetic discipline (the twap/kde form): values pin to
+    fixed-point ``floor(v*scale + 0.5)`` int64 FIRST, window sum and
+    sum-of-squares accumulate as decimal(38,0) of those integers (exact,
+    order-free — a float window sum differs between engines), and mean /
+    variance / z are ONE pinned IEEE expression chain over the exact
+    operands: ``var = (ssq - s*s/c)/c``, ``z = (v - mean)/sqrt(var)``
+    (fixed-point units throughout — z is scale-invariant so the result
+    is in value units regardless). The textbook cancellation caveat on
+    that variance form affects accuracy, never cross-engine determinism
+    — both engines round the identical operations identically.
+
+    NULL/NaN values get NULL z AND are excluded from every window they
+    would otherwise pollute (the filter happens before the window).
+    Windows with fewer than ``min_periods`` events (default: ``n``) or
+    zero variance (constant window) yield NULL z. Overflow bound:
+    |v|*scale must fit int64 (|v| < 9.2e12 at the default scale).
+
+    One window exchange on the entity key — the same partitioning every
+    other per-entity temporal operator here reuses.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    mp = n if min_periods is None else int(min_periods)
+    if not 1 <= mp <= n:
+        raise ValueError(f"min_periods must be in [1, n], got {mp}")
+    v = F.col(value_col)
+    is_float = df.schema[value_col].dataType.typeName() in ("double", "float")
+    clean = df.filter(v.isNotNull() & ~F.isnan(v) if is_float else v.isNotNull())
+    vfp = F.floor(v.cast("double") * F.lit(float(scale)) + F.lit(0.5))
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), 0)
+    )
+    d38 = "decimal(38,0)"
+    base = clean.withColumn("__vfp__", vfp)
+    s = F.sum(F.col("__vfp__").cast(d38)).over(w)
+    ssq = F.sum(
+        (F.col("__vfp__").cast(d38) * F.col("__vfp__").cast(d38))
+    ).over(w)
+    c = F.count(F.lit(1)).over(w)
+    stats = base.withColumns(
+        {"__s__": s, "__q__": ssq, "__c__": c}
+    )
+    sd_ = F.col("__s__").cast("double")
+    qd = F.col("__q__").cast("double")
+    cd = F.col("__c__").cast("double")
+    mean = sd_ / cd
+    var = (qd - sd_ * sd_ / cd) / cd
+    z = (F.col("__vfp__").cast("double") - mean) / F.sqrt(var)
+    out = stats.withColumn(
+        z_col,
+        F.when((F.col("__c__") >= F.lit(mp)) & (var > F.lit(0.0)), z),
+    )
+    return out.drop("__vfp__", "__s__", "__q__", "__c__")

@@ -146,3 +146,66 @@ def test_twap_partitioning_independent(spark):
     b = sorted(map(tuple, time_weighted_avg(
         df.repartition(7), by=["user_id"], tie_col="event_id").collect()))
     assert a == b  # exact decimal accumulation: bit-identical
+
+
+# --- rolling z-score anomaly detection -------------------------------------
+
+
+def test_rolling_zscore_matches_python_twin(spark):
+    import math
+
+    from pygridmap_spark.operators.temporal import rolling_zscore
+
+    vals = [10.0, 11.0, 9.5, 10.2, 50.0, 10.1, 9.9, 10.0]
+    rows = [(1, i, f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).selectExpr("user_id", "event_id", "CAST(ts AS timestamp) ts", "value")
+    n = 4
+    out = {
+        r["event_id"]: r["z"]
+        for r in rolling_zscore(df, n, tie_col="event_id").collect()
+    }
+
+    def twin(i):
+        if i < n - 1:
+            return None
+        win = [math.floor(v * 1e6 + 0.5) for v in vals[i - n + 1 : i + 1]]
+        s, q, c = float(sum(win)), float(sum(x * x for x in win)), float(n)
+        mean = s / c
+        var = (q - s * s / c) / c
+        if var <= 0:
+            return None
+        return (win[-1] - mean) / math.sqrt(var)
+
+    for i in range(len(vals)):
+        if twin(i) is None:
+            assert out[i] is None, i
+        else:
+            assert out[i] == pytest.approx(twin(i), abs=1e-12), i
+    # the spike is a strong positive anomaly; the next window flags recovery
+    assert out[4] > 1.5
+
+
+def test_rolling_zscore_edges(spark):
+    from pygridmap_spark.operators.temporal import rolling_zscore
+
+    rows = [
+        (1, 0, "2024-01-01 00:00:00", 5.0),
+        (1, 1, "2024-01-01 00:01:00", 5.0),
+        (1, 2, "2024-01-01 00:02:00", 5.0),   # constant window -> NULL z
+        (2, 3, "2024-01-01 00:00:30", None),  # NULL value excluded
+        (2, 4, "2024-01-01 00:01:30", 1.0),
+        (2, 5, "2024-01-01 00:02:30", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).selectExpr("user_id", "event_id", "CAST(ts AS timestamp) ts", "value")
+    out = {r["event_id"]: r["z"] for r in rolling_zscore(df, 2, tie_col="event_id").collect()}
+    assert 3 not in out                      # NULL value row dropped
+    assert out[2] is None                    # zero variance
+    assert out[5] is not None                # the NULL row did not poison u2
+    with pytest.raises(ValueError, match="n must be"):
+        rolling_zscore(df, 1)
+    with pytest.raises(ValueError, match="min_periods"):
+        rolling_zscore(df, 4, min_periods=9)
