@@ -557,7 +557,10 @@ def _q_grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = HS.morans_i_cells(cells, z=6)
     return out.select(
         "n_cells",
-        "s0",
+        # double: the oracle's integer sum() comes back HUGEINT -> float64
+        # through pandas; the driver's typed hash needs the kinds to match
+        # (the three r5 hash-reds were exactly this, values bit-identical)
+        F.col("s0").cast("double").alias("s0"),
         _r6(F.col("morans_i")).alias("morans_i"),
         _r6(F.col("e_i")).alias("e_i"),
         _r6(F.col("z_i")).alias("z_i"),
@@ -592,8 +595,10 @@ def _q_cell_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ST.mann_kendall_trend(cube)
     return out.select(
         "cell_id",
-        "t_bins",
-        "s_stat",
+        # double x2: oracle integer sums materialize HUGEINT -> float64
+        # (the r5 hash-red root cause; values bit-identical)
+        F.col("t_bins").cast("double").alias("t_bins"),
+        F.col("s_stat").cast("double").alias("s_stat"),
         F.round(F.col("var_s"), 6).alias("var_s"),
         F.round(F.col("mk_z"), 6).alias("mk_z"),
     )
@@ -612,7 +617,9 @@ def _q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_ix",
         "cell_iy",
         "cell_id",
-        "t_bins",
+        # double: oracle integer sum materializes HUGEINT -> float64
+        # (the r5 hash-red root cause; values bit-identical)
+        F.col("t_bins").cast("double").alias("t_bins"),
         F.round(F.col("mk_z"), 6).alias("mk_z"),
         F.round(F.col("gi_last"), 6).alias("gi_last"),
         "trend",
@@ -4030,7 +4037,9 @@ def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id",
-        "seg_id",
+        # double: the oracle's window cumsum comes back HUGEINT -> float64
+        # through pandas; the driver's hash is dtype-sensitive (r5 lesson)
+        F.col("seg_id").cast("double").alias("seg_id"),
         "n_pings",
         F.unix_timestamp(F.col("t_start")).alias("t_start_epoch"),
         F.unix_timestamp(F.col("t_end")).alias("t_end_epoch"),

@@ -366,10 +366,24 @@ def time_weighted_avg(
         (F.max("__t__") - F.min("__t__")).alias("span_us"),
         num.alias("__num__"),
     )
-    twap = (
-        F.col("__num__").cast("double")
-        / (F.col("span_us").cast("double") * F.lit(float(value_scale)))
+    # int128-split double cast: C++ engines (DuckDB HUGEINT among them)
+    # convert a 128-bit accumulator to double as
+    #     double(num >> 64) * 2^64 + double(num & (2^64 - 1))
+    # which is NOT correctly rounded once |num| > 2^53 — while Spark's
+    # decimal->double cast IS. Past ~9e15 the two casts differ by 1 ulp on
+    # a fraction of groups (measured: 13/15 users at sf0.001), so the
+    # pinned-division contract must restate the split form. Both halves
+    # and both IEEE ops below are engine-identical: upper fits int64
+    # (|num| < 10^38 => |upper| < 5.5e18), lower is an exact 20-digit
+    # decimal, and *2^64 is a power-of-two scale (exact).
+    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(20,0))")  # 2^64
+    lower = F.pmod(F.col("__num__"), two64)
+    upper = (F.col("__num__") - lower) / two64
+    num_d = (
+        upper.cast("long").cast("double") * F.lit(float(2**64))
+        + lower.cast("double")
     )
+    twap = num_d / (F.col("span_us").cast("double") * F.lit(float(value_scale)))
     return out.select(
         *by,
         "n",

@@ -36,7 +36,24 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the kind the driver's type-sensitive hash
+    distinguishes: integer vs floating vs boolean vs everything-else."""
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    return "object"
+
+
 def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    """Driver-faithful compare: the external driver hash-matches TYPED
+    values (round-5 lesson: bit-identical ints vs DuckDB HUGEINT->float64
+    came back hash-red), so this gate asserts dtype-kind agreement per
+    column and BIT equality — no np.isclose tolerance."""
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     )
@@ -45,17 +62,26 @@ def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     for col in a.columns:
+        ka, kb = _dtype_kind(a[col]), _dtype_kind(b[col])
+        assert ka == kb, (
+            f"{name}.{col}: dtype kind {ka} ({a[col].dtype}) vs {kb} ({b[col].dtype})"
+            " — the driver's typed hash would fail"
+        )
         av, bv = a[col].to_numpy(), b[col].to_numpy()
-        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
-            np.asarray(bv).dtype, np.floating
-        ):
+        if ka == "float":
             av = np.asarray(av, dtype=np.float64)
             bv = np.asarray(bv, dtype=np.float64)
             both_nan = np.isnan(av) & np.isnan(bv)
-            close = np.isclose(av, bv, rtol=1e-9, atol=1e-9) | both_nan
-            assert close.all(), f"{name}.{col}: {av[~close][:5]} vs {bv[~close][:5]}"
+            eq = (av == bv) | both_nan
+            assert eq.all(), (
+                f"{name}.{col}: {len(av) - int(eq.sum())} bit-diffs, first "
+                f"{[(x, y) for x, y in zip(av[~eq][:5], bv[~eq][:5])]}"
+            )
         else:
             eq = av == bv
+            # object columns may hold None on one side, NaN on the other
+            if ka == "object":
+                eq = eq | (pd.isna(a[col]).to_numpy() & pd.isna(b[col]).to_numpy())
             assert eq.all(), f"{name}.{col}: {av[~eq][:5]} vs {bv[~eq][:5]}"
 
 
