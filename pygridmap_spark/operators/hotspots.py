@@ -59,16 +59,23 @@ def core_cells(
     ``(cell_ix, cell_iy, cell_id, n_points)`` with n_points >= min_points.
     One partially-aggregated shuffle over the facts; NULL cells (bad
     coordinates) are dropped."""
-    idx = CI.with_cell_index(points, z, lon=lon, lat=lat)
-    # filter on cell_ix, not cell_id: NULL under exactly the same guard,
-    # but the predicate-pushed copy of the condition stays a few clamp ops
-    # instead of the 64x-fanout Morton spread (which blows the fused
-    # stage past Janino's 64 KB method cap -> silent interpreted fallback)
+    ix, iy = CI.lonlat_to_cell_xy(F.col(lon), F.col(lat), z)
+    idx = points.withColumns({"cell_ix": ix, "cell_iy": iy})
+    # Morton AFTER the aggregation: cell_id is a pure function of the
+    # group key, so spreading bits on the <= 4^z cell rows instead of on
+    # every fact row removes the ~200-node Morton tree from the per-point
+    # path AND from the facts subtree the driver re-optimizes at every
+    # AQE stage boundary (measured: these statistics are driver-gap-bound
+    # at bench scale — see OPTIMIZATION_r06.md). The filter stays on
+    # cell_ix (NULL under the same guard, and the predicate-pushed copy
+    # is a few clamp ops, not the 64x-fanout spread).
     return (
         idx.filter(F.col("cell_ix").isNotNull())
-        .groupBy("cell_ix", "cell_iy", "cell_id")
+        .groupBy("cell_ix", "cell_iy")
         .agg(F.count(F.lit(1)).alias("n_points"))
         .filter(F.col("n_points") >= F.lit(min_points))
+        .withColumn("cell_id", CI.morton(F.col("cell_ix"), F.col("cell_iy")))
+        .select("cell_ix", "cell_iy", "cell_id", "n_points")
     )
 
 
@@ -164,27 +171,67 @@ def hotspot_stats(
     )
 
 
-def _neighbor_gather(cells: DataFrame, z: int, value: str, keys: list) -> DataFrame:
+def _scatter_gather(cells: DataFrame, z: int, value: str, keys: list) -> DataFrame:
     """Shared 8-neighbor gather for the autocorrelation statistics: for
     each occupied cell, the sum of ``value`` over its OCCUPIED neighbors
-    and the occupied-neighbor count (binary weights, no self). One explode
-    (x8) + one equi-join + one partial agg, all on the bounded cell frame
-    — the facts never reshuffle. East/west wraps the antimeridian; a step
-    past a pole has no cell (the geohash_neighbors contract)."""
-    nbr_vals = cells.select(
+    and the occupied-neighbor count (binary weights, no self).
+
+    Round-6 shape: SCATTER-by-union instead of probe-join — every cell
+    UNIONs one self row with 8 contribution rows addressed at its
+    neighbors' (ix, iy), and ONE partially-aggregated groupBy folds them;
+    groups without a self row are unoccupied scatter targets and drop.
+    Equivalent to the old explode+equi-join+agg (neighbor contributions
+    only ever come from occupied cells) but costs one exchange and ZERO
+    join/broadcast stages — at bench scale each extra stage is a fixed
+    codegen+serialize fee that dominated these statistics (measured,
+    OPTIMIZATION_r06.md), and at lake scale one exchange of 9x the
+    bounded cell frame strictly beats an exchange plus a broadcast build
+    of the same frame. East/west wraps the antimeridian; a step past a
+    pole has no cell (the geohash_neighbors contract).
+
+    Returns one row per occupied cell: (*keys, cell_ix, cell_iy,
+    value, __nbr_sum__, __nbr_cnt__) — the latter two NULL (not 0) when
+    the cell has no occupied neighbor, matching the old left-join
+    semantics. ``value`` must be non-null (cell counts always are)."""
+    n = 1 << z
+    x = F.col(value)
+    self_rows = cells.select(
         *keys,
-        F.col("cell_ix").alias("nix"),
-        F.col("cell_iy").alias("niy"),
-        F.col(value).alias("__nx__"),
+        "cell_ix",
+        "cell_iy",
+        x.alias("__v__"),
+        F.lit(1).alias("__self__"),
     )
-    return (
-        _neighbor_probes(cells, z, extra=tuple(keys))
-        .join(nbr_vals, keys + ["nix", "niy"])
-        .groupBy(*keys, "cell_id")
-        .agg(
-            F.sum("__nx__").alias("__nbr_sum__"),
-            F.count(F.lit(1)).alias("__nbr_cnt__"),
+    probes = F.array(
+        *[
+            F.struct(
+                ((F.col("cell_ix") + F.lit(dx + n)) % F.lit(n)).alias("nix"),
+                (F.col("cell_iy") + F.lit(dy)).alias("niy"),
+            )
+            for dx, dy in NEIGHBOR_OFFSETS
+        ]
+    )
+    nbr_rows = (
+        cells.select(*keys, x.alias("__v__"), F.explode(probes).alias("__p__"))
+        .select(
+            *keys,
+            F.col("__p__.nix").alias("cell_ix"),
+            F.col("__p__.niy").alias("cell_iy"),
+            "__v__",
+            F.lit(0).alias("__self__"),
         )
+        .filter((F.col("cell_iy") >= 0) & (F.col("cell_iy") < F.lit(n)))
+    )
+    is_self = F.col("__self__") == 1
+    return (
+        self_rows.unionByName(nbr_rows)
+        .groupBy(*keys, "cell_ix", "cell_iy")
+        .agg(
+            F.max(F.when(is_self, F.col("__v__"))).alias(value),
+            F.sum(F.when(~is_self, F.col("__v__"))).alias("__nbr_sum__"),
+            F.sum(F.when(~is_self, F.lit(1))).alias("__nbr_cnt__"),
+        )
+        .filter(F.col(value).isNotNull())
     )
 
 
@@ -222,10 +269,8 @@ def morans_i_cells(
     """
     keys = [by] if by else []
     x = F.col(value).cast("long")
-    base = cells.select(*keys, "cell_ix", "cell_iy", "cell_id", x.alias("__x__"))
-    g = base.join(
-        _neighbor_gather(base, z, "__x__", keys), keys + ["cell_id"], "left"
-    ).select(
+    base = cells.select(*keys, "cell_ix", "cell_iy", x.alias("__x__"))
+    g = _scatter_gather(base, z, "__x__", keys).select(
         *keys,
         "__x__",
         F.coalesce(F.col("__nbr_sum__"), F.lit(0)).alias("__ns__"),
@@ -287,16 +332,13 @@ def local_morans_cells(
     ``(cell_ix, cell_iy, cell_id, value, w_i, lisa_i, quadrant)``.
     """
     x = F.col(value).cast("long")
-    base = cells.select("cell_ix", "cell_iy", "cell_id", x.alias("__x__"))
+    base = cells.select("cell_ix", "cell_iy", x.alias("__x__"))
     glob = base.agg(
         F.count(F.lit(1)).alias("__n__"),
         F.sum("__x__").alias("__sx__"),
         F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"),
     )
-    j = (
-        base.join(_neighbor_gather(base, z, "__x__", []), ["cell_id"], "left")
-        .crossJoin(F.broadcast(glob))
-    )
+    j = _scatter_gather(base, z, "__x__", []).crossJoin(F.broadcast(glob))
     n = F.col("__n__").cast("double")
     xbar = F.col("__sx__").cast("double") / n
     m2 = F.col("__sxx__").cast("double") / n - xbar * xbar
@@ -318,7 +360,9 @@ def local_morans_cells(
     return j.select(
         "cell_ix",
         "cell_iy",
-        "cell_id",
+        # Morton from the (bounded) gathered frame — cell_id is a pure
+        # function of (ix, iy), so the spread runs on cells, not facts
+        CI.morton(F.col("cell_ix"), F.col("cell_iy")).alias("cell_id"),
         F.col("__x__").alias(value),
         F.coalesce(F.col("__nbr_cnt__"), F.lit(0)).alias("w_i"),
         lisa.alias("lisa_i"),
@@ -368,30 +412,15 @@ def gi_star_cells(
     """
     keys = [by] if by else []
     x = F.col(value).cast("long")
-    base = cells.select(*keys, "cell_ix", "cell_iy", "cell_id", x.alias("__x__"))
+    base = cells.select(*keys, "cell_ix", "cell_iy", x.alias("__x__"))
     aggs = [
         F.count(F.lit(1)).alias("__n__"),
         F.sum("__x__").alias("__sx__"),
         F.sum(F.col("__x__") * F.col("__x__")).alias("__sxx__"),
     ]
     glob = base.groupBy(*keys).agg(*aggs) if keys else base.agg(*aggs)
-    nbr_vals = base.select(
-        *keys,
-        F.col("cell_ix").alias("nix"),
-        F.col("cell_iy").alias("niy"),
-        F.col("__x__").alias("__nx__"),
-    )
-    gathered = (
-        _neighbor_probes(base, z, extra=tuple(keys))
-        .join(nbr_vals, keys + ["nix", "niy"])
-        .groupBy(*keys, "cell_id")
-        .agg(
-            F.sum("__nx__").alias("__nbr_sum__"),
-            F.count(F.lit(1)).alias("__nbr_cnt__"),
-        )
-    )
     j = (
-        base.join(gathered, keys + ["cell_id"], "left")
+        _scatter_gather(base, z, "__x__", keys)
         .withColumn("__nbr_sum__", F.coalesce(F.col("__nbr_sum__"), F.lit(0)))
         .withColumn("__nbr_cnt__", F.coalesce(F.col("__nbr_cnt__"), F.lit(0)))
     )
@@ -408,7 +437,8 @@ def gi_star_cells(
         *keys,
         "cell_ix",
         "cell_iy",
-        "cell_id",
+        # Morton on the bounded cell frame (pure function of the group key)
+        CI.morton(F.col("cell_ix"), F.col("cell_iy")).alias("cell_id"),
         F.col("__x__").alias(value),
         (F.lit(1) + F.col("__nbr_cnt__")).alias("w_i"),
         gi.alias("gi_z"),

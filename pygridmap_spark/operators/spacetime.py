@@ -50,14 +50,20 @@ def space_time_cube(
     epoch-aligned, engine-portable). One partially aggregated shuffle;
     rows with NULL/NaN coordinates or NULL timestamps drop (same contract
     as ``core_cells``)."""
-    idx = CI.with_cell_index(points, z, lon=lon, lat=lat)
+    ix, iy = CI.lonlat_to_cell_xy(F.col(lon), F.col(lat), z)
+    idx = points.withColumns({"cell_ix": ix, "cell_iy": iy})
     t_bin = F.floor(
         F.unix_timestamp(F.col(ts)) / F.lit(int(bin_seconds))
     ).cast("long")
+    # Morton AFTER the aggregation — cell_id is a function of the group
+    # key, so it belongs on the |cells x bins| cube rows, not on every
+    # fact row (same rationale as hotspots.core_cells)
     return (
         idx.filter(F.col("cell_ix").isNotNull() & F.col(ts).isNotNull())
-        .groupBy("cell_ix", "cell_iy", "cell_id", t_bin.alias("t_bin"))
+        .groupBy("cell_ix", "cell_iy", t_bin.alias("t_bin"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cell_id", CI.morton(F.col("cell_ix"), F.col("cell_iy")))
+        .select("cell_ix", "cell_iy", "cell_id", "t_bin", "n")
     )
 
 
@@ -197,9 +203,14 @@ def emerging_hotspots(
     # cube feeds the per-bin Gi* three ways (moments, neighbor gather,
     # base) and gi feeds MK pairs + ties + the last slice — materialize
     # once instead of re-running the facts pass per consumer
+    # zero_fill_cube already materializes the raw cube under the fill join
+    # (the facts pass runs once); re-checkpointing the FILLED frame was a
+    # second eager job for no recompute protection — the fill is one cheap
+    # broadcast cross of two bounded dims per consumer (measured equal
+    # without it, one job fewer)
     cube = zero_fill_cube(
         space_time_cube(points, z, ts=ts, bin_seconds=bin_seconds, lon=lon, lat=lat)
-    ).localCheckpoint(eager=True)
+    )
     gi = HS.gi_star_cells(cube, z, value="n", by="t_bin").localCheckpoint(eager=True)
     trend = mann_kendall_trend(gi, cell="cell_id", t="t_bin", x="gi_z")
     last_bin = gi.agg(F.max("t_bin").alias("__lb__"))

@@ -423,8 +423,24 @@ def contact_events(
         )
     window_us = int(round(float(window_s) * 1_000_000))
 
+    src = pings
+    if not pings.isStreaming:
+        # Scale-adaptive widening (guide §2.2): everything below — the S2
+        # face/ij trig chain, the Arrow probe kernel, the broadcast build —
+        # runs BEFORE the first exchange, so a narrow input (one parquet
+        # row group at bench scale) serializes it onto one core (measured:
+        # 4.8 of 6.9 s in a single-task broadcast-build stage at sf0.1).
+        # Widen only when the scan is narrower than the session
+        # parallelism; a lake-scale pings table already has more splits
+        # than cores and this is a no-op. Streaming sources keep their
+        # micro-batch partitioning (repartition would break the
+        # stream-stream state contract's even pacing for no gain).
+        n_in = pings.rdd.getNumPartitions()
+        p = pings.sparkSession.sparkContext.defaultParallelism
+        if n_in < p:
+            src = pings.repartition(p)
     base = S2.with_s2_face_ij(
-        pings.select(
+        src.select(
             F.col(ping_id).alias("__pid__"),
             F.col(entity_col).alias("__ent__"),
             F.col(ts_col).alias("__ts__"),
