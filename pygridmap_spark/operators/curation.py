@@ -926,11 +926,12 @@ def duplicate_span_removal(
     (8-byte hash, id, int position) rows only. The per-document flagged
     start list is doc-length-bounded, and the final mark-back is ONE
     id-keyed join of the token frame — the corpus rides exactly one
-    exchange, same as line_dedup's shuffle twin. The token rewrite is a
-    per-row higher-order filter (position-indexed lambda over the
-    already-materialized token attribute; the starts list lives below
-    the join so projection collapse cannot re-inline the tokenizer into
-    the per-element lambda). Unlike line_dedup there is NO broadcast
+    exchange, same as line_dedup's shuffle twin. The token rewrite merges
+    the sorted flagged starts into disjoint removed intervals and emits
+    the kept tokens as the complement slices — O(starts + tokens) per
+    row (the starts list lives below the join so projection collapse
+    cannot re-inline the tokenizer into the per-element lambdas). Unlike
+    line_dedup there is NO broadcast
     variant: at ``min_docs=2`` the duplicated-gram set is corpus-sized
     (it is the dedup signal itself, not a small boilerplate set), so
     the shuffle mark-back IS the lake-scale plan."""
@@ -959,7 +960,7 @@ def duplicate_span_removal(
         starts = (
             grams.join(dup.select("__gh__"), "__gh__", "leftsemi")
             .groupBy(id_col)
-            .agg(F.collect_list("__s0__").alias("__starts__"))
+            .agg(F.sort_array(F.collect_list("__s0__")).alias("__starts__"))
         )
         joined = base.join(starts, id_col, "left").select(
             F.col(id_col),
@@ -968,12 +969,44 @@ def duplicate_span_removal(
                 "__starts__"
             ),
         )
-        kept = F.filter(
-            F.col("__toks__"),
-            lambda tok, i: ~F.exists(
-                F.col("__starts__"),
-                lambda s: (i >= s) & (i < s + F.lit(n)),
+        # Mark-back as interval merge: the old form filtered every token
+        # through exists() over the whole flagged-start list — O(tokens x
+        # starts) per row, quadratic on a document that is mostly
+        # duplicated spans (the exact ExactSubstr target). Instead, merge
+        # the SORTED starts into disjoint removed intervals (a start opens
+        # a new interval iff it lies more than n past its predecessor;
+        # overlapping/adjacent spans fuse) and emit the kept tokens as the
+        # complement slices — O(starts + tokens) per row. F.get (not
+        # element_at) so the out-of-range neighbor probes yield NULL
+        # instead of throwing under ANSI mode; __starts__ is a join-output
+        # attribute, so the per-element get() is an O(1) array access, not
+        # a re-evaluated subexpression (CLAUDE.md HOF rule).
+        ss = F.col("__starts__")
+        big = F.lit(2_147_483_647)
+        n_lit = F.lit(n)
+        ivl_los = F.filter(
+            F.transform(
+                ss, lambda s, i: F.when(F.coalesce(s - F.get(ss, i - 1), big) > n_lit, s)
             ),
+            lambda x: x.isNotNull(),
+        )
+        ivl_his = F.filter(
+            F.transform(
+                ss,
+                lambda s, i: F.when(
+                    F.coalesce(F.get(ss, i + 1) - s, big) > n_lit, s + n_lit
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        gap_lo = F.concat(F.array(F.lit(0)), ivl_his)
+        gap_hi = F.concat(ivl_los, F.array(F.size("__toks__")))
+        kept = F.flatten(
+            F.zip_with(
+                gap_lo,
+                gap_hi,
+                lambda a, b: F.slice(F.col("__toks__"), a + F.lit(1), b - a),
+            )
         )
         out = joined.withColumn("__kept__", kept).select(
             F.col(id_col),

@@ -447,6 +447,81 @@ class TestDuplicateSpanRemoval:
         assert out[1].n_removed == 0 and out[1].text_clean == "tiny doc"
         assert out[2].n_tokens == 1 and out[2].text_clean == ""
 
+    def test_interval_merge_matches_brute_force(self, spark):
+        # r6 mark-back rewrite (sorted starts -> merged disjoint intervals
+        # -> complement slices): pin it against a token-level brute force
+        # on a fixture that exercises every interval shape — an interval
+        # at position 0, multiple disjoint intervals with gaps, ADJACENT
+        # intervals fusing (start == prev + n), and an interval running to
+        # the document end.
+        shared_a = "alpha beta gamma delta epsilon"          # 5 tokens: one gram
+        shared_b = "omega psi chi phi upsilon"               # 5 tokens: one gram
+        docs = [
+            # doc 1: [shared_a][shared_b] adjacent (fused interval 0..10),
+            # gap, then shared_a again mid-doc, unique tail
+            (1, f"{shared_a} {shared_b} filler one two {shared_a} tail words"),
+            # doc 2: unique head, shared_b, unique middle, shared_a at END
+            (2, f"head words here {shared_b} middle bit {shared_a}"),
+            (3, f"{shared_a} {shared_b} carrier document pads the threshold"),
+            (4, "wholly unrelated content with no overlap at all present"),
+        ]
+        n = 5
+        toks = {d: t.split() for d, t in docs}
+        from collections import defaultdict
+        gram_docs = defaultdict(set)
+        for d, tl in toks.items():
+            for s in range(len(tl) - n + 1):
+                gram_docs[tuple(tl[s : s + n])].add(d)
+        expect = {}
+        for d, tl in toks.items():
+            removed = set()
+            for s in range(len(tl) - n + 1):
+                if len(gram_docs[tuple(tl[s : s + n])]) >= 2:
+                    removed.update(range(s, s + n))
+            kept = [t for i, t in enumerate(tl) if i not in removed]
+            expect[d] = (len(tl), len(removed), " ".join(kept))
+        out = self._run(spark, docs, ngram_n=n, min_docs=2)
+        for d in toks:
+            assert (out[d].n_tokens, out[d].n_removed, out[d].text_clean) == expect[d], d
+
+    def test_mostly_duplicated_long_doc_volume(self, spark):
+        # adversarial ExactSubstr shape: long docs that are ~90% duplicated
+        # spans. The old per-token exists() mark-back was O(tokens x starts)
+        # per row (measured 19 s for 400 such docs); the interval merge is
+        # linear and must chew through this without blowing up.
+        from pyspark.sql import functions as F
+
+        base = "shared span block alpha beta gamma delta epsilon zeta"
+        adv = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(400)),
+                        lambda i: F.array(
+                            F.concat_ws(" ", F.lit(base), F.pmod(i, 37).cast("string")),
+                            F.concat(
+                                F.lit("unique"),
+                                F.col("id").cast("string"),
+                                F.lit("x"),
+                                i.cast("string"),
+                            ),
+                        ),
+                    )
+                ),
+            ).alias("text"),
+        )
+        out = CU.duplicate_span_removal(adv, ngram_n=5, min_docs=2).collect()
+        assert len(out) == 40
+        for r in out:
+            # every doc: 400 x (10-token shared block + 1 unique token)
+            assert r.n_tokens == 4400
+            # the shared blocks and their mod-37 suffixes repeat across all
+            # docs; only the doc-unique filler tokens can survive
+            assert r.n_removed >= 4000
+            assert all(w.startswith("unique") for w in r.text_clean.split())
+
     def test_boundary_grams_do_not_bleed(self, spark):
         # shared prefix, doc-specific continuations: only tokens covered
         # by a FULLY-shared 5-gram go; the boundary grams (prefix tail +
