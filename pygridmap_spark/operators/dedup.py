@@ -646,11 +646,14 @@ def shingle_containment_pairs(
     the driver oracle (the identical shingle pipeline on strings in
     DuckDB) hash-gates the doubles.
 
-    Scale shape — the inverted-index join, not all-pairs: distinct
-    (doc, shingle-hash) postings (shingles ride every exchange as
-    8-byte xxhash64 values, never strings; overlap over hashes equals
-    overlap over strings up to 64-bit collisions, the minhash
-    contract); per-doc sizes fall out of one partial-aggregated count;
+    Scale shape — the inverted-index join, not all-pairs: per-doc
+    DISTINCT shingle-hash arrays built in-row (array_distinct — a
+    shingle set is distinct within its document by definition, so no
+    corpus-wide distinct Exchange exists; shingles ride every exchange
+    as 8-byte xxhash64 values, never strings; overlap over hashes
+    equals overlap over strings up to 64-bit collisions, the minhash
+    contract); per-doc sizes are F.size of the same array (no
+    aggregation pass);
     the postings self-join shuffles on the shingle hash, and its
     fan-out is sum_s C(freq(s), 2) — bounded by capping boilerplate
     shingles with ``max_shingle_freq`` (the same broadcast anti-join
@@ -660,24 +663,29 @@ def shingle_containment_pairs(
     exchange; the two size attachments are id-keyed joins of
     doc-bounded frames.
 
-    The postings frame feeds FOUR consumers (sizes, the cap count,
-    both self-join sides), so it is persisted and the result is
-    eagerly materialized (``localCheckpoint``) before the cache is
-    released — the minhash_lsh_pairs discipline; without it the
-    shingle explode+distinct subtree re-executes once per consumer
-    (measured: 26-exchange plan collapses to a single postings
-    exchange reused)."""
-    postings = (
-        df.select(
-            F.col(id_col),
-            F.explode(TX.word_shingles(F.col(text_col), shingle_n)).alias("__s__"),
-        )
-        .select(F.col(id_col), F.xxhash64("__s__").alias("__sh__"))
-        .distinct()
-        .persist()
-    )
+    The per-doc array frame feeds FOUR consumers (sizes, the cap
+    count, both self-join sides), so it is persisted — the explode per
+    consumer is a cheap cache read, the shingle regexp+hash chain runs
+    once — and the result is eagerly materialized (``localCheckpoint``)
+    before the cache is released, the minhash_lsh_pairs discipline."""
+    # Per-doc DISTINCT shingle-hash arrays computed in-row: a shingle set
+    # is distinct within its document by definition, so the former global
+    # ``.distinct()`` — a full corpus Exchange plus two-phase aggregate —
+    # is equivalent to one array_distinct per row, and the per-doc sizes
+    # fall out as F.size of the same array instead of a second
+    # corpus-wide groupBy pass (guide §2.4: remove shuffles outright).
+    per_doc = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                TX.word_shingles(F.col(text_col), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("__hs__"),
+    ).persist()
+    postings = per_doc.select(F.col(id_col), F.explode("__hs__").alias("__sh__"))
     try:
-        sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+        sizes = per_doc.select(F.col(id_col), F.size("__hs__").alias("__n__"))
         capped = postings
         if max_shingle_freq:
             capped = _drop_wide_buckets(
@@ -724,4 +732,4 @@ def shingle_containment_pairs(
             .localCheckpoint(eager=True)
         )
     finally:
-        postings.unpersist()
+        per_doc.unpersist()
