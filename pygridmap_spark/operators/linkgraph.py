@@ -150,10 +150,14 @@ def hits_int(
     scale; lower ``scale`` for heavier graphs).
 
     Scale shape: the edge frame is projected once, repartitioned on src
-    and persisted; each iteration shuffles ONLY (host, score) frames —
-    two partial-aggregated sums + two broadcast 1-row totals — and
-    localCheckpoints both halves to keep the plan flat (the
-    iterative-loop discipline from connected_components / pagerank_int).
+    and persisted; each iteration shuffles ONLY sparse (host, score)
+    frames — two partial-aggregated sums, each localCheckpointed to
+    keep the plan flat (the iterative-loop discipline from
+    connected_components / pagerank_int) with its 1-row total read from
+    the checkpoint and inlined as a literal. Hosts with no incoming
+    contribution stay ABSENT through the loop (absent == score 0 for
+    every consumer, all inner joins); the dense zero fill happens once,
+    on the final output.
     """
     e = edges.select(
         F.col(src_col).alias("__src__"),
@@ -168,21 +172,26 @@ def hits_int(
     )
 
     def _norm(raw: DataFrame, out: str) -> DataFrame:
-        filled = nodes.join(raw, "host", "left").select(
+        # Normalize over the SPARSE raw frame: a host with no incoming
+        # contribution normalizes to 0 * scale DIV t = 0, exactly what
+        # the former dense fill produced, and every downstream consumer
+        # is an inner join against the edge table, which treats an
+        # absent host and a 0 score identically — so the per-half-step
+        # nodes fill join, the 1-row broadcast build and the crossJoin
+        # all drop out of the loop (guide §2.4); the dense fill happens
+        # once, on the final output. The total is the same int64 sum
+        # (absent hosts contribute 0 to it), collected as a 1-row
+        # scalar and inlined as a literal; the checkpoint keeps the
+        # iterative plan flat and is also what the total is read from.
+        raw_cp = raw.localCheckpoint(eager=True)
+        row = raw_cp.agg(F.sum("__r__").alias("__t__")).first()
+        total = max(int(row["__t__"] or 0), 1)
+        return raw_cp.select(
             "host",
-            F.coalesce(F.col("__r__"), F.lit(0).cast("long")).alias("__x__"),
-        )
-        total = filled.agg(F.sum("__x__").alias("__t__"))
-        return (
-            filled.crossJoin(F.broadcast(total))
-            .select(
-                "host",
-                F.expr(
-                    f"(__x__ * CAST({scale} AS BIGINT))"
-                    " DIV greatest(__t__, CAST(1 AS BIGINT))"
-                ).cast("long").alias(out),
-            )
-            .localCheckpoint(eager=True)
+            F.expr(
+                f"(__r__ * CAST({scale} AS BIGINT))"
+                f" DIV CAST({total} AS BIGINT)"
+            ).cast("long").alias(out),
         )
 
     hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
@@ -209,7 +218,17 @@ def hits_int(
                 .agg(F.sum("__c__").alias("__r__"))
             )
             hub = _norm(hraw, "hub")
-        return hub.join(auth, "host")
+        return (
+            nodes.join(hub, "host", "left")
+            .join(auth, "host", "left")
+            .select(
+                "host",
+                F.coalesce("hub", F.lit(0).cast("long")).alias("hub"),
+                F.coalesce("auth", F.lit(0).cast("long")).alias("auth"),
+            )
+            # materialize before the finally releases the nodes/e caches
+            .localCheckpoint(eager=True)
+        )
     finally:
         e.unpersist()
         nodes.unpersist()
