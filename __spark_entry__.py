@@ -2342,7 +2342,13 @@ def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygridmap_spark.operators import sketches as _SK
 
     depth, width = 4, 2048
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-split local scan would serialize the explode + md5 probe
+    # chain onto one core (lake-scale scans have thousands of splits)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = docs.select(
         "doc_id",
         F.explode(TX.tokens(TX.normalized(F.col("text")))).alias("term"),
@@ -2372,7 +2378,13 @@ def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygridmap_spark.operators import sketches as _SK
 
     words, k = 256, 4
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-split local scan would serialize the explode + md5 probe
+    # chain onto one core (lake-scale scans have thousands of splits)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = docs.select(
         "doc_id",
         F.explode(TX.tokens(TX.normalized(F.col("text")))).alias("term"),
