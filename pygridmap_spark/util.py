@@ -126,6 +126,13 @@ def _restore_keys(batch, keys: list[str], gv: list[str], gn: list[str]):
     return batch.drop(columns=gv + gn)
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """The session's configured shuffle parallelism — what the grouped
+    exchanges would use with AQE coalescing off. Conf-derived (the value
+    a cluster deployment tunes), never a local-mode constant."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def grouped_rows_sorted(df: DataFrame, keys: list[str], row_fn, schema: str) -> DataFrame:
     """Grouped one-row-per-group reduce with per-BATCH (not per-group)
     Arrow overhead — the scale path for ``groupBy(keys).applyInPandas``
@@ -183,7 +190,15 @@ def grouped_rows_sorted(df: DataFrame, keys: list[str], row_fn, schema: str) -> 
             row = row_fn(carry.drop(columns=gv + gn))
             yield pd.DataFrame({f: [row[f]] for f in fields})
 
-    part = proj.repartition(*[F.col(c) for c in gv + gn]).sortWithinPartitions(*gv, *gn)
+    # Explicit partition count (the session's configured shuffle
+    # parallelism): without it AQE's byte-based coalescing collapses a
+    # small-BYTES exchange to one partition and serializes the Python
+    # kernel — these helpers exist precisely for frames whose cost is
+    # per-row kernel compute, which bytes do not proxy. The pinned count
+    # comes from conf (cluster-tuned), not a local constant.
+    part = proj.repartition(
+        _shuffle_partitions(df), *[F.col(c) for c in gv + gn]
+    ).sortWithinPartitions(*gv, *gn)
     return part.mapInPandas(_run, schema)
 
 
@@ -243,7 +258,9 @@ def grouped_frames_sorted(
             if sub is not None and len(sub):
                 yield sub[fields].reset_index(drop=True)
 
-    part = proj.repartition(*[F.col(c) for c in gv + gn]).sortWithinPartitions(
-        *gv, *gn, *order_cols
-    )
+    # see grouped_rows_sorted: explicit conf-derived count so AQE's
+    # byte-based coalescing cannot serialize the per-row Python kernel
+    part = proj.repartition(
+        _shuffle_partitions(df), *[F.col(c) for c in gv + gn]
+    ).sortWithinPartitions(*gv, *gn, *order_cols)
     return part.mapInPandas(_run, schema)
