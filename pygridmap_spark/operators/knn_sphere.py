@@ -194,7 +194,11 @@ def _knn_s2_inner(p, q_all, k, level, n, point_id, query_id, max_radius):
         satisfied_parts.append(
             pending.filter(F.col("_cnt") >= k).drop("_cnt").withColumn("_r", F.lit(r))
         )
-        pending = pending.filter(F.col("_cnt") < k).localCheckpoint(eager=True)
+        # a plain filter over the frame checkpointed above: lineage is
+        # already flat, so a second eager materialization per round was
+        # one pure job fee per ring (dropped r6; the isEmpty probe and
+        # the next round's explode read the checkpoint through it)
+        pending = pending.filter(F.col("_cnt") < k)
         if pending.isEmpty():
             pending = None
             break
