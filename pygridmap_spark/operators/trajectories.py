@@ -463,6 +463,12 @@ def contact_events(
     # never casts NaN cell columns to int64 (executor RuntimeWarnings +
     # ~9 junk probe rows per bad ping riding the exchange for nothing)
     base = base.filter(F.col("_c_i").isNotNull())
+    if not pings.isStreaming:
+        # both self-join sides derive from base: materialize it once so
+        # the scan -> widen -> S2 face/ij trig chain doesn't execute per
+        # side (a streaming source stays lazy — checkpointing would break
+        # the micro-batch contract; its sides must recompute anyway)
+        base = base.localCheckpoint(eager=True)
 
     left = base.select(
         F.col("__pid__").alias("_lid"),
