@@ -400,8 +400,17 @@ def zones_intersect_s2(
         # once (same reasoning + measurement as point_in_polygon_s2)
         return cov.localCheckpoint(eager=True)
 
-    covl = _cover(left, lkey, "__int_l__", left_cover)
-    covr = _cover(right, rkey, "__int_r__", right_cover)
+    # the two cover builds are independent eager jobs (each ends in a
+    # localCheckpoint): submit them concurrently so the second layer's
+    # build back-fills executors freed by the first's stragglers
+    # (guide §2.6 overlap-independent-jobs); precomputed covers return
+    # instantly through the same path
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fl = _pool.submit(_cover, left, lkey, "__int_l__", left_cover)
+        _fr = _pool.submit(_cover, right, rkey, "__int_r__", right_cover)
+        covl, covr = _fl.result(), _fr.result()
     cells = [f"{_P}face", f"{_P}i", f"{_P}j"]
 
     def _rep(cov: DataFrame, key: str, flag: str, tag: str) -> DataFrame:
