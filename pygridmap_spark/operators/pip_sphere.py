@@ -183,10 +183,21 @@ def region_filter(
         raise ValueError(
             f"points already has a {poly_key!r} column; rename one side"
         )
-    cov = S2.covering(
-        polygons, max_cells=max_cells, max_level=max_level,
-        wkb_col=wkb_col, id_col=poly_key, prefix=_P,
-    ).collect()
+    # two independent dimension-sized collects (covering compile + region
+    # WKB) off the same polygons frame: submit both concurrently so the
+    # second job's stages back-fill the first's tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_cov = _pool.submit(
+            lambda: S2.covering(
+                polygons, max_cells=max_cells, max_level=max_level,
+                wkb_col=wkb_col, id_col=poly_key, prefix=_P,
+            ).collect()
+        )
+        _f_geo = _pool.submit(polygons.select(poly_key, wkb_col).collect)
+        cov = _f_cov.result()
+        _geo_rows = _f_geo.result()
     if len(cov) > max_ranges:
         raise ValueError(
             f"covering has {len(cov)} ranges (> max_ranges={max_ranges}): "
@@ -195,7 +206,7 @@ def region_filter(
         )
     geoms = {
         r[poly_key]: bytes(r[wkb_col])
-        for r in polygons.select(poly_key, wkb_col).collect()
+        for r in _geo_rows
         if r[wkb_col] is not None
     }
     key_field = [f for f in polygons.schema.fields if f.name == poly_key][0]
