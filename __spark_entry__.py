@@ -1398,7 +1398,10 @@ def _q_s2_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors)."""
     from pygridmap_spark.functions import s2 as _S2M
 
-    out = _S2M.polyfill(_s2_quad_zones(spark, sf_dir), 7)
+    out = _S2M.polyfill(
+        _s2_quad_zones(spark, sf_dir), 7,
+        candidates_partitions=spark.sparkContext.defaultParallelism,
+    )
     return out.select(
         "poly_id",
         F.col("s2_face").cast("long").alias("s2_face"),
@@ -1417,7 +1420,10 @@ def _q_pip_s2_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygridmap_spark.operators import pip_sphere as _PIP
 
     pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
-    out = _PIP.point_in_polygon_s2(pts, _s2_quad_zones(spark, sf_dir), 7)
+    out = _PIP.point_in_polygon_s2(
+        pts, _s2_quad_zones(spark, sf_dir), 7,
+        candidates_partitions=spark.sparkContext.defaultParallelism,
+    )
     return out.select("doc_id", "poly_id")
 
 
@@ -1458,7 +1464,10 @@ def _q_geodesic_zone_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = _s2_synth_lonlat(_t(spark, sf_dir, "documents").select("doc_id"))
     cnt = (
-        _PIP.point_in_polygon_s2(pts, zones, 7)
+        _PIP.point_in_polygon_s2(
+            pts, zones, 7,
+            candidates_partitions=spark.sparkContext.defaultParallelism,
+        )
         .groupBy("poly_id")
         .agg(F.count("*").alias("n_points"))
     )
