@@ -727,7 +727,10 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # single-split scan would run the language-stats chain on one core
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         TS.document_stats(docs)
         .groupBy("lang_pred")
@@ -3712,7 +3715,11 @@ def _q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     7 (odd: asymmetric 18/17 lon/lat bit split) AND 6 (even split) — the
     oracle rebuilds the bit interleave + alphabet in DuckDB SQL, so a hash
     match proves both interleave parities and the alphabet end-to-end."""
-    docs = _t(spark, sf_dir, "documents")
+    # single-split scan would run the whole base-32 interleave chain on
+    # one core (lake-scale scans have thousands of splits)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lat, lon = GEO.lat_lon_from_id(F.col("doc_id"))
     pts = docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
     out = pts.select(
