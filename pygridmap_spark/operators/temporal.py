@@ -420,8 +420,10 @@ def rolling_zscore(
     that variance form affects accuracy, never cross-engine determinism
     — both engines round the identical operations identically.
 
-    NULL/NaN values get NULL z AND are excluded from every window they
-    would otherwise pollute (the filter happens before the window).
+    NULL/NaN-valued rows are DROPPED from the output entirely (the
+    filter happens before the window, so they are absent, not emitted
+    with NULL z — callers joining back on an event id must expect the
+    loss; left-join this output to the input to restore them).
     Windows with fewer than ``min_periods`` events (default: ``n``) or
     zero variance (constant window) yield NULL z. Overflow bound:
     |v|*scale must fit int64 (|v| < 9.2e12 at the default scale).

@@ -603,9 +603,13 @@ def route_corridor(
 
     ``routes`` is a vertex frame (``route_id``, ``seq``, lon, lat),
     DIMENSION-SIZED by the same contract as the zone/overlay layers
-    (grid_maker's mask rule): it is collected once and closes over the
-    Arrow kernel, so the point stream is ONE mapInPandas projection —
-    zero joins, zero shuffles at any corpus size. Distances are unit-
+    (grid_maker's mask rule): it is collected once (capped at 2M
+    vertices — a clear ValueError asks for pre-aggregation past that,
+    instead of an opaque driver OOM) and closes over the Arrow kernel,
+    so the point stream is ONE mapInPandas projection — zero joins,
+    zero shuffles at any corpus size. Dimension rows are validated at
+    the API: non-null integer ids, fully populated vertices, unique
+    (route_id, seq). Distances are unit-
     sphere RADIANS (``km_col`` adds kilometers); NULL/NaN coordinates get
     NULL outputs (the repo-wide NULL-not-NaN kernel contract) and are
     dropped by the corridor filter. Ties between routes break to the
@@ -621,21 +625,47 @@ def route_corridor(
     for c in (out_col, id_out):
         if c in points.columns:
             raise ValueError(f"points frame already has a {c!r} column")
+    # guard + fetch in ONE job (the raster zonal_stats discipline): the
+    # routes frame is dimension-sized by contract; past 2M vertices the
+    # driver collect would balloon opaquely, so refuse with a clear error
+    _ROUTE_CAP = 2_000_000
     rows = (
         routes.select(route_id, seq, rlon, rlat)
         .orderBy(route_id, seq)
+        .limit(_ROUTE_CAP + 1)
         .collect()
     )
+    if len(rows) > _ROUTE_CAP:
+        raise ValueError(
+            f"route_corridor: routes frame exceeds {_ROUTE_CAP} vertices — "
+            "beyond the dimension-closure contract (the vertex table is "
+            "collected driver-side and closed over the kernel). "
+            "Pre-aggregate or simplify the route layer first."
+        )
     if not rows:
         raise ValueError("routes frame is empty")
-    if not all(isinstance(r[0], int) for r in rows):
-        # the kernel tracks the argmin id in an int64 array and the
-        # output schema is long — a string route key would die inside the
-        # executor as an opaque cast error; fail at the API instead
-        raise ValueError(
-            "route_id must be an integer column (map string route keys "
-            "to ids upstream and join back after)"
-        )
+    seen_keys = set()
+    for r in rows:
+        if r[0] is None or not isinstance(r[0], int):
+            # the kernel tracks the argmin id in an int64 array and the
+            # output schema is long — a NULL or string route key would die
+            # inside the executor as an opaque error; fail at the API
+            raise ValueError(
+                f"route_id must be a non-null integer column (got {r[0]!r}; "
+                "map string route keys to ids upstream and join back after)"
+            )
+        if r[1] is None or r[2] is None or r[3] is None:
+            raise ValueError(
+                f"route {r[0]}: NULL seq/{rlon}/{rlat} vertex — route "
+                "vertex rows must be fully populated"
+            )
+        key = (r[0], r[1])
+        if key in seen_keys:
+            raise ValueError(
+                f"route {r[0]}: duplicate (route_id, seq) = {key} — vertex "
+                "order would be ambiguous"
+            )
+        seen_keys.add(key)
     by_route: dict = {}
     for r in rows:
         by_route.setdefault(r[0], []).append((float(r[2]), float(r[3])))

@@ -109,6 +109,42 @@ def test_contracts(spark):
         TJ.route_corridor(pts.withColumn("nearest_route", pts.pid), routes)
 
 
+def test_route_row_validation(spark):
+    # r6 guard: bad dimension rows fail at the API with the offending
+    # route named, instead of dying opaquely inside the executor kernel
+    pts = _points(spark, [(0, 5.0, 0.5)])
+    null_id = spark.createDataFrame(
+        [(None, 0, 0.0, 0.0), (1, 0, 1.0, 1.0), (1, 1, 2.0, 1.0)],
+        "route_id long, seq long, lon double, lat double",
+    )
+    with pytest.raises(ValueError, match="non-null integer"):
+        TJ.route_corridor(pts, null_id)
+    null_vertex = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0), (1, 1, None, 1.0)],
+        "route_id long, seq long, lon double, lat double",
+    )
+    with pytest.raises(ValueError, match="NULL seq/lon/lat"):
+        TJ.route_corridor(pts, null_vertex)
+    dup_seq = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0), (1, 1, 1.0, 0.0), (1, 1, 2.0, 0.0)],
+        "route_id long, seq long, lon double, lat double",
+    )
+    with pytest.raises(ValueError, match="duplicate \\(route_id, seq\\)"):
+        TJ.route_corridor(pts, dup_seq)
+
+
+def test_route_collect_cap(spark):
+    # r6 guard (VERDICT r5 item 5): an oversized routes table refuses
+    # with a clear pre-aggregate error instead of ballooning the driver
+    pts = _points(spark, [(0, 5.0, 0.5)])
+    big = spark.range(2_000_100).selectExpr(
+        "id as route_id", "0L as seq",
+        "cast(id % 360 - 180 as double) as lon", "cast(0.0 as double) as lat",
+    )
+    with pytest.raises(ValueError, match="exceeds 2000000 vertices"):
+        TJ.route_corridor(pts, big)
+
+
 def test_matches_brute_force_numpy_twin(spark):
     rng_rows, route_rows = [], []
     for i in range(300):
