@@ -140,7 +140,20 @@ def weighted_sample(
             F.col(score_col).desc(), F.col(key_col).asc()
         ).limit(k)
     else:
+        # A-ES scores ln(u)/w pile up just below 0 for heavy weights while
+        # one light-weight row can set the group min near -20: equal-width
+        # buckets over the raw score put nearly every row in the top
+        # bucket and the threshold refine degenerates toward a full-group
+        # one-partition window. Bucket on the variance-stabilized
+        # -ln(-score) instead (log-spaced over |score|, weakly monotone
+        # non-decreasing in score, so the selected set is unchanged — the
+        # in-bucket rank still uses the true score). greatest(., 1e-300)
+        # keeps the transform finite for the score = -0.0 edge (w = +inf).
         out = topk_by_group(
-            scored, k, by=by, score_col=score_col, id_col=key_col, buckets=buckets
+            scored, k, by=by, score_col=score_col, id_col=key_col,
+            buckets=buckets,
+            bucket_expr=-F.log(
+                F.greatest(-F.col(score_col), F.lit(1e-300))
+            ),
         )
     return out if score_out else out.drop(score_col)

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -78,19 +78,31 @@ def topk_by_group(
     score_col: str = "quality",
     id_col: str = "doc_id",
     buckets: int = 512,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Keep, per ``by`` group, the top ``min(k, n)`` rows ordered by
     (``score_col`` desc, ``id_col`` asc) — the fixed-COUNT twin of
     :func:`topfrac_by_group`, same histogram + threshold-bucket-refine
     machinery (no group ever sorts on one partition). The building block
-    for per-stratum quotas and weighted sampling without replacement."""
+    for per-stratum quotas and weighted sampling without replacement.
+
+    ``bucket_expr``: optional weakly MONOTONE NON-DECREASING transform of
+    the score used only for the histogram/threshold bucketing (the final
+    in-bucket rank always uses the true score, so the selected set is
+    unchanged by any such transform). Callers whose score distribution is
+    extremely skewed pass a variance-stabilizing transform here so the
+    equal-width histogram actually splits the mass — without it, a
+    distribution clustered near its max puts nearly every row in the top
+    bucket and the refine degenerates toward a full-group one-partition
+    window."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     if k == 0:
         return df.limit(0)
     clean = _drop_null_nan_scores(df, score_col)
     return _select_top_by_group(
-        clean, lambda n: min(k, n), by, score_col, id_col, buckets
+        clean, lambda n: min(k, n), by, score_col, id_col, buckets,
+        bucket_expr=bucket_expr,
     )
 
 
@@ -102,10 +114,20 @@ def _drop_null_nan_scores(df: DataFrame, score_col: str) -> DataFrame:
     )
 
 
-def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets):
+def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets, bucket_expr=None):
     """Shared histogram/threshold/refine selection: keep the per-group top
-    ``kfun(n)`` rows (callers guarantee 1 <= kfun(n) <= n)."""
+    ``kfun(n)`` rows (callers guarantee 1 <= kfun(n) <= n). ``bucket_expr``
+    (weakly monotone non-decreasing in the score) redirects only the
+    histogram; ranking stays on the true score."""
     s = F.col(score_col)
+    drop_bs = []
+    if bucket_expr is not None:
+        clean = clean.withColumn("__bs__", bucket_expr)
+        bs = F.col("__bs__")
+        bs_col = "__bs__"
+        drop_bs = ["__bs__"]
+    else:
+        bs, bs_col = s, score_col
 
     # NULL is a legitimate group key (lang=NULL docs are a real web-corpus
     # population): every join below is null-safe (<=>) so the NULL group
@@ -113,8 +135,8 @@ def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets):
     stats = (
         clean.groupBy(by)
         .agg(
-            F.min(score_col).alias("__mn__"),
-            F.max(score_col).alias("__mx__"),
+            F.min(bs_col).alias("__mn__"),
+            F.max(bs_col).alias("__mx__"),
         )
         .withColumnRenamed(by, "__g__")
     )
@@ -123,7 +145,7 @@ def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets):
     b = F.lit(buckets)
     width = F.col("__mx__") - F.col("__mn__")
     bucket = F.when(width > 0,
-                    F.least(F.floor((s - F.col("__mn__")) / width * b),
+                    F.least(F.floor((bs - F.col("__mn__")) / width * b),
                             b - 1)
                     ).otherwise(F.lit(0)).cast("int")
     bucketed = (
@@ -178,5 +200,5 @@ def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets):
         .filter(F.col("__rn__") <= F.col("__r__"))
         .drop("__rn__")
     )
-    helper = ["__mn__", "__mx__", "__b__", "__t__", "__r__"]
+    helper = ["__mn__", "__mx__", "__b__", "__t__", "__r__"] + drop_bs
     return above.unionByName(picked).drop(*helper)

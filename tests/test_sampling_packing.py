@@ -183,6 +183,29 @@ def test_weighted_sample_grouped_quota(spark):
         assert got == sorted(twin), g
 
 
+def test_weighted_sample_adversarial_weight_range(spark):
+    # r6 bucketing change (histogram over -ln(-score)): the adversarial
+    # distribution the ADVICE flagged — a stratum of heavy weights whose
+    # A-ES scores all cluster just below 0, plus single light-weight rows
+    # pinning the group min around -20. The selected set must still equal
+    # the per-group python twin exactly (the transform only redirects the
+    # histogram; ranking stays on the true score).
+    from pygridmap_spark.operators.sampling import weighted_sample
+
+    rows = []
+    for i in range(400):
+        g = f"g{i % 2}"
+        # n_chars-like heavy weights with two outlier light rows per group
+        w = 0.001 if i < 4 else float(5_000 + (i * 7919) % 100_000)
+        rows.append((i, g, w))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = weighted_sample(df, 25, "w", by="grp", key_col="doc_id").collect()
+    for g in ("g0", "g1"):
+        twin = _es_twin([(i, w) for i, gg, w in rows if gg == g], 25)
+        got = sorted(r["doc_id"] for r in out if r["grp"] == g)
+        assert got == sorted(twin), g
+
+
 def test_weighted_sample_weight_bias(spark):
     # one row with overwhelming weight is (effectively) always included
     from pygridmap_spark.operators.sampling import weighted_sample
