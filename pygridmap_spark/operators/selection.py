@@ -118,7 +118,15 @@ def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets, bucket_exp
     """Shared histogram/threshold/refine selection: keep the per-group top
     ``kfun(n)`` rows (callers guarantee 1 <= kfun(n) <= n). ``bucket_expr``
     (weakly monotone non-decreasing in the score) redirects only the
-    histogram; ranking stays on the true score."""
+    histogram; ranking stays on the true score.
+
+    NOTE: runs the histogram job eagerly at call time (the threshold
+    computation is driver-side by design); the scored input is persisted
+    for that job and the bucketed frame is checkpointed so the score
+    expression — often a heavy regexp/udf chain (quality_score measured
+    ~4x recomputed through the old lazy shape: stats + bucketed + the
+    above/picked branches) — evaluates ONCE however many consumers the
+    returned union has."""
     s = F.col(score_col)
     drop_bs = []
     if bucket_expr is not None:
@@ -128,6 +136,9 @@ def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets, bucket_exp
         drop_bs = ["__bs__"]
     else:
         bs, bs_col = s, score_col
+    # the scored frame feeds the stats aggregate AND the bucketed
+    # projection inside one job — cache it so the score chain runs once
+    clean = clean.persist()
 
     # NULL is a legitimate group key (lang=NULL docs are a real web-corpus
     # population): every join below is null-safe (<=>) so the NULL group
@@ -153,6 +164,13 @@ def _select_top_by_group(clean, kfun, by, score_col, id_col, buckets, bucket_exp
         .drop("__g__")
         .withColumn("__b__", bucket)
     )
+    try:
+        # materialize once: the hist collect needs it anyway, and the
+        # above/picked branches below re-read the checkpoint instead of
+        # re-evaluating the score chain per branch
+        bucketed = bucketed.localCheckpoint(eager=True)
+    finally:
+        clean.unpersist()
 
     hist = {
         (r[by], r["__b__"]): r["cnt"]
