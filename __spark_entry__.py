@@ -3063,7 +3063,10 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fail). Every ratio is a single int/int division, so the oracle
     (identical list-lambda arithmetic in DuckDB) hash-matches the
     doubles bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents").select(
+    # single-split scan would run the rule kernel on one core
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id",
         F.when(F.col("doc_id") % 7 == 1, F.lit("short."))
         .when(
