@@ -19,9 +19,13 @@ Spark-shaped:
    a pole has no cell — the ``geohash_neighbors`` contract) and equi-joins
    back against the core set. The frame here is CELLS (<= 4^z, orders
    below the point count), so AQE broadcasts it when small;
-3. components: the pointer-jumping kernel (``dedup.connected_components``,
-   O(log diameter) rounds, localCheckpoint per round) over the CELL graph
-   — never the point graph. Cluster id = min Morton cell_id reachable,
+3. components: a blocked union-find — ONE grouped Arrow kernel labels each
+   2^B x 2^B block of the grid locally (vectorized min-label propagation
+   with pointer jumping, O(log diameter) numpy sweeps, never per-row
+   Python), and only the cross-block adjacencies go through the generic
+   pointer-jumping loop (``dedup.connected_components``) — on the LOCAL
+   ROOT graph, orders smaller than the cell graph and empty whenever the
+   grid fits one block. Cluster id = min Morton cell_id reachable,
    deterministic under any partitioning.
 
 Rows with NULL/NaN coordinates get NULL cell keys upstream
@@ -117,37 +121,145 @@ def hotspot_cells(
     is the MIN Morton cell_id of the connected component (8-neighbor
     adjacency, antimeridian wrap). Core cells with no core neighbor are
     their own singleton cluster."""
-    cells = core_cells(points, z, min_points, lon=lon, lat=lat).localCheckpoint(
-        eager=True
-    )
+    # no checkpoint: the blocked labeling consumes the cell frame exactly
+    # once (n_points rides through the kernel), so the whole query is one
+    # linear plan — a checkpoint here would be a pure extra job
+    cells = core_cells(points, z, min_points, lon=lon, lat=lat)
     return label_cells(cells, z, max_iter=max_iter)
 
 
-def label_cells(cells: DataFrame, z: int, max_iter: int = 25) -> DataFrame:
+def _label_block_kernel(z: int, block_bits: int):
+    """Build the per-block union-find kernel for :func:`label_cells`.
+
+    Vectorized min-label propagation over positions sorted by cell_id:
+    each sweep gathers the 8 neighbors' labels (searchsorted probes on the
+    (ix << 32 | iy) key, computed once) and takes the elementwise min,
+    then pointer-jumps (lab <- lab[lab]) until stable — O(log diameter)
+    numpy passes, no per-row Python. Because positions are in cell_id
+    order, the fixed-point label position IS the min Morton id of the
+    fragment. When the block spans the full x range (z <= block_bits) the
+    east/west probes wrap the antimeridian in-kernel; y never wraps."""
+    import numpy as np
+    import pandas as pd
+
+    n = 1 << z
+    wrap_x = z <= block_bits
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["cell_ix", "cell_iy", "cell_id", "n_points"]].sort_values(
+            "cell_id", ignore_index=True
+        )
+        m = len(out)
+        ix = out["cell_ix"].to_numpy(np.int64)
+        iy = out["cell_iy"].to_numpy(np.int64)
+        key = (ix << np.int64(32)) | iy
+        order = np.argsort(key)
+        skey = key[order]
+        probes = []
+        for dx, dy in NEIGHBOR_OFFSETS:
+            nix = ix + dx
+            if wrap_x:
+                nix = (nix + n) % n
+            niy = iy + dy
+            nkey = (nix << np.int64(32)) | niy
+            pos = np.searchsorted(skey, nkey)
+            pos_c = np.minimum(pos, max(m - 1, 0))
+            cand = order[pos_c] if m else pos_c
+            ok = (skey[pos_c] == nkey) & (niy >= 0) & (niy < n) if m else nkey < nkey
+            if ok.any():
+                # row indices are unique per offset: plain gather/scatter min
+                probes.append((cand[ok], np.flatnonzero(ok)))
+        lab = np.arange(m, dtype=np.int64)
+        while True:
+            new = lab.copy()
+            for cand, rows in probes:
+                new[rows] = np.minimum(new[rows], new[cand])
+            while True:
+                jumped = new[new]
+                if np.array_equal(jumped, new):
+                    break
+                new = jumped
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        out["root_id"] = out["cell_id"].to_numpy(np.int64)[lab]
+        return out
+
+    return _kernel
+
+
+def label_cells(
+    cells: DataFrame, z: int, max_iter: int = 25, block_bits: int = 10
+) -> DataFrame:
     """Cluster-label a precomputed (cell_ix, cell_iy, cell_id, n_points)
     core-cell frame (the bounded <= 4^z tail of hotspot_cells — callers
-    that already hold a cell rollup skip the facts pass entirely). The
-    input should be materialized (checkpointed/cached): the iterative
-    labeling references it from several plans."""
-    right = cells.select(
-        F.col("cell_ix").alias("nix"),
-        F.col("cell_iy").alias("niy"),
-        F.col("cell_id").alias("nbr_id"),
+    that already hold a cell rollup skip the facts pass entirely).
+
+    Round-6 shape: blocked union-find. ONE grouped Arrow kernel labels
+    each 2^block_bits-square block of the grid locally (<= 4^block_bits
+    cells per task — bounded memory at any zoom), then only the
+    CROSS-BLOCK adjacencies — edges between the local roots of border
+    cells — go through the generic pointer-jumping loop, whose input is
+    orders smaller than the cell graph (O(block perimeter) nodes) and
+    whose rounds are O(log diameter-in-blocks). A grid that fits a single
+    block (z <= block_bits) needs no cross-block pass at all: the whole
+    labeling is one exchange + one kernel, replacing the old
+    per-cell-graph loop's ~4 stages x O(log diameter) rounds of fixed
+    fees. Local labels are min Morton ids of their fragment, so the merge
+    of fragments under min-label equals the component min exactly."""
+    kernel = _label_block_kernel(z, block_bits)
+    schema = "cell_ix long, cell_iy long, cell_id long, n_points long, root_id long"
+    base = cells.select("cell_ix", "cell_iy", "cell_id", "n_points")
+    labeled = (
+        base.groupBy(
+            F.shiftright(F.col("cell_ix"), block_bits).alias("__bx__"),
+            F.shiftright(F.col("cell_iy"), block_bits).alias("__by__"),
+        )
+        .applyInPandas(lambda _k, pdf: kernel(pdf), schema)
     )
-    # directed both ways by construction (each pair probes the other), so
-    # connected_components' own symmetrize/distinct sees every edge
-    edges = _neighbor_probes(cells, z).join(right, ["nix", "niy"]).select(
-        F.col("cell_id").alias("a"), F.col("nbr_id").alias("b")
+    if z <= block_bits:
+        # single covering block: antimeridian wrap handled in-kernel,
+        # cross-block edges impossible
+        return labeled.select(
+            "cell_ix",
+            "cell_iy",
+            "cell_id",
+            "n_points",
+            F.col("root_id").alias("cluster_id"),
+        )
+    # multi-block: link local roots across block borders (x wraps the
+    # antimeridian — always a cross-block step since n > block size)
+    labeled = labeled.localCheckpoint(eager=True)
+    n = 1 << z
+    bs = 1 << block_bits
+    border = labeled.filter(
+        (F.col("cell_ix") % bs == 0)
+        | (F.col("cell_ix") % bs == bs - 1)
+        | (F.col("cell_iy") % bs == 0)
+        | (F.col("cell_iy") % bs == bs - 1)
     )
-    labels = connected_components(edges, a="a", b="b", max_iter=max_iter).select(
-        F.col("doc_id").alias("cell_id"), F.col("component_id").alias("cluster_id")
+    probes = _neighbor_probes(border, z, extra=("root_id", "cell_ix", "cell_iy"))
+    cross = probes.filter(
+        (F.shiftright(F.col("nix"), block_bits) != F.shiftright(F.col("cell_ix"), block_bits))
+        | (F.shiftright(F.col("niy"), block_bits) != F.shiftright(F.col("cell_iy"), block_bits))
     )
-    return cells.join(labels, "cell_id", "left").select(
+    edges = cross.join(
+        labeled.select(
+            F.col("cell_ix").alias("nix"),
+            F.col("cell_iy").alias("niy"),
+            F.col("root_id").alias("nbr_root"),
+        ),
+        ["nix", "niy"],
+    ).select(F.col("root_id").alias("a"), F.col("nbr_root").alias("b"))
+    remap = connected_components(edges, a="a", b="b", max_iter=max_iter).select(
+        F.col("doc_id").alias("root_id"), F.col("component_id").alias("__comp__")
+    )
+    return labeled.join(remap, "root_id", "left").select(
         "cell_ix",
         "cell_iy",
         "cell_id",
         "n_points",
-        F.coalesce(F.col("cluster_id"), F.col("cell_id")).alias("cluster_id"),
+        F.coalesce(F.col("__comp__"), F.col("root_id")).alias("cluster_id"),
     )
 
 

@@ -123,3 +123,47 @@ def test_chain_transitivity(spark):
     lab = _labels(HS.hotspot_cells(_points(spark, chain, 2), Z, min_points=2))
     want = min(py_morton(i, 4) for i in range(1, 6))
     assert all(lab[c] == want for c in chain)
+
+
+def _label_with_blocks(spark, cells, block_bits):
+    """label_cells on a hand-built core-cell frame with a forced block
+    size (block_bits < Z exercises the cross-block merge path)."""
+    rows = [(ix, iy, py_morton(ix, iy), 1) for ix, iy in cells]
+    df = spark.createDataFrame(
+        rows, "cell_ix long, cell_iy long, cell_id long, n_points long"
+    )
+    return {
+        (r["cell_ix"], r["cell_iy"]): r["cluster_id"]
+        for r in HS.label_cells(df, Z, block_bits=block_bits).collect()
+    }
+
+
+def test_multiblock_chain_crosses_block_borders(spark):
+    # 2x2-cell blocks (block_bits=1): a full-width horizontal chain spans
+    # 4 blocks and must still collapse to the leftmost id
+    chain = [(i, 4) for i in range(N)]
+    lab = _label_with_blocks(spark, chain, block_bits=1)
+    want = min(py_morton(i, 4) for i in range(N))
+    assert all(lab[c] == want for c in chain)
+
+
+def test_multiblock_antimeridian_wrap(spark):
+    # wrap adjacency is always a cross-block edge when blocks < grid
+    lab = _label_with_blocks(spark, [(0, 4), (N - 1, 4)], block_bits=1)
+    assert lab[(0, 4)] == lab[(N - 1, 4)] == min(py_morton(0, 4), py_morton(N - 1, 4))
+
+
+def test_multiblock_parity_random_field(spark):
+    # every occupancy pattern labels identically at block_bits 1, 2 and
+    # the single-block default (deterministic LCG field, ~half occupied)
+    cells = [
+        (ix, iy)
+        for ix in range(N)
+        for iy in range(N)
+        if (ix * 7 + iy * 13 + (ix * ix + iy * iy * 3) // 2) % 3 != 0
+    ]
+    want = _label_with_blocks(spark, cells, block_bits=Z)
+    for bb in (1, 2):
+        assert _label_with_blocks(spark, cells, bb) == want
+    # and the diagonal-adjacency convention holds: (0,0)&(1,1) together
+    assert len(set(want.values())) < len(want)
