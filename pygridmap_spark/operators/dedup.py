@@ -135,11 +135,36 @@ def minhash_signatures(
     higher-order expressions (a pure-Catalyst formulation with
     transform/array_min lambdas measured ~25s for 5.7k docs). Docs with no
     shingles drop out (can't be near-dup candidates)."""
+    return _shingle_kernel_frame(df, id_col, text_col, shingle_n, num_hashes)
+
+
+def shingle_hash_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct shingle-hash set per doc — ``(id, shingles array<long>)``
+    via the :func:`minhash_signatures` Arrow kernel, without the signature
+    pass. Set operations over these 64-bit hashes equal the same
+    operations over the shingle strings up to collisions (the minhash
+    contract). Docs with fewer than ``shingle_n`` tokens drop (empty
+    shingle set — they can neither contain nor be contained)."""
+    return _shingle_kernel_frame(df, id_col, text_col, shingle_n, None)
+
+
+def _shingle_kernel_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int | None,
+) -> DataFrame:
     import re as _re
     import zlib
     from typing import Iterator
 
-    seeds = _mh_seeds(num_hashes)[:, None]  # (k, 1)
+    seeds = _mh_seeds(num_hashes)[:, None] if num_hashes else None  # (k, 1)
     norm_re = _re.compile(r"[^a-z0-9]+")
     # odd position multipliers so shingle hashes are order-sensitive
     pos_mult = [
@@ -183,6 +208,14 @@ def minhash_signatures(
                 for j in range(1, shingle_n):
                     acc = acc ^ (th[j : j + n_sh] * pos_mult[j])
                 shingle_sets.append(np.unique(_splitmix64(acc)))
+            if seeds is None:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "shingles": [s.astype(np.int64) for s in shingle_sets],
+                    }
+                )
+                continue
             lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=len(ids))
             flat = np.concatenate(shingle_sets)  # uint64
             starts = np.zeros(len(lens), dtype=np.int64)
@@ -208,8 +241,9 @@ def minhash_signatures(
             )
 
     id_type = _sql_type(df, id_col)
+    sig_part = "signature array<long>, " if num_hashes else ""
     return df.select(id_col, text_col).mapInPandas(
-        _kernel, f"{id_col} {id_type}, signature array<long>, shingles array<long>"
+        _kernel, f"{id_col} {id_type}, {sig_part}shingles array<long>"
     )
 
 
@@ -663,73 +697,70 @@ def shingle_containment_pairs(
     exchange; the two size attachments are id-keyed joins of
     doc-bounded frames.
 
-    The per-doc array frame feeds FOUR consumers (sizes, the cap
-    count, both self-join sides), so it is persisted — the explode per
-    consumer is a cheap cache read, the shingle regexp+hash chain runs
-    once — and the result is eagerly materialized (``localCheckpoint``)
-    before the cache is released, the minhash_lsh_pairs discipline."""
-    # Per-doc DISTINCT shingle-hash arrays computed in-row: a shingle set
-    # is distinct within its document by definition, so the former global
-    # ``.distinct()`` — a full corpus Exchange plus two-phase aggregate —
-    # is equivalent to one array_distinct per row, and the per-doc sizes
-    # fall out as F.size of the same array instead of a second
-    # corpus-wide groupBy pass (guide §2.4: remove shuffles outright).
-    per_doc = df.select(
+    Round-6 shape — ONE lazy plan, no driver action: per-doc sizes RIDE
+    the posting rows (8 bytes each) instead of being joined back, so the
+    two size joins and their broadcast builds are gone; the freq cap is a
+    lazy semi-join against the ≤-cap shingle keys computed from the SAME
+    postings exchange (Spark reuses the identical exchange subtree — the
+    count pass is partially aggregated, so a lake-scale boilerplate
+    shingle never materializes its bucket anywhere), replacing the old
+    collect + broadcast anti-join job; and the per-doc arrays come from
+    the minhash Arrow kernel, which hashes distinct TOKENS once (crc32,
+    C) and combines n consecutive token hashes positionally — the former
+    Catalyst chain built every shingle STRING through interpreted HOFs
+    and xxhash64'd it, measured ~43 of this query's 48 task-seconds at
+    sf0.1. The internal hash family change is invisible in the output
+    (set overlap over 64-bit hashes equals overlap over the strings up
+    to collisions — the documented minhash contract the oracle gates);
+    docs with < n tokens drop in the kernel; they had an empty shingle
+    set before (no postings, no sizes row) — output-identical. Over-cap
+    buckets are no longer counted driver-side, so the dropped-bucket log
+    line is gone; the cap semantics are unchanged (pairs sharing only
+    over-cap shingles are not emitted)."""
+    # the per-doc frame is referenced by up to four plan branches (freq
+    # keys + both pair sides, each possibly under a broadcast build that
+    # AQE cannot exchange-reuse across): one eager materialization of the
+    # compact (id, hashes) frame keeps the kernel single-run
+    per_doc = shingle_hash_sets(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
+    postings = per_doc.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                TX.word_shingles(F.col(text_col), shingle_n),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("__hs__"),
-    ).persist()
-    postings = per_doc.select(F.col(id_col), F.explode("__hs__").alias("__sh__"))
-    try:
-        sizes = per_doc.select(F.col(id_col), F.size("__hs__").alias("__n__"))
-        capped = postings
-        if max_shingle_freq:
-            capped = _drop_wide_buckets(
-                capped, ["__sh__"], max_shingle_freq, "shingle_containment_pairs"
-            )
-        a = capped.select(F.col("__sh__"), F.col(id_col).alias("doc_a"))
-        b = capped.select(F.col("__sh__"), F.col(id_col).alias("doc_b"))
-        pairs = (
-            a.join(b, "__sh__")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("overlap"))
+        F.size("shingles").alias("__n__"),
+        F.explode("shingles").alias("__sh__"),
+    )
+    capped = postings
+    if max_shingle_freq:
+        ok_keys = (
+            postings.groupBy("__sh__")
+            .agg(F.count(F.lit(1)).alias("__freq__"))
+            .filter(F.col("__freq__") <= max_shingle_freq)
+            .select("__sh__")
         )
-        out = (
-            pairs.join(
-                sizes.select(
-                    F.col(id_col).alias("doc_a"), F.col("__n__").alias("size_a")
-                ),
-                "doc_a",
-            )
-            .join(
-                sizes.select(
-                    F.col(id_col).alias("doc_b"), F.col("__n__").alias("size_b")
-                ),
-                "doc_b",
-            )
-            .withColumn(
-                "containment_a", F.col("overlap").cast("double") / F.col("size_a")
-            )
-            .withColumn(
-                "containment_b", F.col("overlap").cast("double") / F.col("size_b")
-            )
-        )
-        return (
-            out.filter(
-                F.greatest("containment_a", "containment_b")
-                >= F.lit(containment_threshold)
-            )
-            .select(
-                "doc_a", "doc_b", "overlap", "size_a", "size_b",
-                "containment_a", "containment_b",
-            )
-            # materialize before the finally releases the postings cache
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        per_doc.unpersist()
+        capped = postings.join(ok_keys, "__sh__")
+    a = capped.select(
+        "__sh__", F.col(id_col).alias("doc_a"), F.col("__n__").alias("size_a")
+    )
+    b = capped.select(
+        "__sh__", F.col(id_col).alias("doc_b"), F.col("__n__").alias("size_b")
+    )
+    pairs = (
+        a.join(b, "__sh__")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # sizes are functions of the doc ids: keying on them adds nothing
+        # to the group count and saves both id-keyed join-backs
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    out = pairs.withColumns(
+        {
+            "containment_a": F.col("overlap").cast("double") / F.col("size_a"),
+            "containment_b": F.col("overlap").cast("double") / F.col("size_b"),
+        }
+    )
+    return out.filter(
+        F.greatest("containment_a", "containment_b") >= F.lit(containment_threshold)
+    ).select(
+        "doc_a", "doc_b", "overlap", "size_a", "size_b",
+        "containment_a", "containment_b",
+    )
