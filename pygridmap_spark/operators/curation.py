@@ -883,6 +883,73 @@ def template_fingerprint(
     return out
 
 
+def _token_gram_frame(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, __toks__ array<string>, __gh__ array<long>) per input row —
+    the normalized token stream plus its positional n-gram hashes, one
+    Arrow pass (the minhash kernel's hashing discipline: crc32 per
+    DISTINCT token via pd.factorize, position-weighted splitmix64 combine
+    of n consecutive token hashes; gram i starts at token i). EVERY input
+    row survives; an empty/NULL text tokenizes to [''] — the Spark
+    ``split(trim(''), '\\s+')`` == DuckDB ``string_split`` semantics the
+    mark-back and the oracle both assume."""
+    import re as _re
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pygridmap_spark.operators.dedup import _splitmix64, _sql_type
+
+    norm_re = _re.compile(r"[^a-z0-9]+")
+    pos_mult = [
+        np.uint64(((0x9E3779B97F4A7C15 * (2 * j + 1)) | 1) & 0xFFFFFFFFFFFFFFFF)
+        for j in range(n)
+    ]
+
+    def _kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [
+                norm_re.sub(" ", str(t or "").lower()).split() or [""]
+                for t in pdf[text_col]
+            ]
+            tok_lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            codes, uniques = pd.factorize(
+                pd.Series([t for tl in tok_lists for t in tl]), sort=False
+            )
+            uniq_h = np.fromiter(
+                (zlib.crc32(u.encode("utf-8")) for u in uniques),
+                dtype=np.uint64, count=len(uniques),
+            )
+            th_flat = uniq_h[codes]
+            starts = np.zeros(len(tok_lists), dtype=np.int64)
+            np.cumsum(tok_lens[:-1], out=starts[1:])
+            grams = []
+            for s0, ln in zip(starts, tok_lens):
+                n_g = ln - n + 1
+                if n_g < 1:
+                    grams.append(np.empty(0, dtype=np.int64))
+                    continue
+                th = th_flat[s0 : s0 + ln]
+                acc = th[:n_g] * pos_mult[0]
+                for j in range(1, n):
+                    acc = acc ^ (th[j : j + n_g] * pos_mult[j])
+                grams.append(_splitmix64(acc).astype(np.int64))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "__toks__": tok_lists, "__gh__": grams}
+            )
+
+    id_type = _sql_type(df, id_col)
+    return df.select(id_col, text_col).mapInPandas(
+        _kernel, f"{id_col} {id_type}, __toks__ array<string>, __gh__ array<long>"
+    )
+
+
 def duplicate_span_removal(
     df: DataFrame,
     ngram_n: int = 5,
@@ -920,9 +987,11 @@ def duplicate_span_removal(
     keys, never the strings — equal up to 64-bit collisions, the
     repo-wide minhash contract.
 
-    Scale shape: the n-gram frame is posexploded once and persisted
-    (two consumers: the distinct-doc frequency aggregation and the
-    flagged-occurrence semi-join); every gram-keyed exchange carries
+    Scale shape: ONE Arrow kernel pass emits the token array and the
+    positional gram-hash array together (the compact per-doc frame is
+    checkpointed; the gram posexplode per consumer — the distinct-doc
+    frequency aggregation and the flagged-occurrence semi-join — is a
+    cheap re-read); every gram-keyed exchange carries
     (8-byte hash, id, int position) rows only. The per-document flagged
     start list is doc-length-bounded, and the final mark-back is ONE
     id-keyed join of the token frame — the corpus rides exactly one
@@ -936,87 +1005,87 @@ def duplicate_span_removal(
     (it is the dedup signal itself, not a small boilerplate set), so
     the shuffle mark-back IS the lake-scale plan."""
     n = int(ngram_n)
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(
+    # ONE Arrow kernel pass emits the normalized token array AND the
+    # positional n-gram hashes together (guide §4.2): the former Catalyst
+    # chain built every n-gram STRING through interpreted HOFs
+    # (slice+concat per gram) and xxhash64'd it — measured as the bulk of
+    # this query's 44 executor-seconds at sf0.1 — and tokenized the text
+    # a second time for the mark-back frame. The kernel hashes distinct
+    # TOKENS once (crc32, C) and combines n consecutive token hashes
+    # positionally; gram array index i IS token start index i, so
+    # position alignment between grams and tokens is by construction.
+    # The internal hash family change is output-invisible (duplicate
+    # detection over 64-bit hashes equals detection over gram strings up
+    # to collisions — the repo-wide minhash contract the oracle gates).
+    per_doc = _token_gram_frame(df, n, id_col, text_col).localCheckpoint(eager=True)
+    base = per_doc.select(F.col(id_col), "__toks__")
+    grams = per_doc.select(
+        F.col(id_col), F.posexplode("__gh__").alias("__s0__", "__gh__")
+    )
+    dup = (
+        grams.select("__gh__", id_col)
+        .distinct()
+        .groupBy("__gh__")
+        .agg(F.count(F.lit(1)).alias("__nd__"))
+        .filter(F.col("__nd__") >= F.lit(int(min_docs)))
+    )
+    starts = (
+        grams.join(dup.select("__gh__"), "__gh__", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__s0__")).alias("__starts__"))
+    )
+    joined = base.join(starts, id_col, "left").select(
         F.col(id_col),
-        TX.tokens(TX.normalized(txt)).alias("__toks__"),
+        "__toks__",
+        F.coalesce("__starts__", F.array().cast("array<int>")).alias(
+            "__starts__"
+        ),
     )
-    grams = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(TX.word_shingles(txt, n)).alias("__s0__", "__g__"),
-        )
-        .select(F.col(id_col), "__s0__", F.xxhash64("__g__").alias("__gh__"))
-        .persist()
+    # Mark-back as interval merge: the old form filtered every token
+    # through exists() over the whole flagged-start list — O(tokens x
+    # starts) per row, quadratic on a document that is mostly
+    # duplicated spans (the exact ExactSubstr target). Instead, merge
+    # the SORTED starts into disjoint removed intervals (a start opens
+    # a new interval iff it lies more than n past its predecessor;
+    # overlapping/adjacent spans fuse) and emit the kept tokens as the
+    # complement slices — O(starts + tokens) per row. F.get (not
+    # element_at) so the out-of-range neighbor probes yield NULL
+    # instead of throwing under ANSI mode; __starts__ is a join-output
+    # attribute, so the per-element get() is an O(1) array access, not
+    # a re-evaluated subexpression (CLAUDE.md HOF rule).
+    ss = F.col("__starts__")
+    big = F.lit(2_147_483_647)
+    n_lit = F.lit(n)
+    ivl_los = F.filter(
+        F.transform(
+            ss, lambda s, i: F.when(F.coalesce(s - F.get(ss, i - 1), big) > n_lit, s)
+        ),
+        lambda x: x.isNotNull(),
     )
-    try:
-        dup = (
-            grams.select("__gh__", id_col)
-            .distinct()
-            .groupBy("__gh__")
-            .agg(F.count(F.lit(1)).alias("__nd__"))
-            .filter(F.col("__nd__") >= F.lit(int(min_docs)))
-        )
-        starts = (
-            grams.join(dup.select("__gh__"), "__gh__", "leftsemi")
-            .groupBy(id_col)
-            .agg(F.sort_array(F.collect_list("__s0__")).alias("__starts__"))
-        )
-        joined = base.join(starts, id_col, "left").select(
-            F.col(id_col),
-            "__toks__",
-            F.coalesce("__starts__", F.array().cast("array<int>")).alias(
-                "__starts__"
+    ivl_his = F.filter(
+        F.transform(
+            ss,
+            lambda s, i: F.when(
+                F.coalesce(F.get(ss, i + 1) - s, big) > n_lit, s + n_lit
             ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    gap_lo = F.concat(F.array(F.lit(0)), ivl_his)
+    gap_hi = F.concat(ivl_los, F.array(F.size("__toks__")))
+    kept = F.flatten(
+        F.zip_with(
+            gap_lo,
+            gap_hi,
+            lambda a, b: F.slice(F.col("__toks__"), a + F.lit(1), b - a),
         )
-        # Mark-back as interval merge: the old form filtered every token
-        # through exists() over the whole flagged-start list — O(tokens x
-        # starts) per row, quadratic on a document that is mostly
-        # duplicated spans (the exact ExactSubstr target). Instead, merge
-        # the SORTED starts into disjoint removed intervals (a start opens
-        # a new interval iff it lies more than n past its predecessor;
-        # overlapping/adjacent spans fuse) and emit the kept tokens as the
-        # complement slices — O(starts + tokens) per row. F.get (not
-        # element_at) so the out-of-range neighbor probes yield NULL
-        # instead of throwing under ANSI mode; __starts__ is a join-output
-        # attribute, so the per-element get() is an O(1) array access, not
-        # a re-evaluated subexpression (CLAUDE.md HOF rule).
-        ss = F.col("__starts__")
-        big = F.lit(2_147_483_647)
-        n_lit = F.lit(n)
-        ivl_los = F.filter(
-            F.transform(
-                ss, lambda s, i: F.when(F.coalesce(s - F.get(ss, i - 1), big) > n_lit, s)
-            ),
-            lambda x: x.isNotNull(),
-        )
-        ivl_his = F.filter(
-            F.transform(
-                ss,
-                lambda s, i: F.when(
-                    F.coalesce(F.get(ss, i + 1) - s, big) > n_lit, s + n_lit
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-        gap_lo = F.concat(F.array(F.lit(0)), ivl_his)
-        gap_hi = F.concat(ivl_los, F.array(F.size("__toks__")))
-        kept = F.flatten(
-            F.zip_with(
-                gap_lo,
-                gap_hi,
-                lambda a, b: F.slice(F.col("__toks__"), a + F.lit(1), b - a),
-            )
-        )
-        out = joined.withColumn("__kept__", kept).select(
-            F.col(id_col),
-            F.size("__toks__").cast("long").alias("n_tokens"),
-            (F.size("__toks__") - F.size("__kept__")).cast("long").alias(
-                "n_removed"
-            ),
-            F.array_join("__kept__", " ").alias("text_clean"),
-        )
-        # materialize before the finally releases the grams cache
-        return out.localCheckpoint(eager=True)
-    finally:
-        grams.unpersist()
+    )
+    out = joined.withColumn("__kept__", kept).select(
+        F.col(id_col),
+        F.size("__toks__").cast("long").alias("n_tokens"),
+        (F.size("__toks__") - F.size("__kept__")).cast("long").alias(
+            "n_removed"
+        ),
+        F.array_join("__kept__", " ").alias("text_clean"),
+    )
+    return out
