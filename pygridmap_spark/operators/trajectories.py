@@ -19,6 +19,8 @@ space instead of gaps.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -458,6 +460,20 @@ def contact_events(
         "__lat__",
         prefix="_c_",
     ).withColumn("__tb__", F.expr(f"__us__ DIV {window_us}"))
+    # unit-sphere xyz per PING (3 doubles riding the exchange): the
+    # candidate refine below compares the squared CHORD — 8 multiplies
+    # per candidate — before touching the haversine, whose 6
+    # transcendentals per candidate were the refine stage's dominant
+    # cost (guide §2.3: pay bytes per ROW to avoid work per CANDIDATE;
+    # candidates outnumber pings quadratically in the cell density)
+    _rlon, _rlat = F.radians("__lon__"), F.radians("__lat__")
+    base = base.withColumns(
+        {
+            "__x__": F.cos(_rlat) * F.cos(_rlon),
+            "__y__": F.cos(_rlat) * F.sin(_rlon),
+            "__z__": F.sin(_rlat),
+        }
+    )
     # NULL/NaN coordinates index to NULL cells (the r4 s2 contract) and
     # can never contact anything — drop them HERE so the probe kernel
     # never casts NaN cell columns to int64 (executor RuntimeWarnings +
@@ -478,6 +494,9 @@ def contact_events(
         F.col("__tb__").alias("_ltb"),
         F.col("__lon__").alias("_llon"),
         F.col("__lat__").alias("_llat"),
+        F.col("__x__").alias("_lx"),
+        F.col("__y__").alias("_ly"),
+        F.col("__z__").alias("_lz"),
         F.col("_c_face").cast("int").alias("_cf"),
         F.col("_c_i").alias("_ci"),
         F.col("_c_j").alias("_cj"),
@@ -486,7 +505,8 @@ def contact_events(
 
     probe_schema = (
         "_pid long, _pent long, _pts timestamp, _pus long, _ptb long, "
-        "_plon double, _plat double, _pcf int, _pci long, _pcj long"
+        "_plon double, _plat double, _px double, _py double, _pz double, "
+        "_pcf int, _pci long, _pcj long"
     )
     _id_t = dict(base.dtypes)["__pid__"]
     _ent_t = dict(base.dtypes)["__ent__"]
@@ -509,8 +529,14 @@ def contact_events(
             ic = pdf["_c_i"].to_numpy()
             jc = pdf["_c_j"].to_numpy()
             row, f2, i2, j2 = S2.py_s2_neighbors_ij(fc, ic, jc, lvl)
-            cols = ["__pid__", "__ent__", "__ts__", "__us__", "__tb__", "__lon__", "__lat__"]
-            names = ["_pid", "_pent", "_pts", "_pus", "_ptb", "_plon", "_plat"]
+            cols = [
+                "__pid__", "__ent__", "__ts__", "__us__", "__tb__",
+                "__lon__", "__lat__", "__x__", "__y__", "__z__",
+            ]
+            names = [
+                "_pid", "_pent", "_pts", "_pus", "_ptb",
+                "_plon", "_plat", "_px", "_py", "_pz",
+            ]
             own = {n: pdf[c].to_numpy() for n, c in zip(names, cols)}
             self_df = pd.DataFrame(
                 dict(own, _pcf=fc.astype(np.int32), _pci=ic, _pcj=jc)
@@ -527,7 +553,7 @@ def contact_events(
 
     probe = base.select(
         "__pid__", "__ent__", "__ts__", "__us__", "__tb__", "__lon__", "__lat__",
-        "_c_face", "_c_i", "_c_j",
+        "__x__", "__y__", "__z__", "_c_face", "_c_i", "_c_j",
     ).mapInPandas(_probe_kernel, probe_schema)
 
     if watermark is not None:
@@ -551,6 +577,18 @@ def contact_events(
     dist = GD.gc_distance_m(
         F.col("_llon"), F.col("_llat"), F.col("_plon"), F.col("_plat")
     )
+    # conservative squared-chord gate (slacked +1e-9 relative so xyz
+    # rounding can never drop a true boundary contact — survivors are a
+    # superset, and the EXACT haversine filter below is unchanged, so the
+    # output is bit-identical); NaN coordinates fail the comparison and
+    # drop, exactly as they fail the haversine filter
+    from pygridmap_spark.functions.geodesy import EARTH_RADIUS_M as _R
+
+    _half = math.sin(min(float(radius_m) / (2.0 * _R), math.pi / 2.0))
+    _chord2_max = (2.0 * _half) ** 2 * (1.0 + 1e-9)
+    _dx = F.col("_lx") - F.col("_px")
+    _dy = F.col("_ly") - F.col("_py")
+    _dz = F.col("_lz") - F.col("_pz")
     refined = (
         left.join(probe, cond)
         .filter(
@@ -560,6 +598,7 @@ def contact_events(
             )
             & (F.col("_lent") != F.col("_pent"))
             & (F.abs(F.col("_lus") - F.col("_pus")) <= F.lit(window_us))
+            & (_dx * _dx + _dy * _dy + _dz * _dz <= F.lit(_chord2_max))
         )
         .withColumn("_d", dist)
         .filter(F.col("_d") <= F.lit(float(radius_m)))
