@@ -113,76 +113,60 @@ def mann_kendall_trend(
         mk_z   = (S -/+ 1) / sqrt(var)   (continuity correction; 0 when S = 0)
 
     mk_z is NULL when var == 0 (T < 2 or all values tied) — never
-    Infinity/NaN. S and the tie sums are exact integers, and the final
-    doubles are single IEEE ops (one cast-division; one correctly-rounded
-    sqrt + division), so the kernel below reproduces the former SQL
-    expression tree bit-for-bit.
-
-    Round-6 shape: ONE grouped Arrow reduce (``util.grouped_rows_sorted``
-    — per-BATCH Arrow fees, not per-group) replaces the cube self-join +
-    two-level tie aggregation + join, cutting the subplan from ~4
-    exchanges to 1. Per cell the kernel sums sign(x_j - x_i) over pairs
-    t_i < t_j vectorized (row-chunked so temporaries stay bounded for
-    very long series) and groups ties with ``np.unique`` — NULL x (NaN
-    through Arrow) pairs contribute 0 and NULLs form one tie group,
-    matching the SQL NULL-comparison semantics (inputs never carry real
-    NaN: counts are integers, gi_z is when()-guarded). Cells with no
-    qualifying pair (fewer than 2 distinct t) are dropped, matching the
-    former inner join against the pair aggregate."""
-    import math
-
-    import numpy as np
-
-    from pygridmap_spark import util as _util
-
-    cell_t = dict(cube.dtypes)[cell]
-    sel = cube.select(F.col(cell), F.col(t).alias("__t__"), F.col(x).alias("__x__"))
-    schema = f"{cell} {cell_t}, t_bins long, s_stat long, var_s double, mk_z double"
-
-    def _mk_row(sub):
-        tv = sub["__t__"].to_numpy()
-        xv = sub["__x__"].to_numpy()
-        n = len(xv)
-        is_f = xv.dtype.kind == "f"
-        valid = ~np.isnan(xv) if is_f else np.ones(n, dtype=bool)
-        s_stat = None
-        if len(np.unique(tv)) >= 2:
-            s = 0
-            chunk = max(1, 4_000_000 // n)
-            for a0 in range(0, n, chunk):
-                ta, xa, va = tv[a0 : a0 + chunk], xv[a0 : a0 + chunk], valid[a0 : a0 + chunk]
-                sg = np.sign(xv[None, :] - xa[:, None])
-                if is_f:
-                    sg = np.where(va[:, None] & valid[None, :], sg, 0.0)
-                s += int(np.where(tv[None, :] > ta[:, None], sg, 0).sum())
-            s_stat = s
-        vals = xv[valid]
-        cnt = np.unique(vals, return_counts=True)[1].astype(np.int64) if len(vals) else np.empty(0, np.int64)
-        n_null = int(n - valid.sum())
-        tie_sum = int((cnt * (cnt - 1) * (2 * cnt + 5)).sum())
-        if n_null:
-            tie_sum += n_null * (n_null - 1) * (2 * n_null + 5)
-        var_s = float(n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0
-        mk = None
-        if s_stat is not None and var_s > 0:
-            if s_stat > 0:
-                mk = float(s_stat - 1) / math.sqrt(var_s)
-            elif s_stat < 0:
-                mk = float(s_stat + 1) / math.sqrt(var_s)
-            else:
-                mk = 0.0
-        return {
-            cell: sub[cell].iloc[0],
-            "t_bins": n,
-            "s_stat": s_stat,
-            "var_s": var_s,
-            "mk_z": mk,
-        }
-
-    out = _util.grouped_rows_sorted(sel, [cell], _mk_row, schema)
-    # NULL s_stat marks "no pair with t1 < t2" — the former pair aggregate
-    # had no row for those cells and the inner join dropped them
-    return out.filter(F.col("s_stat").isNotNull())
+    Infinity/NaN. S and the tie sums are exact integers (the pair join is
+    |bins|^2/2 per cell, bounded by the analysis window); the variance
+    cubic overflows long only past ~2M bins, where ANSI mode raises
+    rather than corrupting."""
+    a = cube.select(
+        F.col(cell).alias("__c__"), F.col(t).alias("__t1__"), F.col(x).alias("__x1__")
+    )
+    b = cube.select(
+        F.col(cell).alias("__c__"), F.col(t).alias("__t2__"), F.col(x).alias("__x2__")
+    )
+    sgn = (
+        F.when(F.col("__x2__") > F.col("__x1__"), 1)
+        .when(F.col("__x2__") < F.col("__x1__"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        a.join(b, "__c__")
+        .filter(F.col("__t1__") < F.col("__t2__"))
+        .groupBy("__c__")
+        .agg(F.sum(sgn).alias("s_stat"))
+    )
+    tg = F.col("__tg__")
+    ties = (
+        cube.groupBy(F.col(cell).alias("__c__"), F.col(x).alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__tg__"))
+        .groupBy("__c__")
+        .agg(
+            F.count(F.lit(1)).alias("__groups__"),
+            F.sum("__tg__").alias("t_bins"),
+            F.sum(tg * (tg - 1) * (2 * tg + 5)).alias("__tie_sum__"),
+        )
+    )
+    tt = F.col("t_bins")
+    var_s = (
+        (tt * (tt - 1) * (2 * tt + 5) - F.col("__tie_sum__")).cast("double")
+        / F.lit(18.0)
+    )
+    s = F.col("s_stat")
+    mk = (
+        F.when(s > 0, (s - F.lit(1)).cast("double") / F.sqrt(F.col("var_s")))
+        .when(s < 0, (s + F.lit(1)).cast("double") / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.join(ties, "__c__")
+        .withColumn("var_s", var_s)
+        .select(
+            F.col("__c__").alias(cell),
+            "t_bins",
+            "s_stat",
+            "var_s",
+            F.when(F.col("var_s") > 0, mk).alias("mk_z"),
+        )
+    )
 
 
 #: two-sided 90% / 95% normal critical values — the ArcGIS hotspot bins
