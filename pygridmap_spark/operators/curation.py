@@ -1017,7 +1017,7 @@ def duplicate_span_removal(
     # The internal hash family change is output-invisible (duplicate
     # detection over 64-bit hashes equals detection over gram strings up
     # to collisions — the repo-wide minhash contract the oracle gates).
-    per_doc = _token_gram_frame(df, n, id_col, text_col).localCheckpoint(eager=True)
+    per_doc = _token_gram_frame(df, n, id_col, text_col).localCheckpoint(eager=False)
     base = per_doc.select(F.col(id_col), "__toks__")
     grams = per_doc.select(
         F.col(id_col), F.posexplode("__gh__").alias("__s0__", "__gh__")
