@@ -11,7 +11,6 @@ shuffles are groupBy(bucket) and the verification join; no cross joins.
 
 from __future__ import annotations
 
-import logging
 from typing import Iterator
 
 import numpy as np
@@ -20,33 +19,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pygridmap_spark.functions import text as TX
-
-log = logging.getLogger(__name__)
-
-
-def _drop_wide_buckets(keyed: DataFrame, key_cols: list[str], max_bucket: int, op: str) -> DataFrame:
-    """Anti-join out buckets wider than ``max_bucket``. The over-cap bucket
-    list is tiny by construction (only boilerplate keys exceed the cap), so
-    it is materialized once — which also yields the dropped-bucket count
-    for the log line — and BROADCAST into the anti-join, keeping the main
-    exploded frame un-shuffled."""
-    wide = (
-        keyed.groupBy(*key_cols)
-        .count()
-        .filter(F.col("count") > max_bucket)
-        .select(*key_cols)
-    )
-    rows = wide.collect()
-    if rows:
-        log.warning(
-            "%s: dropping %d over-cap bucket(s) (max_bucket=%d) — boilerplate "
-            "keys; pairs inside them are still reachable through other bands/chunks",
-            op, len(rows), max_bucket,
-        )
-        local = keyed.sparkSession.createDataFrame(rows, wide.schema)
-        keyed = keyed.join(F.broadcast(local), key_cols, "left_anti")
-    return keyed
-
 
 def _sql_type(df: DataFrame, col: str) -> str:
     """Spark SQL type string of ``col`` — mapInPandas output schemas must
@@ -261,16 +233,18 @@ def minhash_lsh_pairs(
     Jaccard (array_intersect/array_union — JVM). Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, deduped across bands.
 
-    ``max_bucket`` defaults to 100 000 (dropped buckets are logged): an
-    unbounded per-bucket self-join on one 10^6-doc boilerplate bucket is a
-    job-killing 10^12-pair explosion, and library callers at scale should
-    not need to know the knob exists to be safe. Pass ``None`` to opt out
-    explicitly (exact recall on pathological inputs).
+    ``max_bucket`` defaults to 100 000: an unbounded per-bucket self-join
+    on one 10^6-doc boilerplate bucket is a job-killing 10^12-pair
+    explosion, and library callers at scale should not need to know the
+    knob exists to be safe. Pass ``None`` to opt out explicitly (exact
+    recall on pathological inputs). The cap is a lazy semi-join against
+    the <=cap bucket keys (no driver action; over-cap buckets are not
+    individually logged — count them from the banded frame if needed).
 
-    NOTE: this is an ACTION, not a lazy transformation — the bucket-cap
-    counting pass (when ``max_bucket`` is set) and the final
-    ``localCheckpoint`` run jobs at call time; the returned DataFrame is
-    already materialized.
+    NOTE: the signature kernel runs EAGERLY at call time (the compact
+    (id, signature, shingles) frame is checkpointed once — the banding,
+    the cap count and both verify joins all read it); the pair pipeline
+    itself is lazy.
 
     Scale: the band-join exchange carries ONLY (band, bucket, doc_id) — at
     100 TB the dominant shuffle is the ×bands replication, so the shingle
@@ -285,14 +259,15 @@ def minhash_lsh_pairs(
         )
     # materialize signatures once: the banding self-join and the two
     # verify joins would otherwise recompute the shingle+hash pipeline
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
-    try:
-        return _minhash_lsh_pairs_body(
-            sigs, id_col, num_hashes, bands, jaccard_threshold, max_bucket
-        )
-    finally:
-        # release the signature cache even when the job fails mid-way
-        sigs.unpersist()
+    # (checkpoint, not persist: branches under broadcast builds cannot
+    # exchange-reuse a lazy subtree, and a cache would need a release
+    # action — the shingle_containment_pairs discipline)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    return _minhash_lsh_pairs_body(
+        sigs, id_col, num_hashes, bands, jaccard_threshold, max_bucket
+    )
 
 
 def _minhash_lsh_pairs_body(
@@ -322,49 +297,45 @@ def _minhash_lsh_pairs_body(
             )
         ).alias("band", "bucket"),
     )
-    # the banded frame feeds the cap counting pass AND both sides of the
-    # self-join: persist so the explode+band-hash projection runs once
-    # (narrow (band, bucket, id) rows — a small cache; measured ~12 % of
-    # the stage recomputed without it)
-    banded_cached = banded.persist()
-    try:
-        banded = banded_cached
-        if max_bucket is not None:
-            # giant buckets are boilerplate (empty pages, templates): a
-            # bucket of m docs makes m^2/2 candidate pairs. Cap the bucket
-            # width — the docs inside an over-cap bucket almost always
-            # still pair through their other bands (recall loss only for
-            # pairs whose EVERY shared band lands in an over-cap bucket).
-            banded = _drop_wide_buckets(
-                banded, ["band", "bucket"], max_bucket, "minhash_lsh_pairs"
-            )
-        a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"))
-        b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"))
-        pairs = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .dropDuplicates(["doc_a", "doc_b"])
+    if max_bucket is not None:
+        # giant buckets are boilerplate (empty pages, templates): a
+        # bucket of m docs makes m^2/2 candidate pairs. Cap the bucket
+        # width — the docs inside an over-cap bucket almost always
+        # still pair through their other bands (recall loss only for
+        # pairs whose EVERY shared band lands in an over-cap bucket).
+        # Lazy co-partitioned cap (shingle_containment_pairs shape): the
+        # <=cap keys come from a partially-aggregated count of the same
+        # banded projection — no driver collect job, no giant bucket
+        # ever materializes anywhere.
+        ok_keys = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__w__"))
+            .filter(F.col("__w__") <= max_bucket)
+            .select("band", "bucket")
         )
-        # fetch shingle sets for the surviving candidates only (id equi-joins)
-        sh = sigs.select(F.col(id_col), F.col("shingles"))
-        pairs = (
-            pairs.join(sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a")), "doc_a")
-            .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b")), "doc_b")
-        )
-        # shingles are already distinct sets (collect_set)
-        inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-        union = F.size(F.array_union("_sh_a", "_sh_b"))
-        return (
-            pairs.withColumn("jaccard", inter.cast("double") / union)
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("doc_a", "doc_b", "jaccard")
-            # materialize before releasing the caches (the caller's finally
-            # unpersists sigs; a later action would recompute uncached)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        banded_cached.unpersist()
+        banded = banded.join(ok_keys, ["band", "bucket"])
+    a = banded.select("band", "bucket", F.col(id_col).alias("doc_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("doc_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # fetch shingle sets for the surviving candidates only (id equi-joins)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        pairs.join(sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b")), "doc_b")
+    )
+    # shingles are already distinct sets (collect_set)
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -483,27 +454,24 @@ def simhash_near_duplicates(
     chunk -> equi-join per chunk, verify with bit_count(xor). ``blocks``
     defaults to max_hamming+1 — the minimum that makes the recall exact.
     ``max_bucket`` defaults to 100 000 (see minhash_lsh_pairs — same
-    boilerplate blow-up guard, same logged opt-out via ``None``).
+    boilerplate blow-up guard, same ``None`` opt-out; same lazy
+    co-partitioned cap, no driver action).
 
-    NOTE: an ACTION, not a lazy transformation — the bucket-cap counting
-    pass and the final ``localCheckpoint`` run jobs at call time."""
+    NOTE: the simhash kernel runs EAGERLY at call time (the compact
+    (id, simhash) frame is checkpointed once — the cap count and both
+    self-join sides read it); the pair pipeline itself is lazy."""
     if blocks is None:
         blocks = min(max_hamming + 1, 32)
     if blocks < max_hamming + 1:
         raise ValueError(
             f"blocks={blocks} cannot guarantee recall at max_hamming={max_hamming}"
         )
-    # persisted: the chunked frame feeds the wide-bucket count (when capped)
-    # plus BOTH sides of the self-join — without the cache the Arrow simhash
-    # kernel would re-run per consumer
-    sh = simhash(df, id_col, text_col).persist()
-    try:
-        return _simhash_near_duplicates_body(
-            sh, id_col, max_hamming, blocks, max_bucket
-        )
-    finally:
-        # release the signature cache even when the job fails mid-way
-        sh.unpersist()
+    # checkpoint, not persist: the chunked frame feeds the wide-bucket
+    # count (when capped) plus BOTH sides of the self-join — branches
+    # under broadcast builds cannot exchange-reuse a lazy subtree, and a
+    # cache would need a release action (shingle_containment_pairs shape)
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    return _simhash_near_duplicates_body(sh, id_col, max_hamming, blocks, max_bucket)
 
 
 def _simhash_near_duplicates_body(
@@ -530,10 +498,16 @@ def _simhash_near_duplicates_body(
     if max_bucket is not None:
         # boilerplate guard (see minhash_lsh_pairs.max_bucket): identical
         # simhashes share EVERY chunk, so run exact dedup first — the cap
-        # is for near-identical templates flooding one chunk value
-        chunked = _drop_wide_buckets(
-            chunked, ["chunk_idx", "chunk"], max_bucket, "simhash_near_duplicates"
+        # is for near-identical templates flooding one chunk value.
+        # Lazy co-partitioned cap: <=cap keys from a partially-aggregated
+        # count of the same chunked projection, no driver collect job.
+        ok_keys = (
+            chunked.groupBy("chunk_idx", "chunk")
+            .agg(F.count(F.lit(1)).alias("__w__"))
+            .filter(F.col("__w__") <= max_bucket)
+            .select("chunk_idx", "chunk")
         )
+        chunked = chunked.join(ok_keys, ["chunk_idx", "chunk"])
     a = chunked.select(
         "chunk_idx", "chunk", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha")
     )
@@ -547,9 +521,6 @@ def _simhash_near_duplicates_body(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .dropDuplicates(["doc_a", "doc_b"])
-        # materialize before releasing the signature cache (minhash_lsh_pairs
-        # pattern — a later action would otherwise recompute sh uncached)
-        .localCheckpoint(eager=True)
     )
 
 
