@@ -1233,7 +1233,16 @@ def cells_to_wkb(
         row["n_vertices"] = int(sum(len(r) for rings in mp for r in rings))
         return row
 
-    return _util.grouped_rows_sorted(df.select(*keys, i, j), keys, _reduce, schema)
+    # pin_partitions=False: the dissolve kernel's cost is ~O(cells) per
+    # group and a cell is a fixed-width (i, j) row, so exchanged BYTES
+    # proxy the kernel cost — AQE's byte-based coalescing sizes this
+    # exchange correctly (a bench-scale layer runs as one task instead of
+    # paying the per-task Python fee across the full shuffle width; a
+    # lake-scale layer still splits by size). Measured: the pinned form
+    # cost this operator ~0.4 s at sf0.1 (0.75 -> 1.15 interleaved A/B).
+    return _util.grouped_rows_sorted(
+        df.select(*keys, i, j), keys, _reduce, schema, pin_partitions=False
+    )
 
 
 # --- polyfill (S2 region covering at a fixed level) --------------------------

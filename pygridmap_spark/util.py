@@ -133,7 +133,9 @@ def _shuffle_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
-def grouped_rows_sorted(df: DataFrame, keys: list[str], row_fn, schema: str) -> DataFrame:
+def grouped_rows_sorted(
+    df: DataFrame, keys: list[str], row_fn, schema: str, pin_partitions: bool = True
+) -> DataFrame:
     """Grouped one-row-per-group reduce with per-BATCH (not per-group)
     Arrow overhead — the scale path for ``groupBy(keys).applyInPandas``
     when groups are numerous and the reducer emits a single row each.
@@ -196,10 +198,17 @@ def grouped_rows_sorted(df: DataFrame, keys: list[str], row_fn, schema: str) -> 
     # kernel — these helpers exist precisely for frames whose cost is
     # per-row kernel compute, which bytes do not proxy. The pinned count
     # comes from conf (cluster-tuned), not a local constant.
-    part = proj.repartition(
-        _shuffle_partitions(df), *[F.col(c) for c in gv + gn]
-    ).sortWithinPartitions(*gv, *gn)
-    return part.mapInPandas(_run, schema)
+    # ``pin_partitions=False`` opts back into AQE's byte-based coalescing
+    # for kernels whose per-row cost IS proxied by exchanged bytes (e.g.
+    # the s2 cell dissolve: work ~ cells, cells ~ bytes): a small frame
+    # then runs as one or two tasks instead of paying the per-task Python
+    # fee across the full shuffle width, while a large frame still splits
+    # by size.
+    if pin_partitions:
+        part = proj.repartition(_shuffle_partitions(df), *[F.col(c) for c in gv + gn])
+    else:
+        part = proj.repartition(*[F.col(c) for c in gv + gn])
+    return part.sortWithinPartitions(*gv, *gn).mapInPandas(_run, schema)
 
 
 def grouped_frames_sorted(
